@@ -1,0 +1,128 @@
+"""Arrow-batched embedding / attribute-extraction UDFs.
+
+These are the pipeline's "model inference" operators (SURVEY §2.H) —
+the only places Python touches row data, always through vectorized
+pandas UDFs over Arrow batches (input_hint mandates no per-row
+Python). Each wraps the deterministic stand-ins in
+``functions.hashing`` / ``datagen.content_embed``; swapping in real
+CLIP / MiniLM / GPT-4o is a body-only change, the signatures are the
+contract.
+
+Reference parity:
+- image embedding 512-d  : src/models/embedding_model.py:80-197 (M4)
+- text embedding 384-d   : src/models/embedding_model.py:233-291 (M5)
+- attribute extraction   : src/models/attribute_extraction_model.py:47-114 (M2)
+- mention detection      : src/models/segmentation_model.py:83-171 +
+                           src/engine/image_processor.py:106-148 (M1)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .. import taxonomy as tx
+
+ATTR_SCHEMA = T.StructType([
+    T.StructField("type", T.StringType()),
+    T.StructField("color", T.StringType()),
+    T.StructField("style", T.ArrayType(T.StringType())),
+    T.StructField("season", T.ArrayType(T.StringType())),
+    T.StructField("occasion", T.ArrayType(T.StringType())),
+    T.StructField("price", T.StringType()),
+    T.StructField("material", T.ArrayType(T.StringType())),
+    T.StructField("fit", T.StringType()),
+    T.StructField("gender", T.StringType()),
+    T.StructField("age_group", T.StringType()),
+])
+
+SEGMENT_SCHEMA = T.StructType([
+    T.StructField("label", T.StringType()),
+    T.StructField("area", T.LongType()),
+])
+
+
+@pandas_udf(T.ArrayType(T.FloatType()))
+def image_embed_udf(refs: pd.Series) -> pd.Series:
+    """media_ref → 512-d L2-normalized image embedding (M4)."""
+    from ..datagen import content_embed
+
+    vecs = content_embed(refs.to_numpy())
+    return pd.Series(list(vecs))
+
+
+@pandas_udf(T.ArrayType(T.FloatType()))
+def text_embed_udf(texts: pd.Series) -> pd.Series:
+    """text → 384-d L2-normalized sentence embedding (M5)."""
+    from .hashing import embed_strings
+
+    vecs = embed_strings(("txt:" + texts.fillna("")).to_numpy(), tx.TXT_DIM)
+    return pd.Series(list(vecs))
+
+
+@pandas_udf(ATTR_SCHEMA)
+def attrs_udf(refs: pd.Series) -> pd.DataFrame:
+    """media_ref → closed-vocabulary attribute record (M2).
+
+    Derived from the *base* content key, so every photo variant of a
+    garment yields identical attributes (the reference's GPT-4o sees
+    the same garment)."""
+    from ..datagen import base_attrs
+
+    a = base_attrs(refs.to_numpy())
+    return pd.DataFrame({k: pd.Series(list(v)) for k, v in a.items()})
+
+
+@pandas_udf(SEGMENT_SCHEMA)
+def segment_udf(refs: pd.Series) -> pd.DataFrame:
+    """media_ref → (label, area) of the dominant segment (M1).
+
+    Stand-in for SegFormer + largest-mask crop
+    (image_processor.py:138-142)."""
+    from .hashing import segment_labels_areas
+
+    labels, areas = segment_labels_areas(refs.to_numpy())
+    return pd.DataFrame({"label": pd.Series(list(labels)),
+                         "area": pd.Series(areas)})
+
+
+def cosine_col(a, b):
+    """Exact cosine between two array<float/double> columns, JVM-side
+    (no Python): zip_with product + aggregate sum. Inputs here are
+    L2-normalized so cosine ≡ dot (src/models/embedding_model.py:148-151)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def hyperplanes(dim: int, nbits: int, seed_key: str) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH (shared by the
+    Spark operator and the test oracle)."""
+    from .hashing import hash64, rand_uniform
+
+    h = hash64([f"lsh:{seed_key}:{i}" for i in range(nbits)])
+    u = rand_uniform(h, dim, lane=91)
+    return (u * 2.0 - 1.0).astype(np.float32)
+
+
+def make_signature_udf(planes: np.ndarray, nbands: int):
+    """vec → array<int> of ``nbands`` band signatures (packed sign
+    bits). Runs as an Arrow-batched matmul — one BLAS call per batch."""
+    nbits = planes.shape[0]
+    assert nbits % nbands == 0
+    bits_per_band = nbits // nbands
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def signature_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())                      # (n, dim)
+        signs = (m @ planes.T) >= 0                        # (n, nbits)
+        weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+        sigs = signs.reshape(len(m), nbands, bits_per_band) @ weights
+        return pd.Series(list(sigs.astype(np.int32)))
+
+    return signature_udf

@@ -1,0 +1,108 @@
+"""Connected-components canonicalization of duplicate entities.
+
+The reference canonicalizes by exact ``product_id`` only (Neo4j MERGE
+key, src/database/graph_database.py:89-92) — near-duplicate listings
+stay distinct nodes. The north_rule requires true canonicalization:
+detect near-duplicate catalog entities (cosine ≥ threshold) and
+collapse each connected component to one canonical id.
+
+Implementation is GraphFrames-style iterative label propagation
+expressed as plain DataFrame self-joins (no GraphFrames dependency):
+every vertex repeatedly adopts the minimum label among itself and its
+neighbors; converges in O(component diameter) rounds. Lineage is cut
+with ``localCheckpoint`` each round (at cluster scale: write the
+label table to an Iceberg checkpoint instead — sources/tables.py).
+Duplicate-listing components are tiny (2-5 nodes) so 3-4 rounds
+converge; the loop exits by fixpoint count, not a guessed bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import taxonomy as tx
+from ..functions.embeddings import cosine_col, hyperplanes, make_signature_udf
+
+DUP_COSINE = 0.98
+
+
+def near_duplicate_pairs(catalog: DataFrame,
+                         threshold: float = DUP_COSINE,
+                         nbits: int = 64, nbands: int = 8) -> DataFrame:
+    """LSH-blocked self-join of the catalog embedding space →
+    (src, dst) candidate duplicate pairs with cosine ≥ threshold.
+
+    Blocking key = (type, color, band, bsig) exactly like the linking
+    join; id1 < id2 halves the candidate set.
+    """
+    planes = hyperplanes(tx.IMG_DIM, nbits, seed_key="dedup-img")
+    sig = make_signature_udf(planes, nbands)
+    c = catalog.select("product_id", "type", "color", "embedding") \
+        .withColumn("sigs", sig("embedding"))
+    e = c.select("*", F.posexplode("sigs").alias("band", "bsig")).drop("sigs")
+    a = e.select(*[F.col(x).alias(f"a_{x}") for x in e.columns])
+    b = e.select(*[F.col(x).alias(f"b_{x}") for x in e.columns])
+    cand = a.join(
+        b,
+        (F.col("a_band") == F.col("b_band"))
+        & (F.col("a_bsig") == F.col("b_bsig"))
+        & (F.col("a_type") == F.col("b_type"))
+        & (F.col("a_color") == F.col("b_color"))
+        & (F.col("a_product_id") < F.col("b_product_id")),
+        "inner",
+    ).dropDuplicates(["a_product_id", "b_product_id"])
+    scored = cand.withColumn(
+        "score", cosine_col("a_embedding", "b_embedding"))
+    return scored.filter(F.col("score") >= threshold).select(
+        F.col("a_product_id").alias("src"),
+        F.col("b_product_id").alias("dst"), "score")
+
+
+def connected_components(edges: DataFrame, vertices: DataFrame,
+                         id_col: str = "id",
+                         max_iter: int = 50) -> DataFrame:
+    """(src,dst) edges + vertex ids → (id, component) with component =
+    min id in the component. Iterative min-label propagation."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = vertices.select(F.col(id_col).alias("id")) \
+        .withColumn("component", F.col("id")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.src == labels.id, "inner") \
+            .select(F.col("dst").alias("id"), "component")
+        new_labels = labels.select("id", "component").union(msgs) \
+            .groupBy("id").agg(F.min("component").alias("component")) \
+            .localCheckpoint(eager=True)
+        changed = new_labels.alias("n").join(
+            labels.alias("o"), "id").filter(
+            F.col("n.component") != F.col("o.component")).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_mapping(catalog: DataFrame,
+                      threshold: float = DUP_COSINE) -> DataFrame:
+    """catalog → (product_id, canonical_id) — identity for singletons."""
+    pairs = near_duplicate_pairs(catalog, threshold)
+    labels = connected_components(pairs, catalog, id_col="product_id")
+    return labels.select(F.col("id").alias("product_id"),
+                         F.col("component").alias("canonical_id"))
+
+
+def canonicalize(df: DataFrame, mapping: DataFrame,
+                 cols: list[str]) -> DataFrame:
+    """Rewrite every id column in ``cols`` through the canonical map
+    (broadcast when dim-sized — mapping is |catalog| rows; at 1M+ rows
+    Spark picks SMJ/shuffled-hash automatically)."""
+    out = df
+    for c in cols:
+        m = mapping.select(F.col("product_id").alias(c),
+                           F.col("canonical_id").alias(f"__canon_{c}"))
+        out = out.join(m, c, "left").withColumn(
+            c, F.coalesce(F.col(f"__canon_{c}"), F.col(c))
+        ).drop(f"__canon_{c}")
+    return out

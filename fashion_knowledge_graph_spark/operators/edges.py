@@ -1,0 +1,92 @@
+"""Co-occurrence pair generation and edge aggregation.
+
+Reference semantics (src/engine/process_social_media_images.py:112-146
+and src/database/graph_database.py:98-204):
+
+- per document, the linked product ids in *item order*; every ordered
+  position pair i<j becomes one observation
+- rel type from the catalog ``category`` map: equal categories ⇒
+  ``COMPLEMENTED_BY`` else ``WORN_WITH``; missing ⇒ ``WORN_WITH``
+  (process_social_media_images.py:121-131; the map is built from the
+  catalog CSV at :164-166)
+- Neo4j MERGE: weight starts at 1, +1 per re-observation
+  (graph_database.py:194-196); the evidence image is appended to
+  ``r.image`` (:173-175); scalar props overwritten (:176-179)
+- the reference writes the edge in BOTH directions (:135-146) and
+  reads it undirected (graph_database.py:308). We store one canonical
+  direction ``src <= dst`` and symmetrize at read
+  (plans/queries.py) — same observable results, half the state.
+
+Batch-aggregation replaces incremental MERGE: weight = count(*) per
+(src, dst, rel_type) group, images = evidence list in deterministic
+doc order. Skew note: the per-doc self-join groups are tiny (≤ a few
+mentions per doc) so the doc_id shuffle is skew-free by construction;
+the (src,dst) agg can skew on celebrity products — partial
+aggregation (map-side combine) absorbs it, and AQE handles the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_pairs(linked: DataFrame,
+                       evidence_col: str = "doc_id") -> DataFrame:
+    """linked mentions (doc_id, span_idx, product_id, category) →
+    one row per ordered position pair i<j within each doc.
+
+    Self-join on doc_id with position inequality — the DataFrame form
+    of the reference's nested loop (:117-119). Duplicate ids within a
+    doc are kept (the reference would write a self-edge too).
+    """
+    a = linked.select(
+        F.col("doc_id"), F.col("span_idx").alias("pos1"),
+        F.col("product_id").alias("pid1"), F.col("category").alias("cat1"))
+    b = linked.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("span_idx").alias("pos2"),
+        F.col("product_id").alias("pid2"), F.col("category").alias("cat2"))
+    pairs = a.join(
+        b, (F.col("doc_id") == F.col("doc_id_b")) & (F.col("pos1") < F.col("pos2")),
+        "inner").drop("doc_id_b")
+    rel = F.when(
+        F.col("cat1").isNotNull() & F.col("cat2").isNotNull()
+        & (F.col("cat1") == F.col("cat2")), F.lit("COMPLEMENTED_BY")
+    ).otherwise(F.lit("WORN_WITH"))
+    # canonical undirected direction: src <= dst
+    return pairs.select(
+        F.least("pid1", "pid2").alias("src"),
+        F.greatest("pid1", "pid2").alias("dst"),
+        rel.alias("rel_type"),
+        F.col("doc_id").alias("image"),   # evidence key (reference stores
+                                          # basename(image_path), :115)
+        F.lit("social_media").alias("source"),
+    )
+
+
+def aggregate_edges(pairs: DataFrame) -> DataFrame:
+    """(src, dst, rel_type, image, source) observations → edges table.
+
+    weight = observation count (A1); images = evidence in
+    deterministic (sorted) order (A2 — the reference appends in
+    processing order, which a distributed run cannot reproduce;
+    sorted order is the documented, testable choice); source =
+    last-write-wins scalar (A3), deterministic via max.
+    """
+    return pairs.groupBy("src", "dst", "rel_type").agg(
+        F.count(F.lit(1)).alias("weight"),
+        F.sort_array(F.collect_list("image")).alias("images"),
+        F.max("source").alias("source"),
+    )
+
+
+def complements_triples(edges: DataFrame) -> DataFrame:
+    """Edge rows → (subj, complements, obj) triples (north_rule's
+    fourth predicate). One triple per canonical direction."""
+    return edges.select(
+        F.col("src").alias("subj"),
+        F.lit("complements").alias("pred"),
+        F.col("dst").alias("obj"),
+        F.col("rel_type"),
+        F.col("weight").cast("double").alias("score"),
+    )

@@ -1,0 +1,166 @@
+"""End-to-end knowledge-graph construction pipeline.
+
+Spark-first restatement of the reference's two batch entry points
+(src/engine/process_catalog.py, src/engine/process_social_media_images.py)
+as one declarative lineage over the interleaved docs table:
+
+  docs ──explode──► image mentions ──UDFs──► embeddings/attrs
+        └─explode──► text spans ──lexicon──► doc-level triples
+  mentions ⋈LSH catalog ──top-1≥0.7──► linked mentions
+  linked ──self-join i<j──► pairs ──agg──► edges
+  catalog ──LSH self-join──► near-dups ──CC──► canonical map
+  linked+edges+triples ──canonicalize──► nodes / edges / triples tables
+
+Stage boundaries are snapshot commits (sources/tables.py): each stage
+is resumable — rerunning skips stages whose snapshot exists (and, for
+the mention stage, processes only docs not yet in the lineage,
+anti-join on doc_id). Shuffle inventory (the whole build):
+  1. linking join (band,bsig,type,color)   — AQE skew-split
+  2. candidate dedup + top-1 window (doc_id,span_idx)
+  3. pair self-join (doc_id)               — repartitionByRange first
+  4. edge aggregation (src,dst,rel)        — map-side partial agg
+  5. CC iterations (small: catalog-sized)
+Everything else is map-side.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import taxonomy as tx
+from ..operators import attributes as at
+from ..operators import components as cc
+from ..operators import edges as ed
+from ..operators import linking as lk
+from ..operators import mentions as mn
+from ..operators.skew import repartition_by_range
+from ..sources.tables import SnapshotTable
+
+
+@dataclass
+class KGPipeline:
+    """Config + table handles for one KG build."""
+
+    warehouse: str
+    link_strategy: str = "auto"
+    link_threshold: float = tx.LINK_THRESHOLD
+    link_top_k: int = tx.LINK_TOP_K
+    dup_threshold: float = cc.DUP_COSINE
+    tables: dict = field(default_factory=dict)
+
+    def table(self, name: str) -> SnapshotTable:
+        if name not in self.tables:
+            self.tables[name] = SnapshotTable(os.path.join(self.warehouse, name))
+        return self.tables[name]
+
+    # ---- stages -------------------------------------------------------
+    def stage_linked(self, docs: DataFrame, catalog: DataFrame,
+                     resume: bool = True) -> DataFrame:
+        """Mention detection + entity linking; resumable per doc_id.
+
+        Incremental semantics replace the reference's "rerun the batch
+        script against Neo4j MERGE": already-linked docs are skipped
+        via anti-join against the committed snapshot, new results are
+        appended as a new snapshot.
+        """
+        spark = docs.sparkSession
+        t = self.table("linked")
+        seen = self.table("processed_docs")
+        todo = docs
+        if resume and seen.exists():
+            # anti-join against the *processed* doc set — docs whose
+            # mentions all failed the gates still count as processed
+            done = seen.read(spark)
+            todo = docs.join(done, "doc_id", "left_anti")
+        if todo.isEmpty():
+            return t.read(spark)
+        mentions = mn.image_mentions(todo)
+        linked = lk.link_mentions(
+            mentions, catalog, strategy=self.link_strategy,
+            top_k=self.link_top_k, threshold=self.link_threshold)
+        flat = linked.select(
+            "doc_id", "span_idx", "product_id", "category", "score",
+            *[F.col(f"attrs.{a}").alias(a)
+              for a in (*tx.SCALAR_ATTRS, *tx.MULTI_ATTRS)])
+        t.write(flat, mode="append", stage="link")
+        seen.write(todo.select("doc_id"), mode="append", stage="link")
+        return t.read(spark)
+
+    def stage_canonical(self, catalog: DataFrame) -> DataFrame:
+        spark = catalog.sparkSession
+        t = self.table("canonical")
+        if not t.exists():
+            t.write(cc.canonical_mapping(catalog, self.dup_threshold),
+                    mode="overwrite", stage="canonicalize")
+        return t.read(spark)
+
+    def stage_edges(self, linked: DataFrame, canon: DataFrame) -> DataFrame:
+        spark = linked.sparkSession
+        t = self.table("edges")
+        linked_canon = cc.canonicalize(
+            repartition_by_range(linked, "doc_id"), canon, ["product_id"])
+        pairs = ed.cooccurrence_pairs(linked_canon)
+        edges = ed.aggregate_edges(pairs)
+        t.write(edges, mode="overwrite", stage="edges")
+        return t.read(spark)
+
+    def stage_triples(self, docs: DataFrame, linked: DataFrame,
+                      canon: DataFrame, edges: DataFrame) -> DataFrame:
+        spark = docs.sparkSession
+        t = self.table("triples")
+        attrs_struct = F.struct(*[F.col(a).alias(a)
+                                  for a in (*tx.SCALAR_ATTRS, *tx.MULTI_ATTRS)])
+        linked_canon = cc.canonicalize(linked, canon, ["product_id"]) \
+            .withColumn("attrs", attrs_struct)
+        t_attr = at.attr_triples(linked_canon)
+        t_text = at.lexicon_triples(
+            mn.text_mentions(docs), subj_col="doc_id") \
+            .withColumn("doc_id", F.col("subj")) \
+            .withColumn("span_idx", F.lit(-1)) \
+            .withColumn("score", F.lit(1.0))
+        t_comp = ed.complements_triples(edges).select(
+            "subj", "pred", "obj",
+            F.lit(None).cast("string").alias("doc_id"),
+            F.lit(-1).alias("span_idx"), "score")
+        allt = t_attr.unionByName(
+            t_text.select(t_attr.columns)).unionByName(t_comp)
+        t.write(allt, mode="overwrite", stage="triples")
+        return t.read(spark)
+
+    def stage_nodes(self, catalog: DataFrame, canon: DataFrame) -> DataFrame:
+        """Canonical nodes table — last-write-wins per canonical id
+        (reference MERGE SET p += attrs, graph_database.py:89-92);
+        deterministic winner = min product_id (== the canonical id)."""
+        spark = catalog.sparkSession
+        t = self.table("nodes")
+        mapped = cc.canonicalize(catalog, canon, ["product_id"])
+        w = Window.partitionBy("product_id").orderBy(F.asc("image_path"))
+        nodes = mapped.withColumn("__rn", F.row_number().over(w)) \
+            .filter(F.col("__rn") == 1).drop("__rn")
+        t.write(nodes.drop("embedding", "style_embedding"),
+                mode="overwrite", stage="nodes")
+        return t.read(spark)
+
+    # ---- full build ---------------------------------------------------
+    def build(self, docs: DataFrame, catalog: DataFrame,
+              resume: bool = True) -> dict[str, DataFrame]:
+        spark = docs.sparkSession
+        linked = self.stage_linked(docs, catalog, resume=resume)
+        canon = self.stage_canonical(catalog)
+        edges = self.stage_edges(linked, canon)
+        triples = self.stage_triples(docs, linked, canon, edges)
+        nodes = self.stage_nodes(catalog, canon)
+        return {"linked": linked, "canonical": canon, "edges": edges,
+                "triples": triples, "nodes": nodes}
+
+
+def read_fixtures(spark: SparkSession, fixture_dir: str) -> dict[str, DataFrame]:
+    return {
+        "docs": spark.read.parquet(os.path.join(fixture_dir, "docs.parquet")),
+        "catalog": spark.read.parquet(os.path.join(fixture_dir, "catalog.parquet")),
+        "taxonomy": spark.read.parquet(os.path.join(fixture_dir, "taxonomy.parquet")),
+    }

@@ -1,0 +1,172 @@
+"""Snapshot-committed parquet tables + per-partition lineage/metrics.
+
+The north_rule targets Iceberg tables with snapshot-checkpoint resume.
+This sandbox has no Iceberg runtime jars, so this module implements
+the same *contract* on plain parquet with an explicit atomic snapshot
+log — the interface is a drop-in for ``df.writeTo(tbl).append()`` /
+``spark.read.table(tbl)`` when Iceberg is on the classpath:
+
+    table/
+      data/snap-00000003/part-*.parquet      one dir per commit
+      _snapshots/00000003.json               manifest: parent + files
+      _snapshots/CURRENT                     atomic pointer (rename)
+
+Semantics matched to Iceberg:
+- a snapshot is visible only after its manifest + CURRENT pointer are
+  written → readers never see partial data (crash mid-write leaves an
+  orphan data dir, invisible — exactly Iceberg's behavior)
+- ``append`` snapshots reference parent files + new files
+- ``overwrite`` snapshots reference only new files
+- time travel: ``read(spark, snapshot_id=N)``
+
+Lineage (north_rule: "every stage writes per-partition lineage +
+metrics"): ``write`` computes per-output-partition row counts during
+the same job via an accumulator inside a mapInPandas pass-through (no
+second scan) and commits them next to the snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.snap_dir = os.path.join(root, "_snapshots")
+        self.data_dir = os.path.join(root, "data")
+
+    # ---- snapshot log -------------------------------------------------
+    def current_snapshot(self) -> int | None:
+        cur = os.path.join(self.snap_dir, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, sid: int) -> dict:
+        with open(os.path.join(self.snap_dir, f"{sid:08d}.json")) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[int]:
+        if not os.path.isdir(self.snap_dir):
+            return []
+        return sorted(int(p.split(".")[0]) for p in os.listdir(self.snap_dir)
+                      if p.endswith(".json"))
+
+    # ---- write --------------------------------------------------------
+    def write(self, df: DataFrame, mode: str = "append",
+              stage: str | None = None) -> int:
+        """Commit ``df`` as a new snapshot; returns snapshot id.
+
+        Lineage rows (stage, partition_id, output_rows, wall_ms,
+        snapshot_id) are collected during the same write job via an
+        accumulator and stored in the manifest.
+        """
+        os.makedirs(self.snap_dir, exist_ok=True)
+        parent = self.current_snapshot()
+        sid = (parent or 0) + 1 if parent is not None else 1
+        out = os.path.join(self.data_dir, f"snap-{sid:08d}")
+
+        spark = df.sparkSession
+        acc = spark.sparkContext.accumulator(
+            {}, _PartitionCountParam())
+        t0 = time.time()
+
+        def count_rows(it):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            n = 0
+            for batch in it:
+                n += len(batch)
+                yield batch
+            acc.add({pid: n})
+
+        df.mapInPandas(count_rows, df.schema) \
+            .write.mode("overwrite").parquet(out)
+        wall_ms = int((time.time() - t0) * 1000)
+
+        files = sorted(
+            os.path.join(f"snap-{sid:08d}", p) for p in os.listdir(out)
+            if p.endswith(".parquet"))
+        if mode == "append" and parent is not None:
+            files = self._manifest(parent)["files"] + files
+        manifest = {
+            "snapshot_id": sid, "parent": parent, "mode": mode,
+            "stage": stage, "wall_ms": wall_ms,
+            "files": files,
+            "lineage": [
+                {"stage": stage, "partition_id": int(p), "output_rows": int(n),
+                 "snapshot_id": sid, "wall_ms": wall_ms}
+                for p, n in sorted(acc.value.items())],
+            "commit_uuid": str(uuid.uuid4()),
+        }
+        tmp = os.path.join(self.snap_dir, f".{sid:08d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.snap_dir, f"{sid:08d}.json"))
+        tmp_cur = os.path.join(self.snap_dir, ".CURRENT.tmp")
+        with open(tmp_cur, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp_cur, os.path.join(self.snap_dir, "CURRENT"))
+        return sid
+
+    # ---- read ---------------------------------------------------------
+    def read(self, spark: SparkSession,
+             snapshot_id: int | None = None) -> DataFrame:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot()
+        if sid is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        files = [os.path.join(self.data_dir, f)
+                 for f in self._manifest(sid)["files"]]
+        return spark.read.parquet(*files)
+
+    def exists(self) -> bool:
+        return self.current_snapshot() is not None
+
+    def lineage(self) -> list[dict]:
+        rows = []
+        for sid in self.snapshots():
+            rows.extend(self._manifest(sid).get("lineage", []))
+        return rows
+
+    def drop(self):
+        shutil.rmtree(self.root, ignore_errors=True)
+
+
+class _PartitionCountParam:
+    """AccumulatorParam merging {partition_id: rows} dicts."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            a[k] = a.get(k, 0) + v
+        return a
+
+
+def metrics_df(spark: SparkSession, tables: dict[str, SnapshotTable]) -> DataFrame:
+    """All stages' lineage as one DataFrame (A9 in SURVEY §2.D)."""
+    rows = []
+    for name, t in tables.items():
+        for r in t.lineage():
+            rows.append((name, r.get("stage"), r["partition_id"],
+                         r["output_rows"], r["snapshot_id"], r["wall_ms"]))
+    return spark.createDataFrame(
+        rows, "table string, stage string, partition_id int, "
+              "output_rows long, snapshot_id int, wall_ms long")
+
+
+def partition_metrics(df: DataFrame) -> DataFrame:
+    """Ad-hoc per-partition metrics for any DataFrame."""
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("rows"))
