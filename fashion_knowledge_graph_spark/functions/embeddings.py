@@ -63,6 +63,18 @@ def text_embed_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(list(vecs))
 
 
+@pandas_udf(T.ArrayType(T.FloatType()))
+def clip_text_embed_udf(texts: pd.Series) -> pd.Series:
+    """text → 512-d image-space embedding (M4's text tower —
+    src/models/embedding_model.py:154-197): CLIP text and image
+    embeddings share one space, which is what makes the reference's
+    text→image search work; the stand-in keys on a distinct prefix."""
+    from .hashing import embed_strings
+
+    vecs = embed_strings(("cliptxt:" + texts.fillna("")).to_numpy(), tx.IMG_DIM)
+    return pd.Series(list(vecs))
+
+
 @pandas_udf(ATTR_SCHEMA)
 def attrs_udf(refs: pd.Series) -> pd.DataFrame:
     """media_ref → closed-vocabulary attribute record (M2).

@@ -1,0 +1,176 @@
+"""Text analytics for large-scale training-data pipelines.
+
+All hot-path expressions are pure Catalyst (``pyspark.sql.functions``
+column expressions — JVM-side, whole-stage-codegen'd, no Python), so
+they pipeline into the scan with predicate pushdown intact and scale
+linearly with input splits: a 100 TB corpus is just more map tasks.
+
+Components (each has an ANSI-SQL-expressible definition so DuckDB can
+act as a correctness oracle):
+
+- ``norm_text`` / ``tokens`` / ``token_count`` — normalization and a
+  whitespace+punctuation tokenizer (the BPE-ish regex splitter).
+- ``char_stats`` — length / punctuation / digit / uppercase /
+  whitespace ratios for quality filtering.
+- ``quality_score`` — deterministic heuristic combining the ratios
+  (the usual Gopher/C4-style length+symbol+stopword gates).
+- ``lang_id`` — n-gram/stopword-hit heuristic language ID.
+- ``fingerprint_md5`` — document fingerprint of normalized content.
+- ``minhash_sketch_col`` — bottom-k sketch of word-shingle hashes
+  (rolling document fingerprint; feeds dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword lists for the heuristic language ID.
+# Deliberately tiny and hard-coded: the point is the *operator shape*
+# (explode → broadcast join → argmax), not linguistic accuracy.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "la", "de", "et", "un", "une", "dans", "pour", "que", "sur"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "für", "auf"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "para"],
+}
+
+# English stopwords reused for the quality-score stopword ratio.
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def norm_text(col) -> Column:
+    """Lowercase, collapse every non-alphanumeric run to one space,
+    trim. SQL parity: trim(regexp_replace(lower(x),'[^a-z0-9]+',' ','g'))."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def tokens(col) -> Column:
+    """Array of normalized tokens (empty strings dropped)."""
+    return F.filter(F.split(norm_text(col), " "), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def _count_matching(col, char_class: str) -> Column:
+    """# characters matching a regex character class, JVM-side."""
+    return F.length(col) - F.length(F.regexp_replace(col, char_class, ""))
+
+
+def char_stats(col) -> dict[str, Column]:
+    """Ratio columns for quality gates. Denominator guarded to 1."""
+    n = F.greatest(F.length(col), F.lit(1)).cast("double")
+    return {
+        "n_chars": F.length(col),
+        "n_tokens": token_count(col),
+        "punct_ratio": _count_matching(col, r"[^\w\s]") / n,
+        "digit_ratio": _count_matching(col, r"[0-9]") / n,
+        "upper_ratio": _count_matching(col, r"[A-Z]") / n,
+        "space_ratio": _count_matching(col, r"\s") / n,
+    }
+
+
+def stopword_ratio(col) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    toks = tokens(col)
+    hits = F.size(F.filter(
+        toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def mean_token_len(col) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col) -> Column:
+    """Deterministic 0..1 quality heuristic (C4/Gopher-style gates,
+    expressed as a smooth score instead of a boolean filter):
+
+      0.25·[20 ≤ n_chars ≤ 10000] + 0.25·[5 ≤ n_tokens ≤ 2000]
+    + 0.25·[punct_ratio ≤ 0.3]    + 0.25·[2 ≤ mean_token_len ≤ 12]
+    """
+    st = char_stats(col)
+    ind = lambda c: F.when(c, 1.0).otherwise(0.0)  # noqa: E731
+    mtl = mean_token_len(col)
+    return (
+        0.25 * ind((st["n_chars"] >= 20) & (st["n_chars"] <= 10000))
+        + 0.25 * ind((st["n_tokens"] >= 5) & (st["n_tokens"] <= 2000))
+        + 0.25 * ind(st["punct_ratio"] <= 0.3)
+        + 0.25 * ind((mtl >= 2.0) & (mtl <= 12.0))
+    )
+
+
+def stopword_dim(spark) -> DataFrame:
+    """(lang, token) broadcast dim for lang_id."""
+    rows = [(lang, t) for lang, toks in LANG_STOPWORDS.items() for t in toks]
+    return spark.createDataFrame(rows, "lang string, token string")
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: explode tokens → broadcast-join the
+    (lang, token) dim → count hits per (doc, lang) → argmax with
+    deterministic tie-break (lang asc); no hits → 'und'.
+
+    One shuffle (the per-doc count); the join is map-side broadcast.
+    Output: (id_col, lang_pred, lang_hits).
+    """
+    spark = df.sparkSession
+    dim = F.broadcast(stopword_dim(spark))
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    hits = tok.join(dim, "token").groupBy(id_col, "lang") \
+        .agg(F.count(F.lit(1)).alias("lang_hits"))
+    # portable argmax: order by (hits desc, lang asc), take first
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.desc("lang_hits"), F.asc("lang"))
+    top = hits.withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") == 1).drop("__rn")
+    return df.select(id_col).join(top, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
+        F.coalesce(F.col("lang_hits"), F.lit(0)).alias("lang_hits"))
+
+
+def fingerprint_md5(col) -> Column:
+    """Content fingerprint: md5 of the normalized text. Identical
+    normalized content ⇒ identical fingerprint (exact-dedup key)."""
+    return F.md5(norm_text(col))
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (array of
+    space-joined n-grams); the unit of n-gram Jaccard / MinHash."""
+    toks = tokens(col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)])),
+    ).otherwise(
+        # short docs: the whole doc is one shingle (keeps them
+        # comparable instead of silently dropped)
+        F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array()))
+    return F.array_distinct(grams)
+
+
+def shingle_hash(shingle_col) -> Column:
+    """Portable 60-bit shingle hash: first 15 hex chars of md5 → bigint.
+    (md5 exists in both Spark and DuckDB, so oracles can reproduce it;
+    xxhash64 would be Spark-only.)"""
+    return F.conv(F.substring(F.md5(shingle_col), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_sketch_col(col, k: int = 16, n: int = 3) -> Column:
+    """Bottom-k sketch of the shingle-hash set — a compact document
+    fingerprint whose overlap estimates Jaccard similarity. Pure
+    Catalyst: transform → array_sort → slice."""
+    hashes = F.transform(shingles(col, n), lambda s: shingle_hash(s))
+    return F.slice(F.array_sort(hashes), 1, k)

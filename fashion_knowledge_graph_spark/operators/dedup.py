@@ -1,0 +1,268 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each picked for a different scale/precision
+trade-off, all expressed over DataFrames so Catalyst keeps pushdown /
+pruning / AQE:
+
+- ``exact_dedup``          — hash-groupBy on normalized content; one
+                             shuffle, exact.
+- ``jaccard_pairs_exact``  — word-shingle Jaccard via an
+                             **inverted-index join** (explode shingle →
+                             equi-join on shingle → count common per
+                             pair). Never materializes the cross
+                             product: cost is Σ df(shingle)², and hot
+                             shingles (stopword-grams) are dropped by a
+                             document-frequency cap exactly like
+                             classic blocking.
+- ``minhash_lsh_pairs``    — MinHash signatures + banded LSH blocking,
+                             exact-Jaccard verification of candidates.
+                             The 100 TB path: cost linear in corpus +
+                             Σ block².
+- ``simhash_pairs``        — 64-bit SimHash, banded blocking on 4×16
+                             bit keys, Hamming-distance verify with
+                             ``bit_count(xor)`` (JVM-side).
+- ``embedding_near_dup``   — cosine-threshold self-join over an
+                             embedding column (exact; the LSH-blocked
+                             variant for big corpora is
+                             ``components.near_duplicate_pairs``).
+
+All pair emitters return canonical ``id_a < id_b`` pairs. ``dedup_keep``
+turns any pair set into a keep/drop decision via connected components
+(min-id wins), reusing ``components.connected_components``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per identical normalized content.
+
+    groupBy on the md5 fingerprint (not the full text) keeps shuffle
+    rows narrow at 100 TB; collisions are md5-improbable. Output:
+    (fingerprint, keep_id, n_dups)."""
+    return df.select(
+        tx.fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col)
+    ).groupBy("fingerprint").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"))
+
+
+# ---------------------------------------------- n-gram Jaccard (exact)
+def _shingle_posting(df: DataFrame, id_col: str, text_col: str,
+                     n: int) -> DataFrame:
+    """(id, shingle_hash) posting list; distinct shingles per doc."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tx.shingles(F.col(text_col), n)).alias("shingle")
+    ).select("id", tx.shingle_hash(F.col("shingle")).alias("sh"))
+
+
+def jaccard_pairs_exact(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
+    """Exact word-``n``-gram Jaccard ≥ threshold pairs via inverted
+    index: |A∩B| from the shingle equi-join, |A|,|B| from per-doc
+    shingle counts, J = inter / (|A|+|B|-inter).
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    before pairing (cost cap for head shingles). With ``max_df=None``
+    the result is exactly the brute-force pairwise Jaccard — that is
+    the oracle-checked configuration.
+    """
+    post = _shingle_posting(df, id_col, text_col, n)
+    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        keep = post.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh")) \
+            .filter(F.col("df_sh") <= max_df).select("sh")
+        post = post.join(keep, "sh")
+    a = post.select(F.col("id").alias("id_a"), "sh")
+    b = post.select(F.col("id").alias("id_b"), "sh")
+    inter = a.join(b, "sh").filter(F.col("id_a") < F.col("id_b")) \
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    j = inter.join(sa, "id_a").join(sb, "id_b").withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    return j.filter(F.col("jaccard") >= threshold) \
+        .select("id_a", "id_b", "jaccard")
+
+
+# ------------------------------------------------------- MinHash + LSH
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, num_hashes: int = 64) -> DataFrame:
+    """(id, sig:array<bigint>) MinHash signatures.
+
+    Universal-hash family h_j(x) = xxhash64(j, x) over the shingle
+    hashes; per-doc elementwise min across ``num_hashes`` lanes as one
+    groupBy with ``num_hashes`` min-aggregates — all JVM-side, partial
+    (map-side) aggregation absorbs shingle skew."""
+    post = _shingle_posting(df, id_col, text_col, n)
+    lanes = [F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"h{j}")
+             for j in range(num_hashes)]
+    sig = post.groupBy("id").agg(*lanes)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.5,
+                      verify: bool = True) -> DataFrame:
+    """Banded-LSH candidate pairs, then exact-Jaccard verification.
+
+    bands=16 × rows=4 ⇒ pair-recall at J=0.5: 1-(1-0.5^4)^16 ≈ 0.645,
+    at J=0.8: ≈ 0.9998 — tune (bands, num_hashes) to the target
+    threshold. Verification re-joins candidates to the posting lists
+    and computes exact Jaccard, so precision is 1.0; recall is the LSH
+    recall (reported vs exact in tests).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                         for r in range(rows_per_band)])
+            for b in range(bands)])).alias("band", "bkey"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bkey")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bkey")
+    cand = a.join(b, ["band", "bkey"]).filter(F.col("id_a") < F.col("id_b")) \
+        .select("id_a", "id_b").distinct()
+    if not verify:
+        return cand
+    post = _shingle_posting(df, id_col, text_col, n)
+    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pa = post.select(F.col("id").alias("id_a"), "sh")
+    pb = post.select(F.col("id").alias("id_b"), "sh")
+    inter = cand.join(pa, "id_a").join(pb, ["id_b", "sh"]) \
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    j = inter.join(sa, "id_a").join(sb, "id_b").withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    return j.filter(F.col("jaccard") >= threshold) \
+        .select("id_a", "id_b", "jaccard")
+
+
+# ------------------------------------------------------------- SimHash
+def _bit_masks(num_bits: int) -> Column:
+    """Constant array<long> of single-bit masks; bit 63 is the signed
+    min-long representation of 1<<63."""
+    vals = [(1 << i) if i < 63 else -(1 << 63) for i in range(num_bits)]
+    return F.array(*[F.lit(v).cast("long") for v in vals])
+
+
+def simhash_col(text_col, num_bits: int = 64) -> Column:
+    """64-bit SimHash of the token multiset, pure Catalyst: per token
+    take xxhash64, then for each bit position sum ±1 across tokens and
+    keep the sign. Encoded via aggregate over the token array."""
+    toks = tx.tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    masks = _bit_masks(num_bits)
+    # counts[i] = Σ_tokens (bit_i ? 1 : -1); simhash bit_i = counts[i] > 0
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), num_bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1)
+            .otherwise(-1).cast("long")))
+    bits = F.zip_with(
+        counts, masks,
+        lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bits, F.lit(0).cast("long"),
+                       lambda acc, b: acc.bitwiseOR(b))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the 64-bit hash into 4 × 16-bit bands; any pair
+    within Hamming ≤ 3 agrees on ≥1 band exactly (pigeonhole); larger
+    radii trade recall. Verify with bit_count(xor) — all JVM-side.
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash_col(F.col(text_col)).alias("simhash"))
+    banded = sh.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF)).cast("int")
+            for b in range(4)])).alias("band", "bkey"))
+    a = banded.select(F.col("id").alias("id_a"),
+                      F.col("simhash").alias("sh_a"), "band", "bkey")
+    b = banded.select(F.col("id").alias("id_b"),
+                      F.col("simhash").alias("sh_b"), "band", "bkey")
+    cand = a.join(b, ["band", "bkey"]).filter(F.col("id_a") < F.col("id_b")) \
+        .dropDuplicates(["id_a", "id_b"])
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))) \
+        .filter(F.col("hamming") <= max_hamming) \
+        .select("id_a", "id_b", "hamming")
+
+
+# ----------------------------------------- embedding-cosine near-dup
+def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       threshold: float = 0.95,
+                       block_col: str | None = None) -> DataFrame:
+    """Exact cosine-threshold self-join (id_a < id_b).
+
+    ``block_col`` (e.g. a label / LSH band) turns the cross join into
+    an equi-join — at corpus scale always pass one (or use
+    ``components.near_duplicate_pairs`` for sign-LSH blocking); the
+    unblocked form is the small-scale oracle configuration.
+    """
+    from ..functions.embeddings import cosine_col
+
+    norm = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    side = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("vec"),
+                     *( [F.col(block_col).alias("blk")] if block_col else []))
+    a = side.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                    *( [F.col("blk").alias("blk")] if block_col else []))
+    b = side.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                    *( [F.col("blk").alias("blk")] if block_col else []))
+    if block_col:
+        cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(
+        F.col("vec_a"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(
+        F.col("vec_b"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    scored = cand.withColumn("cosine", dot / (na * nb))
+    return scored.filter(F.col("cosine") >= threshold) \
+        .select("id_a", "id_b", "cosine")
+
+
+# ------------------------------------------------------------ keep set
+def dedup_keep(df: DataFrame, pairs: DataFrame,
+               id_col: str = "doc_id") -> DataFrame:
+    """Pairs → (id, keep_id) via connected components (min id wins).
+    Singletons keep themselves."""
+    from .components import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = connected_components(edges, df.select(id_col), id_col=id_col)
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("component").alias("keep_id"))

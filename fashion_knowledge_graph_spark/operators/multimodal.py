@@ -1,0 +1,140 @@
+"""Multimodal (image / audio / video) column plumbing.
+
+Media travel as opaque ``binary`` columns plus a typed metadata
+struct — the layout that survives 100 TB: bytes stay columnar in
+parquet, metadata predicates (mime, width, duration) push down to the
+scan without touching payloads, and all per-byte work runs in
+Arrow-batched ``mapInPandas`` so one Python worker sees thousands of
+blobs per batch.
+
+The actual codecs (PIL / ffmpeg / torchaudio) are NOT in this
+container, so the decode kernels are stubs: ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic hash-derived decode stands in (shape-correct, seeded by
+content bytes). Everything Spark-side — schema, partitioning, batch
+iteration, UDF signatures, output shapes — is real and tested.
+
+Reference parity: the reference loads media row-at-a-time with PIL
+(src/engine/image_processor.py:63-87) and runs SegFormer/CLIP on
+single images (src/models/segmentation_model.py:83-129); here the same
+responsibilities are batch kernels over record batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("mime", T.StringType()),          # image/jpeg, audio/wav, …
+    T.StructField("content", T.BinaryType()),       # opaque payload
+    T.StructField("meta", T.StructType([            # typed, pushdown-able
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])),
+])
+
+FEATURE_DIM = 64
+
+
+def synthesize_media(refs_df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """Deterministic fake media table from reference keys (test/bench
+    input): content = sha256-stream bytes, sizes hash-derived. Real
+    deployments replace this with a parquet/Iceberg media table."""
+    r = F.col(ref_col)
+    h = F.sha2(r, 256)
+    return refs_df.select(
+        r.alias("media_id"),
+        F.lit("image/png").alias("mime"),
+        F.to_binary(F.repeat(h, 4), F.lit("hex")).alias("content"),
+        F.struct(
+            (F.pmod(F.xxhash64(r), F.lit(512)) + 32).cast("int").alias("width"),
+            (F.pmod(F.xxhash64(r, F.lit(1)), F.lit(512)) + 32).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.length(F.to_binary(F.repeat(h, 4), F.lit("hex"))).cast("long").alias("n_bytes"),
+        ).alias("meta"))
+
+
+def _fake_pixels(content: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w) uint8 'decode' seeded by content bytes."""
+    seed = int.from_bytes(hashlib.blake2b(content, digest_size=8).digest(), "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def decode_image(content: bytes, w: int, h: int, fake: bool = False) -> np.ndarray:
+    """Real decode requires PIL (not installed here)."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "pass fake=True for the deterministic stand-in")
+    return _fake_pixels(content, w, h)
+
+
+def extract_features(media: DataFrame, fake: bool = True,
+                     dim: int = FEATURE_DIM) -> DataFrame:
+    """media table → (media_id, feature:array<float>) via mapInPandas.
+
+    Batch shape is the production contract: the kernel receives whole
+    Arrow record batches, decodes each payload, and emits fixed-dim
+    features; swapping the body for a real vision model changes no
+    Spark plumbing. Map-side only — zero shuffles."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                px = decode_image(bytes(content), int(meta["width"]),
+                                  int(meta["height"]), fake=fake)
+                # deterministic pooled 'feature': row/col means folded to dim
+                pooled = np.concatenate([
+                    px.mean(axis=0), px.mean(axis=1)]).astype(np.float64)
+                reps = int(np.ceil(dim / len(pooled)))
+                v = np.tile(pooled, reps)[:dim]
+                n = np.linalg.norm(v)
+                feats.append((v / n if n else v).astype(np.float32))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "feature": feats})
+
+    return media.mapInPandas(kernel, out_schema)
+
+
+def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning — pure Catalyst: compute target dims from the
+    metadata struct (the byte-level resample happens in the same
+    mapInPandas kernel as decode at runtime; planning it relationally
+    lets Catalyst prune payloads for rows already small enough)."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(1.0), F.lit(max_side) /
+                    F.greatest(w, h).cast("double"))
+    return media.select(
+        "media_id", "mime", "meta",
+        F.round(w * scale).cast("int").alias("target_width"),
+        F.round(h * scale).cast("int").alias("target_height"),
+        (scale < 1.0).alias("needs_resize"))
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per frame timestamp via
+    ``sequence`` + ``explode`` on duration metadata — the shuffle-free
+    fan-out that precedes per-frame decode."""
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    return media.select(
+        "media_id",
+        F.explode(F.when(
+            dur > 0,
+            F.sequence(F.lit(0), dur - 1, F.lit(every_ms)))
+            .otherwise(F.array(F.lit(0)))).alias("frame_ms"))

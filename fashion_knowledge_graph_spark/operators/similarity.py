@@ -1,0 +1,147 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Three physical strategies with identical logical semantics
+(per-query top-k by cosine, deterministic tie-break on corpus id):
+
+- ``cosine_topk``   — brute force: broadcast the query side (queries
+                      are almost always ≪ corpus), exact cosine against
+                      every corpus row, window top-k. Exact; the oracle
+                      for the other two. O(|Q|·|C|) but embarrassingly
+                      parallel — the corpus never shuffles, only the
+                      k·|Q| result rows do.
+- ``lsh_topk``      — sign-LSH banded blocking (same machinery as the
+                      entity-linking join, operators/linking.py), exact
+                      re-rank inside candidate blocks. Sub-linear
+                      candidates; recall tuned by (nbits, nbands).
+- ``ivf_topk``      — IVF: deterministically sampled centroids,
+                      corpus assigned to nearest centroid (one pass),
+                      queries probe the ``nprobe`` nearest centroids
+                      → equi-join on centroid id → exact re-rank.
+                      The classic billion-scale layout: the corpus is
+                      *partitioned by centroid* so a probe touches
+                      nprobe/ncentroids of the data.
+
+Scale notes: all strategies keep the corpus un-shuffled (broadcast
+queries / broadcast centroids); only candidates shuffle for the
+top-k window, and AQE coalesces those. ``vec`` arrays stay float;
+scores accumulate in double.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def _rerank(cand: DataFrame, k: int) -> DataFrame:
+    """Exact cosine + per-query top-k with deterministic tie-break."""
+    scored = cand.withColumn(
+        "score", _dot(F.col("q_vec"), F.col("c_vec"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "rank", "score"))
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                q_id: str = "vec_id", q_vec: str = "embedding",
+                c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
+    """Exact brute-force top-k. Query side broadcast; self-matches
+    (same id) excluded when querying the corpus against itself."""
+    q = queries.select(F.col(q_id).alias("query_id"),
+                       F.col(q_vec).alias("q_vec"))
+    c = corpus.select(F.col(c_id).alias("corpus_id"),
+                      F.col(c_vec).alias("c_vec"))
+    cand = c.join(F.broadcast(q),
+                  F.col("query_id") != F.col("corpus_id"), "inner")
+    return _rerank(cand, k)
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             dim: int = 64, nbits: int = 64, nbands: int = 16,
+             q_id: str = "vec_id", q_vec: str = "embedding",
+             c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
+    """Sign-LSH banded candidates, exact re-rank. Recall depends on the
+    angle distribution; report it against ``cosine_topk`` in tests."""
+    from ..functions.embeddings import hyperplanes, make_signature_udf
+
+    planes = hyperplanes(dim, nbits, seed_key="ann-lsh")
+    sig = make_signature_udf(planes, nbands)
+    q = queries.select(F.col(q_id).alias("query_id"),
+                       F.col(q_vec).alias("q_vec")) \
+        .withColumn("sigs", sig("q_vec")) \
+        .select("*", F.posexplode("sigs").alias("band", "bkey")).drop("sigs")
+    c = corpus.select(F.col(c_id).alias("corpus_id"),
+                      F.col(c_vec).alias("c_vec")) \
+        .withColumn("sigs", sig("c_vec")) \
+        .select("*", F.posexplode("sigs").alias("band", "bkey")).drop("sigs")
+    cand = q.join(c, ["band", "bkey"]) \
+        .filter(F.col("query_id") != F.col("corpus_id")) \
+        .dropDuplicates(["query_id", "corpus_id"]) \
+        .drop("band", "bkey")
+    return _rerank(cand, k)
+
+
+def _centroids(corpus: DataFrame, c_id: str, c_vec: str,
+               ncentroids: int) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid sample: the ``ncentroids`` corpus rows
+    with the smallest ids (no RNG — resume-safe, test-stable). At real
+    scale swap for a k-means|| pass; the operator contract (centroid_id
+    assignment + probe join) is unchanged."""
+    rows = (corpus.select(F.col(c_id).alias("id"), F.col(c_vec).alias("v"))
+            .orderBy("id").limit(ncentroids).collect())
+    return [(i, list(r["v"])) for i, r in enumerate(rows)]
+
+
+def _assign_udf(cents: list[tuple[int, list[float]]], nprobe: int):
+    mat = np.array([v for _, v in cents], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ mat.T                       # (n, ncentroids)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return assign
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             ncentroids: int = 16, nprobe: int = 4,
+             q_id: str = "vec_id", q_vec: str = "embedding",
+             c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
+    """IVF-flat: corpus partitioned by nearest centroid; each query
+    probes its ``nprobe`` nearest centroids. recall→1 as nprobe→
+    ncentroids; nprobe=ncentroids is exhaustive (== cosine_topk)."""
+    cents = _centroids(corpus, c_id, c_vec, ncentroids)
+    assign1 = _assign_udf(cents, 1)
+    assignp = _assign_udf(cents, nprobe)
+    c = corpus.select(F.col(c_id).alias("corpus_id"),
+                      F.col(c_vec).alias("c_vec")) \
+        .withColumn("cent", F.element_at(assign1("c_vec"), 1))
+    q = queries.select(F.col(q_id).alias("query_id"),
+                       F.col(q_vec).alias("q_vec")) \
+        .withColumn("cent", F.explode(assignp("q_vec")))
+    cand = c.join(F.broadcast(q), "cent") \
+        .filter(F.col("query_id") != F.col("corpus_id")) \
+        .dropDuplicates(["query_id", "corpus_id"]).drop("cent")
+    return _rerank(cand, k)

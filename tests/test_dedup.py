@@ -1,0 +1,157 @@
+import itertools
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fashion_knowledge_graph_spark.operators import dedup as dd
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+
+def _mk_corpus(n=60, seed=7):
+    """Synthetic corpus with exact dups and near-dups (single-word edits)."""
+    rng = np.random.default_rng(seed)
+    texts = []
+    for i in range(n):
+        if i % 10 == 3:
+            texts.append(texts[i - 1])                       # exact dup
+        elif i % 10 == 7:
+            base = texts[i - 2].split()
+            j = int(rng.integers(0, len(base)))
+            base[j] = WORDS[int(rng.integers(0, len(WORDS)))]
+            texts.append(" ".join(base))                     # near dup
+        else:
+            k = int(rng.integers(12, 25))
+            texts.append(" ".join(
+                WORDS[int(x)] for x in rng.integers(0, len(WORDS), k)))
+    return [(i, t) for i, t in enumerate(texts)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(_mk_corpus(), "doc_id int, text string")
+
+
+def _shingle_set(text, n=3):
+    toks = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if t]
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _brute_jaccard_pairs(rows, threshold, n=3):
+    sets = {i: _shingle_set(t, n) for i, t in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+def test_exact_dedup(spark, corpus):
+    got = dd.exact_dedup(corpus).collect()
+    rows = _mk_corpus()
+    norm = {}
+    for i, t in rows:
+        norm.setdefault(re.sub(r"[^a-z0-9]+", " ", t.lower()).strip(), []).append(i)
+    assert len(got) == len(norm)
+    exp_keep = {min(v) for v in norm.values()}
+    assert {r["keep_id"] for r in got} == exp_keep
+    assert sum(r["n_dups"] for r in got) == len(rows)
+
+
+def test_jaccard_pairs_exact_matches_bruteforce(spark, corpus):
+    thr = 0.5
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dd.jaccard_pairs_exact(corpus, threshold=thr).collect()}
+    exp = _brute_jaccard_pairs(_mk_corpus(), thr)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k])
+
+
+def test_minhash_lsh_recall_and_precision(spark, corpus):
+    thr = 0.5
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dd.minhash_lsh_pairs(
+               corpus, threshold=thr, num_hashes=128, bands=32).collect()}
+    exp = _brute_jaccard_pairs(_mk_corpus(), thr)
+    # exact verification ⇒ precision 1.0 (every emitted pair is a true pair)
+    assert set(got) <= set(exp)
+    for k in got:
+        assert got[k] == pytest.approx(exp[k])
+    # banded LSH recall at J≥0.5 with 32 bands × 4 rows ≥ 0.95 expected
+    recall = len(got) / max(len(exp), 1)
+    assert recall >= 0.9, (recall, len(got), len(exp))
+
+
+def test_simhash_blocking_complete_at_small_radius(spark, corpus):
+    """Pigeonhole: hamming ≤ 3 pairs must agree on ≥1 of 4 bands, so
+    banded candidates at radius 3 are exhaustive. Verify against the
+    full simhash cross-join."""
+    sh = corpus.select(
+        F.col("doc_id").alias("id"),
+        dd.simhash_col(F.col("text")).alias("s"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    allp = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")) \
+        .withColumn("hd", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))) \
+        .filter(F.col("hd") <= 3)
+    exp = {(r["id_a"], r["id_b"]): r["hd"] for r in allp.collect()}
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dd.simhash_pairs(corpus, max_hamming=3).collect()}
+    assert got == exp
+    assert exp, "fixture should contain at least one simhash near-dup pair"
+
+
+def test_simhash_identical_texts_distance_zero(spark, corpus):
+    got = dd.simhash_pairs(corpus, max_hamming=0).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    # exact dup pairs planted at i%10==3 (dup of i-1)
+    assert (2, 3) in pairs or (12, 13) in pairs
+
+
+def test_embedding_near_dup_vs_numpy(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    vecs = list(base) + [base[i] + rng.normal(scale=0.01, size=16)
+                         .astype(np.float32) for i in range(5)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in
+           dd.embedding_near_dup(df, threshold=0.95).collect()}
+    m = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    exp = {(i, j) for i in range(len(rows)) for j in range(i + 1, len(rows))
+           if sims[i, j] >= 0.95}
+    assert got == exp
+    assert len(exp) >= 5
+
+
+def test_dedup_keep_components(spark, corpus):
+    pairs = dd.jaccard_pairs_exact(corpus, threshold=0.5)
+    keep = dd.dedup_keep(corpus, pairs)
+    got = {r["doc_id"]: r["keep_id"] for r in keep.collect()}
+    # union-find oracle
+    parent = {i: i for i, _ in _mk_corpus()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b) in _brute_jaccard_pairs(_mk_corpus(), 0.5):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {i: find(i) for i, _ in _mk_corpus()}
+    assert got == exp

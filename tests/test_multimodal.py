@@ -1,0 +1,69 @@
+import numpy as np
+import pytest
+
+from fashion_knowledge_graph_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    refs = spark.createDataFrame(
+        [(f"img://ent{i:08d}",) for i in range(20)], "media_ref string")
+    return mm.synthesize_media(refs)
+
+
+def test_media_schema_and_metadata(spark, media_df):
+    rows = media_df.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["mime"] == "image/png"
+        assert isinstance(r["content"], (bytes, bytearray))
+        assert r["meta"]["n_bytes"] == len(r["content"])
+        assert 32 <= r["meta"]["width"] < 544
+        assert 32 <= r["meta"]["height"] < 544
+
+
+def test_decode_stub_gated(media_df):
+    r = media_df.first()
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(bytes(r["content"]), 8, 8, fake=False)
+    px = mm.decode_image(bytes(r["content"]), 8, 8, fake=True)
+    assert px.shape == (8, 8) and px.dtype == np.uint8
+    # deterministic
+    px2 = mm.decode_image(bytes(r["content"]), 8, 8, fake=True)
+    assert (px == px2).all()
+
+
+def test_extract_features_shape_and_determinism(spark, media_df):
+    f1 = {r["media_id"]: r["feature"]
+          for r in mm.extract_features(media_df).collect()}
+    f2 = {r["media_id"]: r["feature"]
+          for r in mm.extract_features(media_df).collect()}
+    assert set(f1) == {r["media_id"] for r in media_df.collect()}
+    for k, v in f1.items():
+        assert len(v) == mm.FEATURE_DIM
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+        assert list(v) == list(f2[k])
+
+
+def test_resize_meta(spark, media_df):
+    rows = mm.resize_meta(media_df, max_side=64).collect()
+    for r in rows:
+        w, h = r["meta"]["width"], r["meta"]["height"]
+        assert max(r["target_width"], r["target_height"]) <= 65  # rounding
+        if max(w, h) <= 64:
+            assert not r["needs_resize"]
+            assert (r["target_width"], r["target_height"]) == (w, h)
+        else:
+            assert r["needs_resize"]
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [("v1", "video/mp4", bytearray(b"x"), (None, None, 3500, 1)),
+         ("v2", "video/mp4", bytearray(b"y"), (None, None, None, 1))],
+        mm.MEDIA_SCHEMA)
+    got = {}
+    for r in mm.frame_sample_plan(media, every_ms=1000).collect():
+        got.setdefault(r["media_id"], []).append(r["frame_ms"])
+    assert sorted(got["v1"]) == [0, 1000, 2000, 3000]
+    assert got["v2"] == [0]

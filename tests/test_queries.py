@@ -1,0 +1,119 @@
+import pytest
+from pyspark.sql import functions as F
+
+from fashion_knowledge_graph_spark.plans import queries as Q
+from fashion_knowledge_graph_spark.plans.pipeline import KGPipeline
+
+
+@pytest.fixture(scope="module")
+def kg(spark, docs_df, catalog_df, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("qwh")
+    pipe = KGPipeline(warehouse=str(wh), link_strategy="exact")
+    return pipe.build(docs_df, catalog_df)
+
+
+def test_complete_the_look_semantics(spark, kg):
+    edges, nodes = kg["edges"], kg["nodes"]
+    # pick a product with at least one WORN_WITH edge
+    seed = edges.filter("rel_type = 'WORN_WITH'").first()["src"]
+    out = Q.complete_the_look(edges, nodes, product_id=seed,
+                              weight_threshold=1, top_k=5)
+    rows = out.collect()
+    assert rows, "seed with known edge must return recommendations"
+    sel_type = {r["product_id"]: r["type"] for r in nodes.collect()}[seed]
+    by_rel = {}
+    for r in rows:
+        by_rel.setdefault(r["rel_type"], []).append(r)
+        assert r["weight"] >= 1
+        if r["rel_type"] == "WORN_WITH":
+            assert r["type"] != sel_type           # P10 inequality
+        else:
+            assert r["type"] == sel_type           # P10 equality
+    for rel, rs in by_rel.items():
+        assert len(rs) <= 5
+        weights = [r["weight"] for r in rs]
+        assert weights == sorted(weights, reverse=True)
+
+
+def test_complete_the_look_undirected(spark, kg):
+    """Edges stored src<=dst must be reachable from either endpoint
+    (reference stores both directions, reads undirected)."""
+    edges, nodes = kg["edges"], kg["nodes"]
+    e = edges.filter("rel_type = 'WORN_WITH'").first()
+    for seed in (e["src"], e["dst"]):
+        out = Q.complete_the_look(edges, nodes, product_id=seed,
+                                  weight_threshold=1, top_k=1000)
+        partners = {r["product_id"] for r in out.collect()
+                    if r["rel_type"] == "WORN_WITH"}
+        other = e["dst"] if seed == e["src"] else e["src"]
+        # partner visible unless type filter removed it
+        types = {r["product_id"]: r["type"] for r in nodes.collect()}
+        if types.get(other) != types.get(seed):
+            assert other in partners, (seed, other)
+
+
+def test_complete_the_look_filters(spark, kg):
+    edges, nodes = kg["edges"], kg["nodes"]
+    seed = edges.filter("rel_type = 'WORN_WITH'").first()["src"]
+    unfiltered = Q.complete_the_look(edges, nodes, product_id=seed,
+                                     top_k=1000)
+    colors = [r["color"] for r in unfiltered.collect() if r["color"]]
+    if colors:
+        out = Q.complete_the_look(edges, nodes, product_id=seed,
+                                  top_k=1000, filters={"color": colors[0]})
+        assert all(r["color"] == colors[0] for r in out.collect())
+
+
+def test_outfit_from_image_matches_linking(spark, docs_df, catalog_df, kg):
+    sample = docs_df.limit(10)
+    out = Q.outfit_from_image(sample, catalog_df, threshold=0.7)
+    rows = out.collect()
+    # compare against the pipeline's linked table restricted to the docs
+    doc_ids = {r["doc_id"] for r in sample.select("doc_id").collect()}
+    exp = {(r["doc_id"], r["span_idx"], r["product_id"])
+           for r in kg["linked"].collect() if r["doc_id"] in doc_ids}
+    got = {(r["doc_id"], r["span_idx"], r["product_id"]) for r in rows}
+    assert got == exp
+
+
+def test_outfit_from_text_rrf(spark, catalog_df):
+    queries = spark.createDataFrame(
+        [("q1", "black cotton slim dress"),
+         ("q2", "leather formal shoes")],
+        "query_id string, text string")
+    out = Q.outfit_from_text(queries, catalog_df, top_k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rrf_score"])
+    for q, scores in by_q.items():
+        assert len(scores) <= 5
+        assert all(s > 0 for s in scores)
+    # python RRF oracle over the two cosine paths
+    import numpy as np
+
+    from fashion_knowledge_graph_spark import taxonomy as tax
+    from fashion_knowledge_graph_spark.functions.hashing import embed_strings
+
+    cat = catalog_df.select("product_id", "embedding", "style_embedding") \
+        .toPandas()
+    for qid, text in [("q1", "black cotton slim dress"),
+                      ("q2", "leather formal shoes")]:
+        qi = embed_strings([f"cliptxt:{text}"], tax.IMG_DIM)[0]
+        qs = embed_strings([f"txt:{text}"], tax.TXT_DIM)[0]
+        scores = {}
+        for thr, qv, col in ((0.2, qi, "embedding"), (0.5, qs, "style_embedding")):
+            sims = []
+            for pid, vec in zip(cat["product_id"], cat[col]):
+                s = float(np.dot(np.asarray(vec, dtype=np.float64), qv))
+                if s >= thr:
+                    sims.append((pid, s))
+            sims.sort(key=lambda t: (-t[1], t[0]))
+            for rank, (pid, _) in enumerate(sims, 1):
+                scores[pid] = scores.get(pid, 0.0) + 1.0 / (60 + rank)
+        exp_top = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:5]
+        got = sorted(((r["product_id"], r["rrf_score"]) for r in rows
+                      if r["query_id"] == qid), key=lambda t: (-t[1], t[0]))
+        assert [p for p, _ in got] == [p for p, _ in exp_top], qid
+        for (gp, gs), (ep, es) in zip(got, exp_top):
+            assert gs == pytest.approx(es)

@@ -1,0 +1,107 @@
+import numpy as np
+import pytest
+
+from fashion_knowledge_graph_spark.operators import similarity as sim
+
+DIM = 32
+
+
+def _clustered(n_base=30, copies=3, seed=5):
+    """Clustered corpus: each base vector + small-noise copies, so true
+    neighbors are intra-cluster (realistic near-dup geometry)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for b in range(n_base):
+        base = rng.normal(size=DIM)
+        base /= np.linalg.norm(base)
+        for _ in range(copies):
+            v = base + rng.normal(scale=0.05, size=DIM)
+            v /= np.linalg.norm(v)
+            rows.append((vid, b, [float(x) for x in v.astype(np.float32)]))
+            vid += 1
+    return rows
+
+
+def _numpy_topk(rows, query_ids, k):
+    m = np.stack([np.asarray(v, dtype=np.float64) for _, _, v in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    exp = {}
+    for q in query_ids:
+        order = sorted(
+            (i for i in range(len(rows)) if i != q),
+            key=lambda i: (-sims[q, i], i))
+        exp[q] = [(i, r + 1) for r, i in enumerate(order[:k])]
+    return exp
+
+
+@pytest.fixture(scope="module")
+def corpus_rows():
+    return _clustered()
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, corpus_rows):
+    return spark.createDataFrame(
+        [(i, v) for i, _, v in corpus_rows],
+        "vec_id int, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def query_df(spark, corpus_rows):
+    return spark.createDataFrame(
+        [(i, v) for i, _, v in corpus_rows if i < 12],
+        "vec_id int, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, corpus_df, query_df, corpus_rows):
+    k = 4
+    got = {}
+    for r in sim.cosine_topk(query_df, corpus_df, k=k).collect():
+        got.setdefault(r["query_id"], []).append((r["corpus_id"], r["rank"]))
+    exp = _numpy_topk(corpus_rows, range(12), k)
+    for q in exp:
+        assert sorted(got[q], key=lambda t: t[1]) == exp[q], q
+
+
+def test_ivf_exhaustive_probe_equals_exact(spark, corpus_df, query_df,
+                                           corpus_rows):
+    """nprobe == ncentroids ⇒ every cell probed ⇒ identical to brute
+    force."""
+    k = 3
+    got = {}
+    res = sim.ivf_topk(query_df, corpus_df, k=k, ncentroids=8, nprobe=8)
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["corpus_id"], r["rank"]))
+    exp = _numpy_topk(corpus_rows, range(12), k)
+    for q in exp:
+        assert sorted(got[q], key=lambda t: t[1]) == exp[q], q
+
+
+def test_ivf_partial_probe_recall(spark, corpus_df, query_df, corpus_rows):
+    k = 2
+    res = sim.ivf_topk(query_df, corpus_df, k=k, ncentroids=16, nprobe=6)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    exp = _numpy_topk(corpus_rows, range(12), k)
+    hits = sum(len(got.get(q, set()) & {i for i, _ in exp[q]}) for q in exp)
+    total = sum(len(exp[q]) for q in exp)
+    assert hits / total >= 0.6, hits / total
+
+
+def test_lsh_topk_recall_on_clusters(spark, corpus_df, query_df, corpus_rows):
+    """Intra-cluster neighbors (cosine ≈ 0.995) — banded sign-LSH must
+    recover nearly all of them; emitted ranks must be exact-cosine
+    consistent (subset property)."""
+    k = 2
+    res = sim.lsh_topk(query_df, corpus_df, k=k, dim=DIM,
+                       nbits=64, nbands=16)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    exp = _numpy_topk(corpus_rows, range(12), k)
+    hits = sum(len(got.get(q, set()) & {i for i, _ in exp[q]}) for q in exp)
+    total = sum(len(exp[q]) for q in exp)
+    assert hits / total >= 0.9, hits / total
