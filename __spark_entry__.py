@@ -91,6 +91,7 @@ def _kg_world(spark: SparkSession, sf_dir: str) -> dict:
     out = pipe.build(docs, catalog)
     out["docs"] = docs
     out["catalog"] = catalog
+    out["__pipe"] = pipe
     _KG_CACHE[sf_dir] = out
     return out
 
@@ -209,6 +210,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("brand_num"),
             F.col("p_size").cast("string").alias("size_str"))
 
+    def f4_json_extract(spark, sf):
+        ev = _load(spark, sf, "events")
+        return (ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"))
+            .groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+
     def u1_union_distinct(spark, sf):
         ev = _load(spark, sf, "events").select(
             F.col("event_type").alias("tag"))
@@ -277,8 +285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dd.simhash_pairs(_load(spark, sf, "documents"), max_hamming=8)
 
     def embedding_near_dup(spark, sf):
-        out = dd.embedding_near_dup(_load(spark, sf, "embeddings"),
-                                    threshold=0.3)
+        out = dd.embedding_near_dup_matmul(_load(spark, sf, "embeddings"),
+                                           threshold=0.3)
         return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
     def ann_cosine_topk(spark, sf):
@@ -323,6 +331,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    selected=seeds, top_k=5) \
             .select("query_id", "rel_type", "product_id", "weight")
 
+    def kg_lineage_metrics(spark, sf):
+        # A9: per-partition lineage + metrics written by every stage
+        from fashion_knowledge_graph_spark.sources.tables import metrics_df
+        _kg_world(spark, sf)
+        return metrics_df(spark, _KG_CACHE[sf]["__pipe"].tables)
+
     def kg_outfit_from_text(spark, sf):
         from fashion_knowledge_graph_spark.plans import queries as Q
         out = _kg_world(spark, sf)
@@ -345,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_rrf_fusion": a8_rrf_fusion,
         "q1_pricing_summary": q1_pricing_summary,
         "f_scalar_functions": f_scalar_functions,
+        "f4_json_extract": f4_json_extract,
         "u1_union_distinct": u1_union_distinct,
         "a2_collect_sorted": a2_collect_sorted,
         "events_tumbling_agg": events_tumbling_agg,
@@ -364,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": kg_edges,
         "kg_canonical": kg_canonical,
         "kg_complete_the_look": kg_complete_the_look,
+        "kg_lineage_metrics": kg_lineage_metrics,
         "kg_outfit_from_text": kg_outfit_from_text,
     }
 
@@ -465,6 +481,11 @@ def oracle_sql() -> dict[str, str]:
                regexp_extract(p_brand, '(\d+)$', 1) AS brand_num,
                p_size::VARCHAR AS size_str
         FROM part
+    """
+
+    sql["f4_json_extract"] = """
+        SELECT json_extract(props, '$.k')::INT AS k, count(*) AS n
+        FROM events GROUP BY 1
     """
 
     sql["u1_union_distinct"] = """

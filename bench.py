@@ -1,0 +1,254 @@
+"""Benchmark harness.
+
+Default mode (what the driver runs): execute the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "docs_per_sec": <kg throughput>}
+
+``--scaling`` mode (north_rule evidence): run the KG-construction job
+over the same stored input on local-cluster[1,4,…] and
+local-cluster[4,4,…] — 1 vs 4 real executor JVMs (N vs 4N
+executors), package shipped via py-files — and report throughput at
+both plus scaling efficiency; results summarized in BENCH.md.
+
+Every query materializes through the JVM noop sink so the full plan
+executes (a bare ``count()`` would let Spark skip projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _force(df) -> int:
+    """Execute the full plan (noop sink), return row count cheaply."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+HEADLINE = [
+    # name in __spark_entry__.queries()
+    "q1_pricing_summary",
+    "j6_cooccurrence_edges",
+    "w2_topk_per_group",
+    "a8_rrf_fusion",
+    "events_tumbling_agg",
+    "text_lang_id",
+    "text_quality",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_near_dup",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+]
+
+
+def run_headline(sf_dir: str, cpus: int) -> dict:
+    import __spark_entry__ as entry
+    from fashion_knowledge_graph_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    # KG construction throughput (docs/sec) — the north_rule metric.
+    t0 = time.time()
+    n_docs = _kg_build(spark, sf_dir)
+    kg_sec = time.time() - t0
+    times["kg_pipeline"] = round(kg_sec, 3)
+    spark.stop()
+    total = round(sum(times.values()), 3)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    out = {
+        "metric": "headline_total", "value": total, "unit": "sec",
+        "queries": times, "sf": float(sf) if sf else sf_dir,
+        "kg_docs": n_docs, "docs_per_sec": round(n_docs / kg_sec, 2),
+        "cpus": cpus,
+    }
+    # attach the latest N-vs-4N executor scaling measurement
+    # (bench.py --scaling writes/refreshes SCALING.json; see BENCH.md)
+    scal = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SCALING.json")
+    if os.path.exists(scal):
+        with open(scal) as f:
+            out["scaling"] = json.load(f)
+    return out
+
+
+N_PRODUCTS = 300
+
+
+def _prepare_input(spark, sf_dir: str, replicate: int) -> tuple[str, str]:
+    """Materialize (once, cached) the interleaved docs table + catalog
+    the build consumes — the north_rule input is a STORED Iceberg
+    table, so input preparation is outside the timed window.
+
+    ``replicate`` deterministically expands the corpus N× (distinct
+    doc_ids, same content distribution) so the scaling measurement is
+    compute-dominated; both parallelism levels read the identical
+    files."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fashion_knowledge_graph_spark import datagen
+    from fashion_knowledge_graph_spark.sources.interleave import interleaved_docs
+
+    fix = os.path.join(tempfile.gettempdir(), f"fkg_bench_cat{N_PRODUCTS}")
+    if not os.path.exists(os.path.join(fix, "catalog.parquet")):
+        datagen.write_fixtures(fix, n_docs=1, n_products=N_PRODUCTS, seed=42)
+    base = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    docs_dir = os.path.join(base, f"fkg_docs_{sf}_x{replicate}")
+    marker = os.path.join(docs_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        documents = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet"))
+        if replicate > 1:
+            # repartition FIRST: the source is one parquet file = one
+            # scan task; exploding inside it would serialize expansion
+            documents = documents.repartition(64).withColumn(
+                "__r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+            ).withColumn(
+                "doc_id",
+                F.concat_ws("_", F.col("doc_id").cast("string"), F.col("__r"))
+            ).drop("__r")
+        interleaved_docs(documents, n_entities=N_PRODUCTS) \
+            .write.mode("overwrite").parquet(docs_dir)
+    return docs_dir, os.path.join(fix, "catalog.parquet")
+
+
+def _kg_build(spark, sf_dir: str, replicate: int = 1,
+              prepared: tuple[str, str] | None = None) -> int:
+    """Fresh end-to-end KG build over the stored interleaved docs
+    table: mention detection → linking → edges → canonicalization →
+    triples/nodes snapshot tables."""
+    import tempfile
+
+    from fashion_knowledge_graph_spark.plans.pipeline import KGPipeline
+
+    docs_dir, cat_path = prepared or _prepare_input(spark, sf_dir, replicate)
+    catalog = spark.read.parquet(cat_path)
+    docs = spark.read.parquet(docs_dir)
+    wh = tempfile.mkdtemp(prefix="fkg_bench_wh_", dir=os.path.dirname(docs_dir))
+    pipe = KGPipeline(warehouse=wh, link_strategy="auto")
+    out = pipe.build(docs, catalog, resume=False)
+    _force(out["triples"])
+    _force(out["edges"])
+    return docs.count()
+
+
+def run_scaling(sf_dir: str, levels=(1, 4), replicate: int = 160) -> dict:
+    """Same job, same stored input, N vs 4N executors (the
+    north_rule's two cluster sizes), fresh driver JVM per level.
+
+    Each level runs ``local-cluster[K, 4, …]`` — K real executor JVMs
+    with separate heaps, Python worker pools, and local dirs, the
+    faithful sandbox stand-in for a K-executor cluster (the package
+    ships to executors via py-files, exactly as spark-submit would).
+    4 cores/executor × 4 executors = 16 cores at the 4N level, under
+    this box's SMT/bandwidth knee (see BENCH.md machine-ceiling
+    calibration: pure-CPU 4→16 procs scales at 0.95, the embedding
+    kernel itself at 0.92)."""
+    import subprocess
+
+    results = {}
+    for execs in levels:
+        out = subprocess.run(
+            [sys.executable, __file__, "--kg-only",
+             "--executors", str(execs),
+             "--sf-dir", sf_dir, "--replicate", str(replicate)],
+            capture_output=True, text=True, env=dict(os.environ), check=True)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[execs] = json.loads(line)
+    lo, hi = min(levels), max(levels)
+    tput = {c: results[c]["docs_per_sec"] for c in levels}
+    eff = (tput_ratio := tput_hi_lo(tput, hi, lo)) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency", "value": round(eff, 3),
+        "unit": "ratio",
+        "levels": {str(c): results[c] for c in levels},
+        "throughput": {str(c): tput[c] for c in levels},
+        "speedup": round(tput_ratio, 3), "sf": results[lo].get("sf"),
+    }
+
+
+def tput_hi_lo(tput: dict, hi: int, lo: int) -> float:
+    return tput[hi] / tput[lo]
+
+
+def run_kg_only(sf_dir: str, cpus: int, replicate: int = 1,
+                executors: int | None = None,
+                cores_per_executor: int = 4) -> dict:
+    from fashion_knowledge_graph_spark.session import get_spark
+
+    spark = get_spark("bench-kg", cpus=cpus, executors=executors,
+                      cores_per_executor=cores_per_executor)
+    if executors is not None:
+        cpus = executors * cores_per_executor
+    # Warm-up: spawn + import every Python UDF worker before timing —
+    # scaling is a steady-state property; a one-time 32-way worker
+    # fork/import storm is session overhead, not job throughput.
+    from pyspark.sql import functions as F
+
+    from fashion_knowledge_graph_spark.operators.mentions import image_mentions
+    from fashion_knowledge_graph_spark.sources.interleave import interleaved_docs
+    warm = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .limit(512).repartition(cpus * 2)
+    _force(image_mentions(interleaved_docs(warm, n_entities=300)))
+    prepared = _prepare_input(spark, sf_dir, replicate)
+
+    t0 = time.time()
+    n_docs = _kg_build(spark, sf_dir, replicate=replicate, prepared=prepared)
+    sec = time.time() - t0
+    spark.stop()
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    return {"metric": "kg_build", "value": round(sec, 3), "unit": "sec",
+            "queries": {"kg_pipeline": round(sec, 3)},
+            "sf": float(sf) if sf else sf_dir, "kg_docs": n_docs,
+            "docs_per_sec": round(n_docs / sec, 2), "cpus": cpus,
+            "executors": executors}
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--sf-dir" in args:
+        sf_dir = args[args.index("--sf-dir") + 1]
+    if "--cpus" in args:
+        cpus = int(args[args.index("--cpus") + 1])
+    replicate = int(args[args.index("--replicate") + 1]) \
+        if "--replicate" in args else 1
+    executors = int(args[args.index("--executors") + 1]) \
+        if "--executors" in args else None
+    if "--scaling" in args:
+        res = run_scaling(sf_dir)
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "SCALING.json"), "w") as f:
+                json.dump(res, f)
+        except OSError:
+            pass
+    elif "--kg-only" in args:
+        res = run_kg_only(sf_dir, cpus, replicate=replicate,
+                          executors=executors)
+    else:
+        res = run_headline(sf_dir, cpus)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

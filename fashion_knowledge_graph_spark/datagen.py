@@ -53,18 +53,13 @@ TYPE_TO_CATEGORY = {
 
 
 def split_ref(refs) -> tuple[np.ndarray, np.ndarray]:
-    """media_ref → (base content key, variant suffix or '')."""
-    base = np.empty(len(refs), dtype=object)
-    var = np.empty(len(refs), dtype=object)
-    for i, r in enumerate(refs):
-        r = str(r)
-        if "#" in r:
-            b, v = r.split("#", 1)
-        else:
-            b, v = r, ""
-        base[i] = b
-        var[i] = v
-    return base, var
+    """media_ref → (base content key, variant suffix or '').
+
+    Vectorized ``np.char.partition`` — this runs inside the Arrow UDF
+    hot path, so no per-row Python."""
+    a = np.asarray(refs, dtype="U")
+    parts = np.char.partition(a, "#")
+    return parts[:, 0], parts[:, 2]
 
 
 def content_embed(refs) -> np.ndarray:
@@ -73,11 +68,11 @@ def content_embed(refs) -> np.ndarray:
     a small deterministic perturbation of the base embedding:
     ``#d*`` (duplicate catalog listing) uses DUP_EPS, ``#s*``
     (social-media photo) uses VARIANT_EPS."""
-    refs = np.asarray(refs, dtype=object)
+    refs = np.asarray(refs, dtype="U")
     base, var = split_ref(refs)
-    vecs = hx.embed_strings(["imgcontent:" + b for b in base], tx.IMG_DIM)
+    vecs = hx.embed_strings(np.char.add("imgcontent:", base), tx.IMG_DIM)
     for eps, prefix in ((DUP_EPS, "d"), (VARIANT_EPS, "s")):
-        sel = np.array([v.startswith(prefix) and v != "" for v in var])
+        sel = np.char.startswith(var, prefix)
         if sel.any():
             hv = hx.hash64(refs[sel])
             vecs[sel] = hx.perturb(vecs[sel], hv, eps)

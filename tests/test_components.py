@@ -22,3 +22,19 @@ def test_components_collapse_duplicates(spark, catalog_df, catalog_pdf):
     mins = merged.groupby("entity_key")["product_id"].min()
     canons = merged.groupby("entity_key")["canonical_id"].first()
     assert (mins == canons).all()
+
+
+def test_distributed_cc_equals_driver_cc(spark, catalog_df):
+    """Both physical strategies must produce identical components."""
+    pairs = cc.near_duplicate_pairs(catalog_df, cc.DUP_COSINE)
+    drv = cc.connected_components(pairs, catalog_df, id_col="product_id")
+    dist = cc._cc_label_propagation(pairs, catalog_df, id_col="product_id")
+    assert sorted(map(tuple, drv.collect())) == \
+        sorted(map(tuple, dist.collect()))
+
+
+def test_driver_canonical_equals_lsh_canonical(spark, catalog_df):
+    fast = cc.canonical_mapping(catalog_df)
+    dist = cc.canonical_mapping(catalog_df, driver_threshold=0)
+    assert sorted(map(tuple, fast.collect())) == \
+        sorted(map(tuple, dist.collect()))

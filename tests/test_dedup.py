@@ -136,6 +136,22 @@ def test_embedding_near_dup_vs_numpy(spark):
     assert len(exp) >= 5
 
 
+def test_embedding_near_dup_matmul_equals_relational(spark):
+    rng = np.random.default_rng(12)
+    base = rng.normal(size=(30, 16)).astype(np.float32)
+    vecs = list(base) + [base[i] + rng.normal(scale=0.01, size=16)
+                         .astype(np.float32) for i in range(8)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rel = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in dd.embedding_near_dup(df, threshold=0.9).collect()}
+    mat = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in dd.embedding_near_dup_matmul(df, threshold=0.9).collect()}
+    assert set(rel) == set(mat) and rel
+    for k in rel:
+        assert rel[k] == pytest.approx(mat[k], abs=1e-12)
+
+
 def test_dedup_keep_components(spark, corpus):
     pairs = dd.jaccard_pairs_exact(corpus, threshold=0.5)
     keep = dd.dedup_keep(corpus, pairs)

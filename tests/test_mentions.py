@@ -34,3 +34,20 @@ def test_filters_do_real_work(spark, docs_df):
     all_img = mn.explode_spans(docs_df).filter(F.col("kind") == "image_ref")
     kept = mn.image_mentions(docs_df)
     assert 0 < kept.count() < all_img.count()
+
+
+def test_fused_kernel_equals_udf_chain(spark, docs_df):
+    """The fused mapInArrow detector must match the 3-UDF chain."""
+    from fashion_knowledge_graph_spark.operators import mentions as mn
+
+    cols = ["doc_id", "span_idx", "media_ref", "label", "area"]
+    a = {tuple(r) for r in mn.image_mentions(docs_df).select(*cols).collect()}
+    b = {tuple(r) for r in
+         mn.image_mentions_udf_chain(docs_df).select(*cols).collect()}
+    assert a == b and a
+    # attrs + embeddings identical too
+    ra = {(r["doc_id"], r["span_idx"]): (r["attrs"], tuple(r["embedding"]))
+          for r in mn.image_mentions(docs_df).collect()}
+    rb = {(r["doc_id"], r["span_idx"]): (r["attrs"], tuple(r["embedding"]))
+          for r in mn.image_mentions_udf_chain(docs_df).collect()}
+    assert ra == rb
