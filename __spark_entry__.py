@@ -210,6 +210,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("brand_num"),
             F.col("p_size").cast("string").alias("size_str"))
 
+    def j_dim_chain_agg(spark, sf):
+        # 3-way broadcast dim chain (TPC-H Q5 shape): orders→customer→
+        # nation→region, revenue per region
+        o = _load(spark, sf, "orders")
+        c = _load(spark, sf, "customer")
+        n = _load(spark, sf, "nation")
+        r = _load(spark, sf, "region")
+        return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                .groupBy("r_name")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+                     .cast("double").alias("revenue")))
+
+    def s11_index_stats(spark, sf):
+        # vector-index stats (SURVEY S11): count/dim per label space
+        emb = _load(spark, sf, "embeddings")
+        return emb.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.max(F.size("embedding")).alias("dim"))
+
+    def mm_feature_extract(spark, sf):
+        # multimodal plumbing: synthesize media from doc ids, extract
+        # deterministic features via mapInPandas (rows-only check;
+        # kernel parity pinned in tests/test_multimodal.py)
+        from fashion_knowledge_graph_spark.operators import multimodal as mm
+        refs = _load(spark, sf, "documents").select(
+            F.format_string("img://doc%08d", F.col("doc_id")).alias("media_ref")
+        ).limit(200)
+        media = mm.synthesize_media(refs)
+        return mm.extract_features(media)
+
     def f4_json_extract(spark, sf):
         ev = _load(spark, sf, "events")
         return (ev.select(
@@ -360,6 +393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "f_scalar_functions": f_scalar_functions,
         "f4_json_extract": f4_json_extract,
+        "j_dim_chain_agg": j_dim_chain_agg,
+        "s11_index_stats": s11_index_stats,
+        "mm_feature_extract": mm_feature_extract,
         "u1_union_distinct": u1_union_distinct,
         "a2_collect_sorted": a2_collect_sorted,
         "events_tumbling_agg": events_tumbling_agg,
@@ -486,6 +522,23 @@ def oracle_sql() -> dict[str, str]:
     sql["f4_json_extract"] = """
         SELECT json_extract(props, '$.k')::INT AS k, count(*) AS n
         FROM events GROUP BY 1
+    """
+
+    sql["j_dim_chain_agg"] = """
+        SELECT r_name,
+               count(*) AS n_orders,
+               round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+    sql["s11_index_stats"] = """
+        SELECT label, count(*) AS n_vectors,
+               max(len(embedding)) AS dim
+        FROM embeddings GROUP BY label
     """
 
     sql["u1_union_distinct"] = """

@@ -1,0 +1,90 @@
+"""Structured Streaming front-end for incremental KG construction.
+
+The reference has no streaming path — its "dynamic updates" are
+re-runs of a batch script against Neo4j MERGE
+(src/engine/process_social_media_images.py:152-182; SURVEY §2.I).
+The batch pipeline here already gives the same incremental semantics
+via snapshot resume (anti-join on processed doc_ids). This module adds
+the Spark-native continuous form on top:
+
+- ``stream_docs``      — file-source stream over an interleaved-docs
+                         directory (new parquet files = new documents;
+                         ``maxFilesPerTrigger`` bounds batch size).
+- ``stream_linked``    — ``foreachBatch`` driving the SAME
+                         ``KGPipeline.stage_linked`` used in batch
+                         mode: each micro-batch appends a snapshot,
+                         exactly-once via the streaming checkpoint +
+                         the pipeline's own processed-docs anti-join
+                         (re-delivered docs are skipped, so restarts
+                         are idempotent — both layers are tested).
+- ``stream_event_counts`` — watermarked tumbling-window aggregation
+                         over an event stream (late data dropped after
+                         the watermark), the standard stateful-agg
+                         shape for engagement counters feeding edge
+                         weights.
+
+Scale notes: the micro-batch path reuses every batch operator
+(fused mention kernel, matmul linking), so streaming throughput ==
+batch throughput at the same trigger size; state for the windowed agg
+is bounded by (watermark horizon × distinct keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import KGPipeline
+
+DOCS_SCHEMA = ("doc_id string, spans array<struct<kind:string,text:string,"
+               "media_ref:string,offset:int>>")
+
+
+def stream_docs(spark: SparkSession, docs_dir: str,
+                max_files_per_trigger: int = 8) -> DataFrame:
+    """Streaming scan of an interleaved-docs directory."""
+    return (spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(docs_dir))
+
+
+def stream_linked(docs_stream: DataFrame, catalog: DataFrame,
+                  pipe: KGPipeline, checkpoint_dir: str,
+                  available_now: bool = True):
+    """Run mention detection + linking on each micro-batch, appending
+    to the pipeline's ``linked`` snapshot table.
+
+    Returns the started ``StreamingQuery``; with ``available_now`` the
+    query drains everything currently in the directory and stops —
+    the deterministic-test / backfill trigger.
+    """
+    def process(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        pipe.stage_linked(batch_df, catalog, resume=True)
+
+    writer = (docs_stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_counts(events_stream: DataFrame,
+                        window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type.
+
+    events_stream: (ts timestamp, event_type string, value double).
+    Late rows beyond ``watermark`` are dropped; state is purged as the
+    watermark advances (bounded memory at 100 TB/day event volumes).
+    """
+    return (events_stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    "event_type", "n", "total_value"))

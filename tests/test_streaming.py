@@ -1,0 +1,90 @@
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fashion_knowledge_graph_spark.plans.pipeline import KGPipeline
+from fashion_knowledge_graph_spark.streaming import incremental as st
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark, docs_df, tmp_path_factory):
+    """Docs split into several parquet files = several stream batches."""
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    docs_df.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_streaming_linked_equals_batch(spark, docs_df, catalog_df,
+                                       docs_stream_dir, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("swh"))
+    ck = str(tmp_path_factory.mktemp("sck"))
+    pipe = KGPipeline(warehouse=wh, link_strategy="exact")
+    stream = st.stream_docs(spark, docs_stream_dir, max_files_per_trigger=1)
+    q = st.stream_linked(stream, catalog_df, pipe, ck)
+    q.awaitTermination(300)
+
+    got = pipe.table("linked").read(spark)
+    # batch result over the same docs
+    wh2 = str(tmp_path_factory.mktemp("bwh"))
+    pipe2 = KGPipeline(warehouse=wh2, link_strategy="exact")
+    exp = pipe2.stage_linked(docs_df, catalog_df, resume=False)
+    key = ["doc_id", "span_idx", "product_id"]
+    assert sorted(map(tuple, got.select(*key).collect())) == \
+        sorted(map(tuple, exp.select(*key).collect()))
+    # multiple micro-batches really ran (≥2 snapshots appended)
+    assert len(pipe.table("linked").snapshots()) >= 2
+
+
+def test_streaming_restart_is_idempotent(spark, docs_df, catalog_df,
+                                         docs_stream_dir, tmp_path_factory):
+    """Re-starting the stream over the same directory must not
+    duplicate linked rows (checkpoint + processed-docs anti-join)."""
+    wh = str(tmp_path_factory.mktemp("swh2"))
+    ck = str(tmp_path_factory.mktemp("sck2"))
+    pipe = KGPipeline(warehouse=wh, link_strategy="exact")
+    for _ in range(2):
+        stream = st.stream_docs(spark, docs_stream_dir)
+        q = st.stream_linked(stream, catalog_df, pipe, ck)
+        q.awaitTermination(300)
+    got = pipe.table("linked").read(spark)
+    n = got.count()
+    assert got.dropDuplicates(["doc_id", "span_idx"]).count() == n
+
+
+def test_stream_event_counts_watermark(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("ev"))
+    rows = [("2026-01-01 10:05:00", "view", 1.0),
+            ("2026-01-01 10:45:00", "view", 2.0),
+            ("2026-01-01 11:10:00", "click", 3.0),
+            ("2026-01-01 10:20:00", "view", 4.0)]
+    spark.createDataFrame(rows, "ts_s string, event_type string, value double") \
+        .select(F.col("ts_s").cast("timestamp").alias("ts"),
+                "event_type", "value") \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double").parquet(src)
+    out = st.stream_event_counts(stream, window="1 hour", watermark="2 hours")
+    sink = str(tmp_path_factory.mktemp("sink"))
+    ck = str(tmp_path_factory.mktemp("evck"))
+    q = (out.writeStream.outputMode("append")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).format("parquet")
+         .option("path", sink).start())
+    q.awaitTermination(300)
+    got = {(str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+           for r in spark.read.parquet(sink).collect()}
+    # append mode emits only windows sealed by the watermark; with
+    # availableNow the final watermark = max(ts) - 2h ⇒ no window is
+    # sealed for this tiny range, so run a second pass with late data
+    # via complete-mode memory sink instead for value checks
+    out2 = st.stream_event_counts(stream, window="1 hour", watermark="0 seconds")
+    q2 = (out2.writeStream.outputMode("complete").format("memory")
+          .queryName("evagg").trigger(availableNow=True)
+          .option("checkpointLocation", str(tmp_path_factory.mktemp("ck3")))
+          .start())
+    q2.awaitTermination(300)
+    res = {(str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+           for r in spark.sql("select * from evagg").collect()}
+    assert res[("2026-01-01 10:00:00", "view")] == (3, 7.0)
+    assert res[("2026-01-01 11:00:00", "click")] == (1, 3.0)
