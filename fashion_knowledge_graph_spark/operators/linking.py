@@ -22,10 +22,11 @@ Two physical strategies, same semantics:
   signatures (8 bands × 8 bits over deterministic hyperplanes);
   candidates = equi-join on (type, color, band_idx, band_sig) — the
   metadata filters *are* part of the blocking key, so hot attribute
-  values ("black") are already split 256-ways per band, and AQE skew
-  join handles residual imbalance. Exact cosine re-rank on candidates.
-  Recall for near-duplicate photos (cosine ≥ 0.96) ≈ 99.7%
-  (1 - (1 - (1-θ/π)^8)^8); verified ≥ 0.95 vs brute force in tests.
+  values ("black") are already split 65536-ways per band, and AQE
+  skew join handles residual imbalance. Exact cosine re-rank on
+  candidates. Recall for near-duplicate photos (cosine ≥ 0.98)
+  ≈ 99.9% (1 - (1 - (1-θ/π)^16)^16); verified ≥ 0.95 vs brute force
+  in tests.
 """
 
 from __future__ import annotations
@@ -36,8 +37,12 @@ from pyspark.sql import functions as F
 from .. import taxonomy as tx
 from ..functions.embeddings import cosine_col, hyperplanes, make_signature_udf
 
-NBITS = 64
-NBANDS = 8
+# 16 bands × 16 bits: at a 200k catalog, 8-bit signatures left ~27
+# random collisions per (band, hot type×color) block — ~400M candidate
+# rows. 16-bit signatures cut random collisions 256× while keeping
+# recall ≈0.999 for near-duplicate matches (cosine ≥ 0.98).
+NBITS = 256
+NBANDS = 16
 
 
 def _top1_then_threshold(scored: DataFrame, query_keys: list[str],
@@ -107,40 +112,83 @@ def link_lsh(mentions: DataFrame, catalog: DataFrame,
              nbits: int = NBITS, nbands: int = NBANDS) -> DataFrame:
     """LSH-blocked variant — the plan that survives a 1M+ catalog.
 
-    Shuffles: one per side into the (type,color,band) equi-join (AQE
-    skew-split enabled), one for the candidate dedup + window. The
-    catalog side is ``nbands``× replicated — signatures, not vectors,
-    dominate the shuffle only if we dropped the embedding; we keep the
-    vector to re-rank exactly without a second join.
+    Two-phase, narrow-row design:
+
+    1. **Candidate generation**: both sides banded (``nbands``×
+       replication) but carrying ONLY ids + blocking keys — all
+       equalities in the ON clause so (band, bsig, type, color) are
+       hash-join keys (a post-join filter would key on band/bsig alone
+       → candidate explosion on hot bands). Vectors must NOT ride
+       through this join: the catalog side is replicated nbands×, and
+       512-d embeddings × replication OOM'd 8 GB executors at a 200k
+       catalog — ids are ~50 B/row instead.
+    2. **Re-rank**: distinct candidate (mention, product) pairs join
+       each side's embedding back BY ID (one narrow shuffle each),
+       exact cosine, top-1-then-threshold gate.
+
+    AQE skew-join splits residual hot blocks; the metadata filters are
+    part of the blocking key so head attribute values ("black") are
+    already spread across 2^bits_per_band × nbands partitions.
     """
     planes = hyperplanes(tx.IMG_DIM, nbits, seed_key="link-img")
     sig = make_signature_udf(planes, nbands)
 
     m = _mention_side(mentions).withColumn("sigs", sig("embedding"))
     c = _catalog_side(catalog).withColumn("sigs", sig("c_embedding"))
-    mb = m.select("*", F.posexplode("sigs").alias("m_band", "m_bsig")).drop("sigs")
-    cb = c.select("*", F.posexplode("sigs").alias("c_band", "c_bsig")).drop("sigs")
 
-    # ALL equalities in the ON clause so they become hash-join keys:
-    # (band, bsig, type, color). A post-join filter would leave the
-    # join keyed on band/bsig alone → candidate explosion on hot bands.
+    mb = m.select("doc_id", "span_idx", "m_type", "m_color", "m_gender",
+                  F.posexplode("sigs").alias("m_band", "m_bsig"))
+    cb = c.select("product_id", "c_type", "c_color", "c_gender",
+                  F.posexplode("sigs").alias("c_band", "c_bsig"))
     cand = mb.join(
         cb,
         (F.col("m_band") == F.col("c_band"))
         & (F.col("m_bsig") == F.col("c_bsig"))
         & _filter_cond(),
         "inner",
-    ).drop("m_band", "m_bsig", "c_band", "c_bsig")
-    # score map-side, then drop both vectors BEFORE any shuffle (the
-    # band-dup dedup + window both repartition; see link_exact note) —
-    # a pair matching in several bands scores identically, so dedup on
-    # the scored narrow rows is equivalent
-    scored = cand.withColumn("score", cosine_col("embedding", "c_embedding")) \
-        .select("doc_id", "span_idx", "product_id",
-                F.col("c_category").alias("category"), "attrs", "score") \
+    ).select("doc_id", "span_idx", "product_id") \
         .dropDuplicates(["doc_id", "span_idx", "product_id"])
+
+    m_vec = m.select("doc_id", "span_idx", "attrs", "embedding")
+    c_vec = c.select("product_id", F.col("c_category").alias("category"),
+                     "c_embedding")
+    paired = cand.join(m_vec, ["doc_id", "span_idx"]).join(c_vec, "product_id")
+    scored = _dot_arrow(paired, "embedding", "c_embedding", "score")
     return _top1_then_threshold(scored, ["doc_id", "span_idx"],
                                 top_k, threshold)
+
+
+def _dot_arrow(df: DataFrame, a_col: str, b_col: str,
+               out_col: str) -> DataFrame:
+    """Row-wise dot product of two array<float> columns via a
+    ``mapInArrow`` kernel (batched einsum over the flattened buffers —
+    Catalyst's ``aggregate``/``zip_with`` form is interpreted per
+    element and was the linking hot spot). Drops both vector columns.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    keep = [f for f in df.schema.fields if f.name not in (a_col, b_col)]
+    out_schema = T.StructType(keep + [T.StructField(out_col, T.DoubleType())])
+    keep_names = [f.name for f in keep]
+
+    def kernel(batches):
+        import pyarrow as pa
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            a = np.asarray(rb.column(a_col).flatten(),
+                           dtype=np.float64).reshape(n, -1)
+            b = np.asarray(rb.column(b_col).flatten(),
+                           dtype=np.float64).reshape(n, -1)
+            dots = np.einsum("ij,ij->i", a, b)
+            yield pa.RecordBatch.from_arrays(
+                [*(rb.column(c) for c in keep_names),
+                 pa.array(dots, type=pa.float64())],
+                names=[*keep_names, out_col])
+
+    return df.mapInArrow(kernel, out_schema)
 
 
 def link_broadcast_matmul(mentions: DataFrame, catalog: DataFrame,

@@ -38,6 +38,10 @@ def get_spark(app: str = "fkg", cpus: int | None = None,
         # inherit the driver's sys.path — ship the package exactly as
         # spark-submit --py-files would
         py_files = _package_zip()
+        # NB: the local-cluster mem argument is WORKER capacity;
+        # spark.executor.memory (default 1g!) is what the executor JVM
+        # actually gets — set it to the capacity we asked for
+        os.environ["SPARK_EXECUTOR_MEMORY"] = f"{executor_mem_mb}m"
     else:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -85,6 +89,8 @@ def get_spark(app: str = "fkg", cpus: int | None = None,
         pass
     if py_files:
         b = b.config("spark.submit.pyFiles", py_files)
+    if executors is not None:
+        b = b.config("spark.executor.memory", f"{executor_mem_mb}m")
     return b.getOrCreate()
 
 
