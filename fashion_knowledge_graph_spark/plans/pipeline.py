@@ -71,12 +71,16 @@ class KGPipeline:
         t = self.table("linked")
         seen = self.table("processed_docs")
         todo = docs
-        if resume and seen.exists():
+        resuming = resume and seen.exists()
+        if resuming:
             # anti-join against the *processed* doc set — docs whose
             # mentions all failed the gates still count as processed
             done = seen.read(spark)
             todo = docs.join(done, "doc_id", "left_anti")
-        if todo.isEmpty():
+        # the isEmpty probe is only worth a job when an earlier snapshot
+        # could already cover everything (each extra action costs a full
+        # job launch — measurable against the build's fixed-cost floor)
+        if resuming and todo.isEmpty():
             return t.read(spark)
         mentions = mn.image_mentions(todo)
         linked = lk.link_mentions(
