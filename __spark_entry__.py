@@ -80,7 +80,8 @@ def _kg_world(spark: SparkSession, sf_dir: str) -> dict:
     n_products = 150
     fix_dir = os.path.join(
         tempfile.gettempdir(),
-        f"fkg_fixtures_p{n_products}_{os.path.basename(os.path.normpath(sf_dir))}")
+        f"fkg_fixtures_p{n_products}_{datagen.content_version()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}")
     if not os.path.exists(os.path.join(fix_dir, "catalog.parquet")):
         datagen.write_fixtures(fix_dir, n_docs=1, n_products=n_products, seed=42)
     catalog = spark.read.parquet(os.path.join(fix_dir, "catalog.parquet"))

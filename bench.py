@@ -105,12 +105,15 @@ def _prepare_input(spark, sf_dir: str, replicate: int) -> tuple[str, str]:
     from fashion_knowledge_graph_spark import datagen
     from fashion_knowledge_graph_spark.sources.interleave import interleaved_docs
 
-    fix = os.path.join(tempfile.gettempdir(), f"fkg_bench_cat{N_PRODUCTS}")
+    fix = os.path.join(
+        tempfile.gettempdir(),
+        f"fkg_bench_cat{N_PRODUCTS}_{datagen.content_version()}")
     if not os.path.exists(os.path.join(fix, "catalog.parquet")):
         datagen.write_fixtures(fix, n_docs=1, n_products=N_PRODUCTS, seed=42)
     base = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     sf = os.path.basename(os.path.normpath(sf_dir))
-    docs_dir = os.path.join(base, f"fkg_docs_{sf}_x{replicate}")
+    docs_dir = os.path.join(
+        base, f"fkg_docs_{datagen.content_version()}_{sf}_x{replicate}")
     marker = os.path.join(docs_dir, "_SUCCESS")
     if not os.path.exists(marker):
         documents = spark.read.parquet(
