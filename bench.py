@@ -246,10 +246,18 @@ def main():
     if "--scaling" in args:
         res = run_scaling(sf_dir)
         try:
-            with open(os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "SCALING.json"), "w") as f:
-                json.dump(res, f)
+            p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "SCALING.json")
+            merged = {}
+            if os.path.exists(p):
+                with open(p) as f:
+                    merged = json.load(f)
+            # keep calibration keys (machine ceilings, LSH results)
+            # measured outside the scaling run itself
+            merged.update(res)
+            with open(p, "w") as f:
+                json.dump(merged, f)
+            res = merged
         except OSError:
             pass
     elif "--kg-only" in args:
