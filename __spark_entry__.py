@@ -97,6 +97,19 @@ def _kg_world(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
+def _kg_query_texts(spark, sf_dir: str):
+    """Deterministic outfit-from-text queries: the style descriptions
+    of the first three catalog products (by product_id) plus one
+    no-hit control string."""
+    out = _kg_world(spark, sf_dir)
+    rows = out["catalog"].select("product_id", "style_description") \
+        .orderBy("product_id").limit(3).collect()
+    data = [(f"q{i + 1}", r["style_description"])
+            for i, r in enumerate(rows)]
+    data.append(("q_none", "entirely unrelated query text"))
+    return spark.createDataFrame(data, "query_id string, text string")
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -374,11 +387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_outfit_from_text(spark, sf):
         from fashion_knowledge_graph_spark.plans import queries as Q
         out = _kg_world(spark, sf)
-        qt = spark.createDataFrame(
-            [("q1", "black cotton slim dress for summer"),
-             ("q2", "leather formal shoes"),
-             ("q3", "striped linen shirt")],
-            "query_id string, text string")
+        # query texts drawn from catalog style descriptions so both
+        # RRF paths return hits: the style path scores 1.0 on the
+        # exact description, the CLIP path retrieves attribute-matching
+        # items (round 1 used arbitrary text → 0 rows, vacuous check)
+        qt = _kg_query_texts(spark, sf)
         r = Q.outfit_from_text(qt, out["catalog"], top_k=5)
         return r.select("query_id", "product_id",
                         F.round("rrf_score", 6).alias("rrf_score"))

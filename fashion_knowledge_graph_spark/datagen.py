@@ -40,7 +40,8 @@ from .functions import hashing as hx
 DUP_FRAC = 0.10      # fraction of catalog rows duplicating an earlier entity
 NOISE_FRAC = 0.15    # fraction of image spans referencing unknown garments
 VARIANT_EPS = 0.02   # social-media photo perturbation
-DUP_EPS = 0.01       # duplicate-listing perturbation
+DUP_EPS = 0.005      # duplicate-listing perturbation (cos ≈ 0.996 vs
+                     # base — comfortably above the 0.98 dup threshold)
 
 # category derives from type — the reference's catalog categories are
 # tops/bottoms/all-body (src/engine/data_preprocessing.py:23)
@@ -83,13 +84,23 @@ def split_ref(refs) -> tuple[np.ndarray, np.ndarray]:
 
 def content_embed(refs) -> np.ndarray:
     """media_ref → 512-d L2-normalized embedding (CLIP stand-in,
-    src/models/embedding_model.py:80-197). Variants of an entity get
-    a small deterministic perturbation of the base embedding:
+    src/models/embedding_model.py:80-197).
+
+    Joint-space structure (hashing.attr_mixture docstring has the
+    cosine geometry): attribute direction vectors + ENTITY_WEIGHT × a
+    per-entity vector, so CLIP-text queries retrieve attribute-matching
+    items while entity identity still dominates linking/dedup.
+    Variants of an entity get a small deterministic perturbation:
     ``#d*`` (duplicate catalog listing) uses DUP_EPS, ``#s*``
     (social-media photo) uses VARIANT_EPS."""
     refs = np.asarray(refs, dtype="U")
     base, var = split_ref(refs)
-    vecs = hx.embed_strings(np.char.add("imgcontent:", base), tx.IMG_DIM)
+    attrs = hx.attrs_from_refs(base)
+    ent = hx.embed_strings(np.char.add("imgcontent:", base), tx.IMG_DIM)
+    v = hx.attr_mixture(attrs, tx.IMG_DIM) + hx.ENTITY_WEIGHT * ent
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    vecs = (v / norms).astype(np.float32)
     for eps, prefix in ((DUP_EPS, "d"), (VARIANT_EPS, "s")):
         sel = np.char.startswith(var, prefix)
         if sel.any():
@@ -140,7 +151,11 @@ def gen_catalog(n_products: int, seed: int = 42) -> pd.DataFrame:
                                attrs["type"], attrs["fit"])],
         dtype=object,
     )
-    style_vecs = hx.embed_strings(["style:" + s for s in style_desc], tx.TXT_DIM)
+    # "txt:" prefix == functions/embeddings.text_embed_udf's prefix: the
+    # catalog style vector IS the MiniLM embedding of its description,
+    # so outfit-from-text's style path scores 1.0 on exact descriptions
+    # (round-1 used a mismatched "style:" prefix → the path was dead)
+    style_vecs = hx.embed_strings(["txt:" + s for s in style_desc], tx.TXT_DIM)
     pdf = pd.DataFrame({
         "product_id": ids,
         "image_path": media,

@@ -66,12 +66,15 @@ def text_embed_udf(texts: pd.Series) -> pd.Series:
 @pandas_udf(T.ArrayType(T.FloatType()))
 def clip_text_embed_udf(texts: pd.Series) -> pd.Series:
     """text → 512-d image-space embedding (M4's text tower —
-    src/models/embedding_model.py:154-197): CLIP text and image
-    embeddings share one space, which is what makes the reference's
-    text→image search work; the stand-in keys on a distinct prefix."""
-    from .hashing import embed_strings
+    src/models/embedding_model.py:154-197). CLIP text and image
+    embeddings share one space — that joint structure is what makes
+    the reference's text→image search work, and the stand-in models
+    it explicitly (hashing.clip_text_vecs): attribute surface forms in
+    the text map onto the same attribute direction vectors that
+    compose item image embeddings (datagen.content_embed)."""
+    from .hashing import clip_text_vecs
 
-    vecs = embed_strings(("cliptxt:" + texts.fillna("")).to_numpy(), tx.IMG_DIM)
+    vecs = clip_text_vecs(texts.to_numpy(), tx.IMG_DIM)
     return pd.Series(list(vecs))
 
 

@@ -132,18 +132,8 @@ def _mlp_weights(dim: int) -> tuple[np.ndarray, np.ndarray]:
     return _MLP_CACHE[dim]
 
 
-def embed_hashes(h: np.ndarray, dim: int) -> np.ndarray:
-    """uint64 seeds → (n, dim) float32 L2-normalized embeddings.
-
-    The forward pass is a deterministic 2-layer MLP (dim → 1024 →
-    dim, tanh) over hash-seeded inputs: ~2 MFLOP/row, the arithmetic
-    intensity of a small sentence-encoder — the stand-in must cost
-    like a model or every benchmark of the surrounding engine
-    overstates throughput and understates scaling (a hash-only
-    stand-in made the pipeline fixed-overhead-bound). cosine ≡ dot
-    afterwards (reference normalizes too:
-    src/models/embedding_model.py:148-151).
-    """
+def _embed_raw(h: np.ndarray, dim: int) -> np.ndarray:
+    """MLP forward pass + L2 normalize (no centering)."""
     u = rand_uniform(h, dim, lane=1)
     v = (u * 2.0 - 1.0).astype(np.float32)
     w1, w2 = _mlp_weights(dim)
@@ -159,6 +149,49 @@ def embed_hashes(h: np.ndarray, dim: int) -> np.ndarray:
         np.matmul(v[r0:r1], w1, out=hh)
         np.tanh(hh, out=hh)
         np.matmul(hh, w2, out=out[r0:r1])
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return out / norms
+
+
+_WHITEN_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _whitening(dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cached (mean, ZCA matrix) of the raw embedding distribution,
+    estimated once per dim from 1536 probe keys. The tanh MLP's raw
+    outputs are anisotropic (effective rank ≈ 200 at dim 512 ⇒
+    unrelated-key cosine std ≈ 0.07, max over a catalog ≈ 0.3 — junk
+    text cleared the 0.2 CLIP retrieval threshold). ZCA-whitening
+    restores isotropy (std ≈ 1/√dim), like the output-whitening real
+    encoders apply for retrieval. One-time ~0.2 s per worker process,
+    then one extra dim×dim matmul per batch."""
+    if dim not in _WHITEN_CACHE:
+        h = hash64([f"mu-probe:{dim}:{i}" for i in range(1536)])
+        raw = _embed_raw(h, dim).astype(np.float64)
+        mu = raw.mean(axis=0)
+        cov = np.cov(raw - mu, rowvar=False)
+        evals, evecs = np.linalg.eigh(cov)
+        w = evecs @ np.diag(1.0 / np.sqrt(evals + 1e-6)) @ evecs.T
+        _WHITEN_CACHE[dim] = (mu.astype(np.float32), w.astype(np.float32))
+    return _WHITEN_CACHE[dim]
+
+
+def embed_hashes(h: np.ndarray, dim: int) -> np.ndarray:
+    """uint64 seeds → (n, dim) float32 L2-normalized embeddings.
+
+    The forward pass is a deterministic 2-layer MLP (dim → 1024 →
+    dim, tanh) over hash-seeded inputs: ~2 MFLOP/row, the arithmetic
+    intensity of a small sentence-encoder — the stand-in must cost
+    like a model or every benchmark of the surrounding engine
+    overstates throughput and understates scaling (a hash-only
+    stand-in made the pipeline fixed-overhead-bound). Outputs are
+    ZCA-whitened (see ``_whitening``) then L2-normalized, so
+    cosine ≡ dot afterwards (reference normalizes too:
+    src/models/embedding_model.py:148-151).
+    """
+    mu, w = _whitening(dim)
+    out = (_embed_raw(h, dim) - mu) @ w
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return out / norms
@@ -231,6 +264,97 @@ def attrs_from_refs(keys) -> dict[str, np.ndarray | list]:
         "gender": pick(h, tx.GENDERS, lane=19),
         "age_group": pick(h, tx.AGE_GROUPS, lane=20),
     }
+
+
+# ---- attribute-compositional embedding space (joint "CLIP" space) ----
+#
+# The reference's CLIP puts text and images in ONE space: the text
+# "black cotton dress" lands near photos of black cotton dresses
+# (src/models/embedding_model.py:154-197 — get_text_features and
+# get_image_features share the projection head). The stand-in models
+# that joint structure explicitly: an item's image embedding is the
+# sum of unit vectors for its (color, type, material, style)
+# attributes plus ENTITY_WEIGHT × a per-entity unit vector; a text
+# embedding is the sum of the attribute vectors whose surface forms
+# appear in the text. Cosine geometry (unit vectors ≈ orthogonal):
+#
+#   same entity, photo variant          ≈ 0.97+  (≥ link threshold 0.7)
+#   duplicate catalog listing           ≈ 0.99+  (≥ dup threshold 0.98)
+#   distinct entities, all 4 attrs same ≈ 4/(4+β²) = 0.50  (< 0.7)
+#   text matching 3 of an item's attrs  ≈ 3/(√3·√8) = 0.61 (≥ clip 0.2)
+#   text matching nothing               ≈ 0      (< 0.2 → dropped)
+
+ENTITY_WEIGHT = 2.0
+# (attr, is_multi_valued): the attribute families that shape the space
+ATTR_MIX_KEYS = (("color", False), ("type", False),
+                 ("material", True), ("style", True))
+_ATTR_VEC_CACHE: dict = {}
+
+
+def attr_unit_vecs(attr: str, dim: int) -> tuple[dict, np.ndarray]:
+    """({value: row}, (|vocab|, dim) unit vectors) for one attribute
+    family — tiny (≤15 rows), cached per (attr, dim)."""
+    key = (attr, dim)
+    if key not in _ATTR_VEC_CACHE:
+        from .. import taxonomy as tx
+
+        vocab = {**tx.SCALAR_ATTRS, **tx.MULTI_ATTRS}[attr]
+        _ATTR_VEC_CACHE[key] = (
+            {v: i for i, v in enumerate(vocab)},
+            embed_strings([f"attr:{attr}={v}" for v in vocab], dim))
+    return _ATTR_VEC_CACHE[key]
+
+
+def attr_mixture(attrs: dict, dim: int) -> np.ndarray:
+    """attrs record (attrs_from_refs shape) → (n, dim) UN-normalized
+    sum of the four attribute direction vectors. Multi-valued attrs
+    contribute their first (primary) value. Vectorized: per family one
+    fancy-index gather from the cached vocab table."""
+    n = len(attrs["color"])
+    out = np.zeros((n, dim), dtype=np.float32)
+    for attr, multi in ATTR_MIX_KEYS:
+        vals = attrs[attr]
+        if multi:
+            vals = [v[0] for v in vals]
+        vmap, vecs = attr_unit_vecs(attr, dim)
+        idx = np.fromiter((vmap[v] for v in vals), dtype=np.int64, count=n)
+        out += vecs[idx]
+    return out
+
+
+def clip_text_vecs(texts, dim: int) -> np.ndarray:
+    """text batch → (n, dim) L2-normalized joint-space embeddings (the
+    CLIP text tower stand-in, src/models/embedding_model.py:154-197).
+
+    Surface scan: normalize (lowercase, non-[a-z0-9-] → space, pad),
+    then one vectorized ``np.char.find`` per vocabulary surface (≤50);
+    each hit adds that attribute's direction vector. Texts with no
+    vocabulary hit fall back to a stable per-string vector (≈ orthogonal
+    to everything ⇒ below every retrieval threshold)."""
+    import re
+
+    texts = np.asarray(["" if t is None else str(t) for t in texts],
+                       dtype="U")
+    norm = np.array([" " + re.sub(r"[^a-z0-9\-]+", " ", t.lower()) + " "
+                     for t in texts], dtype="U")
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float32)
+    hit = np.zeros(n, dtype=bool)
+    for attr, _multi in ATTR_MIX_KEYS:
+        vmap, vecs = attr_unit_vecs(attr, dim)
+        for v, i in vmap.items():
+            surfaces = {v, v.replace("-", " ")} if "-" in v else {v}
+            m = np.zeros(n, dtype=bool)
+            for s in surfaces:
+                m |= np.char.find(norm, f" {s} ") >= 0
+            if m.any():
+                out[m] += vecs[i]
+                hit |= m
+    if (~hit).any():
+        out[~hit] = embed_strings(np.char.add("cliptxt:", texts[~hit]), dim)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (out / norms).astype(np.float32)
 
 
 def segment_labels_areas(keys) -> tuple[np.ndarray, np.ndarray]:

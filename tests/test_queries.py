@@ -77,31 +77,44 @@ def test_outfit_from_image_matches_linking(spark, docs_df, catalog_df, kg):
 
 
 def test_outfit_from_text_rrf(spark, catalog_df):
-    queries = spark.createDataFrame(
-        [("q1", "black cotton slim dress"),
-         ("q2", "leather formal shoes")],
-        "query_id string, text string")
+    import numpy as np
+
+    from fashion_knowledge_graph_spark import taxonomy as tax
+    from fashion_knowledge_graph_spark.functions.hashing import (
+        clip_text_vecs,
+        embed_strings,
+    )
+
+    # queries seeded from catalog style descriptions so both retrieval
+    # paths have real hits (the style path scores 1.0 on the exact
+    # description; the CLIP path retrieves attribute-matching items) —
+    # plus a control text with no vocabulary hit
+    descs = [r["style_description"] for r in
+             catalog_df.select("style_description")
+             .orderBy("product_id").limit(2).collect()]
+    qtexts = [("q1", descs[0]), ("q2", descs[1]),
+              ("q_none", "entirely unrelated query text")]
+    queries = spark.createDataFrame(qtexts, "query_id string, text string")
     out = Q.outfit_from_text(queries, catalog_df, top_k=5)
     rows = out.collect()
     by_q = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r["rrf_score"])
+    # NON-VACUITY: description-seeded queries must return results
+    assert by_q.get("q1") and by_q.get("q2"), \
+        "description-seeded queries returned no rows (dead paths)"
     for q, scores in by_q.items():
         assert len(scores) <= 5
         assert all(s > 0 for s in scores)
-    # python RRF oracle over the two cosine paths
-    import numpy as np
-
-    from fashion_knowledge_graph_spark import taxonomy as tax
-    from fashion_knowledge_graph_spark.functions.hashing import embed_strings
-
+    # python RRF oracle over the two cosine paths; also asserts BOTH
+    # paths contribute for the description queries
     cat = catalog_df.select("product_id", "embedding", "style_embedding") \
         .toPandas()
-    for qid, text in [("q1", "black cotton slim dress"),
-                      ("q2", "leather formal shoes")]:
-        qi = embed_strings([f"cliptxt:{text}"], tax.IMG_DIM)[0]
+    for qid, text in qtexts:
+        qi = clip_text_vecs(np.array([text]), tax.IMG_DIM)[0]
         qs = embed_strings([f"txt:{text}"], tax.TXT_DIM)[0]
         scores = {}
+        path_hits = {}
         for thr, qv, col in ((0.2, qi, "embedding"), (0.5, qs, "style_embedding")):
             sims = []
             for pid, vec in zip(cat["product_id"], cat[col]):
@@ -109,8 +122,12 @@ def test_outfit_from_text_rrf(spark, catalog_df):
                 if s >= thr:
                     sims.append((pid, s))
             sims.sort(key=lambda t: (-t[1], t[0]))
+            path_hits[col] = len(sims)
             for rank, (pid, _) in enumerate(sims, 1):
                 scores[pid] = scores.get(pid, 0.0) + 1.0 / (60 + rank)
+        if qid != "q_none":
+            assert path_hits["embedding"] > 0, f"{qid}: CLIP path dead"
+            assert path_hits["style_embedding"] > 0, f"{qid}: style path dead"
         exp_top = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:5]
         got = sorted(((r["product_id"], r["rrf_score"]) for r in rows
                       if r["query_id"] == qid), key=lambda t: (-t[1], t[0]))
