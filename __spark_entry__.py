@@ -668,6 +668,70 @@ def oracle_sql() -> dict[str, str]:
         WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35
     """
 
+    # MinHash+LSH, fully replayed in DuckDB: the portable hash family
+    # (md5 lanes, lexicographic string-min, md5 band keys) is chosen so
+    # the ORACLE reproduces the exact candidate set, not just the
+    # verified output (operators/dedup.py::_lane_exprs).
+    sql["dedup_minhash_lsh"] = f"""
+        WITH {shingle_cte},
+        posth AS (
+          SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT::VARCHAR AS shd
+          FROM post),
+        lanes AS (
+          SELECT id, j, min(md5(j::VARCHAR || ':' || shd)) AS hv
+          FROM posth CROSS JOIN range(128) t(j) GROUP BY id, j),
+        bands AS (
+          SELECT id, (j // 4)::INT AS band,
+                 md5(string_agg(hv, '|' ORDER BY j)) AS bkey
+          FROM lanes GROUP BY id, j // 4),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+        SELECT i.id_a, i.id_b,
+               round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
+        FROM inter i
+        JOIN cand USING (id_a, id_b)
+        JOIN sizes sa ON sa.id = i.id_a
+        JOIN sizes sb ON sb.id = i.id_b
+        WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35
+    """
+
+    # SimHash, bit-exact replay: token hash = first 16 hex chars of
+    # md5 read MSB-first; per-bit ±1 sums over the token multiset;
+    # 4×16-bit banded candidates; hamming over the bit strings.
+    sql["dedup_simhash"] = f"""
+        WITH tok AS (
+          SELECT doc_id AS id, unnest({toks}) AS t FROM documents),
+        th AS (SELECT id, substr(md5(t), 1, 16) AS hx FROM tok),
+        bits AS (
+          SELECT id, j,
+                 sum(CASE WHEN (('0x' || substr(hx, (j // 4)::INT + 1, 1))::INT
+                                & (1 << (3 - (j % 4)::INT))) <> 0
+                          THEN 1 ELSE -1 END) AS cnt
+          FROM th CROSS JOIN range(64) r(j) GROUP BY id, j),
+        bs AS (
+          SELECT id, string_agg(CASE WHEN cnt > 0 THEN '1' ELSE '0' END,
+                                '' ORDER BY j) AS bstr
+          FROM bits GROUP BY id),
+        sbands AS (
+          SELECT id, b, substr(bstr, (b * 16)::INT + 1, 16) AS bkey
+          FROM bs CROSS JOIN range(4) q(b)),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM sbands a JOIN sbands b
+            ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id)
+        SELECT * FROM (
+          SELECT c.id_a, c.id_b,
+                 len(list_filter(range(1, 65),
+                     i -> substr(x.bstr, i::INT, 1) <> substr(y.bstr, i::INT, 1)))
+                   AS hamming
+          FROM cand c
+          JOIN bs x ON x.id = c.id_a
+          JOIN bs y ON y.id = c.id_b) t
+        WHERE hamming <= 8
+    """
+
     sql["embedding_near_dup"] = """
         -- DOUBLE[] cast: DuckDB's float32 cosine diverges from Spark's
         -- double accumulation in the 6th decimal otherwise

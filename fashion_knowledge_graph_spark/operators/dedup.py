@@ -79,10 +79,14 @@ def jaccard_pairs_exact(df: DataFrame, id_col: str = "doc_id",
     the oracle-checked configuration.
     """
     # posting list feeds three scans (sizes, join side a, join side b):
-    # cache it — at cluster scale this is a materialized intermediate
-    # table; recomputing the regexp+shingle pipeline 3× dominates
-    # otherwise
-    post = _shingle_posting(df, id_col, text_col, n).persist()
+    # materialize it — at cluster scale this is an intermediate table;
+    # recomputing the regexp+shingle pipeline 3× dominates otherwise.
+    # localCheckpoint (not persist): blocks are freed by the
+    # ContextCleaner when the DataFrame is garbage-collected, so long
+    # sessions running many dedup calls don't accumulate cached
+    # partitions (a persist() here leaked until memory pressure).
+    post = _shingle_posting(df, id_col, text_col, n) \
+        .localCheckpoint(eager=False)
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         keep = post.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh")) \
@@ -102,18 +106,34 @@ def jaccard_pairs_exact(df: DataFrame, id_col: str = "doc_id",
 
 
 # ------------------------------------------------------- MinHash + LSH
-def minhash_signature(df: DataFrame, id_col: str, text_col: str,
-                      n: int = 3, num_hashes: int = 64) -> DataFrame:
-    """(id, sig:array<bigint>) MinHash signatures.
+def _lane_exprs(num_hashes: int, hash_family: str) -> list:
+    """Per-lane hash expressions over the posting column ``sh``.
 
-    Universal-hash family h_j(x) = xxhash64(j, x) over the shingle
-    hashes; per-doc elementwise min across ``num_hashes`` lanes as one
-    groupBy with ``num_hashes`` min-aggregates — all JVM-side, partial
+    ``portable`` (default): h_j(x) = md5(j || ':' || x), with the min
+    taken lexicographically over the hex strings — md5 and string-min
+    agree bit-for-bit between Spark and DuckDB, so the whole MinHash
+    pipeline is oracle-checkable. ``fast``: h_j(x) = xxhash64(j, x)
+    (Spark-only, ~5× cheaper per lane — the knob to flip at 100 TB if
+    the signature pass ever dominates; same banding plan either way).
+    """
+    if hash_family == "portable":
+        return [F.min(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("sh"))))
+                .alias(f"h{j}") for j in range(num_hashes)]
+    return [F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"h{j}")
+            for j in range(num_hashes)]
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, num_hashes: int = 64,
+                      hash_family: str = "portable") -> DataFrame:
+    """(id, sig:array) MinHash signatures.
+
+    Universal-hash family over the shingle hashes (see ``_lane_exprs``);
+    per-doc elementwise min across ``num_hashes`` lanes as one groupBy
+    with ``num_hashes`` min-aggregates — all JVM-side, partial
     (map-side) aggregation absorbs shingle skew."""
     post = _shingle_posting(df, id_col, text_col, n)
-    lanes = [F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"h{j}")
-             for j in range(num_hashes)]
-    sig = post.groupBy("id").agg(*lanes)
+    sig = post.groupBy("id").agg(*_lane_exprs(num_hashes, hash_family))
     return sig.select(
         "id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
 
@@ -122,28 +142,35 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5,
-                      verify: bool = True) -> DataFrame:
+                      verify: bool = True,
+                      hash_family: str = "portable") -> DataFrame:
     """Banded-LSH candidate pairs, then exact-Jaccard verification.
 
     bands=16 × rows=4 ⇒ pair-recall at J=0.5: 1-(1-0.5^4)^16 ≈ 0.645,
     at J=0.8: ≈ 0.9998 — tune (bands, num_hashes) to the target
     threshold. Verification re-joins candidates to the posting lists
     and computes exact Jaccard, so precision is 1.0; recall is the LSH
-    recall (reported vs exact in tests).
+    recall (reported vs exact in tests). With ``hash_family=
+    "portable"`` (default) the lane hashes and band keys are pure md5
+    → the full candidate set + verification is reproducible in DuckDB
+    (the driver's oracle); ``"fast"`` swaps in xxhash64 lanes.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    post_all = _shingle_posting(df, id_col, text_col, n).persist()
-    lanes = [F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"h{j}")
-             for j in range(num_hashes)]
-    sig = post_all.groupBy("id").agg(*lanes).select(
-        "id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
+    post_all = _shingle_posting(df, id_col, text_col, n) \
+        .localCheckpoint(eager=False)   # shared by sig + verify; blocks
+    #                                     auto-freed on GC (no persist leak)
+    sig = post_all.groupBy("id").agg(*_lane_exprs(num_hashes, hash_family))
+    if hash_family == "portable":
+        band_keys = [F.md5(F.concat_ws("|", *[
+            F.col(f"h{b * rows_per_band + r}")
+            for r in range(rows_per_band)])) for b in range(bands)]
+    else:
+        band_keys = [F.xxhash64(*[F.col(f"h{b * rows_per_band + r}")
+                                  for r in range(rows_per_band)])
+                     for b in range(bands)]
     banded = sig.select(
-        "id",
-        F.posexplode(F.array(*[
-            F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                         for r in range(rows_per_band)])
-            for b in range(bands)])).alias("band", "bkey"))
+        "id", F.posexplode(F.array(*band_keys)).alias("band", "bkey"))
     a = banded.select(F.col("id").alias("id_a"), "band", "bkey")
     b = banded.select(F.col("id").alias("id_b"), "band", "bkey")
     cand = a.join(b, ["band", "bkey"]).filter(F.col("id_a") < F.col("id_b")) \
@@ -166,33 +193,99 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 # ------------------------------------------------------------- SimHash
-def _bit_masks(num_bits: int) -> Column:
-    """Constant array<long> of single-bit masks; bit 63 is the signed
-    min-long representation of 1<<63."""
-    vals = [(1 << i) if i < 63 else -(1 << 63) for i in range(num_bits)]
-    return F.array(*[F.lit(v).cast("long") for v in vals])
+def simhash_py(text: str) -> int:
+    """Reference SimHash of one document (the semantic spec; the
+    distributed path is ``simhash_df``): tokenize like
+    functions/text.norm_text, md5 each token occurrence, interpret the
+    first 16 hex chars as a big-endian uint64, per bit position sum
+    (+1 if set else −1) over the token multiset, keep bits whose sum
+    is > 0. Returned as a signed int64 (two's complement)."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.sub(r"[^a-z0-9]+", " ", (text or "").lower())
+            .split(" ") if t]
+    counts = [0] * 64
+    for t in toks:
+        v = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+        for j in range(64):
+            counts[j] += 1 if (v >> (63 - j)) & 1 else -1
+    out = 0
+    for j in range(64):
+        if counts[j] > 0:
+            out |= 1 << (63 - j)
+    return out - (1 << 64) if out >= (1 << 63) else out
 
 
-def simhash_col(text_col, num_bits: int = 64) -> Column:
-    """64-bit SimHash of the token multiset, pure Catalyst: per token
-    take xxhash64, then for each bit position sum ±1 across tokens and
-    keep the sign. Encoded via aggregate over the token array."""
-    toks = tx.tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    masks = _bit_masks(num_bits)
-    # counts[i] = Σ_tokens (bit_i ? 1 : -1); simhash bit_i = counts[i] > 0
-    counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), num_bits),
-        lambda acc, h: F.zip_with(
-            acc, masks,
-            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1)
-            .otherwise(-1).cast("long")))
-    bits = F.zip_with(
-        counts, masks,
-        lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")))
-    return F.aggregate(bits, F.lit(0).cast("long"),
-                       lambda acc, b: acc.bitwiseOR(b))
+def simhash_df(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(id, simhash:long) via one ``mapInArrow`` numpy kernel.
+
+    Replaces the round-1 Catalyst form (``aggregate`` over a 64-wide
+    ``zip_with`` per token — higher-order-function lambdas are
+    interpreted, ≈64×|tokens| lambda evals per row; measured 3.7 s for
+    500 docs at sf0.1, the slowest dedup operator). The kernel
+    tokenizes the batch, md5-hashes the *unique* tokens once (dict
+    memoized across batches per worker), expands hash bits with one
+    vectorized shift, and folds the ±1 sums per row with
+    ``np.add.reduceat`` — no per-token Python in the hot loop beyond
+    the memoized digest. Token hashes are md5-derived (portable), so
+    DuckDB can replay the exact bits for the driver oracle."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("id", df.schema[id_col].dataType),
+        T.StructField("simhash", T.LongType()),
+    ])
+    memo: dict[str, int] = {}
+
+    def kernel(batches):
+        import re
+
+        shifts = np.uint64(63) - np.arange(64, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts)
+        for rb in batches:
+            ids = rb.column(id_col)
+            texts = rb.column(text_col).to_pylist()
+            n = len(texts)
+            tok_lists = [
+                [t for t in re.sub(r"[^a-z0-9]+", " ", (s or "").lower())
+                 .split(" ") if t]
+                for s in texts]
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            offsets[1:] = np.cumsum([len(t) for t in tok_lists])
+            flat = [t for toks in tok_lists for t in toks]
+            for t in flat:
+                if t not in memo:
+                    memo[t] = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            h = np.fromiter((memo[t] for t in flat), dtype=np.uint64,
+                            count=len(flat))
+            # (m, 64) ±1 contributions → per-row sums via reduceat
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)) \
+                .astype(np.int32)
+            contrib = bits * 2 - 1
+            sums = np.zeros((n, 64), dtype=np.int64)
+            if len(flat):
+                red = np.add.reduceat(contrib, np.minimum(
+                    offsets[:-1], len(flat) - 1), axis=0)
+                # reduceat on an empty segment returns a neighboring
+                # element, not an empty sum — zero those rows explicitly
+                empty = offsets[:-1] == offsets[1:]
+                red[empty] = 0
+                sums = red
+            sh = ((sums > 0).astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64).view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sh)], schema=pa.schema([
+                    ("id", ids.type), ("simhash", pa.int64())]))
+
+    return df.select(F.col(id_col).alias(id_col),
+                     F.col(text_col).alias(text_col)) \
+        .mapInArrow(kernel, out_schema)
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -203,8 +296,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     within Hamming ≤ 3 agrees on ≥1 band exactly (pigeonhole); larger
     radii trade recall. Verify with bit_count(xor) — all JVM-side.
     """
-    sh = df.select(F.col(id_col).alias("id"),
-                   simhash_col(F.col(text_col)).alias("simhash"))
+    sh = simhash_df(df, id_col, text_col)
     banded = sh.select(
         "id", "simhash",
         F.posexplode(F.array(*[

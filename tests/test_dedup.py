@@ -92,19 +92,34 @@ def test_minhash_lsh_recall_and_precision(spark, corpus):
     assert recall >= 0.9, (recall, len(got), len(exp))
 
 
+def test_simhash_kernel_matches_python_spec(spark, corpus):
+    """The mapInArrow kernel must agree bit-for-bit with the per-doc
+    python spec (simhash_py) — including empty and repeated-token
+    docs."""
+    extra = spark.createDataFrame(
+        [(1000, ""), (1001, None), (1002, "alpha alpha alpha"),
+         (1003, "ALPHA, bravo!  bravo")],
+        "doc_id int, text string")
+    df = corpus.unionByName(extra)
+    got = {r["id"]: r["simhash"] for r in dd.simhash_df(df).collect()}
+    rows = _mk_corpus() + [(1000, ""), (1001, None),
+                           (1002, "alpha alpha alpha"),
+                           (1003, "ALPHA, bravo!  bravo")]
+    for i, t in rows:
+        assert got[i] == dd.simhash_py(t or ""), (i, t)
+
+
 def test_simhash_blocking_complete_at_small_radius(spark, corpus):
     """Pigeonhole: hamming ≤ 3 pairs must agree on ≥1 of 4 bands, so
-    banded candidates at radius 3 are exhaustive. Verify against the
-    full simhash cross-join."""
-    sh = corpus.select(
-        F.col("doc_id").alias("id"),
-        dd.simhash_col(F.col("text")).alias("s"))
-    a = sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
-    allp = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")) \
-        .withColumn("hd", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))) \
-        .filter(F.col("hd") <= 3)
-    exp = {(r["id_a"], r["id_b"]): r["hd"] for r in allp.collect()}
+    banded candidates at radius 3 are exhaustive. Verify against a
+    brute-force cross join of the python-spec hashes."""
+    rows = _mk_corpus()
+    sh = {i: dd.simhash_py(t) for i, t in rows}
+    exp = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        hd = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+        if hd <= 3:
+            exp[(a, b)] = hd
     got = {(r["id_a"], r["id_b"]): r["hamming"]
            for r in dd.simhash_pairs(corpus, max_hamming=3).collect()}
     assert got == exp
