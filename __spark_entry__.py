@@ -332,8 +332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dd.simhash_pairs(_load(spark, sf, "documents"), max_hamming=8)
 
     def embedding_near_dup(spark, sf):
-        out = dd.embedding_near_dup_matmul(_load(spark, sf, "embeddings"),
-                                           threshold=0.3)
+        # auto-dispatch: exact matmul at this scale (oracle config);
+        # corpora over the budget switch to the LSH-blocked path
+        out = dd.embedding_near_dup_auto(_load(spark, sf, "embeddings"),
+                                         threshold=0.3)
         return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
     def ann_cosine_topk(spark, sf):

@@ -334,10 +334,17 @@ def embedding_near_dup_matmul(df: DataFrame, id_col: str = "vec_id",
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).alias("vec")).collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+    # Arrow fetch (toPandas), not collect(): collect deserializes every
+    # vector through Python Row objects — far heavier on the driver than
+    # the columnar path for the same bytes. Ids keep their source dtype
+    # (string ids work; numeric ids stay numeric).
+    pdf = df.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("vec")).toPandas()
+    id_type = df.schema[id_col].dataType
+    np_id = np.int64 if isinstance(id_type, (T.LongType, T.IntegerType)) \
+        else object
+    ids = pdf["id"].to_numpy(dtype=np_id)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
     order = np.argsort(ids, kind="stable")
     ids, mat = ids[order], mat[order]
@@ -345,8 +352,8 @@ def embedding_near_dup_matmul(df: DataFrame, id_col: str = "vec_id",
     bc = sc.broadcast((ids, mat))
 
     out_schema = T.StructType([
-        T.StructField("id_a", T.LongType()),
-        T.StructField("id_b", T.LongType()),
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
         T.StructField("cosine", T.DoubleType()),
     ])
 
@@ -356,7 +363,7 @@ def embedding_near_dup_matmul(df: DataFrame, id_col: str = "vec_id",
             q = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf["vec"]])
             q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
-            qid = pdf["id"].to_numpy(dtype=np.int64)
+            qid = pdf["id"].to_numpy(dtype=c_ids.dtype)
             sims = q @ c_mat.T
             keep = (sims >= threshold) & (qid[:, None] < c_ids[None, :])
             qi, cj = np.nonzero(keep)
@@ -407,6 +414,84 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
     scored = cand.withColumn("cosine", dot)
     return scored.filter(F.col("cosine") >= threshold) \
         .select("id_a", "id_b", "cosine")
+
+
+def embedding_near_dup_lsh(df: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.95,
+                           nbits: int = 64, nbands: int = 8) -> DataFrame:
+    """Sign-LSH-blocked near-dup pairs — the beyond-driver-memory path.
+
+    Random-hyperplane band signatures → equi-join on (band, bsig) →
+    exact-cosine verification of the candidates in an Arrow matmul
+    kernel (precision 1.0; recall is the LSH recall — at cos ≥ 0.95
+    with 8 bands × 8 bits, 1-(1-0.9^8)^8 ≈ 0.989). Vectors never ride
+    the banded join: candidates are narrow (id, band, bsig) rows,
+    vectors re-join only for the surviving pairs — same two-phase plan
+    as linking.link_mentions."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.embeddings import hyperplanes, make_signature_udf
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, nbits, seed_key="near-dup-generic")
+    sig = make_signature_udf(planes, nbands)
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    banded = keyed.select(
+        "id", F.posexplode(sig("vec")).alias("band", "bsig"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bsig")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bsig")
+    cand = a.join(b, ["band", "bsig"]) \
+        .filter(F.col("id_a") < F.col("id_b")) \
+        .select("id_a", "id_b").distinct()
+    withv = cand \
+        .join(keyed.select(F.col("id").alias("id_a"),
+                           F.col("vec").alias("vec_a")), "id_a") \
+        .join(keyed.select(F.col("id").alias("id_b"),
+                           F.col("vec").alias("vec_b")), "id_b")
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type), T.StructField("id_b", id_type),
+        T.StructField("cosine", T.DoubleType())])
+
+    def verify(batches):
+        # vectorized pair cosine — NOT a Catalyst zip_with/aggregate
+        # (higher-order-function lambdas are interpreted; this is the
+        # exact hot path where that cost 10×+ before)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.stack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["vec_a"]])
+            vb = np.stack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["vec_b"]])
+            va /= np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-300)
+            vb /= np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-300)
+            cos = np.einsum("ij,ij->i", va, vb)
+            keep = cos >= threshold
+            yield pd.DataFrame({"id_a": pdf["id_a"][keep],
+                                "id_b": pdf["id_b"][keep],
+                                "cosine": cos[keep]})
+
+    return withv.mapInPandas(verify, out_schema)
+
+
+def embedding_near_dup_auto(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95,
+                            matmul_budget_rows: int = 2_000_000) -> DataFrame:
+    """Size-probed dispatch (mirrors linking.link_mentions): corpora
+    whose (id, vec) fit driver/executor memory take the exact
+    broadcast-matmul path; larger ones the LSH-blocked path, so the
+    default can never OOM the driver at scale. The probe is one cheap
+    count over the (already pruned) id column."""
+    n = df.count()
+    if n <= matmul_budget_rows:
+        return embedding_near_dup_matmul(df, id_col, vec_col, threshold)
+    return embedding_near_dup_lsh(df, id_col, vec_col, threshold)
 
 
 # ------------------------------------------------------------ keep set

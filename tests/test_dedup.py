@@ -167,6 +167,38 @@ def test_embedding_near_dup_matmul_equals_relational(spark):
         assert rel[k] == pytest.approx(mat[k], abs=1e-12)
 
 
+def test_embedding_near_dup_auto_dispatch_and_string_ids(spark):
+    """Over-budget corpora must take the LSH path (no driver collect),
+    and string id columns must work on every path."""
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    vecs = list(base) + [base[i] + rng.normal(scale=0.005, size=16)
+                         .astype(np.float32) for i in range(10)]
+    rows = [(f"v{i:04d}", [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    m = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    exp = {(f"v{i:04d}", f"v{j:04d}")
+           for i in range(len(rows)) for j in range(i + 1, len(rows))
+           if sims[i, j] >= 0.95}
+    assert len(exp) >= 10
+    # matmul path with string ids
+    got_mat = {(r["id_a"], r["id_b"]) for r in
+               dd.embedding_near_dup_matmul(df, threshold=0.95).collect()}
+    assert got_mat == exp
+    # forced LSH path (budget 0): near-identical pairs ⇒ recall ≈ 1
+    got_lsh = {(r["id_a"], r["id_b"]) for r in
+               dd.embedding_near_dup_auto(
+                   df, threshold=0.95, matmul_budget_rows=0).collect()}
+    assert got_lsh <= exp
+    assert len(got_lsh) >= 0.9 * len(exp)
+    # under budget the auto path is the exact matmul result
+    got_auto = {(r["id_a"], r["id_b"]) for r in
+                dd.embedding_near_dup_auto(df, threshold=0.95).collect()}
+    assert got_auto == exp
+
+
 def test_dedup_keep_components(spark, corpus):
     pairs = dd.jaccard_pairs_exact(corpus, threshold=0.5)
     keep = dd.dedup_keep(corpus, pairs)
