@@ -246,16 +246,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_vectors"),
             F.max(F.size("embedding")).alias("dim"))
 
+    def _mm_media(spark, sf):
+        from fashion_knowledge_graph_spark.operators import multimodal as mm
+        refs = _load(spark, sf, "documents").filter(F.col("doc_id") < 200) \
+            .select(F.format_string("img://doc%08d", F.col("doc_id"))
+                    .alias("media_ref"))
+        return mm.synthesize_media(refs)
+
     def mm_feature_extract(spark, sf):
         # multimodal plumbing: synthesize media from doc ids, extract
-        # deterministic features via mapInPandas (rows-only check;
-        # kernel parity pinned in tests/test_multimodal.py)
+        # deterministic pooled features via mapInPandas, exploded to
+        # (media_id, idx, value) scalars — hashable for the driver's
+        # canonicalizer (round 1 returned the raw array<float> column
+        # and crashed pandas sort_values) and exactly replayable in
+        # the DuckDB oracle (closed-form col/row means of the tiled
+        # content bytes)
         from fashion_knowledge_graph_spark.operators import multimodal as mm
-        refs = _load(spark, sf, "documents").select(
-            F.format_string("img://doc%08d", F.col("doc_id")).alias("media_ref")
-        ).limit(200)
-        media = mm.synthesize_media(refs)
-        return mm.extract_features(media)
+        feats = mm.extract_features(_mm_media(spark, sf))
+        return feats.select(
+            "media_id", F.posexplode("feature").alias("idx", "value")) \
+            .select("media_id", "idx", F.round("value", 6).alias("value"))
+
+    def mm_media_meta(spark, sf):
+        # metadata projection + F5 base64 (reference encodes image
+        # bytes for the LLM call, attribute_extraction_model.py:28-45);
+        # md5(media_id) hex→binary IS content[0:16] by construction
+        media = _mm_media(spark, sf)
+        return media.select(
+            "media_id",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.base64(F.to_binary(F.md5("media_id"), F.lit("hex")))
+            .alias("thumb_b64"))
 
     def f4_json_extract(spark, sf):
         ev = _load(spark, sf, "events")
@@ -412,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_dim_chain_agg": j_dim_chain_agg,
         "s11_index_stats": s11_index_stats,
         "mm_feature_extract": mm_feature_extract,
+        "mm_media_meta": mm_media_meta,
         "u1_union_distinct": u1_union_distinct,
         "a2_collect_sorted": a2_collect_sorted,
         "events_tumbling_agg": events_tumbling_agg,
@@ -744,6 +768,53 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                      b.embedding::DOUBLE[]) >= 0.3
+    """
+
+    # multimodal: replay synthesize_media + the pooled-feature kernel
+    # in closed form (content = md5 hex tiled; feature = col means then
+    # row means of the (h,w) tiling, first 64, L2-normalized)
+    mm_media_cte = """
+        refs AS (SELECT printf('img://doc%08d', doc_id) AS mid
+                 FROM documents WHERE doc_id < 200),
+        m AS (SELECT mid,
+                (('0x' || substr(md5(mid || ':w'), 1, 15))::BIGINT
+                  % 481 + 32)::INT AS w,
+                (('0x' || substr(md5(mid || ':h'), 1, 15))::BIGINT
+                  % 481 + 32)::INT AS h,
+                repeat(md5(mid), 8) AS hx
+              FROM refs)
+    """
+    sql["mm_feature_extract"] = f"""
+        WITH {mm_media_cte},
+        b AS (SELECT mid, w, h,
+                list_transform(range(128),
+                  i -> ('0x' || substr(hx, (2*i)::INT + 1, 2))::INT) AS lb
+              FROM m),
+        pooled AS (SELECT mid,
+            list_concat(
+              list_transform(range(least(w, 64)), c ->
+                list_sum(list_transform(range(h),
+                  r -> lb[((r*w + c) % 128)::INT + 1]))::DOUBLE / h),
+              CASE WHEN w < 64 THEN
+                list_transform(range(64 - w), r ->
+                  list_sum(list_transform(range(w),
+                    c -> lb[((r*w + c) % 128)::INT + 1]))::DOUBLE / w)
+              ELSE []::DOUBLE[] END) AS v
+            FROM b),
+        normed AS (SELECT mid, v,
+                     sqrt(list_sum(list_transform(v, x -> x*x))) AS n
+                   FROM pooled)
+        SELECT mid AS media_id, j::INT AS idx,
+               round(v[(j + 1)::INT] / n, 6) AS value
+        FROM normed CROSS JOIN range(64) t(j)
+    """
+
+    sql["mm_media_meta"] = f"""
+        WITH {mm_media_cte}
+        SELECT mid AS media_id, w AS width, h AS height,
+               128::BIGINT AS n_bytes,
+               to_base64(unhex(md5(mid))) AS thumb_b64
+        FROM m
     """
 
     topk_cte = """

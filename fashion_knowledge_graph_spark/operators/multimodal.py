@@ -46,29 +46,46 @@ MEDIA_SCHEMA = T.StructType([
 FEATURE_DIM = 64
 
 
+def _md5_int(col, salt: str):
+    """Portable 60-bit hash: first 15 md5 hex chars as bigint —
+    identical in Spark (conv) and DuckDB ('0x…'::BIGINT), so media
+    sizes/content are oracle-reproducible (xxhash64 is Spark-only)."""
+    return F.conv(F.substring(F.md5(F.concat(col, F.lit(salt))), 1, 15),
+                  16, 10).cast("bigint")
+
+
 def synthesize_media(refs_df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     """Deterministic fake media table from reference keys (test/bench
-    input): content = sha256-stream bytes, sizes hash-derived. Real
+    input): content = md5-stream bytes (128 B), sizes md5-derived —
+    every field replayable in ANSI SQL for the driver oracle. Real
     deployments replace this with a parquet/Iceberg media table."""
     r = F.col(ref_col)
-    h = F.sha2(r, 256)
+    content = F.to_binary(F.repeat(F.md5(r), 8), F.lit("hex"))
     return refs_df.select(
         r.alias("media_id"),
         F.lit("image/png").alias("mime"),
-        F.to_binary(F.repeat(h, 4), F.lit("hex")).alias("content"),
+        content.alias("content"),
         F.struct(
-            (F.pmod(F.xxhash64(r), F.lit(512)) + 32).cast("int").alias("width"),
-            (F.pmod(F.xxhash64(r, F.lit(1)), F.lit(512)) + 32).cast("int").alias("height"),
+            (F.pmod(_md5_int(r, ":w"), F.lit(481)) + 32).cast("int")
+            .alias("width"),
+            (F.pmod(_md5_int(r, ":h"), F.lit(481)) + 32).cast("int")
+            .alias("height"),
             F.lit(None).cast("int").alias("duration_ms"),
-            F.length(F.to_binary(F.repeat(h, 4), F.lit("hex"))).cast("long").alias("n_bytes"),
+            F.length(content).cast("long").alias("n_bytes"),
         ).alias("meta"))
 
 
 def _fake_pixels(content: bytes, w: int, h: int) -> np.ndarray:
-    """Deterministic (h, w) uint8 'decode' seeded by content bytes."""
-    seed = int.from_bytes(hashlib.blake2b(content, digest_size=8).digest(), "little")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    """Deterministic (h, w) uint8 'decode': content bytes tiled
+    row-major across the image (px[r,c] = content[(r·w+c) mod len]).
+    Chosen over an RNG-seeded decode so the downstream pooled-feature
+    math is closed-form ANSI-SQL-expressible (the driver's DuckDB
+    oracle replays it exactly)."""
+    b = np.frombuffer(content, dtype=np.uint8)
+    if len(b) == 0:
+        b = np.zeros(1, dtype=np.uint8)
+    idx = np.arange(h * w, dtype=np.int64) % len(b)
+    return b[idx].reshape(h, w)
 
 
 def decode_image(content: bytes, w: int, h: int, fake: bool = False) -> np.ndarray:
@@ -90,7 +107,7 @@ def extract_features(media: DataFrame, fake: bool = True,
     Spark plumbing. Map-side only — zero shuffles."""
     out_schema = T.StructType([
         T.StructField("media_id", T.StringType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -99,13 +116,16 @@ def extract_features(media: DataFrame, fake: bool = True,
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 px = decode_image(bytes(content), int(meta["width"]),
                                   int(meta["height"]), fake=fake)
-                # deterministic pooled 'feature': row/col means folded to dim
+                # deterministic pooled 'feature': col/row means folded
+                # to dim; double precision end-to-end so the SQL oracle
+                # (exact integer sums / IEEE division) agrees to the
+                # last rounding digit
                 pooled = np.concatenate([
                     px.mean(axis=0), px.mean(axis=1)]).astype(np.float64)
                 reps = int(np.ceil(dim / len(pooled)))
                 v = np.tile(pooled, reps)[:dim]
                 n = np.linalg.norm(v)
-                feats.append((v / n if n else v).astype(np.float32))
+                feats.append(v / n if n else v)
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "feature": feats})
 
