@@ -64,32 +64,90 @@ def _en_stopword_list() -> str:
 
 
 # KG fixture world: deterministic synthetic catalog + interleaved docs
-# derived from the driver's documents table (no external data).
+# derived from the driver's documents table (no external data). The
+# world is MATERIALIZED to a content-versioned directory so the DuckDB
+# oracles can replay the relational stages (linking→edges→triples→CC→
+# queries) in ANSI SQL against the same parquet inputs.
 _KG_CACHE: dict[str, dict] = {}
+_KG_N_PRODUCTS = 150
+_KG_TABLES = ("linked", "canonical", "edges", "triples", "nodes")
+
+
+def _kg_paths(sf_dir: str) -> dict[str, str]:
+    from fashion_knowledge_graph_spark import datagen
+
+    fix_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"fkg_fixtures_p{_KG_N_PRODUCTS}_{datagen.content_version()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}")
+    return {
+        "fix": fix_dir,
+        "catalog": os.path.join(fix_dir, "catalog.parquet"),
+        "wh": os.path.join(fix_dir, "warehouse"),
+        "docs": os.path.join(fix_dir, "docs_interleaved.parquet"),
+        "qembs": os.path.join(fix_dir, "qembs.parquet"),
+        "done": os.path.join(fix_dir, "_WORLD_COMPLETE"),
+    }
+
+
+def _kg_query_text_rows(catalog_path: str) -> list[tuple[str, str]]:
+    """Deterministic outfit-from-text queries: the style descriptions
+    of the first three catalog products (by product_id) plus one
+    no-hit control string. Reads the pandas-written catalog parquet
+    directly (no Spark needed — oracle_sql() also calls this)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(catalog_path,
+                      columns=["product_id", "style_description"]) \
+        .to_pandas().sort_values("product_id").head(3)
+    rows = [(f"q{i + 1}", d)
+            for i, d in enumerate(t["style_description"])]
+    rows.append(("q_none", "entirely unrelated query text"))
+    return rows
 
 
 def _kg_world(spark: SparkSession, sf_dir: str) -> dict:
-    """Build (once per sf_dir) the KG fixture world and run the full
-    pipeline; returns the materialized tables."""
+    """Build (once per content version + sf_dir, across processes) the
+    KG fixture world, run the full pipeline, materialize every oracle
+    input; returns the tables."""
     if sf_dir in _KG_CACHE:
         return _KG_CACHE[sf_dir]
     from fashion_knowledge_graph_spark import datagen
     from fashion_knowledge_graph_spark.plans.pipeline import KGPipeline
     from fashion_knowledge_graph_spark.sources.interleave import interleaved_docs
 
-    n_products = 150
-    fix_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"fkg_fixtures_p{n_products}_{datagen.content_version()}_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}")
-    if not os.path.exists(os.path.join(fix_dir, "catalog.parquet")):
-        datagen.write_fixtures(fix_dir, n_docs=1, n_products=n_products, seed=42)
-    catalog = spark.read.parquet(os.path.join(fix_dir, "catalog.parquet"))
-    docs = interleaved_docs(_load(spark, sf_dir, "documents"),
-                            n_entities=n_products)
-    wh = tempfile.mkdtemp(prefix="fkg_wh_")
-    pipe = KGPipeline(warehouse=wh, link_strategy="exact")
-    out = pipe.build(docs, catalog)
+    p = _kg_paths(sf_dir)
+    if not os.path.exists(p["catalog"]):
+        datagen.write_fixtures(p["fix"], n_docs=1,
+                               n_products=_KG_N_PRODUCTS, seed=42)
+    catalog = spark.read.parquet(p["catalog"])
+    pipe = KGPipeline(warehouse=p["wh"], link_strategy="exact")
+    if not os.path.exists(p["done"]):
+        import shutil
+
+        shutil.rmtree(p["wh"], ignore_errors=True)
+        interleaved_docs(_load(spark, sf_dir, "documents"),
+                         n_entities=_KG_N_PRODUCTS) \
+            .write.mode("overwrite").parquet(p["docs"])
+        docs = spark.read.parquet(p["docs"])
+        out = pipe.build(docs, catalog, resume=False)
+        # outfit-query embeddings, materialized for the RRF oracle
+        from fashion_knowledge_graph_spark.functions.embeddings import (
+            clip_text_embed_udf,
+            text_embed_udf,
+        )
+        qt = spark.createDataFrame(_kg_query_text_rows(p["catalog"]),
+                                   "query_id string, text string")
+        qt.select("query_id", "text",
+                  clip_text_embed_udf("text").alias("q_img"),
+                  text_embed_udf("text").alias("q_style")) \
+            .write.mode("overwrite").parquet(p["qembs"])
+        with open(p["done"], "w") as f:
+            f.write(datagen.content_version())
+    else:
+        docs = spark.read.parquet(p["docs"])
+        out = {name: pipe.table(name).read(spark) for name in _KG_TABLES}
+        pipe.table("processed_docs")      # register for lineage metrics
     out["docs"] = docs
     out["catalog"] = catalog
     out["__pipe"] = pipe
@@ -98,16 +156,11 @@ def _kg_world(spark: SparkSession, sf_dir: str) -> dict:
 
 
 def _kg_query_texts(spark, sf_dir: str):
-    """Deterministic outfit-from-text queries: the style descriptions
-    of the first three catalog products (by product_id) plus one
-    no-hit control string."""
-    out = _kg_world(spark, sf_dir)
-    rows = out["catalog"].select("product_id", "style_description") \
-        .orderBy("product_id").limit(3).collect()
-    data = [(f"q{i + 1}", r["style_description"])
-            for i, r in enumerate(rows)]
-    data.append(("q_none", "entirely unrelated query text"))
-    return spark.createDataFrame(data, "query_id string, text string")
+    out = _kg_world(spark, sf_dir)      # ensure the world + paths exist
+    del out
+    return spark.createDataFrame(
+        _kg_query_text_rows(_kg_paths(sf_dir)["catalog"]),
+        "query_id string, text string")
 
 
 # ---------------------------------------------------------------------------
@@ -280,6 +333,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.base64(F.to_binary(F.md5("media_id"), F.lit("hex")))
             .alias("thumb_b64"))
 
+    def m7_spec_attrs(spark, sf):
+        # M7 spec-sheet attribute extraction (reference
+        # product_attributes.py:27-88): synthesize a datasheet per part
+        # and parse it back into open-vocabulary (subj, attr, value)
+        from fashion_knowledge_graph_spark.operators.attributes import (
+            spec_attrs,
+        )
+        part = _load(spark, sf, "part")
+        spec = F.concat_ws(
+            "\n",
+            F.concat(F.lit("Brand: "), F.col("p_brand")),
+            F.concat(F.lit("Type: "), F.col("p_type")),
+            F.concat(F.lit("Size: "), F.col("p_size").cast("string")),
+            F.concat(F.lit("Product Name: "), F.col("p_name")),
+            F.lit("malformed line without separator"))
+        sheets = part.select("p_partkey", spec.alias("spec_text"))
+        return spec_attrs(sheets, "p_partkey")
+
     def f4_json_extract(spark, sf):
         ev = _load(spark, sf, "events")
         return (ev.select(
@@ -397,17 +468,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_complete_the_look(spark, sf):
         from fashion_knowledge_graph_spark.plans import queries as Q
         out = _kg_world(spark, sf)
+        # deterministic seeds: first 20 edge sources by id (a bare
+        # limit() without order is partition-order-dependent)
         seeds = out["edges"].select(
-            F.col("src").alias("product_id")).distinct().limit(20)
+            F.col("src").alias("product_id")).distinct() \
+            .orderBy("product_id").limit(20)
         return Q.complete_the_look(out["edges"], out["nodes"],
                                    selected=seeds, top_k=5) \
             .select("query_id", "rel_type", "product_id", "weight")
 
     def kg_lineage_metrics(spark, sf):
-        # A9: per-partition lineage + metrics written by every stage
-        from fashion_knowledge_graph_spark.sources.tables import metrics_df
+        # A9: per-stage lineage totals. The oracle recomputes each
+        # table's true size from first principles (SQL over the
+        # materialized inputs), so a lineage count that drifts from
+        # the actual data fails the hash. Per-partition granularity is
+        # parallelism-dependent and pinned by tests instead.
+        from fashion_knowledge_graph_spark.sources.tables import (
+            metrics_totals_df,
+        )
         _kg_world(spark, sf)
-        return metrics_df(spark, _KG_CACHE[sf]["__pipe"].tables)
+        return metrics_totals_df(spark, _KG_CACHE[sf]["__pipe"].tables)
 
     def kg_outfit_from_text(spark, sf):
         from fashion_knowledge_graph_spark.plans import queries as Q
@@ -432,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "f_scalar_functions": f_scalar_functions,
         "f4_json_extract": f4_json_extract,
+        "m7_spec_attrs": m7_spec_attrs,
         "j_dim_chain_agg": j_dim_chain_agg,
         "s11_index_stats": s11_index_stats,
         "mm_feature_extract": mm_feature_extract,
@@ -562,6 +643,26 @@ def oracle_sql() -> dict[str, str]:
     sql["f4_json_extract"] = """
         SELECT json_extract(props, '$.k')::INT AS k, count(*) AS n
         FROM events GROUP BY 1
+    """
+
+    sql["m7_spec_attrs"] = r"""
+        WITH s AS (
+          SELECT p_partkey,
+                 'Brand: ' || p_brand || chr(10) ||
+                 'Type: ' || p_type || chr(10) ||
+                 'Size: ' || p_size::VARCHAR || chr(10) ||
+                 'Product Name: ' || p_name || chr(10) ||
+                 'malformed line without separator' AS t
+          FROM part),
+        l AS (SELECT p_partkey AS subj,
+                     unnest(string_split(t, chr(10))) AS line FROM s)
+        SELECT subj,
+               regexp_replace(trim(lower(regexp_extract(line, '^([^:]+):', 1))),
+                              '\s+', '_', 'g') AS attr,
+               trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS value
+        FROM l
+        WHERE trim(lower(regexp_extract(line, '^([^:]+):', 1))) <> ''
+          AND trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) <> ''
     """
 
     sql["j_dim_chain_agg"] = """
@@ -842,10 +943,229 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rank = 1 AND s >= 0.25
     """
 
-    # dedup_minhash_lsh / dedup_simhash: xxhash64-based (Spark-only
-    # hash family) → rows-only check; semantics pinned in
-    # tests/test_dedup.py against brute-force python oracles.
-    # kg_*: pandas/Arrow UDF embeddings + LSH + iterative CC → rows-only
-    # check here; exact-semantics parity is enforced by tests/ against
-    # fashion_knowledge_graph_spark/oracle.py (pure pandas).
+    sql.update(_kg_oracle_sql())
+    return sql
+
+
+def _kg_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for the KG family, over the MATERIALIZED fixture
+    world (catalog = pandas-written, docs/linked/qembs = committed
+    parquet). The UDF stages (hash embeddings, mention kernel) are
+    pinned by pytest against the pure-pandas oracle; everything
+    relational downstream — entity linking's aggregation, canonical
+    CC (recursive CTE), pair/edge generation, triple unpivot, lexicon
+    scan, 1-hop expand, dual-path RRF — is re-derived here in ANSI SQL
+    from those inputs, so the driver's value-hash check covers it."""
+    from fashion_knowledge_graph_spark import taxonomy as ktx
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    p = _kg_paths(sf_dir)
+    if not os.path.exists(p["done"]):
+        # the oracle inputs are produced by the Spark pipeline — make
+        # sure they exist no matter the order the driver calls us in
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            spark = SparkSession.builder.master("local[8]") \
+                .appName("kg-oracle-materialize") \
+                .config("spark.sql.shuffle.partitions", "16").getOrCreate()
+        _kg_world(spark, sf_dir)
+
+    linked_glob = os.path.join(p["wh"], "linked", "data", "*", "*.parquet")
+    docs_glob = os.path.join(p["docs"], "*.parquet")
+    qembs_glob = os.path.join(p["qembs"], "*.parquet")
+
+    # shared base: catalog, near-dup pairs, CC via recursive min-label
+    # reachability, linked mentions, canonicalized pairs, edges
+    base = f"""
+        cat AS (SELECT * FROM read_parquet('{p["catalog"]}')),
+        dup AS (
+          SELECT a.product_id AS src, b.product_id AS dst
+          FROM cat a JOIN cat b
+            ON a.type = b.type AND a.color = b.color
+           AND a.product_id < b.product_id
+           AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) >= 0.98),
+        dsym AS (SELECT src, dst FROM dup
+                 UNION ALL SELECT dst AS src, src AS dst FROM dup),
+        reach(id, r) AS (
+          SELECT product_id, product_id FROM cat
+          UNION
+          SELECT s.dst, reach.r FROM reach JOIN dsym s ON s.src = reach.id),
+        canon AS (SELECT id AS product_id, min(r) AS canonical_id
+                  FROM reach GROUP BY id),
+        linked AS (SELECT * FROM read_parquet('{linked_glob}')),
+        lc AS (SELECT l.*, coalesce(c.canonical_id, l.product_id) AS pid
+               FROM linked l
+               LEFT JOIN canon c ON c.product_id = l.product_id),
+        prs AS (
+          SELECT a.doc_id, least(a.pid, b.pid) AS src,
+                 greatest(a.pid, b.pid) AS dst,
+                 CASE WHEN a.category IS NOT NULL AND b.category IS NOT NULL
+                           AND a.category = b.category
+                      THEN 'COMPLEMENTED_BY' ELSE 'WORN_WITH' END AS rel_type
+          FROM lc a JOIN lc b
+            ON a.doc_id = b.doc_id AND a.span_idx < b.span_idx),
+        edges AS (
+          SELECT src, dst, rel_type, count(*) AS weight,
+                 'social_media' AS source
+          FROM prs GROUP BY 1, 2, 3)
+    """
+
+    # attribute-triple unpivot arms, generated from the same taxonomy
+    # the Spark side uses (operators/attributes.py)
+    arms = []
+    for attr in ktx.SCALAR_ATTRS:
+        pred = ktx.PREDICATES[attr]
+        arms.append(f"SELECT pid AS subj, '{pred}' AS pred, "
+                    f"{attr} AS obj, score FROM lc "
+                    f"WHERE {attr} IS NOT NULL")
+    for attr in ktx.MULTI_ATTRS:
+        pred = ktx.PREDICATES[attr]
+        arms.append(f"SELECT pid AS subj, '{pred}' AS pred, "
+                    f"unnest({attr}) AS obj, score FROM lc")
+    attr_triples_sql = " UNION ALL ".join(arms)
+
+    # lexicon (token, pred, obj) incl. hyphen aliases
+    lex_rows = []
+    for attr, values in ktx.LEXICON_PREDS.items():
+        pred = ktx.PREDICATES[attr]
+        for v in values:
+            surfaces = {v} | ({v.replace("-", " ")} if "-" in v else set())
+            for s in sorted(surfaces):
+                lex_rows.append(f"('{s}', '{pred}', '{v}')")
+    lex_values = ", ".join(lex_rows)
+
+    text_triples_cte = f"""
+        tspans AS (
+          SELECT doc_id, (unnest(spans)).kind AS kind,
+                 (unnest(spans)).text AS text
+          FROM read_parquet('{docs_glob}')),
+        padded AS (
+          SELECT doc_id,
+                 ' ' || regexp_replace(lower(text), '[^a-z0-9\\-]+', ' ', 'g')
+                     || ' ' AS ptxt
+          FROM tspans WHERE kind = 'text' AND text IS NOT NULL),
+        lex(token, pred, obj) AS (VALUES {lex_values}),
+        ttr AS (
+          SELECT DISTINCT p.doc_id AS subj, l.pred, l.obj
+          FROM padded p JOIN lex l
+            ON contains(p.ptxt, ' ' || l.token || ' '))
+    """
+
+    nodes_cte = """
+        nodes AS (
+          SELECT product_id, type FROM (
+            SELECT coalesce(c.canonical_id, k.product_id) AS product_id,
+                   k.type, k.image_path,
+                   row_number() OVER (
+                     PARTITION BY coalesce(c.canonical_id, k.product_id)
+                     ORDER BY k.image_path) AS rn
+            FROM cat k LEFT JOIN canon c ON c.product_id = k.product_id) x
+          WHERE rn = 1)
+    """
+
+    sql: dict[str, str] = {}
+
+    sql["kg_canonical"] = f"""
+        WITH RECURSIVE {base}
+        SELECT product_id, canonical_id FROM canon
+    """
+
+    sql["kg_edges"] = f"""
+        WITH RECURSIVE {base}
+        SELECT src, dst, rel_type, weight, source FROM edges
+    """
+
+    sql["kg_triples"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}
+        SELECT subj, pred, obj, score FROM ({attr_triples_sql})
+        UNION ALL
+        SELECT subj, pred, obj, 1.0::DOUBLE AS score FROM ttr
+        UNION ALL
+        SELECT src AS subj, 'complements' AS pred, dst AS obj,
+               weight::DOUBLE AS score
+        FROM edges
+    """
+
+    sql["kg_complete_the_look"] = f"""
+        WITH RECURSIVE {base}, {nodes_cte},
+        seeds AS (SELECT DISTINCT src AS sel_id FROM edges
+                  ORDER BY sel_id LIMIT 20),
+        selt AS (SELECT s.sel_id, n.type AS sel_type
+                 FROM seeds s JOIN nodes n ON n.product_id = s.sel_id),
+        esym AS (SELECT src, dst, rel_type, weight FROM edges
+                 WHERE weight >= 1
+                 UNION ALL
+                 SELECT dst AS src, src AS dst, rel_type, weight FROM edges
+                 WHERE weight >= 1),
+        hop AS (SELECT t.sel_id, t.sel_type, e.dst, e.rel_type, e.weight,
+                       n.type
+                FROM selt t
+                JOIN esym e ON e.src = t.sel_id
+                JOIN nodes n ON n.product_id = e.dst),
+        filt AS (SELECT * FROM hop
+                 WHERE CASE WHEN rel_type = 'WORN_WITH'
+                            THEN type <> sel_type
+                            ELSE type = sel_type END)
+        SELECT sel_id AS query_id, rel_type, dst AS product_id, weight
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY sel_id, rel_type
+                ORDER BY weight DESC, dst ASC) AS rn
+              FROM filt) z
+        WHERE rn <= 5
+    """
+
+    sql["kg_outfit_from_text"] = f"""
+        WITH RECURSIVE {base},
+        q AS (SELECT query_id, q_img::DOUBLE[] AS qi,
+                     q_style::DOUBLE[] AS qs
+              FROM read_parquet('{qembs_glob}')),
+        p1 AS (SELECT query_id, product_id,
+                      list_inner_product(k.embedding::DOUBLE[], q.qi)
+                        AS score
+               FROM cat k CROSS JOIN q
+               WHERE list_inner_product(k.embedding::DOUBLE[], q.qi)
+                     >= 0.2),
+        r1 AS (SELECT query_id, product_id, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score DESC, product_id ASC) AS rank FROM p1),
+        p2 AS (SELECT query_id, product_id,
+                      list_inner_product(k.style_embedding::DOUBLE[], q.qs)
+                        AS score
+               FROM cat k CROSS JOIN q
+               WHERE list_inner_product(k.style_embedding::DOUBLE[], q.qs)
+                     >= 0.5),
+        r2 AS (SELECT query_id, product_id, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score DESC, product_id ASC) AS rank FROM p2),
+        u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+        f AS (SELECT query_id, product_id,
+                     sum(1.0 / (60.0 + rank)) AS rrf_score
+              FROM u GROUP BY 1, 2)
+        SELECT query_id, product_id, round(rrf_score, 6) AS rrf_score
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY rrf_score DESC, product_id ASC) AS rn
+              FROM f) z
+        WHERE rn <= 5
+    """
+
+    sql["kg_lineage_metrics"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {nodes_cte},
+        tr AS (
+          SELECT count(*) AS n FROM (
+            SELECT subj FROM ({attr_triples_sql})
+            UNION ALL SELECT subj FROM ttr
+            UNION ALL SELECT src FROM edges) t)
+        SELECT 'linked' AS "table", 'link' AS stage,
+               (SELECT count(*) FROM linked)::BIGINT AS output_rows
+        UNION ALL SELECT 'processed_docs', 'link',
+               (SELECT count(*) FROM documents)
+        UNION ALL SELECT 'canonical', 'canonicalize',
+               (SELECT count(*) FROM cat)
+        UNION ALL SELECT 'edges', 'edges', (SELECT count(*) FROM edges)
+        UNION ALL SELECT 'triples', 'triples', (SELECT n FROM tr)
+        UNION ALL SELECT 'nodes', 'nodes', (SELECT count(*) FROM nodes)
+    """
     return sql

@@ -122,11 +122,18 @@ text_embed_udf = text_embed_udf.asNondeterministic()
 def cosine_col(a, b):
     """Exact cosine between two array<float/double> columns, JVM-side
     (no Python): zip_with product + aggregate sum. Inputs here are
-    L2-normalized so cosine ≡ dot (src/models/embedding_model.py:148-151)."""
+    L2-normalized so cosine ≡ dot (src/models/embedding_model.py:148-151).
+
+    Products are taken in DOUBLE (cast before multiply): float32
+    products lose ~1e-8 per term, which is visible at the driver
+    oracle's 9-decimal rounding; double products of float32 inputs are
+    exact, so a float64 SQL replay (DuckDB list_inner_product over
+    ::DOUBLE[] casts) matches bit-for-bit."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b,
+                   lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v.cast("double"),
+        lambda acc, v: acc + v,
     )
 
 

@@ -63,6 +63,31 @@ def attr_triples(linked: DataFrame,
     ).filter(F.col("obj").isNotNull())
 
 
+def spec_attrs(df: DataFrame, subj_col: str,
+               text_col: str = "spec_text") -> DataFrame:
+    """Open-vocabulary spec-sheet attribute extraction (M7) — the
+    Spark stand-in for the reference's GPT-4o-over-datasheet feature
+    (src/inference/product_attributes.py:27-88, prompts
+    src/utils/prompts.py:117-204): free-form product datasheets →
+    (subj, attr, value) rows with OPEN attribute names (unlike the
+    closed-vocabulary M2 path).
+
+    Deterministic parser: split the sheet into lines, take the first
+    ':' as the key/value separator, normalize keys (lower, trim,
+    whitespace→'_'), trim values, drop malformed/empty lines. Pure
+    Catalyst (split/explode/regexp) — codegen end to end, zero Python.
+    """
+    out = df.select(
+        F.col(subj_col).alias("subj"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+    key = F.regexp_replace(
+        F.trim(F.lower(F.regexp_extract("line", "^([^:]+):", 1))),
+        r"\s+", "_")
+    val = F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1))
+    return out.select("subj", key.alias("attr"), val.alias("value")) \
+        .filter((F.col("attr") != "") & (F.col("value") != ""))
+
+
 def lexicon_map_df(spark, preds: dict[str, list[str]] | None = None,
                    with_aliases: bool = True) -> DataFrame:
     """(token, pred, obj) broadcast dim from the closed vocabulary."""

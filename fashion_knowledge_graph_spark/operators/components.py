@@ -79,6 +79,13 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     """
     n_vertices = vertices.count()
     if n_vertices <= driver_threshold:
+        # gate on EDGE count too: a pathological pair generation (e.g.
+        # a threshold that matches everything) can produce O(n²) edges
+        # under a modest vertex count — probing limit(cap+1).count()
+        # costs one cheap early-terminating job, collect() would not
+        edge_cap = 4 * driver_threshold
+        if edges.limit(edge_cap + 1).count() > edge_cap:
+            return _cc_label_propagation(edges, vertices, id_col, max_iter)
         vs = [r[0] for r in vertices.select(id_col).collect()]
         parent = {v: v for v in vs}
 

@@ -52,10 +52,18 @@ class KGPipeline:
     dup_threshold: float = cc.DUP_COSINE
     tables: dict = field(default_factory=dict)
 
+    def __post_init__(self):
+        import threading
+
+        # table() is called from concurrent stage threads in build()
+        self._lock = threading.Lock()
+
     def table(self, name: str) -> SnapshotTable:
-        if name not in self.tables:
-            self.tables[name] = SnapshotTable(os.path.join(self.warehouse, name))
-        return self.tables[name]
+        with self._lock:
+            if name not in self.tables:
+                self.tables[name] = SnapshotTable(
+                    os.path.join(self.warehouse, name))
+            return self.tables[name]
 
     # ---- stages -------------------------------------------------------
     def stage_linked(self, docs: DataFrame, catalog: DataFrame,
@@ -149,15 +157,51 @@ class KGPipeline:
                 mode="overwrite", stage="nodes")
         return t.read(spark)
 
+    def delete_product(self, spark: SparkSession, product_id: str) -> None:
+        """DETACH DELETE (reference src/database/graph_database.py:
+        400-446): drop the product node AND every incident edge, each
+        committed as a new overwrite snapshot — prior snapshots remain
+        time-travelable (`table.read(spark, snapshot_id=...)`)."""
+        self.table("nodes").delete_where(
+            spark, F.col("product_id") == product_id)
+        self.table("edges").delete_where(
+            spark, (F.col("src") == product_id)
+            | (F.col("dst") == product_id))
+
     # ---- full build ---------------------------------------------------
     def build(self, docs: DataFrame, catalog: DataFrame,
-              resume: bool = True) -> dict[str, DataFrame]:
+              resume: bool = True, parallel: bool = True) -> dict[str, DataFrame]:
+        """Run all stages. ``parallel=True`` (default) overlaps
+        independent stages from driver threads — Spark schedules
+        concurrent jobs and (with FAIR mode, session.py) interleaves
+        their tasks, so small stages fill the big stages' scheduling
+        gaps and tail idle slots instead of running serially after
+        them. Round-1 scaling decomposition attributed ~half the
+        efficiency loss to exactly this serial stage chain (kernel
+        0.92 → full build 0.52). Dependency DAG honored:
+
+            canonical ──┐                  ┌─► nodes
+            linked ─────┴─► edges ─► triples
+        """
         spark = docs.sparkSession
-        linked = self.stage_linked(docs, catalog, resume=resume)
-        canon = self.stage_canonical(catalog)
-        edges = self.stage_edges(linked, canon)
-        triples = self.stage_triples(docs, linked, canon, edges)
-        nodes = self.stage_nodes(catalog, canon)
+        if not parallel:
+            linked = self.stage_linked(docs, catalog, resume=resume)
+            canon = self.stage_canonical(catalog)
+            edges = self.stage_edges(linked, canon)
+            triples = self.stage_triples(docs, linked, canon, edges)
+            nodes = self.stage_nodes(catalog, canon)
+            return {"linked": linked, "canonical": canon, "edges": edges,
+                    "triples": triples, "nodes": nodes}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_canon = ex.submit(self.stage_canonical, catalog)
+            linked = self.stage_linked(docs, catalog, resume=resume)
+            canon = f_canon.result()
+            f_nodes = ex.submit(self.stage_nodes, catalog, canon)
+            edges = self.stage_edges(linked, canon)
+            triples = self.stage_triples(docs, linked, canon, edges)
+            nodes = f_nodes.result()
         return {"linked": linked, "canonical": canon, "edges": edges,
                 "triples": triples, "nodes": nodes}
 

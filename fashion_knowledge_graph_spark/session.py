@@ -57,6 +57,10 @@ def get_spark(app: str = "fkg", cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # independent pipeline stages are submitted from driver threads
+        # (plans/pipeline.py): FAIR lets a small stage's tasks slot into
+        # a big stage's tail instead of queueing behind the whole job
+        .config("spark.scheduler.mode", "FAIR")
         # Arrow is the UDF hot path (model-inference stand-ins)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",

@@ -33,7 +33,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -88,18 +88,23 @@ class SnapshotTable:
 
         new_files = sorted(
             p for p in os.listdir(out) if p.endswith(".parquet"))
-        lineage = []
         import re
+        from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
-        for p in new_files:
+
+        def _footer(p):
             m = re.match(r"part-(\d+)", p)
             pid = int(m.group(1)) if m else -1
             nrows = pq.ParquetFile(os.path.join(out, p)).metadata.num_rows
-            lineage.append({
-                "stage": stage, "partition_id": pid,
-                "output_rows": int(nrows), "snapshot_id": sid,
-                "wall_ms": wall_ms})
+            return {"stage": stage, "partition_id": pid,
+                    "output_rows": int(nrows), "snapshot_id": sid,
+                    "wall_ms": wall_ms}
+
+        # footer reads are tiny but serial-per-file; at 64+ output
+        # files this was measurable driver dead time between jobs
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            lineage = list(ex.map(_footer, new_files))
 
         files = [os.path.join(f"snap-{sid:08d}", p) for p in new_files]
         if mode == "append" and parent is not None:
@@ -120,6 +125,21 @@ class SnapshotTable:
             f.write(str(sid))
         os.replace(tmp_cur, os.path.join(self.snap_dir, "CURRENT"))
         return sid
+
+    def delete_where(self, spark: SparkSession,
+                     condition: Column | str) -> int:
+        """Row-level ``DELETE FROM t WHERE condition`` (S9/S10;
+        reference `delete_vectors` src/database/vector_database.py:
+        193-216 and `delete_product` src/database/graph_database.py:
+        400-446): rewrite the current snapshot minus the matching rows
+        and commit it as a NEW overwrite snapshot — exactly Iceberg's
+        copy-on-write DELETE. Earlier snapshots stay readable (time
+        travel shows the pre-delete data). Returns the snapshot id."""
+        cur = self.read(spark)
+        cond = condition if isinstance(condition, Column) \
+            else F.expr(str(condition))
+        return self.write(cur.filter(~cond), mode="overwrite",
+                          stage="delete")
 
     # ---- read ---------------------------------------------------------
     def read(self, spark: SparkSession,
@@ -154,6 +174,22 @@ def metrics_df(spark: SparkSession, tables: dict[str, SnapshotTable]) -> DataFra
     return spark.createDataFrame(
         rows, "table string, stage string, partition_id int, "
               "output_rows long, snapshot_id int, wall_ms long")
+
+
+def metrics_totals_df(spark: SparkSession,
+                      tables: dict[str, SnapshotTable]) -> DataFrame:
+    """Per-(table, stage) lineage row totals — the deterministic
+    projection of A9 (per-partition counts vary with parallelism; the
+    totals must equal the true table sizes, which the driver's DuckDB
+    oracle recomputes from first principles)."""
+    agg: dict[tuple, int] = {}
+    for name, t in tables.items():
+        for r in t.lineage():
+            key = (name, r.get("stage"))
+            agg[key] = agg.get(key, 0) + int(r["output_rows"])
+    rows = [(k[0], k[1], v) for k, v in sorted(agg.items())]
+    return spark.createDataFrame(
+        rows, "table string, stage string, output_rows long")
 
 
 def partition_metrics(df: DataFrame) -> DataFrame:

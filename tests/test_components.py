@@ -38,3 +38,20 @@ def test_driver_canonical_equals_lsh_canonical(spark, catalog_df):
     dist = cc.canonical_mapping(catalog_df, driver_threshold=0)
     assert sorted(map(tuple, fast.collect())) == \
         sorted(map(tuple, dist.collect()))
+
+
+def test_cc_dense_edges_fall_back_to_distributed(spark):
+    """Edge-count gate: few vertices but O(n²) edges must not be
+    collected to the driver — and the distributed path must still
+    produce the right components."""
+    n = 12
+    verts = spark.createDataFrame([(f"v{i:02d}",) for i in range(n)],
+                                  "product_id string")
+    # complete graph: 66 edges > 4 * driver_threshold with threshold 10
+    pairs = [(f"v{i:02d}", f"v{j:02d}")
+             for i in range(n) for j in range(i + 1, n)]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    labels = cc.connected_components(edges, verts, id_col="product_id",
+                                     driver_threshold=10)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {f"v{i:02d}": "v00" for i in range(n)}

@@ -68,3 +68,68 @@ def test_resume_skips_done_work(spark, docs_df, catalog_df, tmp_path):
     sid = pipe.table("linked").current_snapshot()
     pipe.build(docs_df, catalog_df)   # nothing new → no new linked snapshot
     assert pipe.table("linked").current_snapshot() == sid
+
+
+def test_delete_where_and_time_travel(spark, docs_df, catalog_df, tmp_path):
+    """Row-level DELETE (S9/S10): anti-filter rewrite as a new
+    snapshot; the pre-delete snapshot stays readable (time travel)."""
+    pipe = KGPipeline(warehouse=str(tmp_path / "wh"), link_strategy="exact")
+    out = pipe.build(docs_df, catalog_df)
+    nodes_t = pipe.table("nodes")
+    pre_sid = nodes_t.current_snapshot()
+    pre_rows = {r["product_id"] for r in out["nodes"].collect()}
+    victim = sorted(pre_rows)[0]
+
+    nodes_t.delete_where(spark, F.col("product_id") == victim)
+    post = {r["product_id"] for r in nodes_t.read(spark).collect()}
+    assert victim not in post
+    assert post == pre_rows - {victim}
+    # time travel: the pre-delete snapshot is intact
+    past = {r["product_id"]
+            for r in nodes_t.read(spark, snapshot_id=pre_sid).collect()}
+    assert past == pre_rows
+
+
+def test_detach_delete_product_cascades_to_edges(spark, docs_df,
+                                                 catalog_df, tmp_path):
+    """DETACH DELETE semantics (graph_database.py:400-446): dropping a
+    node also drops every incident edge, in one logical operation."""
+    pipe = KGPipeline(warehouse=str(tmp_path / "wh"), link_strategy="exact")
+    out = pipe.build(docs_df, catalog_df)
+    edges = out["edges"].collect()
+    assert edges, "fixture must produce edges"
+    victim = edges[0]["src"]
+    pre_edge_sid = pipe.table("edges").current_snapshot()
+    n_incident = sum(1 for e in edges
+                     if victim in (e["src"], e["dst"]))
+    assert n_incident >= 1
+
+    pipe.delete_product(spark, victim)
+    nodes_after = {r["product_id"]
+                   for r in pipe.table("nodes").read(spark).collect()}
+    assert victim not in nodes_after
+    edges_after = pipe.table("edges").read(spark).collect()
+    assert all(victim not in (e["src"], e["dst"]) for e in edges_after)
+    assert len(edges_after) == len(edges) - n_incident
+    # pre-delete edges snapshot intact
+    past = pipe.table("edges").read(spark,
+                                    snapshot_id=pre_edge_sid).collect()
+    assert len(past) == len(edges)
+
+
+def test_spec_attrs_parses_datasheets(spark):
+    from fashion_knowledge_graph_spark.operators.attributes import spec_attrs
+
+    df = spark.createDataFrame(
+        [("p1", "Brand: Acme\n  Fabric Weight : 200 gsm \n"
+                "no separator here\nURL: http://x/y:z\n: novalue\nEmpty:  "),
+         ("p2", None)],
+        "pid string, spec_text string")
+    got = {(r["subj"], r["attr"], r["value"])
+           for r in spec_attrs(df, "pid").collect()}
+    assert got == {
+        ("p1", "brand", "Acme"),
+        ("p1", "fabric_weight", "200 gsm"),
+        # first ':' splits — the rest of a URL stays in the value
+        ("p1", "url", "http://x/y:z"),
+    }

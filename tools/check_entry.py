@@ -46,6 +46,9 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # kg oracles read the materialized fixture world for this sf
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entry
     from fashion_knowledge_graph_spark.session import get_spark
 
