@@ -203,8 +203,13 @@ def run_kg_only(sf_dir: str, cpus: int, replicate: int = 1,
                 cores_per_executor: int = 4) -> dict:
     from fashion_knowledge_graph_spark.session import get_spark
 
+    # 16g executor heaps: the build's write stages (19M+ triple rows)
+    # run in the garbage shadow of the linking stage — at 8g heaps GC
+    # inflated them 2-3× (measured 55 s vs 16 s fresh-session at 16
+    # cores). Same per-executor config at every level (N vs 4N).
     spark = get_spark("bench-kg", cpus=cpus, executors=executors,
-                      cores_per_executor=cores_per_executor)
+                      cores_per_executor=cores_per_executor,
+                      executor_mem_mb=16384)
     if executors is not None:
         cpus = executors * cores_per_executor
     # Warm-up: spawn + import every Python UDF worker before timing —

@@ -132,15 +132,14 @@ def _mlp_weights(dim: int) -> tuple[np.ndarray, np.ndarray]:
     return _MLP_CACHE[dim]
 
 
-def _embed_raw(h: np.ndarray, dim: int) -> np.ndarray:
-    """MLP forward pass + L2 normalize (no centering)."""
+def _mlp_forward(h: np.ndarray, dim: int, w1: np.ndarray,
+                 w2: np.ndarray, bias: np.ndarray | None) -> np.ndarray:
+    """Row-blocked MLP forward pass with in-place tanh: whole-batch
+    hidden activations are n×1024 f32 (~40 MB at 10k rows) and the
+    allocation/stream traffic re-saturates DRAM across 16 workers;
+    256-row blocks keep activations cache-resident."""
     u = rand_uniform(h, dim, lane=1)
     v = (u * 2.0 - 1.0).astype(np.float32)
-    w1, w2 = _mlp_weights(dim)
-    # row-blocked forward pass with in-place tanh: whole-batch hidden
-    # activations are n×1024 f32 (~40 MB at 10k rows) and the
-    # allocation/stream traffic re-saturates DRAM across 16 workers;
-    # 256-row blocks keep activations cache-resident
     out = np.empty_like(v)
     hid = np.empty((min(256, len(v)), _MLP_HIDDEN), dtype=np.float32)
     for r0 in range(0, len(v), 256):
@@ -149,23 +148,31 @@ def _embed_raw(h: np.ndarray, dim: int) -> np.ndarray:
         np.matmul(v[r0:r1], w1, out=hh)
         np.tanh(hh, out=hh)
         np.matmul(hh, w2, out=out[r0:r1])
-    norms = np.linalg.norm(out, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return out / norms
+        if bias is not None:
+            out[r0:r1] -= bias
+    return out
+
+
+def _embed_raw(h: np.ndarray, dim: int) -> np.ndarray:
+    """Unwhitened MLP output (probe path for the whitening stats)."""
+    w1, w2 = _mlp_weights(dim)
+    return _mlp_forward(h, dim, w1, w2, None)
 
 
 _WHITEN_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
 
-def _whitening(dim: int) -> tuple[np.ndarray, np.ndarray]:
-    """Cached (mean, ZCA matrix) of the raw embedding distribution,
-    estimated once per dim from 1536 probe keys. The tanh MLP's raw
-    outputs are anisotropic (effective rank ≈ 200 at dim 512 ⇒
-    unrelated-key cosine std ≈ 0.07, max over a catalog ≈ 0.3 — junk
-    text cleared the 0.2 CLIP retrieval threshold). ZCA-whitening
-    restores isotropy (std ≈ 1/√dim), like the output-whitening real
-    encoders apply for retrieval. One-time ~0.2 s per worker process,
-    then one extra dim×dim matmul per batch."""
+def _whitened_weights(dim: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(w1, w2·W, μ·W): output layer with the ZCA transform FOLDED IN.
+
+    The tanh MLP's raw outputs are anisotropic (effective rank ≈ 200
+    at dim 512 ⇒ unrelated-key cosine std ≈ 0.07, max over a catalog
+    ≈ 0.3 — junk text cleared the 0.2 CLIP retrieval threshold).
+    ZCA-whitening from 1536 probe keys restores isotropy (std ≈
+    1/√dim), like the output-whitening real encoders apply for
+    retrieval. Because whitening is affine, it folds into the output
+    layer: (x·w2 − μ)·W = x·(w2·W) − μ·W — zero per-row cost, one
+    ~0.3 s estimation per worker process (cached)."""
     if dim not in _WHITEN_CACHE:
         h = hash64([f"mu-probe:{dim}:{i}" for i in range(1536)])
         raw = _embed_raw(h, dim).astype(np.float64)
@@ -173,7 +180,10 @@ def _whitening(dim: int) -> tuple[np.ndarray, np.ndarray]:
         cov = np.cov(raw - mu, rowvar=False)
         evals, evecs = np.linalg.eigh(cov)
         w = evecs @ np.diag(1.0 / np.sqrt(evals + 1e-6)) @ evecs.T
-        _WHITEN_CACHE[dim] = (mu.astype(np.float32), w.astype(np.float32))
+        w1, w2 = _mlp_weights(dim)
+        w2w = (w2.astype(np.float64) @ w).astype(np.float32)
+        bias = (mu @ w).astype(np.float32)
+        _WHITEN_CACHE[dim] = (w1, w2w, bias)
     return _WHITEN_CACHE[dim]
 
 
@@ -185,13 +195,13 @@ def embed_hashes(h: np.ndarray, dim: int) -> np.ndarray:
     intensity of a small sentence-encoder — the stand-in must cost
     like a model or every benchmark of the surrounding engine
     overstates throughput and understates scaling (a hash-only
-    stand-in made the pipeline fixed-overhead-bound). Outputs are
-    ZCA-whitened (see ``_whitening``) then L2-normalized, so
-    cosine ≡ dot afterwards (reference normalizes too:
-    src/models/embedding_model.py:148-151).
+    stand-in made the pipeline fixed-overhead-bound). The output
+    layer carries a folded ZCA whitening (see ``_whitened_weights``),
+    then L2-normalize, so cosine ≡ dot afterwards (reference
+    normalizes too: src/models/embedding_model.py:148-151).
     """
-    mu, w = _whitening(dim)
-    out = (_embed_raw(h, dim) - mu) @ w
+    w1, w2w, bias = _whitened_weights(dim)
+    out = _mlp_forward(h, dim, w1, w2w, bias)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return out / norms

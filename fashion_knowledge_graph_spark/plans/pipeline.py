@@ -120,10 +120,11 @@ class KGPipeline:
         t.write(edges, mode="overwrite", stage="edges")
         return t.read(spark)
 
-    def stage_triples(self, docs: DataFrame, linked: DataFrame,
-                      canon: DataFrame, edges: DataFrame) -> DataFrame:
-        spark = docs.sparkSession
-        t = self.table("triples")
+    def stage_triples_base(self, docs: DataFrame, linked: DataFrame,
+                           canon: DataFrame) -> None:
+        """Attr + text triples — the bulk (≈12× the linked row count).
+        Depends only on (linked, canon), NOT on edges, so build() runs
+        this write concurrently with the edges stage."""
         attrs_struct = F.struct(*[F.col(a).alias(a)
                                   for a in (*tx.SCALAR_ATTRS, *tx.MULTI_ATTRS)])
         linked_canon = cc.canonicalize(linked, canon, ["product_id"]) \
@@ -134,14 +135,24 @@ class KGPipeline:
             .withColumn("doc_id", F.col("subj")) \
             .withColumn("span_idx", F.lit(-1)) \
             .withColumn("score", F.lit(1.0))
+        allt = t_attr.unionByName(t_text.select(t_attr.columns))
+        self.table("triples").write(allt, mode="overwrite", stage="triples")
+
+    def stage_triples_comp(self, edges: DataFrame) -> DataFrame:
+        """Append the (tiny) complements triples once edges exist."""
+        spark = edges.sparkSession
+        t = self.table("triples")
         t_comp = ed.complements_triples(edges).select(
             "subj", "pred", "obj",
             F.lit(None).cast("string").alias("doc_id"),
             F.lit(-1).alias("span_idx"), "score")
-        allt = t_attr.unionByName(
-            t_text.select(t_attr.columns)).unionByName(t_comp)
-        t.write(allt, mode="overwrite", stage="triples")
+        t.write(t_comp, mode="append", stage="triples")
         return t.read(spark)
+
+    def stage_triples(self, docs: DataFrame, linked: DataFrame,
+                      canon: DataFrame, edges: DataFrame) -> DataFrame:
+        self.stage_triples_base(docs, linked, canon)
+        return self.stage_triples_comp(edges)
 
     def stage_nodes(self, catalog: DataFrame, canon: DataFrame) -> DataFrame:
         """Canonical nodes table — last-write-wins per canonical id
@@ -194,13 +205,17 @@ class KGPipeline:
                     "triples": triples, "nodes": nodes}
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        with ThreadPoolExecutor(max_workers=3) as ex:
             f_canon = ex.submit(self.stage_canonical, catalog)
             linked = self.stage_linked(docs, catalog, resume=resume)
             canon = f_canon.result()
             f_nodes = ex.submit(self.stage_nodes, catalog, canon)
+            # the attr+text triples write (the bulk of all output rows)
+            # overlaps the edges stage — it needs only linked + canon
+            f_tbase = ex.submit(self.stage_triples_base, docs, linked, canon)
             edges = self.stage_edges(linked, canon)
-            triples = self.stage_triples(docs, linked, canon, edges)
+            f_tbase.result()
+            triples = self.stage_triples_comp(edges)
             nodes = f_nodes.result()
         return {"linked": linked, "canonical": canon, "edges": edges,
                 "triples": triples, "nodes": nodes}
