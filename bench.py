@@ -198,6 +198,71 @@ def tput_hi_lo(tput: dict, hi: int, lo: int) -> float:
     return tput[hi] / tput[lo]
 
 
+def run_map_only(sf_dir: str, cpus: int, replicate: int = 1,
+                 executors: int | None = None,
+                 cores_per_executor: int = 4) -> dict:
+    """Mention detection + entity linking ONLY (fused kernel, noop
+    sink) — the map-side path that dominates at 100 TB; excludes
+    snapshot commits. Scaling decomposition evidence."""
+    from fashion_knowledge_graph_spark.operators.linking import (
+        detect_and_link_fused,
+    )
+    from fashion_knowledge_graph_spark.session import get_spark
+
+    spark = get_spark("bench-map", cpus=cpus, executors=executors,
+                      cores_per_executor=cores_per_executor,
+                      executor_mem_mb=16384)
+    if executors is not None:
+        cpus = executors * cores_per_executor
+    from fashion_knowledge_graph_spark.sources.interleave import interleaved_docs
+    warm = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .limit(512).repartition(cpus * 2)
+    docs_dir, cat_path = _prepare_input(spark, sf_dir, replicate)
+    catalog = spark.read.parquet(cat_path)
+    _force(detect_and_link_fused(
+        interleaved_docs(warm, n_entities=N_PRODUCTS), catalog))
+    docs = spark.read.parquet(docs_dir)
+    t0 = time.time()
+    _force(detect_and_link_fused(docs, catalog))
+    sec = time.time() - t0
+    n_docs = docs.count()
+    spark.stop()
+    return {"metric": "map_stage", "value": round(sec, 3), "unit": "sec",
+            "kg_docs": n_docs, "docs_per_sec": round(n_docs / sec, 2),
+            "cpus": cpus, "executors": executors}
+
+
+def run_map_scaling(sf_dir: str, levels=(1, 4), replicate: int = 160) -> dict:
+    import subprocess
+
+    tput = {}
+    for execs in levels:
+        best = None
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, __file__, "--map-only",
+                 "--executors", str(execs),
+                 "--sf-dir", sf_dir, "--replicate", str(replicate)],
+                capture_output=True, text=True, env=dict(os.environ),
+                check=True)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        tput[execs] = best["docs_per_sec"]
+    lo, hi = min(levels), max(levels)
+    eff = (tput[hi] / tput[lo]) / (hi / lo)
+    return {
+        "description": "mention detection + entity linking only "
+                       "(fused kernel; the map-side path that dominates "
+                       "at 100TB; excludes snapshot commits)",
+        "docs_per_sec": {str(k): v for k, v in tput.items()},
+        "speedup": round(tput[hi] / tput[lo], 2),
+        "efficiency": round(eff, 3),
+    }
+
+
 def run_kg_only(sf_dir: str, cpus: int, replicate: int = 1,
                 executors: int | None = None,
                 cores_per_executor: int = 4) -> dict:
@@ -265,6 +330,23 @@ def main():
             res = merged
         except OSError:
             pass
+    elif "--map-stage" in args:
+        res = run_map_scaling(sf_dir)
+        try:
+            p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "SCALING.json")
+            merged = {}
+            if os.path.exists(p):
+                with open(p) as f:
+                    merged = json.load(f)
+            merged["map_stage_scaling"] = res
+            with open(p, "w") as f:
+                json.dump(merged, f)
+        except OSError:
+            pass
+    elif "--map-only" in args:
+        res = run_map_only(sf_dir, cpus, replicate=replicate,
+                           executors=executors)
     elif "--kg-only" in args:
         res = run_kg_only(sf_dir, cpus, replicate=replicate,
                           executors=executors)

@@ -211,20 +211,7 @@ def link_broadcast_matmul(mentions: DataFrame, catalog: DataFrame,
     import numpy as np
     from pyspark.sql import types as T
 
-    rows = _catalog_side(catalog).collect()
-    rows.sort(key=lambda r: r["product_id"])     # argmax tie → min id
-    groups: dict = {}
-    for r in rows:
-        g = groups.setdefault((r["c_type"], r["c_color"]), [])
-        g.append(r)
-    packed = {
-        k: (np.array([r["product_id"] for r in g], dtype=object),
-            np.array([r["c_category"] for r in g], dtype=object),
-            np.array([r["c_gender"] for r in g], dtype=object),
-            np.stack([np.asarray(r["c_embedding"], dtype=np.float64)
-                      for r in g]))
-        for k, g in groups.items()
-    }
+    packed = _pack_catalog(catalog)
     bc = mentions.sparkSession.sparkContext.broadcast(packed)
 
     m = _mention_side(mentions)
@@ -290,6 +277,130 @@ def link_broadcast_matmul(mentions: DataFrame, catalog: DataFrame,
                        "attrs", "score"])
 
     return m.mapInArrow(kernel, out_schema)
+
+
+def _pack_catalog(catalog: DataFrame) -> dict:
+    """(type, color) → (pids, categories, genders, unit-vec matrix),
+    sorted by product_id so argmax ties resolve to the min id."""
+    import numpy as np
+
+    rows = _catalog_side(catalog).collect()
+    rows.sort(key=lambda r: r["product_id"])
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r["c_type"], r["c_color"]), []).append(r)
+    return {
+        k: (np.array([r["product_id"] for r in g], dtype=object),
+            np.array([r["c_category"] for r in g], dtype=object),
+            np.array([r["c_gender"] for r in g], dtype=object),
+            np.stack([np.asarray(r["c_embedding"], dtype=np.float64)
+                      for r in g]))
+        for k, g in groups.items()
+    }
+
+
+def detect_and_link_fused(docs: DataFrame, catalog: DataFrame,
+                          top_k: int = tx.LINK_TOP_K,
+                          threshold: float = tx.LINK_THRESHOLD) -> DataFrame:
+    """Mention detection + entity linking FUSED into one ``mapInArrow``
+    kernel (the dim-sized-catalog fast path).
+
+    The two-kernel plan (mentions kernel → link kernel) ships every
+    mention's 512-d embedding Arrow→JVM→Arrow between them — ~2 KB/row
+    of pure serialization for a column the linked output then drops.
+    Fusing keeps embeddings in numpy registers: detect gates, extract
+    attrs, embed, and matmul against the broadcast catalog inside one
+    pass, emitting only the narrow linked rows. Semantics identical to
+    ``image_mentions`` → ``link_broadcast_matmul`` (pinned by parity
+    test); same top-1-then-threshold gate, ties to min product_id."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from ..functions.embeddings import ATTR_SCHEMA
+    from .mentions import explode_spans
+
+    spans = explode_spans(docs).filter(
+        (F.col("kind") == "image_ref") & F.col("media_ref").isNotNull())
+    packed = _pack_catalog(catalog)
+    bc = spans.sparkSession.sparkContext.broadcast(packed)
+    min_area = tx.MIN_AREA
+    attr_fields = [(f.name, isinstance(f.dataType, T.ArrayType))
+                   for f in ATTR_SCHEMA.fields]
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", spans.schema["doc_id"].dataType),
+        T.StructField("span_idx", spans.schema["span_idx"].dataType),
+        T.StructField("product_id", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("attrs", ATTR_SCHEMA),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        from ..datagen import base_attrs, content_embed
+        from ..functions.hashing import segment_labels_areas
+
+        cat = bc.value
+        for rb in batches:
+            refs = np.asarray(rb.column("media_ref").to_pylist(), dtype="U")
+            if len(refs) == 0:
+                continue
+            labels, areas = segment_labels_areas(refs)
+            mask = (labels != "Background") & (areas >= min_area)
+            if not mask.any():
+                continue
+            idx = np.nonzero(mask)[0]
+            refs_k = refs[idx]
+            attrs = base_attrs(refs_k)
+            vecs = content_embed(refs_k).astype(np.float64)
+            m_type = attrs["type"]
+            m_color = attrs["color"]
+            m_gender = np.asarray(attrs["gender"], dtype=object)
+            by_key: dict = {}
+            for i, k in enumerate(zip(m_type, m_color)):
+                by_key.setdefault(k, []).append(i)
+            sel_local: list = []        # indices into refs_k / attrs
+            out_pid: list = []
+            out_cat: list = []
+            out_score: list = []
+            for k, idxs in by_key.items():
+                g = cat.get(k)
+                if g is None:
+                    continue
+                pids, cats, genders, cmat = g
+                sims = vecs[idxs] @ cmat.T
+                mg = m_gender[idxs]
+                allowed = (genders[None, :] == "unisex") | \
+                          (genders[None, :] == mg[:, None])
+                sims = np.where(allowed, sims, -np.inf)
+                best = np.argmax(sims, axis=1)      # first max = min pid
+                bscore = sims[np.arange(len(idxs)), best]
+                ok = np.nonzero(bscore >= threshold)[0]
+                sel_local.extend(idxs[j] for j in ok)
+                out_pid.extend(pids[best[j]] for j in ok)
+                out_cat.extend(cats[best[j]] for j in ok)
+                out_score.extend(float(bscore[j]) for j in ok)
+            if not sel_local:
+                continue
+            attrs_arr = pa.StructArray.from_arrays(
+                [pa.array([attrs[name][i] for i in sel_local],
+                          type=pa.list_(pa.string()) if is_arr
+                          else pa.string())
+                 for name, is_arr in attr_fields],
+                [name for name, _ in attr_fields])
+            take_orig = pa.array(idx[sel_local].astype(np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("doc_id").take(take_orig),
+                 rb.column("span_idx").take(take_orig),
+                 pa.array(out_pid, type=pa.string()),
+                 pa.array(out_cat, type=pa.string()),
+                 attrs_arr,
+                 pa.array(out_score, type=pa.float64())],
+                names=["doc_id", "span_idx", "product_id", "category",
+                       "attrs", "score"])
+
+    return spans.mapInArrow(kernel, out_schema)
 
 
 def link_mentions(mentions: DataFrame, catalog: DataFrame,

@@ -90,10 +90,19 @@ class KGPipeline:
         # job launch — measurable against the build's fixed-cost floor)
         if resuming and todo.isEmpty():
             return t.read(spark)
-        mentions = mn.image_mentions(todo)
-        linked = lk.link_mentions(
-            mentions, catalog, strategy=self.link_strategy,
-            top_k=self.link_top_k, threshold=self.link_threshold)
+        if self.link_strategy in ("auto", "matmul", "fused") and (
+                self.link_strategy != "auto" or catalog.count() <= 100_000):
+            # dim-sized catalog: one fused mapInArrow pass (detect +
+            # embed + link) — no 512-d embedding column ever crosses
+            # the Arrow/JVM boundary (linking.detect_and_link_fused)
+            linked = lk.detect_and_link_fused(
+                todo, catalog, top_k=self.link_top_k,
+                threshold=self.link_threshold)
+        else:
+            mentions = mn.image_mentions(todo)
+            linked = lk.link_mentions(
+                mentions, catalog, strategy=self.link_strategy,
+                top_k=self.link_top_k, threshold=self.link_threshold)
         flat = linked.select(
             "doc_id", "span_idx", "product_id", "category", "score",
             *[F.col(f"attrs.{a}").alias(a)

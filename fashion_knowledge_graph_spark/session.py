@@ -61,6 +61,10 @@ def get_spark(app: str = "fkg", cpus: int | None = None,
         # (plans/pipeline.py): FAIR lets a small stage's tasks slot into
         # a big stage's tail instead of queueing behind the whole job
         .config("spark.scheduler.mode", "FAIR")
+        # every executor is on this host: waiting for node/process
+        # locality only idles cores (shuffle-read tasks were observed
+        # stalling 3 s tails); on a real cluster tune per topology
+        .config("spark.locality.wait", "0s")
         # Arrow is the UDF hot path (model-inference stand-ins)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",

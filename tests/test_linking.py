@@ -52,3 +52,26 @@ def test_matmul_equals_exact(spark, docs_df, catalog_df):
                                          round(r["score"], 6))
           for r in b.collect()}
     assert ka == kb and ka
+
+
+def test_fused_detect_and_link_equals_exact(spark, docs_df, catalog_df):
+    """The single-kernel fused path (detect + embed + link in one
+    mapInArrow pass) must emit exactly the two-kernel plan's links,
+    attrs included."""
+    from fashion_knowledge_graph_spark.operators import linking as lk
+    from fashion_knowledge_graph_spark.operators import mentions as mn
+
+    m = mn.image_mentions(docs_df)
+    a = lk.link_exact(m, catalog_df)
+    b = lk.detect_and_link_fused(docs_df, catalog_df)
+    ka = {(r["doc_id"], r["span_idx"]): (r["product_id"], r["category"],
+                                         round(r["score"], 6))
+          for r in a.collect()}
+    kb = {(r["doc_id"], r["span_idx"]): (r["product_id"], r["category"],
+                                         round(r["score"], 6))
+          for r in b.collect()}
+    assert ka == kb and ka
+    # attrs struct carried through identically
+    attrs_a = {(r["doc_id"], r["span_idx"]): r["attrs"] for r in a.collect()}
+    attrs_b = {(r["doc_id"], r["span_idx"]): r["attrs"] for r in b.collect()}
+    assert attrs_a == attrs_b

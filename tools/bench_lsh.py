@@ -32,7 +32,8 @@ def main():
                       executor_mem_mb=12288)
 
     base = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
-    cat_dir = os.path.join(base, f"fkg_bigcat_{n_products}")
+    cat_dir = os.path.join(
+        base, f"fkg_bigcat_{n_products}_{datagen.content_version()}")
     if not os.path.exists(os.path.join(cat_dir, "catalog.parquet")):
         t0 = time.time()
         datagen.write_fixtures(cat_dir, n_docs=1, n_products=n_products,
