@@ -407,23 +407,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.select(
             "doc_id", tx.fingerprint_md5(F.col("text")).alias("fingerprint"))
 
+    def _docs_split(spark, sf):
+        # the testdata documents table is one parquet file = one scan
+        # task; spread it so the dedup kernels/aggregations use the
+        # whole session (at corpus scale the input arrives in
+        # thousands of splits and this repartition disappears)
+        return _load(spark, sf, "documents") \
+            .repartition(spark.sparkContext.defaultParallelism)
+
     def dedup_exact(spark, sf):
-        return dd.exact_dedup(_load(spark, sf, "documents"))
+        return dd.exact_dedup(_docs_split(spark, sf))
 
     def dedup_ngram_jaccard(spark, sf):
-        out = dd.jaccard_pairs_exact(_load(spark, sf, "documents"),
+        out = dd.jaccard_pairs_exact(_docs_split(spark, sf),
                                      threshold=0.35)
         return out.select("id_a", "id_b",
                           F.round("jaccard", 6).alias("jaccard"))
 
     def dedup_minhash_lsh(spark, sf):
-        out = dd.minhash_lsh_pairs(_load(spark, sf, "documents"),
+        out = dd.minhash_lsh_pairs(_docs_split(spark, sf),
                                    threshold=0.35, num_hashes=128, bands=32)
         return out.select("id_a", "id_b",
                           F.round("jaccard", 6).alias("jaccard"))
 
     def dedup_simhash(spark, sf):
-        return dd.simhash_pairs(_load(spark, sf, "documents"), max_hamming=8)
+        return dd.simhash_pairs(_docs_split(spark, sf), max_hamming=8)
 
     def embedding_near_dup(spark, sf):
         # auto-dispatch: exact matmul at this scale (oracle config);
@@ -795,21 +803,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35
     """
 
-    # MinHash+LSH, fully replayed in DuckDB: the portable hash family
-    # (md5 lanes, lexicographic string-min, md5 band keys) is chosen so
-    # the ORACLE reproduces the exact candidate set, not just the
+    # MinHash+LSH, fully replayed in DuckDB: the portable lane family
+    # (universal hash mod 2^31-1 over the 30-bit halves of the md5-
+    # derived shingle hash — overflow-free BIGINT arithmetic in both
+    # engines) reproduces the exact candidate set, not just the
     # verified output (operators/dedup.py::_lane_exprs).
+    from fashion_knowledge_graph_spark.operators.dedup import (
+        minhash_lane_params,
+    )
+    lane_rows = ", ".join(f"({j}, {a}, {b}, {c})" for j, (a, b, c)
+                          in enumerate(minhash_lane_params(128)))
     sql["dedup_minhash_lsh"] = f"""
         WITH {shingle_cte},
         posth AS (
-          SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT::VARCHAR AS shd
+          SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS shn
           FROM post),
+        params(j, a, b, c) AS (VALUES {lane_rows}),
         lanes AS (
-          SELECT id, j, min(md5(j::VARCHAR || ':' || shd)) AS hv
-          FROM posth CROSS JOIN range(128) t(j) GROUP BY id, j),
+          SELECT id, p.j,
+                 min((p.a * (shn & 1073741823) + p.b * (shn >> 30) + p.c)
+                     % 2147483647) AS hv
+          FROM posth CROSS JOIN params p GROUP BY id, p.j),
         bands AS (
           SELECT id, (j // 4)::INT AS band,
-                 md5(string_agg(hv, '|' ORDER BY j)) AS bkey
+                 md5(string_agg(hv::VARCHAR, '|' ORDER BY j)) AS bkey
           FROM lanes GROUP BY id, j // 4),
         cand AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b

@@ -106,21 +106,56 @@ def jaccard_pairs_exact(df: DataFrame, id_col: str = "doc_id",
 
 
 # ------------------------------------------------------- MinHash + LSH
-def _lane_exprs(num_hashes: int, hash_family: str) -> list:
-    """Per-lane hash expressions over the posting column ``sh``.
+_MH_PRIME = 2_147_483_647          # 2^31 - 1 (Mersenne)
 
-    ``portable`` (default): h_j(x) = md5(j || ':' || x), with the min
-    taken lexicographically over the hex strings — md5 and string-min
-    agree bit-for-bit between Spark and DuckDB, so the whole MinHash
-    pipeline is oracle-checkable. ``fast``: h_j(x) = xxhash64(j, x)
-    (Spark-only, ~5× cheaper per lane — the knob to flip at 100 TB if
-    the signature pass ever dominates; same banding plan either way).
+
+def minhash_lane_params(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) coefficients for the universal-hash
+    lane family — derived from md5 so any SQL oracle can inline the
+    same literals."""
+    import hashlib
+
+    out = []
+    for j in range(num_hashes):
+        d = hashlib.md5(f"mh-lane-{j}".encode()).hexdigest()
+        a = int(d[0:8], 16) % (_MH_PRIME - 1) + 1
+        b = int(d[8:16], 16) % (_MH_PRIME - 1) + 1
+        c = int(d[16:24], 16) % _MH_PRIME
+        out.append((a, b, c))
+    return out
+
+
+def _lane_exprs(num_hashes: int, hash_family: str) -> list:
+    """Per-lane hash expressions over the 60-bit posting column ``sh``.
+
+    ``portable`` (default): a carefully overflow-free universal hash
+    family both engines evaluate identically in BIGINT arithmetic —
+    split ``sh`` into 30-bit halves (lo, hi) and take
+    h_j = (a_j·lo + b_j·hi + c_j) mod (2^31−1). Products stay < 2^61
+    and sums < 2^63, so no 64-bit wraparound anywhere (Spark 4 runs
+    ANSI mode; DuckDB BIGINT matches exactly) — the whole MinHash
+    pipeline is oracle-replayable at codegen speed (an earlier
+    md5-per-lane portable family was 128 digests/posting row — 4.5×
+    the round-1 xxhash runtime). ``fast``: h_j(x) = xxhash64(j, x),
+    Spark-only.
     """
     if hash_family == "portable":
-        return [F.min(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("sh"))))
-                .alias(f"h{j}") for j in range(num_hashes)]
+        # reference pre-materialized sh_lo/sh_hi columns: computing the
+        # split inside each of the 128 aggregate expressions is not
+        # CSE'd by Catalyst (256 extra bit-ops per posting row)
+        lo, hi = F.col("sh_lo"), F.col("sh_hi")
+        return [
+            F.min(F.pmod(F.lit(a) * lo + F.lit(b) * hi + F.lit(c),
+                         F.lit(_MH_PRIME))).alias(f"h{j}")
+            for j, (a, b, c) in enumerate(minhash_lane_params(num_hashes))]
     return [F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"h{j}")
             for j in range(num_hashes)]
+
+
+def _with_lane_halves(post: DataFrame) -> DataFrame:
+    return post.withColumn(
+        "sh_lo", F.col("sh").bitwiseAND(F.lit((1 << 30) - 1))) \
+        .withColumn("sh_hi", F.shiftrightunsigned(F.col("sh"), 30))
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
@@ -132,7 +167,7 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     per-doc elementwise min across ``num_hashes`` lanes as one groupBy
     with ``num_hashes`` min-aggregates — all JVM-side, partial
     (map-side) aggregation absorbs shingle skew."""
-    post = _shingle_posting(df, id_col, text_col, n)
+    post = _with_lane_halves(_shingle_posting(df, id_col, text_col, n))
     sig = post.groupBy("id").agg(*_lane_exprs(num_hashes, hash_family))
     return sig.select(
         "id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
@@ -160,7 +195,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     post_all = _shingle_posting(df, id_col, text_col, n) \
         .localCheckpoint(eager=False)   # shared by sig + verify; blocks
     #                                     auto-freed on GC (no persist leak)
-    sig = post_all.groupBy("id").agg(*_lane_exprs(num_hashes, hash_family))
+    sig = _with_lane_halves(post_all) \
+        .groupBy("id").agg(*_lane_exprs(num_hashes, hash_family))
     if hash_family == "portable":
         band_keys = [F.md5(F.concat_ws("|", *[
             F.col(f"h{b * rows_per_band + r}")
@@ -296,7 +332,9 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     within Hamming ≤ 3 agrees on ≥1 band exactly (pigeonhole); larger
     radii trade recall. Verify with bit_count(xor) — all JVM-side.
     """
-    sh = simhash_df(df, id_col, text_col)
+    # materialize: the banded self-join scans ``sh`` twice — without a
+    # checkpoint the Arrow kernel runs twice (measured 2× wall time)
+    sh = simhash_df(df, id_col, text_col).localCheckpoint(eager=False)
     banded = sh.select(
         "id", "simhash",
         F.posexplode(F.array(*[
