@@ -333,6 +333,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.base64(F.to_binary(F.md5("media_id"), F.lit("hex")))
             .alias("thumb_b64"))
 
+    def s9_delete_where(spark, sf):
+        # S9/S10 row-level DELETE: load a snapshot table, DELETE WHERE,
+        # read back — the copy-on-write rewrite is what the oracle's
+        # NOT(cond) filter must reproduce exactly (time travel to the
+        # pre-delete snapshot is pinned in tests/test_pipeline.py)
+        from fashion_knowledge_graph_spark.sources.tables import (
+            SnapshotTable,
+        )
+        cust = _load(spark, sf, "customer").select(
+            "c_custkey", "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"))
+        t = SnapshotTable(tempfile.mkdtemp(prefix="fkg_s9_"))
+        t.write(cust, mode="overwrite", stage="load")
+        t.delete_where(spark, F.col("acctbal") < 1000)
+        return t.read(spark)
+
     def m7_spec_attrs(spark, sf):
         # M7 spec-sheet attribute extraction (reference
         # product_attributes.py:27-88): synthesize a datasheet per part
@@ -521,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_scalar_functions": f_scalar_functions,
         "f4_json_extract": f4_json_extract,
         "m7_spec_attrs": m7_spec_attrs,
+        "s9_delete_where": s9_delete_where,
         "j_dim_chain_agg": j_dim_chain_agg,
         "s11_index_stats": s11_index_stats,
         "mm_feature_extract": mm_feature_extract,
@@ -651,6 +668,12 @@ def oracle_sql() -> dict[str, str]:
     sql["f4_json_extract"] = """
         SELECT json_extract(props, '$.k')::INT AS k, count(*) AS n
         FROM events GROUP BY 1
+    """
+
+    sql["s9_delete_where"] = """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE NOT (round(c_acctbal, 2) < 1000)
     """
 
     sql["m7_spec_attrs"] = r"""
