@@ -65,6 +65,8 @@ def get_spark(app: str = "fkg", cpus: int | None = None,
         # locality only idles cores (shuffle-read tasks were observed
         # stalling 3 s tails); on a real cluster tune per topology
         .config("spark.locality.wait", "0s")
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
         # Arrow is the UDF hot path (model-inference stand-ins)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
