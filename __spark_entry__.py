@@ -1005,11 +1005,18 @@ def _kg_oracle_sql() -> dict[str, str]:
         # the oracle inputs are produced by the Spark pipeline — make
         # sure they exist no matter the order the driver calls us in
         spark = SparkSession.getActiveSession()
-        if spark is None:
+        own_session = spark is None
+        if own_session:
             spark = SparkSession.builder.master("local[8]") \
                 .appName("kg-oracle-materialize") \
                 .config("spark.sql.shuffle.partitions", "16").getOrCreate()
         _kg_world(spark, sf_dir)
+        if own_session:
+            # don't leave our throwaway session active (the caller's
+            # later getOrCreate would silently inherit it), and drop
+            # cached DataFrames bound to it — the world is on disk
+            _KG_CACHE.pop(sf_dir, None)
+            spark.stop()
 
     linked_glob = os.path.join(p["wh"], "linked", "data", "*", "*.parquet")
     docs_glob = os.path.join(p["docs"], "*.parquet")
