@@ -152,7 +152,7 @@ def _kg_build(spark, sf_dir: str, replicate: int = 1,
     return docs.count()
 
 
-def run_scaling(sf_dir: str, levels=(1, 4), replicate: int = 160) -> dict:
+def run_scaling(sf_dir: str, levels=(1, 4), replicate: int = 320) -> dict:
     """Same job, same stored input, N vs 4N executors (the
     north_rule's two cluster sizes), fresh driver JVM per level.
 
@@ -232,7 +232,7 @@ def run_map_only(sf_dir: str, cpus: int, replicate: int = 1,
             "cpus": cpus, "executors": executors}
 
 
-def run_map_scaling(sf_dir: str, levels=(1, 4), replicate: int = 160) -> dict:
+def run_map_scaling(sf_dir: str, levels=(1, 4), replicate: int = 320) -> dict:
     import subprocess
 
     tput = {}

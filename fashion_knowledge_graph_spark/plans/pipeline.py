@@ -57,6 +57,7 @@ class KGPipeline:
 
         # table() is called from concurrent stage threads in build()
         self._lock = threading.Lock()
+        self._deferred: list = []
 
     def table(self, name: str) -> SnapshotTable:
         with self._lock:
@@ -67,7 +68,7 @@ class KGPipeline:
 
     # ---- stages -------------------------------------------------------
     def stage_linked(self, docs: DataFrame, catalog: DataFrame,
-                     resume: bool = True) -> DataFrame:
+                     resume: bool = True, ex=None) -> DataFrame:
         """Mention detection + entity linking; resumable per doc_id.
 
         Incremental semantics replace the reference's "rerun the batch
@@ -108,7 +109,15 @@ class KGPipeline:
             *[F.col(f"attrs.{a}").alias(a)
               for a in (*tx.SCALAR_ATTRS, *tx.MULTI_ATTRS)])
         t.write(flat, mode="append", stage="link")
-        seen.write(todo.select("doc_id"), mode="append", stage="link")
+        # the processed-docs commit must come AFTER the linked commit
+        # (crash between them ⇒ duplicated work on resume, never lost
+        # work) but nothing downstream depends on it — with an
+        # executor it overlaps the edges/triples stages
+        if ex is not None:
+            self._deferred.append(ex.submit(
+                seen.write, todo.select("doc_id"), "append", "link"))
+        else:
+            seen.write(todo.select("doc_id"), mode="append", stage="link")
         return t.read(spark)
 
     def stage_canonical(self, catalog: DataFrame) -> DataFrame:
@@ -214,9 +223,9 @@ class KGPipeline:
                     "triples": triples, "nodes": nodes}
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        with ThreadPoolExecutor(max_workers=4) as ex:
             f_canon = ex.submit(self.stage_canonical, catalog)
-            linked = self.stage_linked(docs, catalog, resume=resume)
+            linked = self.stage_linked(docs, catalog, resume=resume, ex=ex)
             canon = f_canon.result()
             f_nodes = ex.submit(self.stage_nodes, catalog, canon)
             # the attr+text triples write (the bulk of all output rows)
@@ -226,6 +235,9 @@ class KGPipeline:
             f_tbase.result()
             triples = self.stage_triples_comp(edges)
             nodes = f_nodes.result()
+            for f in self._deferred:
+                f.result()
+            self._deferred.clear()
         return {"linked": linked, "canonical": canon, "edges": edges,
                 "triples": triples, "nodes": nodes}
 
