@@ -1,0 +1,93 @@
+"""Physical-plan regression tests — the plan-audit claims in BENCH.md
+as executable assertions, so a future change that reintroduces a
+shuffle, a second Arrow hop, or an unpruned scan fails CI instead of
+silently costing 10× at scale."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from fashion_knowledge_graph_spark.functions import text as tx
+from fashion_knowledge_graph_spark.operators import linking as lk
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_fused_link_plan_is_one_map_stage(spark, docs_df, catalog_df):
+    """detect_and_link_fused: zero exchanges, exactly one Arrow kernel
+    — the whole mention+linking map path is one pipelined stage."""
+    import re
+
+    plan = _plan(lk.detect_and_link_fused(docs_df, catalog_df))
+    assert "Exchange" not in plan, plan
+    # one kernel node (formatted output lists each node twice: once in
+    # the tree, once as a "(n) MapInArrow" detail section)
+    assert len(re.findall(r"\(\d+\) MapInArrow", plan)) == 1, plan
+    # no pandas/Arrow eval besides the fused kernel
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_exact_link_projects_vectors_before_window(spark, docs_df,
+                                                   catalog_df):
+    """link_exact computes the cosine map-side and drops BOTH 512-d
+    embedding columns before the top-k window exchange (~30× shuffle
+    bytes otherwise)."""
+    from fashion_knowledge_graph_spark.operators import mentions as mn
+
+    plan = _plan(lk.link_exact(mn.image_mentions(docs_df), catalog_df))
+    # SHUFFLE exchanges (the window) must not carry embedding columns;
+    # the BroadcastExchange of the catalog dim legitimately does
+    shuffle_sections = [s for s in plan.split("\n(")
+                        if s.split(" ", 1)[-1].startswith("Exchange")]
+    assert shuffle_sections, plan
+    for s in shuffle_sections:
+        assert "embedding" not in s, s
+
+
+def test_documents_scan_is_column_pruned(spark, tmp_path):
+    """A two-column projection must reach the parquet scan as a
+    two-column ReadSchema."""
+    import pandas as pd
+
+    p = str(tmp_path / "docs.parquet")
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "c d"],
+                  "extra1": ["x", "y"], "extra2": [1.0, 2.0]}) \
+        .to_parquet(p)
+    df = spark.read.parquet(p)
+    out = df.select("doc_id", tx.token_count(F.col("text")).alias("n"))
+    plan = _plan(out)
+    assert "ReadSchema: struct<doc_id" in plan, plan
+    assert "extra1" not in plan.split("ReadSchema")[1][:200], plan
+
+
+def test_lang_id_uses_broadcast_join_and_partial_agg(spark, tmp_path):
+    import pandas as pd
+
+    p = str(tmp_path / "d2.parquet")
+    pd.DataFrame({"doc_id": [1], "text": ["the a of"]}).to_parquet(p)
+    df = spark.read.parquet(p)
+    plan = _plan(tx.lang_id(df))
+    assert "BroadcastHashJoin" in plan, plan
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_edge_aggregation_has_partial_aggregate(spark):
+    from fashion_knowledge_graph_spark.operators import edges as ed
+
+    pairs = spark.createDataFrame(
+        [("a", "b", "WORN_WITH", "d1", "s")],
+        "src string, dst string, rel_type string, image string, "
+        "source string")
+    import re
+
+    plan = _plan(ed.aggregate_edges(pairs))
+    # partial (map-side) aggregation before exactly one exchange
+    assert "partial_count" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
