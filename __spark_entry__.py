@@ -5,13 +5,19 @@
 ``queries``     — one entry per implemented operator family
                   (SURVEY.md §2 + training-data ops); each callable is
                   (spark, sf_dir) → DataFrame.
-``oracle_sql``  — DuckDB-equivalent ANSI SQL for every query whose
-                  semantics are SQL-expressible. KG-pipeline queries
-                  (hash-embedding UDFs, LSH, iterative CC) are not
-                  SQL-expressible → rows-only checks, with their exact
-                  semantics pinned instead by tests/ against the
-                  pure-pandas oracle (fashion_knowledge_graph_spark/
-                  oracle.py).
+``oracle_sql``  — DuckDB-equivalent ANSI SQL for EVERY query. The KG
+                  family's UDF stages (hash embeddings, the mention
+                  kernel) are pinned by tests/ against the pure-pandas
+                  oracle; everything relational downstream is replayed
+                  in SQL over the MATERIALIZED fixture world
+                  (``_kg_oracle_sql``: linking aggregation, pair/edge
+                  generation, triple unpivot + lexicon scan,
+                  recursive-CTE connected components, 1-hop expand,
+                  dual-path RRF) — so the driver's value-hash compare
+                  covers the full relational surface. Portable hash
+                  families (md5-derived shingle hashes, mod-prime
+                  MinHash lanes, md5 SimHash token bits) were chosen
+                  so even the LSH candidate sets replay exactly.
 
 Float discipline: every float column crossing the Spark/DuckDB hash
 compare is rounded to 6 (scores) or 2 (currency sums via exact
