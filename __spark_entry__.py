@@ -79,12 +79,21 @@ _KG_N_PRODUCTS = 150
 _KG_TABLES = ("linked", "canonical", "edges", "triples", "nodes")
 
 
+# world layout version: bump when the PIPELINE code (not datagen)
+# changes what the materialized world contains — content_version()
+# only hashes the datagen/hash modules, so e.g. the round-3 edge
+# `source` change or a new materialized artifact needs this token to
+# invalidate cached worlds in /tmp
+_KG_WORLD_V = "w3"
+
+
 def _kg_paths(sf_dir: str) -> dict[str, str]:
     from fashion_knowledge_graph_spark import datagen
 
     fix_dir = os.path.join(
         tempfile.gettempdir(),
-        f"fkg_fixtures_p{_KG_N_PRODUCTS}_{datagen.content_version()}_"
+        f"fkg_fixtures_p{_KG_N_PRODUCTS}_{_KG_WORLD_V}_"
+        f"{datagen.content_version()}_"
         f"{os.path.basename(os.path.normpath(sf_dir))}")
     return {
         "fix": fix_dir,
@@ -92,6 +101,7 @@ def _kg_paths(sf_dir: str) -> dict[str, str]:
         "wh": os.path.join(fix_dir, "warehouse"),
         "docs": os.path.join(fix_dir, "docs_interleaved.parquet"),
         "qembs": os.path.join(fix_dir, "qembs.parquet"),
+        "pregate": os.path.join(fix_dir, "mentions_pregate.parquet"),
         "done": os.path.join(fix_dir, "_WORLD_COMPLETE"),
     }
 
@@ -137,6 +147,13 @@ def _kg_world(spark: SparkSession, sf_dir: str) -> dict:
             .write.mode("overwrite").parquet(p["docs"])
         docs = spark.read.parquet(p["docs"])
         out = pipe.build(docs, catalog, resume=False)
+        # pre-gate mention rows: the relational replay surface for the
+        # kernel's P3/P5/P6/P8+W1 gates (kg_mention_gates oracle)
+        from fashion_knowledge_graph_spark.operators.mentions import (
+            image_mentions_pregate,
+        )
+        image_mentions_pregate(docs) \
+            .write.mode("overwrite").parquet(p["pregate"])
         # outfit-query embeddings, materialized for the RRF oracle
         from fashion_knowledge_graph_spark.functions.embeddings import (
             clip_text_embed_udf,
@@ -507,6 +524,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    selected=seeds, top_k=5) \
             .select("query_id", "rel_type", "product_id", "weight")
 
+    def kg_mention_gates(spark, sf):
+        # P3/P5/P6/P8 + W1 relationally, over the materialized PRE-gate
+        # segmentation rows — the last un-oracled reference semantics
+        # (the fused kernel applies these gates internally; reference
+        # image_processor.py:113-142). The oracle replays the same
+        # predicates + top-1-by-area in SQL.
+        from fashion_knowledge_graph_spark.operators import mentions as mo
+        _kg_world(spark, sf)
+        pre = spark.read.parquet(_kg_paths(sf)["pregate"])
+        return mo.mention_gates(pre)
+
+    def kg_ctl_filtered(spark, sf):
+        # P11 dynamic attribute filters: complete_the_look with a
+        # `filters={"color": ...}` equality predicate (reference
+        # f-string Cypher WHERE, graph_database.py:296) applied to the
+        # related nodes BEFORE the per-rel top-k.
+        from fashion_knowledge_graph_spark.plans import queries as Q
+        out = _kg_world(spark, sf)
+        seeds = out["edges"].select(
+            F.col("src").alias("product_id")).distinct() \
+            .orderBy("product_id").limit(40)
+        return Q.complete_the_look(out["edges"], out["nodes"],
+                                   selected=seeds, top_k=5,
+                                   filters={"color": "black"}) \
+            .select("query_id", "rel_type", "product_id", "weight", "color")
+
     def kg_lineage_metrics(spark, sf):
         # A9: per-stage lineage totals. The oracle recomputes each
         # table's true size from first principles (SQL over the
@@ -567,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": kg_edges,
         "kg_canonical": kg_canonical,
         "kg_complete_the_look": kg_complete_the_look,
+        "kg_mention_gates": kg_mention_gates,
+        "kg_ctl_filtered": kg_ctl_filtered,
         "kg_lineage_metrics": kg_lineage_metrics,
         "kg_outfit_from_text": kg_outfit_from_text,
     }
@@ -677,9 +722,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["s9_delete_where"] = """
+        -- DELETE WHERE cond removes rows where cond IS TRUE; rows with
+        -- a NULL predicate are KEPT (matches SnapshotTable.delete_where)
         SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
         FROM customer
-        WHERE NOT (round(c_acctbal, 2) < 1000)
+        WHERE (round(c_acctbal, 2) < 1000) IS NOT TRUE
     """
 
     sql["m7_spec_attrs"] = r"""
@@ -1056,12 +1103,16 @@ def _kg_oracle_sql() -> dict[str, str]:
                  greatest(a.pid, b.pid) AS dst,
                  CASE WHEN a.category IS NOT NULL AND b.category IS NOT NULL
                            AND a.category = b.category
-                      THEN 'COMPLEMENTED_BY' ELSE 'WORN_WITH' END AS rel_type
+                      THEN 'COMPLEMENTED_BY' ELSE 'WORN_WITH' END AS rel_type,
+                 CASE WHEN substr(md5(a.doc_id), 1, 1) < '8'
+                      THEN 'social_media' ELSE 'web_crawl' END AS source
           FROM lc a JOIN lc b
             ON a.doc_id = b.doc_id AND a.span_idx < b.span_idx),
         edges AS (
+          -- A3 last-write-wins: source of the max-doc observation
+          -- (operators/edges.py max_by(source, image))
           SELECT src, dst, rel_type, count(*) AS weight,
-                 'social_media' AS source
+                 arg_max(source, doc_id) AS source
           FROM prs GROUP BY 1, 2, 3)
     """
 
@@ -1108,9 +1159,9 @@ def _kg_oracle_sql() -> dict[str, str]:
 
     nodes_cte = """
         nodes AS (
-          SELECT product_id, type FROM (
+          SELECT product_id, type, color FROM (
             SELECT coalesce(c.canonical_id, k.product_id) AS product_id,
-                   k.type, k.image_path,
+                   k.type, k.color, k.image_path,
                    row_number() OVER (
                      PARTITION BY coalesce(c.canonical_id, k.product_id)
                      ORDER BY k.image_path) AS rn
@@ -1162,6 +1213,52 @@ def _kg_oracle_sql() -> dict[str, str]:
                             THEN type <> sel_type
                             ELSE type = sel_type END)
         SELECT sel_id AS query_id, rel_type, dst AS product_id, weight
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY sel_id, rel_type
+                ORDER BY weight DESC, dst ASC) AS rn
+              FROM filt) z
+        WHERE rn <= 5
+    """
+
+    pregate_glob = os.path.join(p["pregate"], "*.parquet")
+    sql["kg_mention_gates"] = f"""
+        -- reference gates over the PRE-gate segmentation rows:
+        -- P6 Background skip, P5 area >= 1028, P3/P8 type present,
+        -- W1 top-1-by-area per doc (image_processor.py:113-142)
+        SELECT doc_id, span_idx, label, area, type FROM (
+          SELECT doc_id, span_idx, label, area, type,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY area DESC, span_idx ASC) AS rn
+          FROM read_parquet('{pregate_glob}')
+          WHERE label <> 'Background' AND area >= 1028
+            AND type IS NOT NULL) t
+        WHERE rn = 1
+    """
+
+    sql["kg_ctl_filtered"] = f"""
+        WITH RECURSIVE {base}, {nodes_cte},
+        seeds AS (SELECT DISTINCT src AS sel_id FROM edges
+                  ORDER BY sel_id LIMIT 40),
+        selt AS (SELECT s.sel_id, n.type AS sel_type
+                 FROM seeds s JOIN nodes n ON n.product_id = s.sel_id),
+        esym AS (SELECT src, dst, rel_type, weight FROM edges
+                 WHERE weight >= 1
+                 UNION ALL
+                 SELECT dst AS src, src AS dst, rel_type, weight FROM edges
+                 WHERE weight >= 1),
+        hop AS (SELECT t.sel_id, t.sel_type, e.dst, e.rel_type, e.weight,
+                       n.type, n.color
+                FROM selt t
+                JOIN esym e ON e.src = t.sel_id
+                JOIN nodes n ON n.product_id = e.dst),
+        filt AS (SELECT * FROM hop
+                 WHERE CASE WHEN rel_type = 'WORN_WITH'
+                            THEN type <> sel_type
+                            ELSE type = sel_type END
+                   AND color = 'black')
+        SELECT sel_id AS query_id, rel_type, dst AS product_id, weight,
+               color
         FROM (SELECT *, row_number() OVER (
                 PARTITION BY sel_id, rel_type
                 ORDER BY weight DESC, dst ASC) AS rn

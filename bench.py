@@ -76,13 +76,24 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "kg_docs": n_docs, "docs_per_sec": round(n_docs / kg_sec, 2),
         "cpus": cpus,
     }
-    # attach the latest N-vs-4N executor scaling measurement
-    # (bench.py --scaling writes/refreshes SCALING.json; see BENCH.md)
+    # attach a COMPACT summary of the latest N-vs-4N executor scaling
+    # measurement (full detail lives in SCALING.json / BENCH.md).
+    # Round-2 lesson: embedding the whole SCALING.json here pushed the
+    # headline line past the driver's stdout tail capture and the
+    # BENCH record parsed as null — the final line must stay small
+    # (< ~1.5 KB), so only the summary numbers ride along.
     scal = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "SCALING.json")
     if os.path.exists(scal):
         with open(scal) as f:
-            out["scaling"] = json.load(f)
+            s = json.load(f)
+        out["scaling"] = {
+            "efficiency": s.get("value"),
+            "speedup": s.get("speedup"),
+            "docs_per_sec": s.get("throughput"),
+            "map_stage_efficiency": s.get(
+                "map_stage_scaling", {}).get("efficiency"),
+        }
     return out
 
 
@@ -147,8 +158,14 @@ def _kg_build(spark, sf_dir: str, replicate: int = 1,
     wh = tempfile.mkdtemp(prefix="fkg_bench_wh_", dir=os.path.dirname(docs_dir))
     pipe = KGPipeline(warehouse=wh, link_strategy="auto")
     out = pipe.build(docs, catalog, resume=False)
-    _force(out["triples"])
-    _force(out["edges"])
+    # every output table is already MATERIALIZED by its snapshot commit
+    # inside build(); re-scanning 22M+ committed triple rows through a
+    # noop sink here was pure measurement artifact — a single-disk-
+    # bandwidth-bound read that can't scale with executors and so
+    # understated the build's own scaling. Verify commits exist instead.
+    for name in ("triples", "edges", "nodes", "canonical", "linked"):
+        assert pipe.table(name).exists(), name
+    del out
     return docs.count()
 
 

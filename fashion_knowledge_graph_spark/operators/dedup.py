@@ -158,17 +158,127 @@ def _with_lane_halves(post: DataFrame) -> DataFrame:
         .withColumn("sh_hi", F.shiftrightunsigned(F.col("sh"), 30))
 
 
+def _minhash_sig_arrow(df: DataFrame, id_col: str, text_col: str,
+                       n: int, num_hashes: int) -> DataFrame:
+    """(id, h0..h{num_hashes-1}) portable MinHash signatures via ONE
+    ``mapInArrow`` numpy kernel — the SimHash-kernel pattern applied to
+    MinHash (round-2 verdict item #1).
+
+    Identical lane values to the Catalyst ``portable`` path: same
+    md5-derived 60-bit shingle hashes (functions/text.shingle_hash),
+    same ``minhash_lane_params`` universal-hash coefficients, same
+    mod-(2^31−1) arithmetic — so the DuckDB candidate-set replay
+    (driver oracle) is untouched (pinned by a parity test vs the
+    Catalyst spec). What changes is the physics: the Catalyst form
+    evaluated 128 min-aggregate lane expressions per posting row
+    (measured +45% on the bench after the portable-hash switch); the
+    kernel md5-hashes each *unique* shingle once (memoized per worker,
+    capped), computes all lanes for the batch vocabulary with one
+    vectorized mod, and folds per-doc minima with
+    ``np.minimum.reduceat``. Docs with zero shingles emit no row
+    (groupBy-over-postings semantics)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    params = minhash_lane_params(num_hashes)
+    A = np.array([p[0] for p in params], dtype=np.int64)[None, :]
+    B = np.array([p[1] for p in params], dtype=np.int64)[None, :]
+    C = np.array([p[2] for p in params], dtype=np.int64)[None, :]
+    out_schema = T.StructType(
+        [T.StructField("id", df.schema[id_col].dataType)]
+        + [T.StructField(f"h{j}", T.LongType()) for j in range(num_hashes)])
+    memo: dict[str, int] = {}
+    memo_cap = _TOKEN_MEMO_CAP
+    # bound the (shingles × lanes) int32 gather per reduceat block
+    max_shingles_per_block = 100_000
+
+    def kernel(batches):
+        import re
+
+        for rb in batches:
+            texts = rb.column(text_col).to_pylist()
+            if not texts:
+                continue
+            sh_lists = []
+            for s in texts:
+                toks = [t for t in
+                        re.sub(r"[^a-z0-9]+", " ", (s or "").lower())
+                        .split(" ") if t]
+                if len(toks) >= n:
+                    sh = list({" ".join(toks[i:i + n])
+                               for i in range(len(toks) - n + 1)})
+                elif toks:
+                    sh = [" ".join(toks)]
+                else:
+                    sh = []
+                sh_lists.append(sh)
+            keep = [i for i, sh in enumerate(sh_lists) if sh]
+            if not keep:
+                continue
+            if len(memo) > memo_cap:
+                memo.clear()
+            # block the batch by shingle volume so the gathered lane
+            # matrix stays ≤ ~50 MB whatever the Arrow batch size
+            b0 = 0
+            while b0 < len(keep):
+                b1, tot = b0, 0
+                while b1 < len(keep) and tot < max_shingles_per_block:
+                    tot += len(sh_lists[keep[b1]])
+                    b1 += 1
+                block = keep[b0:b1]
+                b0 = b1
+                flat = [s for i in block for s in sh_lists[i]]
+                for s in flat:
+                    if s not in memo:
+                        memo[s] = int(
+                            hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                shn = np.fromiter((memo[s] for s in flat), dtype=np.int64,
+                                  count=len(flat))
+                offsets = np.zeros(len(block) + 1, dtype=np.int64)
+                offsets[1:] = np.cumsum([len(sh_lists[i]) for i in block])
+                u_sh, inv = np.unique(shn, return_inverse=True)
+                lo = (u_sh & ((1 << 30) - 1))[:, None]
+                hi = (u_sh >> 30)[:, None]
+                # a·lo + b·hi + c < 2^61+2^61+2^31 — no int64 overflow
+                lanes_u = ((A * lo + B * hi + C) % _MH_PRIME) \
+                    .astype(np.int32)                    # (u, lanes)
+                # every kept doc has ≥1 shingle → offsets strictly
+                # increase → no empty reduceat segments to patch
+                mins = np.minimum.reduceat(lanes_u[inv], offsets[:-1],
+                                           axis=0).astype(np.int64)
+                ids = rb.column(id_col).take(
+                    pa.array(np.asarray(block, dtype=np.int64)))
+                yield pa.RecordBatch.from_arrays(
+                    [ids] + [pa.array(mins[:, j])
+                             for j in range(num_hashes)],
+                    schema=pa.schema(
+                        [("id", ids.type)]
+                        + [(f"h{j}", pa.int64())
+                           for j in range(num_hashes)]))
+
+    return df.select(F.col(id_col), F.col(text_col)) \
+        .mapInArrow(kernel, out_schema)
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, num_hashes: int = 64,
-                      hash_family: str = "portable") -> DataFrame:
+                      hash_family: str = "portable",
+                      engine: str = "auto") -> DataFrame:
     """(id, sig:array) MinHash signatures.
 
-    Universal-hash family over the shingle hashes (see ``_lane_exprs``);
-    per-doc elementwise min across ``num_hashes`` lanes as one groupBy
-    with ``num_hashes`` min-aggregates — all JVM-side, partial
-    (map-side) aggregation absorbs shingle skew."""
-    post = _with_lane_halves(_shingle_posting(df, id_col, text_col, n))
-    sig = post.groupBy("id").agg(*_lane_exprs(num_hashes, hash_family))
+    ``portable`` family (default) runs as one ``mapInArrow`` numpy
+    kernel (``_minhash_sig_arrow``); ``engine="catalyst"`` keeps the
+    relational spec (posting explode → 128 JVM min-aggregates) used by
+    the kernel's parity test and by the Spark-only ``fast`` family
+    (xxhash64 lanes have no numpy equivalent)."""
+    if hash_family == "portable" and engine != "catalyst":
+        sig = _minhash_sig_arrow(df, id_col, text_col, n, num_hashes)
+    else:
+        post = _with_lane_halves(_shingle_posting(df, id_col, text_col, n))
+        sig = post.groupBy("id").agg(*_lane_exprs(num_hashes, hash_family))
     return sig.select(
         "id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
 
@@ -192,11 +302,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    post_all = _shingle_posting(df, id_col, text_col, n) \
-        .localCheckpoint(eager=False)   # shared by sig + verify; blocks
-    #                                     auto-freed on GC (no persist leak)
-    sig = _with_lane_halves(post_all) \
-        .groupBy("id").agg(*_lane_exprs(num_hashes, hash_family))
+    if hash_family == "portable":
+        # one-pass Arrow kernel (identical lane values; see
+        # _minhash_sig_arrow) — the Catalyst 128-min-agg form cost
+        # +45% on the bench. Verification re-derives posting lists
+        # separately below (it needs them anyway, and only for the
+        # candidate ids).
+        # checkpoint: the banded self-join reads sig via two subtrees
+        # of one job — without it the Arrow kernel runs twice
+        sig = _minhash_sig_arrow(df, id_col, text_col, n, num_hashes) \
+            .localCheckpoint(eager=False)
+        post_all = None
+    else:
+        post_all = _shingle_posting(df, id_col, text_col, n) \
+            .localCheckpoint(eager=False)   # shared by sig + verify;
+        #                          blocks auto-freed on GC (no persist leak)
+        sig = _with_lane_halves(post_all) \
+            .groupBy("id").agg(*_lane_exprs(num_hashes, hash_family))
     if hash_family == "portable":
         band_keys = [F.md5(F.concat_ws("|", *[
             F.col(f"h{b * rows_per_band + r}")
@@ -213,7 +335,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b").distinct()
     if not verify:
         return cand
-    post = post_all
+    post = post_all if post_all is not None else \
+        _shingle_posting(df, id_col, text_col, n) \
+        .localCheckpoint(eager=False)   # three subtrees below
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pa = post.select(F.col("id").alias("id_a"), "sh")
     pb = post.select(F.col("id").alias("id_b"), "sh")
@@ -229,6 +353,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 # ------------------------------------------------------------- SimHash
+# Per-worker token/shingle digest memo bound. Natural-language batches
+# re-see the same tokens constantly (memo hit rate ≈ 99% measured), but
+# an open vocabulary at 100 TB would grow an unbounded dict on
+# long-lived executors — clear-on-cap keeps memory flat.
+_TOKEN_MEMO_CAP = 1 << 20
+
+
 def simhash_py(text: str) -> int:
     """Reference SimHash of one document (the semantic spec; the
     distributed path is ``simhash_df``): tokenize like
@@ -278,6 +409,7 @@ def simhash_df(df: DataFrame, id_col: str = "doc_id",
         T.StructField("simhash", T.LongType()),
     ])
     memo: dict[str, int] = {}
+    memo_cap = _TOKEN_MEMO_CAP
 
     def kernel(batches):
         import re
@@ -295,6 +427,12 @@ def simhash_df(df: DataFrame, id_col: str = "doc_id",
             offsets = np.zeros(n + 1, dtype=np.int64)
             offsets[1:] = np.cumsum([len(t) for t in tok_lists])
             flat = [t for toks in tok_lists for t in toks]
+            if len(memo) > memo_cap:
+                # bounded per-worker memo: long-lived executors over a
+                # 100 TB corpus with an open vocabulary must not grow
+                # the dict forever — a full clear keeps the next batch
+                # correct (recompute) at worst-case 2× digest cost
+                memo.clear()
             for t in flat:
                 if t not in memo:
                     memo[t] = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
@@ -315,10 +453,18 @@ def simhash_df(df: DataFrame, id_col: str = "doc_id",
                 bits_u = ((u_h[:, None] >> shifts[None, :]) & np.uint64(1)) \
                     .astype(ctype)
                 contrib = (bits_u * 2 - 1)[inv]          # (m, 64) gather
-                red = np.add.reduceat(contrib, np.minimum(
-                    offsets[:-1], len(flat) - 1), axis=0).astype(np.int64)
-                # reduceat on an empty segment returns a neighboring
-                # element, not an empty sum — zero those rows explicitly
+                # pad one zero row so offsets up to len(flat) are valid
+                # reduceat start indices: clamping trailing-empty-doc
+                # offsets to len(flat)-1 instead would SPLIT the last
+                # non-empty doc's segment and drop its final token's
+                # contribution (wrong simhash whenever an empty/None
+                # doc follows a non-empty one in a batch)
+                contrib = np.vstack(
+                    [contrib, np.zeros((1, 64), dtype=contrib.dtype)])
+                red = np.add.reduceat(contrib, offsets[:-1],
+                                      axis=0).astype(np.int64)
+                # reduceat on an empty segment (i == next index) returns
+                # the element at i, not an empty sum — zero those rows
                 empty = offsets[:-1] == offsets[1:]
                 red[empty] = 0
                 sums = red
@@ -406,16 +552,25 @@ def embedding_near_dup_matmul(df: DataFrame, id_col: str = "vec_id",
 
     def kernel(batches):
         c_ids, c_mat = bc.value
+        # bound the (slice × n) sims allocation: Arrow batches arrive
+        # up to ~10k rows, and 10k × a multi-million-row corpus of
+        # float64 sims (+ same-shape bool mask) would blow the heap —
+        # slice so sims stays ≤ ~256 MB regardless of corpus size
+        rows_per_slice = max(1, int(256e6 / (8 * max(len(c_ids), 1))))
         for pdf in batches:
-            q = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf["vec"]])
-            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
-            qid = pdf["id"].to_numpy(dtype=c_ids.dtype)
-            sims = q @ c_mat.T
-            keep = (sims >= threshold) & (qid[:, None] < c_ids[None, :])
-            qi, cj = np.nonzero(keep)
-            yield pd.DataFrame({"id_a": qid[qi], "id_b": c_ids[cj],
-                                "cosine": sims[qi, cj]})
+            q_all = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf["vec"]])
+            q_all /= np.maximum(
+                np.linalg.norm(q_all, axis=1, keepdims=True), 1e-300)
+            qid_all = pdf["id"].to_numpy(dtype=c_ids.dtype)
+            for s in range(0, len(qid_all), rows_per_slice):
+                q = q_all[s:s + rows_per_slice]
+                qid = qid_all[s:s + rows_per_slice]
+                sims = q @ c_mat.T
+                keep = (sims >= threshold) & (qid[:, None] < c_ids[None, :])
+                qi, cj = np.nonzero(keep)
+                yield pd.DataFrame({"id_a": qid[qi], "id_b": c_ids[cj],
+                                    "cosine": sims[qi, cj]})
 
     return df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).alias("vec")) \
@@ -466,7 +621,8 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
 def embedding_near_dup_lsh(df: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.95,
-                           nbits: int = 64, nbands: int = 8) -> DataFrame:
+                           nbits: int = 64, nbands: int = 8,
+                           dim: int | None = None) -> DataFrame:
     """Sign-LSH-blocked near-dup pairs — the beyond-driver-memory path.
 
     Random-hyperplane band signatures → equi-join on (band, bsig) →
@@ -482,7 +638,16 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str = "vec_id",
 
     from ..functions.embeddings import hyperplanes, make_signature_udf
 
-    dim = len(df.select(vec_col).first()[0])
+    id_type = df.schema[id_col].dataType
+    if dim is None:
+        # dim probe costs one tiny job; callers that know the dim (or
+        # already probed, like embedding_near_dup_auto) pass it in
+        first = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
+        if not first:          # empty corpus → empty pair set
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {id_type.simpleString()}, "
+                    f"id_b {id_type.simpleString()}, cosine double")
+        dim = first[0]["d"]
     planes = hyperplanes(dim, nbits, seed_key="near-dup-generic")
     sig = make_signature_udf(planes, nbands)
     keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -499,7 +664,6 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str = "vec_id",
         .join(keyed.select(F.col("id").alias("id_b"),
                            F.col("vec").alias("vec_b")), "id_b")
 
-    id_type = df.schema[id_col].dataType
     out_schema = T.StructType([
         T.StructField("id_a", id_type), T.StructField("id_b", id_type),
         T.StructField("cosine", T.DoubleType())])
@@ -529,16 +693,28 @@ def embedding_near_dup_lsh(df: DataFrame, id_col: str = "vec_id",
 def embedding_near_dup_auto(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.95,
-                            matmul_budget_rows: int = 2_000_000) -> DataFrame:
+                            matmul_budget_rows: int = 2_000_000,
+                            matmul_budget_bytes: int = 1 << 30) -> DataFrame:
     """Size-probed dispatch (mirrors linking.link_mentions): corpora
-    whose (id, vec) fit driver/executor memory take the exact
-    broadcast-matmul path; larger ones the LSH-blocked path, so the
-    default can never OOM the driver at scale. The probe is one cheap
-    count over the (already pruned) id column."""
+    whose normalized (n × dim) float64 matrix fits the byte budget take
+    the exact broadcast-matmul path; larger ones the LSH-blocked path,
+    so the default can never OOM driver or executors at scale. The
+    budget is MEMORY-aware, not row-count-only: 2M rows is fine at
+    dim=16 (256 MB) but would broadcast 8 GB at dim=512 — the byte
+    check (n·dim·8 ≤ 1 GiB default ⇒ ≤ 262k rows at 512-d) is what
+    actually bounds the executor allocation (the matmul kernel
+    additionally slices its sims matrix to ≤ 256 MB per block).
+    Probe = one limit-1 job for dim + one metadata-cheap count."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
+    if not first:
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double")
+    dim = first[0]["d"]
     n = df.count()
-    if n <= matmul_budget_rows:
+    if n <= matmul_budget_rows and n * dim * 8 <= matmul_budget_bytes:
         return embedding_near_dup_matmul(df, id_col, vec_col, threshold)
-    return embedding_near_dup_lsh(df, id_col, vec_col, threshold)
+    return embedding_near_dup_lsh(df, id_col, vec_col, threshold, dim=dim)
 
 
 # ------------------------------------------------------------ keep set

@@ -53,6 +53,16 @@ def cooccurrence_pairs(linked: DataFrame,
         F.col("cat1").isNotNull() & F.col("cat2").isNotNull()
         & (F.col("cat1") == F.col("cat2")), F.lit("COMPLEMENTED_BY")
     ).otherwise(F.lit("WORN_WITH"))
+    # per-observation ingestion channel: the reference's edge `source`
+    # is set by whichever batch entry point observed the pair
+    # (process_social_media_images vs other feeds) and OVERWRITTEN on
+    # re-observation (graph_database.py:176-179). The fixture stand-in
+    # derives the channel deterministically from the doc (md5 split),
+    # portable to the DuckDB oracle — constant `source` would make the
+    # A3 last-write check vacuous.
+    channel = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8",
+        F.lit("social_media")).otherwise(F.lit("web_crawl"))
     # canonical undirected direction: src <= dst
     return pairs.select(
         F.least("pid1", "pid2").alias("src"),
@@ -60,7 +70,7 @@ def cooccurrence_pairs(linked: DataFrame,
         rel.alias("rel_type"),
         F.col("doc_id").alias("image"),   # evidence key (reference stores
                                           # basename(image_path), :115)
-        F.lit("social_media").alias("source"),
+        channel.alias("source"),
     )
 
 
@@ -71,12 +81,16 @@ def aggregate_edges(pairs: DataFrame) -> DataFrame:
     deterministic (sorted) order (A2 — the reference appends in
     processing order, which a distributed run cannot reproduce;
     sorted order is the documented, testable choice); source =
-    last-write-wins scalar (A3), deterministic via max.
+    last-write-wins scalar (A3, graph_database.py:176-179): the
+    reference overwrites on each re-observation, so the batch
+    equivalent is the source of the LAST observation in doc order —
+    ``max_by(source, image)`` (deterministic: ties only within one
+    doc, which has one source).
     """
     return pairs.groupBy("src", "dst", "rel_type").agg(
         F.count(F.lit(1)).alias("weight"),
         F.sort_array(F.collect_list("image")).alias("images"),
-        F.max("source").alias("source"),
+        F.max_by("source", "image").alias("source"),
     )
 
 

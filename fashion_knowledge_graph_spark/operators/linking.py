@@ -159,11 +159,13 @@ def link_lsh(mentions: DataFrame, catalog: DataFrame,
 
 
 def _dot_arrow(df: DataFrame, a_col: str, b_col: str,
-               out_col: str) -> DataFrame:
-    """Row-wise dot product of two array<float> columns via a
-    ``mapInArrow`` kernel (batched einsum over the flattened buffers —
-    Catalyst's ``aggregate``/``zip_with`` form is interpreted per
-    element and was the linking hot spot). Drops both vector columns.
+               out_col: str, cosine: bool = False) -> DataFrame:
+    """Row-wise dot product (or, with ``cosine=True``, full cosine
+    a·b/(|a||b|)) of two array<float> columns via a ``mapInArrow``
+    kernel (batched einsum over the flattened buffers — Catalyst's
+    ``aggregate``/``zip_with`` form is interpreted per element and was
+    the linking hot spot). Drops both vector columns, so downstream
+    shuffles (e.g. a top-k window) carry narrow scored rows only.
     """
     import numpy as np
     from pyspark.sql import types as T
@@ -183,6 +185,10 @@ def _dot_arrow(df: DataFrame, a_col: str, b_col: str,
             b = np.asarray(rb.column(b_col).flatten(),
                            dtype=np.float64).reshape(n, -1)
             dots = np.einsum("ij,ij->i", a, b)
+            if cosine:
+                na = np.sqrt(np.einsum("ij,ij->i", a, a))
+                nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+                dots = dots / np.maximum(na * nb, 1e-300)
             yield pa.RecordBatch.from_arrays(
                 [*(rb.column(c) for c in keep_names),
                  pa.array(dots, type=pa.float64())],

@@ -164,6 +164,72 @@ def image_mentions(docs: DataFrame) -> DataFrame:
     return spans.mapInArrow(kernel, out_schema)
 
 
+def image_mentions_pregate(docs: DataFrame) -> DataFrame:
+    """Every image span's segmentation output BEFORE the reference's
+    gates: (doc_id, span_idx, media_ref, label, area, type).
+
+    Exists so the gate semantics (P3/P5/P6/P8 + W1, applied inside the
+    fused production kernel) can be verified RELATIONALLY: materialize
+    these rows, then ``mention_gates`` below — or an ANSI-SQL oracle —
+    applies the same predicates over them (the driver's
+    ``kg_mention_gates`` query). No gating happens here."""
+    import numpy as np
+    import pyarrow as pa
+
+    spans = explode_spans(docs).filter(
+        F.col("kind") == "image_ref").filter(F.col("media_ref").isNotNull())
+    out_schema = T.StructType([
+        spans.schema["doc_id"], spans.schema["span_idx"],
+        spans.schema["media_ref"],
+        T.StructField("label", T.StringType()),
+        T.StructField("area", T.LongType()),
+        T.StructField("type", T.StringType()),
+    ])
+
+    def kernel(batches):
+        from ..datagen import base_attrs
+        from ..functions.hashing import segment_labels_areas
+
+        for rb in batches:
+            refs = np.asarray(rb.column("media_ref").to_pylist(), dtype="U")
+            if len(refs) == 0:
+                continue
+            labels, areas = segment_labels_areas(refs)
+            types = base_attrs(refs)["type"]
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("doc_id"), rb.column("span_idx"),
+                 rb.column("media_ref"),
+                 pa.array(labels.astype("U")), pa.array(areas),
+                 pa.array(list(types), type=pa.string())],
+                names=["doc_id", "span_idx", "media_ref",
+                       "label", "area", "type"])
+
+    return spans.select("doc_id", "span_idx", "media_ref") \
+        .mapInArrow(kernel, out_schema)
+
+
+def mention_gates(pregate: DataFrame) -> DataFrame:
+    """The reference's mention gates as declarative relational ops over
+    pre-gate segmentation rows — P6 Background skip
+    (image_processor.py:114-115), P5 ``area >= 1028``
+    (image_processor.py:117-119), P3/P8 missing-type skip
+    (process_social_media_images.py:74-76), then W1 single-product
+    top-1-by-area per doc (image_processor.py:138-142).
+
+    Semantically identical to the gating inside the fused kernel
+    (pinned by tests); driver-verifiable against a SQL oracle."""
+    from .. import taxonomy as taxo
+    from .topk import grouped_top_k
+
+    gated = pregate.filter(
+        (F.col("label") != "Background")
+        & (F.col("area") >= taxo.MIN_AREA)
+        & F.col("type").isNotNull())
+    return grouped_top_k(gated, ["doc_id"], [F.desc("area")], 1,
+                         tie_breaks=[F.asc("span_idx")]) \
+        .select("doc_id", "span_idx", "label", "area", "type")
+
+
 def text_mentions(docs: DataFrame) -> DataFrame:
     """Text spans, order-preserved — feed of the lexicon/linking
     triple extractors (operators/attributes.py)."""

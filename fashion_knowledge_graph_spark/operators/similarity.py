@@ -37,22 +37,20 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
-
-
-def _norm(a):
-    return F.sqrt(F.aggregate(
-        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-
-
 def _rerank(cand: DataFrame, k: int) -> DataFrame:
-    """Exact cosine + per-query top-k with deterministic tie-break."""
-    scored = cand.withColumn(
-        "score", _dot(F.col("q_vec"), F.col("c_vec"))
-        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))))
+    """Exact cosine + per-query top-k with deterministic tie-break.
+
+    The cosine runs in the shared Arrow kernel (``linking._dot_arrow``
+    with ``cosine=True``) — the round-2 Catalyst ``aggregate``/
+    ``zip_with`` form was interpreted per element, the exact
+    anti-pattern already eliminated from linking/dedup, and this
+    re-rank is the hot loop of ALL three ANN strategies (candidates ×
+    dim lambda evals). The kernel also drops both vectors, so the
+    top-k window shuffle moves narrow (query, corpus, score) rows.
+    """
+    from .linking import _dot_arrow
+
+    scored = _dot_arrow(cand, "q_vec", "c_vec", "score", cosine=True)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -85,18 +83,23 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     planes = hyperplanes(dim, nbits, seed_key="ann-lsh")
     sig = make_signature_udf(planes, nbands)
     q = queries.select(F.col(q_id).alias("query_id"),
-                       F.col(q_vec).alias("q_vec")) \
-        .withColumn("sigs", sig("q_vec")) \
-        .select("*", F.posexplode("sigs").alias("band", "bkey")).drop("sigs")
+                       F.col(q_vec).alias("q_vec"))
     c = corpus.select(F.col(c_id).alias("corpus_id"),
-                      F.col(c_vec).alias("c_vec")) \
-        .withColumn("sigs", sig("c_vec")) \
-        .select("*", F.posexplode("sigs").alias("band", "bkey")).drop("sigs")
-    cand = q.join(c, ["band", "bkey"]) \
+                      F.col(c_vec).alias("c_vec"))
+    # two-phase narrow-row plan (same as linking.link_lsh): the banded
+    # join replicates each side nbands× — vectors must NOT ride it
+    # (id + band keys only); candidates re-join their vectors BY ID for
+    # the exact re-rank
+    qb = q.withColumn("sigs", sig("q_vec")) \
+        .select("query_id", F.posexplode("sigs").alias("band", "bkey"))
+    cb = c.withColumn("sigs", sig("c_vec")) \
+        .select("corpus_id", F.posexplode("sigs").alias("band", "bkey"))
+    cand = qb.join(cb, ["band", "bkey"]) \
         .filter(F.col("query_id") != F.col("corpus_id")) \
-        .dropDuplicates(["query_id", "corpus_id"]) \
-        .drop("band", "bkey")
-    return _rerank(cand, k)
+        .select("query_id", "corpus_id") \
+        .dropDuplicates(["query_id", "corpus_id"])
+    paired = cand.join(q, "query_id").join(c, "corpus_id")
+    return _rerank(paired, k)
 
 
 def _centroids(corpus: DataFrame, c_id: str, c_vec: str,

@@ -127,7 +127,16 @@ def lexicon_triples(docs: pd.DataFrame) -> pd.DataFrame:
 def pairs_and_edges(linked: pd.DataFrame,
                     catalog: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
     """i<j position pairs per doc → canonical-direction edge table."""
+    import hashlib
+
     cat_map = catalog.set_index("product_id")["category"].to_dict()
+
+    def channel(doc_id: str) -> str:
+        # mirrors operators/edges.cooccurrence_pairs: md5 split
+        return ("social_media"
+                if hashlib.md5(str(doc_id).encode()).hexdigest()[0] < "8"
+                else "web_crawl")
+
     obs = []
     for doc_id, grp in linked.sort_values(
             ["doc_id", "span_idx"]).groupby("doc_id", sort=True):
@@ -139,17 +148,22 @@ def pairs_and_edges(linked: pd.DataFrame,
                        if c1 is not None and c2 is not None and c1 == c2
                        else "WORN_WITH")
                 src, dst = sorted([ids[i], ids[j]])
-                obs.append((src, dst, rel, doc_id, "social_media"))
+                obs.append((src, dst, rel, doc_id, channel(doc_id)))
     pairs = pd.DataFrame(
         obs, columns=["src", "dst", "rel_type", "image", "source"])
     if pairs.empty:
         edges = pd.DataFrame(
-            columns=["src", "dst", "rel_type", "weight", "images", "source"])
+            columns=["src", "dst", "rel_type", "weight", "images",
+                     "source", "last_image"])
         return pairs, edges
-    edges = pairs.groupby(["src", "dst", "rel_type"], as_index=False).agg(
+    # last-write-wins source = source of the max-image observation
+    # (sort by image, take last) — matches max_by(source, image)
+    edges = pairs.sort_values("image", kind="stable").groupby(
+        ["src", "dst", "rel_type"], as_index=False).agg(
         weight=("image", "size"),
         images=("image", lambda s: sorted(s)),
-        source=("source", "max"))
+        source=("source", "last"),
+        last_image=("image", "max"))
     return pairs, edges
 
 
@@ -201,11 +215,15 @@ def full_pipeline(docs: pd.DataFrame, catalog: pd.DataFrame) -> dict:
         lo = edges_canon[["src", "dst"]].min(axis=1)
         hi = edges_canon[["src", "dst"]].max(axis=1)
         edges_canon["src"], edges_canon["dst"] = lo, hi
-        edges_canon = edges_canon.groupby(
+        # two-level last-write-wins: merged edge's source = source of
+        # the sub-edge whose last observation (max image) is globally
+        # latest — equals single-level max_by(source, image)
+        edges_canon = edges_canon.sort_values(
+            "last_image", kind="stable").groupby(
             ["src", "dst", "rel_type"], as_index=False).agg(
             weight=("weight", "sum"),
             images=("images", lambda s: sorted(x for lst in s for x in lst)),
-            source=("source", "max"))
+            source=("source", "last"))
     return {"mentions": mentions, "linked": linked,
             "triples_attr": triples_attr, "triples_text": triples_text,
             "pairs": pairs, "edges": edges, "edges_canon": edges_canon,

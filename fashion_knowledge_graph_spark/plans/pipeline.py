@@ -128,14 +128,17 @@ class KGPipeline:
                     mode="overwrite", stage="canonicalize")
         return t.read(spark)
 
+    def _edges_df(self, linked: DataFrame, canon: DataFrame) -> DataFrame:
+        """The edges aggregation plan (no commit)."""
+        linked_canon = cc.canonicalize(
+            repartition_by_range(linked, "doc_id"), canon, ["product_id"])
+        return ed.aggregate_edges(ed.cooccurrence_pairs(linked_canon))
+
     def stage_edges(self, linked: DataFrame, canon: DataFrame) -> DataFrame:
         spark = linked.sparkSession
         t = self.table("edges")
-        linked_canon = cc.canonicalize(
-            repartition_by_range(linked, "doc_id"), canon, ["product_id"])
-        pairs = ed.cooccurrence_pairs(linked_canon)
-        edges = ed.aggregate_edges(pairs)
-        t.write(edges, mode="overwrite", stage="edges")
+        t.write(self._edges_df(linked, canon), mode="overwrite",
+                stage="edges")
         return t.read(spark)
 
     def stage_triples_base(self, docs: DataFrame, linked: DataFrame,
@@ -223,17 +226,29 @@ class KGPipeline:
                     "triples": triples, "nodes": nodes}
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        with ThreadPoolExecutor(max_workers=5) as ex:
             f_canon = ex.submit(self.stage_canonical, catalog)
             linked = self.stage_linked(docs, catalog, resume=resume, ex=ex)
             canon = f_canon.result()
             f_nodes = ex.submit(self.stage_nodes, catalog, canon)
             # the attr+text triples write (the bulk of all output rows)
-            # overlaps the edges stage — it needs only linked + canon
+            # overlaps the edges aggregation — it needs only linked+canon
             f_tbase = ex.submit(self.stage_triples_base, docs, linked, canon)
-            edges = self.stage_edges(linked, canon)
+            # edges: aggregate ONCE (localCheckpoint runs the agg job
+            # now, concurrently with the triples-base write), then the
+            # edges-table commit and the complements append both read
+            # the checkpointed blocks — the round-2 serial tail
+            # (edges write → comp append as back-to-back commits) now
+            # overlaps fully
+            t_edges = self.table("edges")
+            edges_df = self._edges_df(linked, canon) \
+                .localCheckpoint(eager=True)
+            f_ewrite = ex.submit(t_edges.write, edges_df, "overwrite",
+                                 "edges")
             f_tbase.result()
-            triples = self.stage_triples_comp(edges)
+            triples = self.stage_triples_comp(edges_df)
+            f_ewrite.result()
+            edges = t_edges.read(spark)
             nodes = f_nodes.result()
             for f in self._deferred:
                 f.result()

@@ -138,8 +138,12 @@ class SnapshotTable:
         cur = self.read(spark)
         cond = condition if isinstance(condition, Column) \
             else F.expr(str(condition))
-        return self.write(cur.filter(~cond), mode="overwrite",
-                          stage="delete")
+        # SQL DELETE removes rows where cond IS TRUE; a NULL predicate
+        # (e.g. a NULL column in a comparison) must KEEP the row. A bare
+        # filter(~cond) drops NULL-predicate rows too (NOT NULL = NULL
+        # → filtered) — coalesce to FALSE first.
+        return self.write(cur.filter(~F.coalesce(cond, F.lit(False))),
+                          mode="overwrite", stage="delete")
 
     # ---- read ---------------------------------------------------------
     def read(self, spark: SparkSession,
@@ -155,9 +159,30 @@ class SnapshotTable:
         return self.current_snapshot() is not None
 
     def lineage(self) -> list[dict]:
+        """Full lineage history — every commit ever made (the A9
+        audit-trail view; per-partition rows of superseded snapshots
+        stay visible, like Iceberg's snapshot metadata tables)."""
         rows = []
         for sid in self.snapshots():
             rows.extend(self._manifest(sid).get("lineage", []))
+        return rows
+
+    def lineage_current(self) -> list[dict]:
+        """Lineage of the CURRENT table content only: walk the parent
+        chain from CURRENT, summing each commit's (new-file) lineage,
+        and stop after the most recent ``overwrite`` — an overwrite
+        replaces all content, so older commits' rows are no longer part
+        of the table. Totals over this view equal the live table size
+        even after rebuilds / deletes (the full-history ``lineage()``
+        double-counts those)."""
+        rows: list[dict] = []
+        sid = self.current_snapshot()
+        while sid is not None:
+            m = self._manifest(sid)
+            rows.extend(m.get("lineage", []))
+            if m.get("mode") == "overwrite":
+                break
+            sid = m.get("parent")
         return rows
 
     def drop(self):
@@ -181,10 +206,12 @@ def metrics_totals_df(spark: SparkSession,
     """Per-(table, stage) lineage row totals — the deterministic
     projection of A9 (per-partition counts vary with parallelism; the
     totals must equal the true table sizes, which the driver's DuckDB
-    oracle recomputes from first principles)."""
+    oracle recomputes from first principles). Totals walk only the
+    CURRENT snapshot chain (``lineage_current``) so a rebuilt or
+    delete-rewritten table is not double-counted."""
     agg: dict[tuple, int] = {}
     for name, t in tables.items():
-        for r in t.lineage():
+        for r in t.lineage_current():
             key = (name, r.get("stage"))
             agg[key] = agg.get(key, 0) + int(r["output_rows"])
     rows = [(k[0], k[1], v) for k, v in sorted(agg.items())]

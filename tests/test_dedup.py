@@ -92,6 +92,26 @@ def test_minhash_lsh_recall_and_precision(spark, corpus):
     assert recall >= 0.9, (recall, len(got), len(exp))
 
 
+def test_minhash_arrow_kernel_matches_catalyst_spec(spark, corpus):
+    """The one-pass Arrow MinHash kernel must produce bit-identical
+    signatures to the relational Catalyst spec (posting explode →
+    128 min-agg lanes) — including short docs (<n tokens → whole-doc
+    shingle), repeated shingles, and empty/None docs (no row)."""
+    extra = spark.createDataFrame(
+        [(2000, ""), (2001, None), (2002, "alpha"), (2003, "alpha bravo"),
+         (2004, "ALPHA, bravo! charlie alpha bravo charlie")],
+        "doc_id int, text string")
+    df = corpus.unionByName(extra).coalesce(2)
+    a = {r["id"]: r["sig"] for r in dd.minhash_signature(
+        df, "doc_id", "text", num_hashes=32).collect()}
+    c = {r["id"]: r["sig"] for r in dd.minhash_signature(
+        df, "doc_id", "text", num_hashes=32, engine="catalyst").collect()}
+    assert set(a) == set(c)                  # empty docs in neither
+    assert 2000 not in a and 2001 not in a
+    for k in c:
+        assert a[k] == c[k], k
+
+
 def test_simhash_kernel_matches_python_spec(spark, corpus):
     """The mapInArrow kernel must agree bit-for-bit with the per-doc
     python spec (simhash_py) — including empty and repeated-token
@@ -107,6 +127,37 @@ def test_simhash_kernel_matches_python_spec(spark, corpus):
                            (1003, "ALPHA, bravo!  bravo")]
     for i, t in rows:
         assert got[i] == dd.simhash_py(t or ""), (i, t)
+
+
+def test_simhash_kernel_trailing_empty_docs(spark):
+    """Regression (round-2 advisor): a batch whose TRAILING docs are
+    empty/None must not truncate the preceding non-empty doc's reduceat
+    segment (the clamped-offset bug dropped its last token's ±1)."""
+    rows = [(1, "alpha bravo charlie"), (2, ""), (3, None),
+            (4, "delta echo"), (5, ""), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string").coalesce(1)
+    got = {r["id"]: r["simhash"] for r in dd.simhash_df(df).collect()}
+    for i, t in rows:
+        assert got[i] == dd.simhash_py(t or ""), (i, t)
+    # the advisor's exact repro, as its own single batch
+    df2 = spark.createDataFrame(
+        [(1, "alpha bravo charlie"), (2, ""), (3, None)],
+        "doc_id int, text string").coalesce(1)
+    got2 = {r["id"]: r["simhash"] for r in dd.simhash_df(df2).collect()}
+    assert got2[1] == dd.simhash_py("alpha bravo charlie")
+
+
+def test_simhash_memo_cap_does_not_change_output(spark, monkeypatch):
+    """The per-worker token memo is cleared past the cap; outputs must
+    be identical (memo is a pure cache)."""
+    monkeypatch.setattr(dd, "_TOKEN_MEMO_CAP", 8)
+    rows = [(i, " ".join(f"tok{i}x{j}" for j in range(6)))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id int, text string") \
+        .repartition(4)
+    got = {r["id"]: r["simhash"] for r in dd.simhash_df(df).collect()}
+    for i, t in rows:
+        assert got[i] == dd.simhash_py(t)
 
 
 def test_simhash_blocking_complete_at_small_radius(spark, corpus):

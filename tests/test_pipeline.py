@@ -117,6 +117,50 @@ def test_detach_delete_product_cascades_to_edges(spark, docs_df,
     assert len(past) == len(edges)
 
 
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE semantics: only rows where the condition IS TRUE are
+    deleted; a NULL predicate (NULL column in a comparison) keeps the
+    row — a bare NOT(cond) filter would silently drop it."""
+    from fashion_knowledge_graph_spark.sources.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "nulls"))
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0)], "id int, v double")
+    t.write(df, mode="overwrite", stage="load")
+    t.delete_where(spark, F.col("v") < 8)
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
+
+
+def test_lineage_totals_track_current_snapshot_chain(spark, tmp_path):
+    """metrics_totals_df must equal the LIVE table sizes even after
+    overwrites / deletes — full-history lineage would double-count a
+    rebuilt table (lineage_current walks only the CURRENT chain)."""
+    from fashion_knowledge_graph_spark.sources.tables import (
+        SnapshotTable,
+        metrics_totals_df,
+    )
+
+    t = SnapshotTable(str(tmp_path / "tt"))
+    mk = lambda n: spark.range(n).select(  # noqa: E731
+        F.col("id").cast("int").alias("id"))
+    t.write(mk(10), mode="overwrite", stage="load")
+    t.write(mk(5), mode="append", stage="load")          # 15 live rows
+    totals = {(r["table"], r["stage"]): r["output_rows"]
+              for r in metrics_totals_df(spark, {"t": t}).collect()}
+    assert totals == {("t", "load"): 15}
+    t.write(mk(7), mode="overwrite", stage="load")       # rebuild: 7 live
+    totals = {(r["table"], r["stage"]): r["output_rows"]
+              for r in metrics_totals_df(spark, {"t": t}).collect()}
+    assert totals == {("t", "load"): 7}
+    assert t.read(spark).count() == 7
+    t.delete_where(spark, F.col("id") < 3)               # 4 live
+    totals = {(r["table"], r["stage"]): r["output_rows"]
+              for r in metrics_totals_df(spark, {"t": t}).collect()}
+    assert totals == {("t", "delete"): 4}
+    # full history is still the audit trail (all commits visible)
+    assert sum(r["output_rows"] for r in t.lineage()) == 10 + 5 + 7 + 4
+
+
 def test_spec_attrs_parses_datasheets(spark):
     from fashion_knowledge_graph_spark.operators.attributes import spec_attrs
 
