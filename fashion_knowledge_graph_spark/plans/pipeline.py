@@ -17,7 +17,7 @@ the mention stage, processes only docs not yet in the lineage,
 anti-join on doc_id). Shuffle inventory (the whole build):
   1. linking join (band,bsig,type,color)   — AQE skew-split
   2. candidate dedup + top-1 window (doc_id,span_idx)
-  3. pair self-join (doc_id)               — repartitionByRange first
+  3. pair self-join (doc_id)               — narrow projected rows
   4. edge aggregation (src,dst,rel)        — map-side partial agg
   5. CC iterations (small: catalog-sized)
 Everything else is map-side.
@@ -37,7 +37,6 @@ from ..operators import components as cc
 from ..operators import edges as ed
 from ..operators import linking as lk
 from ..operators import mentions as mn
-from ..operators.skew import repartition_by_range
 from ..sources.tables import SnapshotTable
 
 
@@ -129,9 +128,20 @@ class KGPipeline:
         return t.read(spark)
 
     def _edges_df(self, linked: DataFrame, canon: DataFrame) -> DataFrame:
-        """The edges aggregation plan (no commit)."""
-        linked_canon = cc.canonicalize(
-            repartition_by_range(linked, "doc_id"), canon, ["product_id"])
+        """The edges aggregation plan (no commit).
+
+        Project down to the four pair-generation columns BEFORE the
+        self-join: the join shuffles both sides by doc_id, and shipping
+        the ten attribute fields through that exchange (plus a round-2
+        explicit repartitionByRange — a THIRD full-width shuffle the
+        hash join cannot reuse, since range partitioning doesn't
+        satisfy its clustering) saturated shared tmpfs bandwidth
+        exactly when the concurrent triples write needs it. Per-doc
+        groups are tiny (≤ a few mentions), so the doc_id hash shuffle
+        is skew-free without any explicit repartition."""
+        narrow = linked.select("doc_id", "span_idx", "product_id",
+                               "category")
+        linked_canon = cc.canonicalize(narrow, canon, ["product_id"])
         return ed.aggregate_edges(ed.cooccurrence_pairs(linked_canon))
 
     def stage_edges(self, linked: DataFrame, canon: DataFrame) -> DataFrame:

@@ -100,6 +100,28 @@ def test_ann_rerank_is_arrow_not_interpreted_hof(spark):
             assert "q_vec" not in s and "c_vec" not in s, s
 
 
+def test_edges_plan_shuffles_narrow_rows_only(spark, docs_df, catalog_df,
+                                              tmp_path):
+    """The pair self-join must shuffle only (doc_id, span_idx,
+    product_id, category) — the ten attribute columns riding the
+    exchange (round-2 shape, plus a redundant repartitionByRange)
+    saturated shared write bandwidth during the concurrent triples
+    commit."""
+    from fashion_knowledge_graph_spark.plans.pipeline import KGPipeline
+
+    pipe = KGPipeline(warehouse=str(tmp_path / "wh"), link_strategy="exact")
+    linked = pipe.stage_linked(docs_df, catalog_df, resume=False)
+    canon = pipe.stage_canonical(catalog_df)
+    plan = _plan(pipe._edges_df(linked, canon))
+    shuffle_sections = [s for s in plan.split("\n(")
+                        if s.split(" ", 1)[-1].startswith("Exchange")]
+    assert shuffle_sections, plan
+    for s in shuffle_sections:
+        for attr_col in ("material", "style", "season", "occasion"):
+            assert attr_col not in s, s
+    assert "RangePartitioning" not in plan, plan
+
+
 def test_edge_aggregation_has_partial_aggregate(spark):
     from fashion_knowledge_graph_spark.operators import edges as ed
 
