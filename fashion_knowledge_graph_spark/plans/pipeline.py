@@ -107,11 +107,36 @@ class KGPipeline:
             "doc_id", "span_idx", "product_id", "category", "score",
             *[F.col(f"attrs.{a}").alias(a)
               for a in (*tx.SCALAR_ATTRS, *tx.MULTI_ATTRS)])
+        if ex is not None and not resuming:
+            # Fresh build with stage overlap: materialize the kernel
+            # output ONCE as block-manager blocks and return it
+            # directly — the linked snapshot commit moves OFF the
+            # critical path (it runs on the executor thread while the
+            # edges/triples/nodes stages consume the checkpointed
+            # blocks), and downstream stages stop re-reading the
+            # just-written parquet from shared tmpfs (the round-2
+            # decomposition pinned the residual scaling gap to exactly
+            # snapshot-commit serialism + tmpfs bandwidth contention).
+            # localCheckpoint trades lineage fault-tolerance for speed:
+            # an executor loss mid-build fails the job, but the
+            # snapshot commit protocol bounds the blast radius — the
+            # atomic CURRENT pointer means a partial commit is
+            # invisible, and resume=True restarts from the last
+            # committed stage (re-processing at most one batch).
+            flat_cp = flat.localCheckpoint(eager=True)
+
+            def _commit_linked():
+                t.write(flat_cp, mode="append", stage="link")
+                # processed-docs AFTER linked (crash between them ⇒
+                # duplicated work on resume, never lost work)
+                seen.write(todo.select("doc_id"), mode="append",
+                           stage="link")
+            self._deferred.append(ex.submit(_commit_linked))
+            return flat_cp
         t.write(flat, mode="append", stage="link")
-        # the processed-docs commit must come AFTER the linked commit
-        # (crash between them ⇒ duplicated work on resume, never lost
-        # work) but nothing downstream depends on it — with an
-        # executor it overlaps the edges/triples stages
+        # same ordering constraint as above; nothing downstream depends
+        # on processed_docs, so with an executor it overlaps the
+        # edges/triples stages
         if ex is not None:
             self._deferred.append(ex.submit(
                 seen.write, todo.select("doc_id"), "append", "link"))
