@@ -114,27 +114,37 @@ def stopword_dim(spark) -> DataFrame:
 
 def lang_id(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """Stopword-hit language ID: explode tokens → broadcast-join the
-    (lang, token) dim → count hits per (doc, lang) → argmax with
-    deterministic tie-break (lang asc); no hits → 'und'.
+    """Stopword-hit language ID as a ZERO-SHUFFLE map: per-language
+    ``regexp_count`` with word boundaries over the normalized text
+    (the normalized alphabet is ``[a-z0-9 ]``, so ``\\b`` matches
+    exactly full-token hits — identical counts to the explode →
+    broadcast-join → groupBy formulation this replaces), then an
+    argmax via ``greatest`` over (hits, -lang_rank) structs with the
+    same deterministic tie-break (hits desc, lang asc); no hits →
+    'und'.
 
-    One shuffle (the per-doc count); the join is map-side broadcast.
-    Output: (id_col, lang_pred, lang_hits).
+    The whole operator is ONE whole-stage-codegen projection — no
+    explode blow-up, no join, no aggregation exchange, no window. At
+    100 TB it is pure map tasks pipelined into the scan; the prior
+    plan shuffled ~|tokens| rows twice (count + window) and joined
+    the result back. The relational formulation is preserved in the
+    driver oracle (``__spark_entry__`` ``text_lang_id`` SQL) and in
+    ``stopword_dim`` for anyone who wants the join shape.
     """
-    spark = df.sparkSession
-    dim = F.broadcast(stopword_dim(spark))
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
-    hits = tok.join(dim, "token").groupBy(id_col, "lang") \
-        .agg(F.count(F.lit(1)).alias("lang_hits"))
-    # portable argmax: order by (hits desc, lang asc), take first
-    from pyspark.sql import Window
-    w = Window.partitionBy(id_col).orderBy(F.desc("lang_hits"), F.asc("lang"))
-    top = hits.withColumn("__rn", F.row_number().over(w)) \
-        .filter(F.col("__rn") == 1).drop("__rn")
-    return df.select(id_col).join(top, id_col, "left").select(
+    norm = norm_text(F.col(text_col))
+    cands = []
+    for i, lang in enumerate(sorted(LANG_STOPWORDS)):
+        pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+        hits = F.coalesce(F.regexp_count(norm, F.lit(pat)), F.lit(0))
+        # greatest() on structs: hits first, then -rank ⇒ lang asc
+        cands.append(F.struct(hits.cast("long").alias("h"),
+                              F.lit(-i).alias("ni"),
+                              F.lit(lang).alias("lang")))
+    best = F.greatest(*cands)
+    return df.select(
         F.col(id_col),
-        F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
-        F.coalesce(F.col("lang_hits"), F.lit(0)).alias("lang_hits"))
+        F.when(best["h"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
+        best["h"].alias("lang_hits"))
 
 
 def fingerprint_md5(col) -> Column:

@@ -66,16 +66,21 @@ def test_documents_scan_is_column_pruned(spark, tmp_path):
     assert "extra1" not in plan.split("ReadSchema")[1][:200], plan
 
 
-def test_lang_id_uses_broadcast_join_and_partial_agg(spark, tmp_path):
+def test_lang_id_is_zero_shuffle_map(spark, tmp_path):
+    """lang_id is one codegen'd projection pipelined into the scan:
+    no exchange, no join, no aggregate, no window — pure map tasks at
+    any scale (replaced the explode→broadcast-join→groupBy→window
+    plan, which shuffled ~|tokens| rows twice)."""
     import pandas as pd
 
     p = str(tmp_path / "d2.parquet")
     pd.DataFrame({"doc_id": [1], "text": ["the a of"]}).to_parquet(p)
     df = spark.read.parquet(p)
     plan = _plan(tx.lang_id(df))
-    assert "BroadcastHashJoin" in plan, plan
-    # partial (map-side) aggregation before the exchange
-    assert plan.count("HashAggregate") >= 2, plan
+    for node in ("Exchange", "Join", "HashAggregate", "Window",
+                 "Generate"):
+        assert node not in plan, (node, plan)
+    assert "* Project" in plan, plan   # '*' = whole-stage codegen
 
 
 def test_ann_rerank_is_arrow_not_interpreted_hof(spark):
