@@ -421,6 +421,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
                  .cast("double").alias("total_value")))
 
+    def stream_windowed_agg(spark, sf):
+        # 2.I: the SAME tumbling-window aggregation run as a REAL
+        # Structured Streaming query (file source → stateful agg →
+        # complete-mode memory sink, availableNow) — stream ≡ batch by
+        # construction, so the stateful streaming operator itself is
+        # value-hash-checked against the relational oracle.
+        from fashion_knowledge_graph_spark.streaming.incremental import (
+            stream_tumbling_agg_once,
+        )
+        return stream_tumbling_agg_once(
+            spark, os.path.join(sf, "events.parquet"))
+
+    def f9_content_ids(spark, sf):
+        # F9 (reference app/main.py:676,704 uses uuid4 for image ids):
+        # content-addressed deterministic ids — md5 for the short
+        # form, sha2-256 over (id, text) for the collision-safe form —
+        # reproducible across reruns/engines, unlike uuid().
+        docs = _load(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("id_md5"),
+            F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                            F.coalesce(F.col("text"), F.lit(""))),
+                   256).alias("content_sha2"))
+
     # -- text analytics / dedup / similarity (training-data ops) -------
     def text_token_stats(spark, sf):
         docs = _load(spark, sf, "documents")
@@ -594,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union_distinct": u1_union_distinct,
         "a2_collect_sorted": a2_collect_sorted,
         "events_tumbling_agg": events_tumbling_agg,
+        "stream_windowed_agg": stream_windowed_agg,
+        "f9_content_ids": f9_content_ids,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -786,6 +813,16 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(*) AS n,
                round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS total_value
         FROM events GROUP BY 1, 2
+    """
+
+    sql["stream_windowed_agg"] = sql["events_tumbling_agg"]
+
+    sql["f9_content_ids"] = """
+        SELECT doc_id,
+               md5(doc_id::VARCHAR) AS id_md5,
+               sha256(doc_id::VARCHAR || ':' || coalesce(text, ''))
+                 AS content_sha2
+        FROM documents
     """
 
     sql["text_token_stats"] = f"""

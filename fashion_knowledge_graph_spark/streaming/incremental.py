@@ -72,6 +72,61 @@ def stream_linked(docs_stream: DataFrame, catalog: DataFrame,
     return writer.start()
 
 
+_ONCE_SEQ = [0]  # per-session memory-sink name counter
+
+
+def stream_tumbling_agg_once(spark: SparkSession, events_path: str,
+                             window: str = "1 hour") -> DataFrame:
+    """Drain a static events directory through a REAL Structured
+    Streaming query (file source → stateful tumbling-window agg →
+    complete-mode memory sink, ``availableNow`` trigger) and return
+    the final result table.
+
+    This is the deterministic form of ``stream_event_counts`` used by
+    the driver's value-hash oracle: complete output mode needs no
+    watermark, so the result is exactly the batch aggregation no
+    matter how the source splits into micro-batches — stream ≡ batch
+    by construction, which is what lets a streaming operator carry a
+    full ANSI-SQL oracle. (The production shape — append mode +
+    watermarked late-data drop + bounded state — is
+    ``stream_event_counts``, pinned in tests/test_streaming.py; this
+    runner exists so the driver can hash-check the stateful streaming
+    agg itself.)
+
+    Output matches the batch ``events_tumbling_agg`` query:
+    (hour_start, event_type, n, total_value).
+    """
+    import os
+    import tempfile
+
+    if os.path.isfile(events_path):
+        # the file source requires a directory; stage single-file
+        # inputs behind a symlink (no data copy)
+        d = tempfile.mkdtemp(prefix="fkg_stream_src_")
+        os.symlink(events_path, os.path.join(
+            d, os.path.basename(events_path)))
+        events_path = d
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    src = spark.readStream.schema(schema).parquet(events_path)
+    agg = (src.groupBy(F.window("ts", window).alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+                .cast("double").alias("total_value"))
+           .select(F.date_format(F.col("win.start"),
+                                 "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+                   "event_type", "n", "total_value"))
+    _ONCE_SEQ[0] += 1
+    name = f"fkg_stream_evagg_{_ONCE_SEQ[0]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="fkg_stream_cp_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_event_counts(events_stream: DataFrame,
                         window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:

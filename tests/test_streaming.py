@@ -88,3 +88,38 @@ def test_stream_event_counts_watermark(spark, tmp_path_factory):
            for r in spark.sql("select * from evagg").collect()}
     assert res[("2026-01-01 10:00:00", "view")] == (3, 7.0)
     assert res[("2026-01-01 11:00:00", "click")] == (1, 3.0)
+
+
+def test_stream_tumbling_agg_once_equals_batch(spark, tmp_path_factory):
+    """The driver-facing once-runner: a real streaming query over a
+    static events file returns exactly the batch aggregation (the
+    property that lets stream_windowed_agg carry a full SQL oracle)."""
+    src_dir = str(tmp_path_factory.mktemp("ev_once"))
+    rows = [(1, "2026-01-01 10:05:00", 7, "view", 1.5, "{}"),
+            (2, "2026-01-01 10:45:00", 7, "view", 2.25, "{}"),
+            (3, "2026-01-01 11:10:00", 8, "click", 3.0, "{}"),
+            (4, "2026-01-01 10:20:00", 9, "view", 4.0, None)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, user_id bigint, "
+              "event_type string, value double, props string") \
+        .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    path = src_dir + "/events.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    got = {(r["hour_start"], r["event_type"]): (r["n"], r["total_value"])
+           for r in st.stream_tumbling_agg_once(spark, path).collect()}
+    batch = df.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double").alias("total_value"))
+    want = {(r["hour_start"], r["event_type"]): (r["n"], r["total_value"])
+            for r in batch.collect()}
+    assert got == want and len(got) == 2
+
+    # single-file (non-dir) inputs stage behind a symlink
+    got2 = st.stream_tumbling_agg_once(spark, path).count()
+    assert got2 == len(got)
