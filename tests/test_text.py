@@ -86,3 +86,40 @@ def test_shingles_and_sketch(spark, docs):
     short = docs.filter("doc_id = 3").select(
         tx.shingles(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
     assert list(short) == ["zzz qqq"]
+
+
+def test_lang_id_matches_python_reference_on_nasty_corpus(spark):
+    """Pin the zero-shuffle regexp_count lang_id against a pure-Python
+    token-set reference on a seeded corpus mixing stopwords from all
+    languages, near-miss tokens, digits, unicode, and punctuation —
+    the cases where \\b word-boundary counting could diverge from
+    exact token matching."""
+    import random
+    import re as _re
+
+    rng = random.Random(7)
+    vocab = [t for toks in tx.LANG_STOPWORDS.values() for t in toks]
+    vocab += ["thea", "athe", "a1", "1a", "aaa", "ésta", "über", "naïve",
+              "日本語", "de-facto", "l'eau", "co_op", "x", "42", ""]
+    docs = []
+    for i in range(300):
+        k = rng.randint(0, 12)
+        sep = rng.choice([" ", ", ", "!", "  ", ".", "-"])
+        docs.append((i, sep.join(rng.choice(vocab) for _ in range(k))))
+    docs += [(1000, None), (1001, "THE Ünd thé")]
+
+    def ref(s):
+        toks = [t for t in _re.sub(r"[^a-z0-9]+", " ", (s or "").lower())
+                .split(" ") if t]
+        best = ("und", 0)
+        for lang in sorted(tx.LANG_STOPWORDS):
+            hits = sum(t in tx.LANG_STOPWORDS[lang] for t in toks)
+            if hits > best[1]:
+                best = (lang, hits)
+        return best
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["lang_pred"], r["lang_hits"])
+           for r in tx.lang_id(df).collect()}
+    want = {i: ref(s) for i, s in docs}
+    assert got == want
