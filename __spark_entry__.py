@@ -356,6 +356,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.base64(F.to_binary(F.md5("media_id"), F.lit("hex")))
             .alias("thumb_b64"))
 
+    def mm_resize_plan(spark, sf):
+        # resize planning over the media metadata struct — pure
+        # Catalyst, payload column pruned (only rows with
+        # needs_resize enter the decode kernel at runtime)
+        from fashion_knowledge_graph_spark.operators import multimodal as mm
+        plan = mm.resize_meta(_mm_media(spark, sf), max_side=256)
+        return plan.select("media_id", "mime", "target_width",
+                           "target_height", "needs_resize")
+
+    def mm_frame_plan(spark, sf):
+        # video frame-sampling fan-out: sequence+explode on the
+        # duration metadata (shuffle-free; one row per frame to
+        # decode). The synthesized media table is ~25% video with
+        # md5-derived durations, so the plan is non-vacuous.
+        from fashion_knowledge_graph_spark.operators import multimodal as mm
+        return mm.frame_sample_plan(_mm_media(spark, sf), every_ms=1000)
+
     def s9_delete_where(spark, sf):
         # S9/S10 row-level DELETE: load a snapshot table, DELETE WHERE,
         # read back — the copy-on-write rewrite is what the oracle's
@@ -616,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_index_stats": s11_index_stats,
         "mm_feature_extract": mm_feature_extract,
         "mm_media_meta": mm_media_meta,
+        "mm_resize_plan": mm_resize_plan,
+        "mm_frame_plan": mm_frame_plan,
         "u1_union_distinct": u1_union_distinct,
         "a2_collect_sorted": a2_collect_sorted,
         "events_tumbling_agg": events_tumbling_agg,
@@ -1046,6 +1065,35 @@ def oracle_sql() -> dict[str, str]:
                128::BIGINT AS n_bytes,
                to_base64(unhex(md5(mid))) AS thumb_b64
         FROM m
+    """
+
+    sql["mm_resize_plan"] = f"""
+        WITH {mm_media_cte},
+        s AS (SELECT mid,
+                CASE WHEN substr(md5(mid || ':m'), 1, 1) < '4'
+                     THEN 'video/mp4' ELSE 'image/png' END AS mime,
+                w, h,
+                least(1.0, 256.0 / greatest(w, h)) AS sc
+              FROM m)
+        SELECT mid AS media_id, mime,
+               floor(w * sc + 0.5)::INT AS target_width,
+               floor(h * sc + 0.5)::INT AS target_height,
+               sc < 1.0 AS needs_resize
+        FROM s
+    """
+
+    sql["mm_frame_plan"] = f"""
+        WITH {mm_media_cte},
+        d AS (SELECT mid,
+                CASE WHEN substr(md5(mid || ':m'), 1, 1) < '4'
+                     THEN (('0x' || substr(md5(mid || ':d'), 1, 15))::BIGINT
+                           % 9000 + 500)
+                     ELSE 0 END AS dur
+              FROM m)
+        SELECT mid AS media_id,
+               unnest(CASE WHEN dur > 0 THEN range(0, dur, 1000)
+                           ELSE [0] END)::INT AS frame_ms
+        FROM d
     """
 
     topk_cte = """

@@ -61,16 +61,21 @@ def synthesize_media(refs_df: DataFrame, ref_col: str = "media_ref") -> DataFram
     deployments replace this with a parquet/Iceberg media table."""
     r = F.col(ref_col)
     content = F.to_binary(F.repeat(F.md5(r), 8), F.lit("hex"))
+    # deterministic modality split (~25% video): first hex digit of a
+    # salted md5 — replayable as substr(md5(mid||':m'),1,1) < '4'
+    is_video = F.substring(F.md5(F.concat(r, F.lit(":m"))), 1, 1) < "4"
     return refs_df.select(
         r.alias("media_id"),
-        F.lit("image/png").alias("mime"),
+        F.when(is_video, "video/mp4").otherwise("image/png").alias("mime"),
         content.alias("content"),
         F.struct(
             (F.pmod(_md5_int(r, ":w"), F.lit(481)) + 32).cast("int")
             .alias("width"),
             (F.pmod(_md5_int(r, ":h"), F.lit(481)) + 32).cast("int")
             .alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
+            F.when(is_video,
+                   (F.pmod(_md5_int(r, ":d"), F.lit(9000)) + 500))
+            .cast("int").alias("duration_ms"),
             F.length(content).cast("long").alias("n_bytes"),
         ).alias("meta"))
 
@@ -140,10 +145,13 @@ def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
     w, h = F.col("meta.width"), F.col("meta.height")
     scale = F.least(F.lit(1.0), F.lit(max_side) /
                     F.greatest(w, h).cast("double"))
+    # floor(x+0.5) = HALF_UP for positive dims, with one rounding-mode
+    # definition shared verbatim by every SQL engine (round() halves
+    # differ across engines; this form is oracle-portable)
     return media.select(
         "media_id", "mime", "meta",
-        F.round(w * scale).cast("int").alias("target_width"),
-        F.round(h * scale).cast("int").alias("target_height"),
+        F.floor(w * scale + 0.5).cast("int").alias("target_width"),
+        F.floor(h * scale + 0.5).cast("int").alias("target_height"),
         (scale < 1.0).alias("needs_resize"))
 
 

@@ -15,11 +15,18 @@ def test_media_schema_and_metadata(spark, media_df):
     rows = media_df.collect()
     assert len(rows) == 20
     for r in rows:
-        assert r["mime"] == "image/png"
+        assert r["mime"] in ("image/png", "video/mp4")
         assert isinstance(r["content"], (bytes, bytearray))
         assert r["meta"]["n_bytes"] == len(r["content"])
         assert 32 <= r["meta"]["width"] < 544
         assert 32 <= r["meta"]["height"] < 544
+        if r["mime"] == "video/mp4":
+            assert 500 <= r["meta"]["duration_ms"] < 9500
+        else:
+            assert r["meta"]["duration_ms"] is None
+    # deterministic ~25% video split is non-vacuous in both directions
+    mimes = {r["mime"] for r in rows}
+    assert mimes == {"image/png", "video/mp4"}
 
 
 def test_decode_stub_gated(media_df):
