@@ -438,6 +438,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
                  .cast("double").alias("total_value")))
 
+    def asof_attribution(spark, sf):
+        # distributed ASOF JOIN (union-tag + one window pass — Spark
+        # has no native asof; the oracle uses DuckDB's real ASOF
+        # JOIN): each purchase event attributed to the same user's
+        # most recent at-or-before view event
+        from fashion_knowledge_graph_spark.operators.temporal import (
+            asof_join,
+        )
+        ev = _load(spark, sf, "events")
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        purchases = ev.filter(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts")
+        views = ev.filter(F.col("event_type") == "view") \
+            .select("user_id", "ts", F.col("event_id").alias("view_id"))
+        out = asof_join(purchases, views, by="user_id", ts="ts",
+                        payload_cols=["view_id"])
+        return out.select(
+            "event_id", "user_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            "asof_view_id",
+            F.date_format("asof_ts", fmt).alias("view_ts"))
+
+    def range_join_attribution(spark, sf):
+        # banded range join (bucketed equi-join over time bins + exact
+        # filter — no non-equi nested loop): every view within 3 days
+        # before each purchase, same user
+        from fashion_knowledge_graph_spark.operators.temporal import (
+            range_join,
+        )
+        ev = _load(spark, sf, "events")
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        purchases = ev.filter(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts")
+        views = ev.filter(F.col("event_type") == "view") \
+            .select("user_id", "ts", F.col("event_id").alias("view_id"))
+        out = range_join(purchases, views, by="user_id", ts="ts",
+                         lookback="3 days", payload_cols=["view_id"])
+        return out.select(
+            "event_id", "user_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            "in_range_view_id",
+            F.date_format("in_range_ts", fmt).alias("view_ts"))
+
+    def sessionize_events(spark, sf):
+        # gap-based sessionization (lag + running sum over one
+        # entity-keyed shuffle); 4h gap ⇒ multi-event sessions at the
+        # fixture event rate
+        from fashion_knowledge_graph_spark.operators.temporal import (
+            session_bounds,
+        )
+        return session_bounds(_load(spark, sf, "events"),
+                              by="user_id", ts="ts", gap="4 hours")
+
     def stream_windowed_agg(spark, sf):
         # 2.I: the SAME tumbling-window aggregation run as a REAL
         # Structured Streaming query (file source → stateful agg →
@@ -639,6 +692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_collect_sorted": a2_collect_sorted,
         "events_tumbling_agg": events_tumbling_agg,
         "stream_windowed_agg": stream_windowed_agg,
+        "asof_attribution": asof_attribution,
+        "range_join_attribution": range_join_attribution,
+        "sessionize_events": sessionize_events,
         "f9_content_ids": f9_content_ids,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
@@ -835,6 +891,54 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["stream_windowed_agg"] = sql["events_tumbling_agg"]
+
+    sql["asof_attribution"] = """
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               v.event_id AS asof_view_id,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """
+
+    sql["range_join_attribution"] = """
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               v.event_id AS in_range_view_id,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+        FROM events p JOIN events v
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND v.ts <= p.ts
+         AND epoch_us(p.ts) - epoch_us(v.ts) <= 259200000000
+    """
+
+    sql["sessionize_events"] = """
+        WITH g AS (
+          SELECT user_id, ts,
+                 lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts) AS prev_us
+          FROM events),
+        f AS (
+          SELECT user_id, ts,
+                 CASE WHEN prev_us IS NULL
+                        OR epoch_us(ts) - prev_us > 14400000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM g),
+        s AS (
+          SELECT user_id, ts,
+                 (sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING))::BIGINT
+                   AS session_idx
+          FROM f)
+        SELECT user_id, session_idx, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM s GROUP BY 1, 2
+    """
 
     sql["f9_content_ids"] = """
         SELECT doc_id,

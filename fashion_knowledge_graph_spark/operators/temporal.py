@@ -1,0 +1,157 @@
+"""Temporal operators: distributed as-of join and sessionization.
+
+Spark has no native ASOF JOIN (DuckDB/kdb/pandas ``merge_asof`` do);
+the naive emulation — non-equi join ``l.ts >= r.ts`` then keep the
+max — explodes to O(|L|·|R|) rows per key before the window prunes
+it. ``asof_join`` instead uses the canonical distributed form:
+
+  union-tag the two inputs → ONE shuffle on the key → one ordered
+  window pass carrying the last-seen right payload forward
+  (``last(ignoreNulls)`` over rows-unbounded-preceding) → keep left
+  rows.
+
+Cost is one shuffle of |L|+|R| narrow rows and a linear scan per
+key — the same plan shape at 100 TB, with per-key skew bounded by
+the largest single key's row count (salt upstream if one key owns
+the stream). ``sessionize`` is the standard gap-based session id:
+``lag`` + threshold + running ``sum`` — one shuffle on the entity
+key, state linear in rows.
+
+Both are exactly replayable in ANSI SQL (DuckDB ``ASOF JOIN`` /
+window sum), which the driver uses as the correctness oracle.
+Timestamp arithmetic is integer microseconds (``unix_micros`` ≡
+DuckDB ``epoch_us``) so the gap compare is bit-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, by: str, ts: str,
+              payload_cols: list[str], prefix: str = "asof_") -> DataFrame:
+    """Left as-of-backward join: for every left row, attach the right
+    row with the greatest ``right.ts <= left.ts`` within the same
+    ``by`` key; no match → NULL payload.
+
+    ``right`` must be unique per (by, ts) — equal-timestamp duplicates
+    have no deterministic winner (dedup upstream; DuckDB's ASOF has
+    the same caveat). Right payload columns are emitted as
+    ``{prefix}{col}`` plus ``{prefix}{ts}`` (the matched timestamp).
+    """
+    l_cols = [c for c in left.columns]
+    tagged_l = left.select(
+        F.col(by), F.col(ts).alias("__ts"), F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__l_{c}") for c in l_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in payload_cols],
+        F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"))
+    tagged_r = right.select(
+        F.col(by), F.col(ts).alias("__ts"), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in l_cols],
+        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+        F.col(ts).alias("__r_ts"))
+    # right rows sort BEFORE left rows at equal ts (__side 0 < 1), so
+    # ts-equal matches are visible to the left row — the <= contract
+    u = tagged_l.unionByName(tagged_r)
+    w = (Window.partitionBy(by).orderBy("__ts", "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+          for c in payload_cols],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__m_ts"))
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in l_cols],
+        *[F.col(f"__m_{c}").alias(f"{prefix}{c}") for c in payload_cols],
+        F.col("__m_ts").alias(f"{prefix}{ts}"))
+
+
+def range_join(left: DataFrame, right: DataFrame, by: str, ts: str,
+               lookback: str, payload_cols: list[str],
+               prefix: str = "in_range_") -> DataFrame:
+    """Banded range join: all right rows with
+    ``left.ts - lookback <= right.ts <= left.ts`` per key — WITHOUT
+    the non-equi cross product.
+
+    A plain ``l.ts BETWEEN r.ts AND r.ts+Δ`` join on a key degrades to
+    a per-key nested loop (Spark plans non-equi conditions as
+    BroadcastNestedLoop/cartesian within the key). Banding restores an
+    equi-join: bucket both sides by ``floor(ts / Δ)``; every qualifying
+    pair is at most one bucket apart, so the left side probes buckets
+    {b, b-1} (explode of a 2-element array — constant fan-out), the
+    join key is (by, bucket), and the exact range predicate filters
+    the ~2Δ-wide candidate band. Work is O(|L|·avg-band-occupancy)
+    instead of O(|L|·|R|) per key; both sides shuffle once on
+    (by, bucket), so skew concentrates only where one entity has many
+    rows in one Δ window — salt upstream if so.
+    """
+    n, unit = lookback.split()
+    per = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+           "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    delta_us = int(n) * per * 1_000_000
+    l_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    # exact integer division (`div`): float division + cast can misplace
+    # a row whose timestamp sits exactly on a bucket boundary
+    l = left.withColumn("__us", l_us).withColumn(
+        "__bkt", F.explode(F.array(
+            F.expr(f"__us div {delta_us}"),
+            F.expr(f"__us div {delta_us}") - 1)))
+    r = right.select(
+        F.col(by).alias("__rby"),
+        r_us.alias("__rus"),
+        r_us.alias("__tmp_us"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
+        F.col(ts).alias(f"{prefix}{ts}")) \
+        .withColumn("__rbkt", F.expr(f"__tmp_us div {delta_us}")) \
+        .drop("__tmp_us")
+    joined = l.join(r, (F.col(by) == F.col("__rby"))
+                    & (F.col("__bkt") == F.col("__rbkt")))
+    return joined.filter(
+        (F.col("__rus") <= F.col("__us"))
+        & (F.col("__rus") >= F.col("__us") - delta_us)) \
+        .drop("__us", "__bkt", "__rby", "__rbkt", "__rus")
+
+
+def sessionize(events: DataFrame, by: str = "user_id", ts: str = "ts",
+               gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session assignment: a new session starts when the
+    entity's inter-event gap exceeds ``gap``. Adds ``session_idx``
+    (1-based per entity, ordered by time).
+
+    One shuffle (partition by entity); the window state is a single
+    running counter. Gap arithmetic in integer microseconds so SQL
+    engines replay it exactly.
+    """
+    n, unit = gap.split()
+    per = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+           "hour": 3600, "hours": 3600}[unit]
+    gap_us = int(n) * per * 1_000_000
+    # unix_micros rejects TIMESTAMP_NTZ; the cast is numerically the
+    # identity under the engine's fixed UTC session timezone
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    w = Window.partitionBy(by).orderBy(ts)
+    prev = F.lag(us).over(w)
+    new_sess = F.when(prev.isNull() | (us - prev > gap_us), 1).otherwise(0)
+    run = (Window.partitionBy(by).orderBy(ts)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.withColumn("session_idx",
+                             F.sum(new_sess).over(run).cast("long"))
+
+
+def session_bounds(events: DataFrame, by: str = "user_id",
+                   ts: str = "ts", gap: str = "30 minutes") -> DataFrame:
+    """Session summary: (by, session_idx, n_events, session_start,
+    session_end) — the groupBy reuses the sessionize shuffle's
+    partitioning (same key prefix), so AQE plans it without a second
+    full exchange of the fact rows."""
+    s = sessionize(events, by, ts, gap)
+    return (s.groupBy(by, "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.date_format(F.min(ts), "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_start"),
+                 F.date_format(F.max(ts), "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_end")))

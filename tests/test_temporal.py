@@ -1,0 +1,108 @@
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+from fashion_knowledge_graph_spark.operators import temporal as tp
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    left = [(i, i % 3, _ts("2024-01-01T00:00:00") + timedelta(minutes=7 * i))
+            for i in range(40)]
+    right = [(100 + i, i % 3, _ts("2024-01-01T00:00:00") + timedelta(minutes=11 * i))
+             for i in range(25)]
+    ldf = spark.createDataFrame(left, "event_id long, k long, ts timestamp")
+    rdf = spark.createDataFrame(right, "rid long, k long, ts timestamp")
+    got = {r["event_id"]: (r["asof_rid"], r["asof_ts"])
+           for r in tp.asof_join(ldf, rdf, by="k", ts="ts",
+                                 payload_cols=["rid"]).collect()}
+
+    lp = pd.DataFrame(left, columns=["event_id", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["rid", "k", "ts"]).sort_values("ts")
+    ref = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward",
+                        suffixes=("", "_r"))
+    assert len(got) == 40
+    for row in ref.itertuples():
+        want = (None if pd.isna(row.rid) else int(row.rid))
+        g_rid, g_ts = got[row.event_id]
+        assert g_rid == want, (row.event_id, g_rid, want)
+
+
+def test_asof_join_equal_ts_matches(spark):
+    # right row at exactly left.ts must match (<= contract)
+    t = _ts("2024-05-05T12:00:00")
+    ldf = spark.createDataFrame([(1, 0, t)], "event_id long, k long, ts timestamp")
+    rdf = spark.createDataFrame([(9, 0, t)], "rid long, k long, ts timestamp")
+    row = tp.asof_join(ldf, rdf, by="k", ts="ts",
+                       payload_cols=["rid"]).collect()[0]
+    assert row["asof_rid"] == 9 and row["asof_ts"] == t
+
+
+def test_sessionize_gap_boundaries(spark):
+    base = _ts("2024-03-01T00:00:00")
+    rows = [
+        (1, base),
+        (1, base + timedelta(minutes=29)),          # same session
+        (1, base + timedelta(minutes=59, seconds=1)),   # gap >30m → new
+        (1, base + timedelta(minutes=89, seconds=1)),   # exactly 30m → same
+        (2, base),                                      # other user restarts
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["user_id"], str(r["ts"])): r["session_idx"]
+           for r in tp.sessionize(df, gap="30 minutes").collect()}
+    assert got[(1, str(rows[0][1]))] == 1
+    assert got[(1, str(rows[1][1]))] == 1
+    assert got[(1, str(rows[2][1]))] == 2
+    assert got[(1, str(rows[3][1]))] == 2
+    assert got[(2, str(rows[4][1]))] == 1
+
+
+def test_asof_plan_single_exchange(spark):
+    ldf = spark.createDataFrame([(1, 0, _ts("2024-01-01T00:00:00"))],
+                                "event_id long, k long, ts timestamp")
+    rdf = spark.createDataFrame([(9, 0, _ts("2024-01-01T00:00:00"))],
+                                "rid long, k long, ts timestamp")
+    out = tp.asof_join(ldf, rdf, by="k", ts="ts", payload_cols=["rid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan  # 1 hash + local-table prep
+    assert "Join" not in plan, plan           # no join explosion
+
+
+def test_range_join_matches_bruteforce(spark):
+    left = [(i, i % 2, _ts("2024-01-01T00:00:00") + timedelta(minutes=13 * i))
+            for i in range(30)]
+    right = [(100 + i, i % 2, _ts("2024-01-01T00:00:00") + timedelta(minutes=5 * i))
+             for i in range(60)]
+    ldf = spark.createDataFrame(left, "event_id long, k long, ts timestamp")
+    rdf = spark.createDataFrame(right, "rid long, k long, ts timestamp")
+    got = {(r["event_id"], r["in_range_rid"])
+           for r in tp.range_join(ldf, rdf, by="k", ts="ts",
+                                  lookback="30 minutes",
+                                  payload_cols=["rid"]).collect()}
+    want = {(eid, rid)
+            for eid, lk, lt in left for rid, rk, rt in right
+            if lk == rk and rt <= lt and (lt - rt) <= timedelta(minutes=30)}
+    assert got == want and len(want) > 0
+    # boundary: exactly-lookback-old rows are included (>= contract)
+    t0 = _ts("2024-06-01T00:00:00")
+    l2 = spark.createDataFrame([(1, 0, t0)], "event_id long, k long, ts timestamp")
+    r2 = spark.createDataFrame(
+        [(8, 0, t0 - timedelta(minutes=30)), (9, 0, t0 - timedelta(minutes=30, seconds=1))],
+        "rid long, k long, ts timestamp")
+    rows = tp.range_join(l2, r2, by="k", ts="ts", lookback="30 minutes",
+                         payload_cols=["rid"]).collect()
+    assert {r["in_range_rid"] for r in rows} == {8}
+
+
+def test_range_join_plan_is_equi_join(spark):
+    ldf = spark.createDataFrame([(1, 0, _ts("2024-01-01T00:00:00"))],
+                                "event_id long, k long, ts timestamp")
+    rdf = spark.createDataFrame([(9, 0, _ts("2024-01-01T00:00:00"))],
+                                "rid long, k long, ts timestamp")
+    out = tp.range_join(ldf, rdf, by="k", ts="ts", lookback="1 hour",
+                        payload_cols=["rid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
