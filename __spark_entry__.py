@@ -438,6 +438,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
                  .cast("double").alias("total_value")))
 
+    def stream_sessionize_closed(spark, sf):
+        # custom stateful streaming operator (applyInPandasWithState):
+        # per-user gap sessionization with O(1) state, append-mode
+        # emission of CLOSED sessions. Over the fully drained static
+        # source this equals batch sessionization minus each user's
+        # final open session — the oracle replays exactly that.
+        from fashion_knowledge_graph_spark.streaming.incremental import (
+            stream_sessionize_once,
+        )
+        return stream_sessionize_once(
+            spark, os.path.join(sf, "events.parquet"), gap="4 hours")
+
     def asof_attribution(spark, sf):
         # distributed ASOF JOIN (union-tag + one window pass — Spark
         # has no native asof; the oracle uses DuckDB's real ASOF
@@ -695,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": asof_attribution,
         "range_join_attribution": range_join_attribution,
         "sessionize_events": sessionize_events,
+        "stream_sessionize_closed": stream_sessionize_closed,
         "f9_content_ids": f9_content_ids,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
@@ -938,6 +951,12 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         FROM s GROUP BY 1, 2
+    """
+
+    # closed sessions = batch sessionization minus each user's final
+    # (still-open-in-state) session
+    sql["stream_sessionize_closed"] = sql["sessionize_events"] + """
+        QUALIFY session_idx < max(session_idx) OVER (PARTITION BY user_id)
     """
 
     sql["f9_content_ids"] = """

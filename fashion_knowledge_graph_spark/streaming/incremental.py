@@ -72,6 +72,98 @@ def stream_linked(docs_stream: DataFrame, catalog: DataFrame,
     return writer.start()
 
 
+def stream_sessionize(events_stream: DataFrame, gap: str = "30 minutes",
+                      by: str = "user_id", ts: str = "ts") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    gap-based sessionization with per-entity state (open session's
+    index / count / bounds, in integer µs).
+
+    Each micro-batch sorts the entity's new events, extends or closes
+    the open session carried in state, and EMITS only closed sessions
+    (append semantics). State is O(1) per entity — index + count + two
+    timestamps — the bounded-state form of the batch
+    ``operators.temporal.sessionize``; over a fully drained static
+    source the closed-session output equals the batch sessionization
+    minus each entity's final (still-open) session, which is what the
+    driver's SQL oracle replays.
+    """
+    import pandas as pd
+
+    n, unit = gap.split()
+    per = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+           "hour": 3600, "hours": 3600}[unit]
+    gap_us = int(n) * per * 1_000_000
+    out_schema = (f"{by} long, session_idx long, n_events long, "
+                  "session_start string, session_end string")
+    state_schema = "session_idx long, n_events long, start_us long, last_us long"
+
+    def fn(key, pdfs, state):
+        ts_us = pd.concat([p[[ts]] for p in pdfs])[ts] \
+            .astype("datetime64[us]").astype("int64").sort_values().tolist()
+        if state.exists:
+            idx, cnt, start, last = state.get
+        else:
+            idx, cnt, start, last = 0, 0, None, None
+        closed = []
+        for t in ts_us:
+            if last is None or t - last > gap_us:
+                if cnt:
+                    closed.append((idx, cnt, start, last))
+                idx += 1
+                cnt, start = 1, t
+            else:
+                cnt += 1
+            last = t
+        state.update((idx, cnt, start, last))
+        if closed:
+            cdf = pd.DataFrame(closed, columns=[
+                "session_idx", "n_events", "start_us", "last_us"])
+            yield pd.DataFrame({
+                by: key[0],
+                "session_idx": cdf["session_idx"],
+                "n_events": cdf["n_events"],
+                "session_start": pd.to_datetime(
+                    cdf["start_us"], unit="us").dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "session_end": pd.to_datetime(
+                    cdf["last_us"], unit="us").dt.strftime("%Y-%m-%d %H:%M:%S"),
+            })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (events_stream.groupBy(by)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def stream_sessionize_once(spark: SparkSession, events_path: str,
+                           gap: str = "4 hours") -> DataFrame:
+    """Drain a static events directory through ``stream_sessionize``
+    (availableNow, append-mode memory sink) and return the closed
+    sessions — the driver-facing deterministic runner, same pattern as
+    ``stream_tumbling_agg_once``."""
+    import os
+    import tempfile
+
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="fkg_stream_src_")
+        os.symlink(events_path, os.path.join(
+            d, os.path.basename(events_path)))
+        events_path = d
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    src = spark.readStream.schema(schema).parquet(events_path)
+    out = stream_sessionize(src, gap=gap)
+    _ONCE_SEQ[0] += 1
+    name = f"fkg_stream_sess_{_ONCE_SEQ[0]}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="fkg_stream_cp_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 _ONCE_SEQ = [0]  # per-session memory-sink name counter
 
 

@@ -1,5 +1,6 @@
 import os
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -123,3 +124,58 @@ def test_stream_tumbling_agg_once_equals_batch(spark, tmp_path_factory):
     # single-file (non-dir) inputs stage behind a symlink
     got2 = st.stream_tumbling_agg_once(spark, path).count()
     assert got2 == len(got)
+
+
+def test_stream_sessionize_state_carries_across_batches(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization: 3 time-ordered files ×
+    maxFilesPerTrigger=1 ⇒ 3 micro-batches; sessions spanning batch
+    boundaries must merge via state, and the closed-session output
+    must equal batch sessionization minus each user's final session."""
+    import os
+    import time as _time
+
+    from fashion_knowledge_graph_spark.operators import temporal as tp
+    from fashion_knowledge_graph_spark.streaming import incremental as sti
+
+    src = str(tmp_path_factory.mktemp("sess_src"))
+    base = pd.Timestamp("2026-02-01 00:00:00")
+    rows = []
+    for u in (1, 2):
+        t = base + pd.Timedelta(minutes=u)
+        for i in range(12):
+            # alternate short gaps (same session) and >30m (new session)
+            t = t + pd.Timedelta(minutes=29 if i % 3 else 45)
+            rows.append((u * 100 + i, t.to_pydatetime(), u, "view", 1.0, "{}"))
+    rows.sort(key=lambda r: r[1])
+    sch = ("event_id bigint, ts timestamp, user_id bigint, "
+           "event_type string, value double, props string")
+    for part, chunk in enumerate([rows[:8], rows[8:16], rows[16:]]):
+        spark.createDataFrame(chunk, sch).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(src, f"f{part}"))
+        _time.sleep(1.1)   # strictly increasing mtimes → batch order
+
+    stream = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    out = sti.stream_sessionize(stream, gap="30 minutes")
+    ck = str(tmp_path_factory.mktemp("sess_ck"))
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sess_mb").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["user_id"], r["session_idx"]): (r["n_events"],
+                                              r["session_start"],
+                                              r["session_end"])
+           for r in spark.sql("select * from sess_mb").collect()}
+
+    batch_df = spark.createDataFrame(rows, sch)
+    bounds = tp.session_bounds(batch_df, by="user_id", ts="ts",
+                               gap="30 minutes")
+    last = {r["user_id"]: r["mx"] for r in bounds.groupBy("user_id")
+            .agg(F.max("session_idx").alias("mx")).collect()}
+    want = {(r["user_id"], r["session_idx"]): (r["n_events"],
+                                               r["session_start"],
+                                               r["session_end"])
+            for r in bounds.collect()
+            if r["session_idx"] < last[r["user_id"]]}
+    assert got == want and len(want) >= 4
