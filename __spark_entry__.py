@@ -579,6 +579,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_simhash(spark, sf):
         return dd.simhash_pairs(_docs_split(spark, sf), max_hamming=8)
 
+    def dedup_clusters(spark, sf):
+        # End-to-end dedup resolution: LSH candidate pairs → verified
+        # duplicate pairs → connected components → canonical survivor
+        # (min doc_id) per duplicate group; singletons keep themselves.
+        # The 100 TB path is the distributed min-label propagation
+        # inside dedup_keep (components.py); the oracle replays the
+        # whole chain — candidate set, verify, transitive closure — in
+        # SQL (recursive CTE).
+        docs = _docs_split(spark, sf)
+        pairs = dd.minhash_lsh_pairs(docs, threshold=0.35,
+                                     num_hashes=128, bands=32)
+        return dd.dedup_keep(docs, pairs)
+
     def embedding_near_dup(spark, sf):
         # auto-dispatch: exact matmul at this scale (oracle config);
         # corpora over the budget switch to the LSH-blocked path
@@ -717,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_clusters": dedup_clusters,
         "embedding_near_dup": embedding_near_dup,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1068,8 +1082,7 @@ def oracle_sql() -> dict[str, str]:
     )
     lane_rows = ", ".join(f"({j}, {a}, {b}, {c})" for j, (a, b, c)
                           in enumerate(minhash_lane_params(128)))
-    sql["dedup_minhash_lsh"] = f"""
-        WITH {shingle_cte},
+    minhash_ctes = f"""{shingle_cte},
         posth AS (
           SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS shn
           FROM post),
@@ -1086,7 +1099,9 @@ def oracle_sql() -> dict[str, str]:
         cand AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b
           FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+            ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)"""
+    sql["dedup_minhash_lsh"] = f"""
+        WITH {minhash_ctes}
         SELECT i.id_a, i.id_b,
                round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
         FROM inter i
@@ -1094,6 +1109,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = i.id_a
         JOIN sizes sb ON sb.id = i.id_b
         WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35
+    """
+
+    # LSH pairs → transitive closure → min-id survivor per duplicate
+    # group (operators/dedup.py::dedup_keep + components.py CC). The
+    # recursive reach CTE mirrors the kg_canonical oracle's closure.
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE {minhash_ctes},
+        dup AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i
+          JOIN cand USING (id_a, id_b)
+          JOIN sizes sa ON sa.id = i.id_a
+          JOIN sizes sb ON sb.id = i.id_b
+          WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35),
+        dsym AS (
+          SELECT id_a AS src, id_b AS dst FROM dup
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM dup),
+        reach(id, r) AS (
+          SELECT doc_id AS id, doc_id AS r FROM documents
+          UNION
+          SELECT s.dst AS id, reach.r
+          FROM reach JOIN dsym s ON s.src = reach.id)
+        SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id
     """
 
     # SimHash, bit-exact replay: token hash = first 16 hex chars of
