@@ -605,6 +605,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.cosine_topk(q, emb, k=5).select(
             "query_id", "corpus_id", "rank")
 
+    def ann_lsh_topk(spark, sf):
+        # Sign-LSH strategy in its exhaustive configuration (nbits=0 →
+        # one constant band → every pair is a candidate ⇒ exact top-k),
+        # the oracle-checkable config that still exercises the full
+        # production code path: signature UDF, banded candidate join,
+        # vector re-join by id, Arrow cosine re-rank, top-k window.
+        # Partial-bucket recall (the 100 TB config) is pinned in
+        # tests/test_similarity.py (recall ≥ 0.9 vs exact).
+        emb = _load(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 20)
+        dim = len(emb.select("embedding").first()[0])
+        return sim.lsh_topk(q, emb, k=5, dim=dim, nbits=0, nbands=1) \
+            .select("query_id", "corpus_id", "rank")
+
     def ann_ivf_topk(spark, sf):
         # exhaustive probe ⇒ exact — the oracle-checkable configuration;
         # partial-probe recall is covered in tests/test_similarity.py
@@ -733,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "embedding_near_dup": embedding_near_dup,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "w5_top1_then_threshold": w5_top1_then_threshold,
         "kg_triples": kg_triples,
@@ -1276,6 +1291,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 5
     """
     sql["ann_ivf_topk"] = sql["ann_cosine_topk"]
+    # exhaustive sign-LSH (nbits=0 → single bucket) ⇒ exact top-k
+    sql["ann_lsh_topk"] = sql["ann_cosine_topk"]
 
     sql["w5_top1_then_threshold"] = f"""
         WITH {topk_cte.format(qmax=50)}
