@@ -112,6 +112,28 @@ def test_minhash_arrow_kernel_matches_catalyst_spec(spark, corpus):
         assert a[k] == c[k], k
 
 
+def test_shingle_posting_arrow_matches_catalyst_spec(spark, corpus):
+    """The Arrow posting-list kernel (the hot path feeding jaccard and
+    the LSH verify) must emit exactly the rows of the Catalyst spec
+    (explode of tx.shingles + md5[:15] hash) — same multiset of
+    (id, sh), including short docs, repeated shingles, and empty/None
+    docs (no rows)."""
+    extra = spark.createDataFrame(
+        [(3000, ""), (3001, None), (3002, "alpha"), (3003, "alpha bravo"),
+         (3004, "ALPHA, bravo! charlie alpha bravo charlie"),
+         (3005, "a  b\tc a b c a b")],
+        "doc_id int, text string")
+    df = corpus.unionByName(extra).coalesce(2)
+    a = sorted((r["id"], r["sh"]) for r in
+               dd._shingle_posting(df, "doc_id", "text", 3).collect())
+    c = sorted((r["id"], r["sh"]) for r in
+               dd._shingle_posting_catalyst(df, "doc_id", "text", 3)
+               .collect())
+    assert a == c
+    ids = {i for i, _ in a}
+    assert 3000 not in ids and 3001 not in ids
+
+
 def test_simhash_kernel_matches_python_spec(spark, corpus):
     """The mapInArrow kernel must agree bit-for-bit with the per-doc
     python spec (simhash_py) — including empty and repeated-token
