@@ -165,8 +165,13 @@ def jaccard_pairs_exact(df: DataFrame, id_col: str = "doc_id",
     # ContextCleaner when the DataFrame is garbage-collected, so long
     # sessions running many dedup calls don't accumulate cached
     # partitions (a persist() here leaked until memory pressure).
+    # eager=True: with a LAZY checkpoint the consuming join's subtrees
+    # are materialized as concurrent AQE stage-jobs that RACE to
+    # compute the same checkpoint partitions — duplicate Arrow-kernel
+    # work + block-lock convoys (measured: a bimodal 3× slowdown on
+    # exactly the runs that lost the race).
     post = _shingle_posting(df, id_col, text_col, n) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         keep = post.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh")) \
@@ -376,13 +381,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         # separately below (it needs them anyway, and only for the
         # candidate ids).
         # checkpoint: the banded self-join reads sig via two subtrees
-        # of one job — without it the Arrow kernel runs twice
+        # of one job — without it the Arrow kernel runs twice. Eager:
+        # lazy checkpoints let the subtrees' concurrent AQE stage-jobs
+        # race to compute the same partitions (bimodal 3× slowdown).
         sig = _minhash_sig_arrow(df, id_col, text_col, n, num_hashes) \
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         post_all = None
     else:
         post_all = _shingle_posting(df, id_col, text_col, n) \
-            .localCheckpoint(eager=False)   # shared by sig + verify;
+            .localCheckpoint(eager=True)   # shared by sig + verify;
         #                          blocks auto-freed on GC (no persist leak)
         sig = _with_lane_halves(post_all) \
             .groupBy("id").agg(*_lane_exprs(num_hashes, hash_family))
@@ -404,7 +411,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         return cand
     post = post_all if post_all is not None else \
         _shingle_posting(df, id_col, text_col, n) \
-        .localCheckpoint(eager=False)   # three subtrees below
+        .localCheckpoint(eager=True)   # three subtrees below
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pa = post.select(F.col("id").alias("id_a"), "sh")
     pb = post.select(F.col("id").alias("id_b"), "sh")
@@ -555,8 +562,10 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     radii trade recall. Verify with bit_count(xor) — all JVM-side.
     """
     # materialize: the banded self-join scans ``sh`` twice — without a
-    # checkpoint the Arrow kernel runs twice (measured 2× wall time)
-    sh = simhash_df(df, id_col, text_col).localCheckpoint(eager=False)
+    # checkpoint the Arrow kernel runs twice (measured 2× wall time).
+    # eager: lazy checkpoints race under concurrent AQE stage-jobs
+    # (see minhash_lsh_pairs)
+    sh = simhash_df(df, id_col, text_col).localCheckpoint(eager=True)
     banded = sh.select(
         "id", "simhash",
         F.posexplode(F.array(*[

@@ -79,6 +79,15 @@ def get_spark(app: str = "fkg", cpus: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # dedup/linking operators localCheckpoint shared subtrees;
+        # the blocks are freed by the ContextCleaner, which only runs
+        # on DRIVER GC — with a large heap that can be 30+ min away
+        # (spark.cleaner.periodicGC.interval default), so a session
+        # running many operator calls accumulates dead checkpoint
+        # blocks until storage pressure evicts live ones (measured:
+        # progressive 2-5× slowdown across repeated dedup calls).
+        # Hourly-GC default → every 60 s.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         # one BLAS thread per Python worker: N workers × M BLAS threads
         # oversubscribes instantly (kernels are already batch-parallel)
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
