@@ -708,6 +708,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select("query_id", "product_id",
                         F.round("rrf_score", 6).alias("rrf_score"))
 
+    def text_pii_redact(spark, sf):
+        # deterministic PII injection (the synthetic corpus carries
+        # none): every 3rd doc gains an email+URL, every 5th a phone —
+        # replayed identically in the oracle, so the scan/redact
+        # logic is exercised non-vacuously
+        docs = _load(spark, sf, "documents")
+        aug = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@example.com via https://shop.example.com/i/"),
+                     F.col("doc_id").cast("string"))
+        ).when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" call (555) 010-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"),
+                            4, "0"))
+        ).otherwise(F.col("text"))
+        pc = tx.pii_counts(aug)
+        return docs.select(
+            "doc_id",
+            pc["email"].alias("n_email"), pc["phone"].alias("n_phone"),
+            pc["url"].alias("n_url"), pc["ip"].alias("n_ip"),
+            tx.redact_pii(aug).alias("redacted"))
+
+    def text_repetition(spark, sf):
+        return dd.ngram_repetition_stats(_load(spark, sf, "documents"),
+                                         n=2)
+
+    def tfidf_top_terms(spark, sf):
+        return tx.tfidf_top_terms(_load(spark, sf, "documents"), k=3)
+
+    def graph_pagerank(spark, sf):
+        from fashion_knowledge_graph_spark.operators.graph import pagerank
+        und = j6_cooccurrence_edges(spark, sf)
+        e = und.select("src", "dst", "weight").unionByName(
+            und.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"), "weight"))
+        pr = pagerank(e, weight="weight", iterations=3, damping=0.85)
+        return pr.select("node", F.round("rank", 6).alias("rank"))
+
     return {
         "p2_anti_join": p2_anti_join,
         "j1_broadcast_enrich": j1_broadcast_enrich,
@@ -758,6 +799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ctl_filtered": kg_ctl_filtered,
         "kg_lineage_metrics": kg_lineage_metrics,
         "kg_outfit_from_text": kg_outfit_from_text,
+        "text_pii_redact": text_pii_redact,
+        "text_repetition": text_repetition,
+        "tfidf_top_terms": tfidf_top_terms,
+        "graph_pagerank": graph_pagerank,
     }
 
 
@@ -1052,6 +1097,101 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5({_norm_sql('text')}) AS fingerprint
         FROM documents
     """
+
+    # PII scan/redaction — identical RE2-safe patterns on both engines
+    # (functions/text.py::PII_PATTERNS), same deterministic injection
+    from fashion_knowledge_graph_spark.functions.text import (
+        _PII_REDACT_ORDER,
+        PII_PATTERNS,
+    )
+    aug_sql = """CASE
+        WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id::VARCHAR
+             || '@example.com via https://shop.example.com/i/'
+             || doc_id::VARCHAR
+        WHEN doc_id % 5 = 0 THEN text || ' call (555) 010-'
+             || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        ELSE text END"""
+    red_sql = aug_sql
+    for kind in _PII_REDACT_ORDER:
+        red_sql = (f"regexp_replace({red_sql}, '{PII_PATTERNS[kind]}', "
+                   f"'<{kind.upper()}>', 'g')")
+    counts_sql = ", ".join(
+        f"len(regexp_extract_all({aug_sql}, '{PII_PATTERNS[k]}')) AS n_{k}"
+        for k in ("email", "phone", "url", "ip"))
+    sql["text_pii_redact"] = f"""
+        SELECT doc_id, {counts_sql}, {red_sql} AS redacted
+        FROM documents
+    """
+
+    sql["text_repetition"] = f"""
+        SELECT id, n_tokens, n_ngrams, n_distinct,
+               CASE WHEN n_ngrams > 0
+                    THEN round(1.0 - n_distinct / n_ngrams::DOUBLE, 6)
+                    ELSE 0.0 END AS rep_frac
+        FROM (
+          SELECT doc_id AS id,
+                 len(tk) AS n_tokens,
+                 greatest(len(tk) - 1, 0) AS n_ngrams,
+                 CASE WHEN len(tk) >= 2 THEN len(list_distinct(
+                        list_transform(range(1, len(tk)),
+                                       i -> tk[i] || ' ' || tk[i+1])))
+                      ELSE 0 END AS n_distinct
+          FROM (SELECT doc_id, {toks} AS tk FROM documents))
+    """
+
+    sql["tfidf_top_terms"] = f"""
+        WITH tf AS (
+          SELECT doc_id, token AS term, count(*) AS tf
+          FROM (SELECT doc_id, unnest({toks}) AS token FROM documents)
+          GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM documents),
+        ranked AS (
+          SELECT doc_id, term, tf, df_t,
+                 tf * (ln((nn.n + 1) / (df_t + 1.0)) + 1.0) AS tfidf,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tf * (ln((nn.n + 1) / (df_t + 1.0)) + 1.0)
+                            DESC, term ASC) AS rnk
+          FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
+        SELECT doc_id, term, tf, df_t, round(tfidf, 6) AS tfidf, rnk
+        FROM ranked WHERE rnk <= 3
+    """
+
+    # PageRank: 3 unrolled iterations, damping 0.85, over the
+    # co-purchase graph (j6 edges, both directions) — the exact
+    # iterative formula of operators/graph.py::pagerank (no dangling
+    # nodes by construction: every node has out-edges)
+    pr_iter = """
+        it{K} AS (
+          SELECT no.node,
+                 (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.m, 0.0) AS rank
+          FROM nodes no CROSS JOIN nn
+          LEFT JOIN (SELECT e.dst AS node,
+                            sum(r.rank * e.w / o.outw) AS m
+                     FROM e JOIN it{P} r ON e.src = r.node
+                     JOIN outw o ON e.src = o.src
+                     GROUP BY 1) s ON s.node = no.node)"""
+    sql["graph_pagerank"] = ("""
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT src, dst, w::DOUBLE AS w FROM pairs
+              UNION ALL SELECT dst, src, w::DOUBLE FROM pairs),
+        nodes AS (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        outw AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+        it0 AS (SELECT node, 1.0 / nn.n AS rank
+                FROM nodes CROSS JOIN nn),"""
+        + pr_iter.format(K=1, P=0) + ","
+        + pr_iter.format(K=2, P=1) + ","
+        + pr_iter.format(K=3, P=2) + """
+        SELECT node, round(rank, 6) AS rank FROM it3
+    """)
 
     sql["dedup_exact"] = f"""
         SELECT md5({_norm_sql('text')}) AS fingerprint,

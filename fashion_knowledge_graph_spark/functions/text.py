@@ -147,6 +147,71 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
         best["h"].alias("lang_hits"))
 
 
+# ----------------------------------------------------------- PII scan
+# RE2-safe patterns (no backrefs/lookaround) verified to match
+# IDENTICALLY under Spark's Java regex and DuckDB's RE2, so the DuckDB
+# oracle replays counts and redactions byte-for-byte. Order matters in
+# redact_pii: URL first (emails inside query strings would otherwise
+# split a URL), then EMAIL, PHONE, IP.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"\(?[0-9]{3}\)?[ .\-][0-9]{3}[.\-][0-9]{4}",
+    "url": r"https?://[A-Za-z0-9.\-]+(/[^ ]*)?",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+_PII_REDACT_ORDER = ("url", "email", "phone", "ip")
+
+
+def pii_counts(col) -> dict[str, Column]:
+    """Per-kind PII match counts — one codegen ``regexp_count`` per
+    pattern, pure map work (a 100 TB corpus is just more splits)."""
+    return {kind: F.coalesce(F.regexp_count(col, F.lit(pat)), F.lit(0))
+            for kind, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(col) -> Column:
+    """Replace every PII match with ``<KIND>`` placeholders; chained
+    ``regexp_replace`` in ``_PII_REDACT_ORDER`` (URL before EMAIL so
+    addresses embedded in URLs redact as part of the URL)."""
+    out = col
+    for kind in _PII_REDACT_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind],
+                               f"<{kind.upper()}>")
+    return out
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    scikit-learn convention), ranked by (tf·idf desc, term asc) for a
+    deterministic cut. Plan: explode → per-(doc,term) count (partial
+    agg, one shuffle) → document frequency per term (second agg) →
+    broadcast-size idf join → row_number window. At corpus scale the
+    heavy exchanges are the two hash aggregations on (doc, term) /
+    (term); the window partitions by doc — no global sort.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # one metadata-cheap job; the scalar rides
+    #                      into the plan as a literal (no crossJoin)
+    terms = df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.col("tf") * (F.log((F.lit(float(n_docs + 1)))
+                             / (F.col("df_t") + F.lit(1.0))) + F.lit(1.0)))
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("id").alias(id_col), "term", "tf",
+                    F.col("df_t"), F.round("tfidf", 6).alias("tfidf"),
+                    "rnk"))
+
+
 def fingerprint_md5(col) -> Column:
     """Content fingerprint: md5 of the normalized text. Identical
     normalized content ⇒ identical fingerprint (exact-dedup key)."""

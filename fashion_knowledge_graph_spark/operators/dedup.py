@@ -145,6 +145,41 @@ def _shingle_posting(df: DataFrame, id_col: str, text_col: str,
         .mapInArrow(kernel, out_schema)
 
 
+def ngram_repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n: int = 2) -> DataFrame:
+    """Gopher-style repetition quality: fraction of word-``n``-grams
+    that are repeats of an earlier one in the same document
+    (``1 - distinct/total``; high ⇒ boilerplate/spam).
+
+    Distinct n-grams come from the same Arrow posting kernel the dedup
+    family uses (one map pass + one partial-agg count per doc); total
+    n-grams is ``n_tokens - n + 1``, a pure codegen projection. Docs
+    with fewer than ``n`` tokens have no n-grams → fraction 0.
+    Output: (id, n_tokens, n_ngrams, n_distinct, rep_frac)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tx.token_count(F.col(text_col)).alias("n_tokens"))
+    distinct = _shingle_posting(df, id_col, text_col, n) \
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n_distinct_raw"))
+    total = F.greatest(F.col("n_tokens") - (n - 1), F.lit(0))
+    return (toks.join(distinct, "id", "left")
+            .select(
+                "id", "n_tokens",
+                total.alias("n_ngrams"),
+                # the posting kernel emits a whole-doc fallback row
+                # for 0<tokens<n docs — not an n-gram; zero it out
+                F.when(F.col("n_tokens") >= n,
+                       F.coalesce(F.col("n_distinct_raw"), F.lit(0)))
+                .otherwise(F.lit(0)).alias("n_distinct"))
+            .withColumn(
+                "rep_frac",
+                F.when(F.col("n_ngrams") > 0,
+                       F.round(1.0 - F.col("n_distinct")
+                               / F.col("n_ngrams").cast("double"), 6))
+                .otherwise(F.lit(0.0))))
+
+
 def jaccard_pairs_exact(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,

@@ -1,0 +1,61 @@
+"""PageRank vs a pure-python reference on hand-built graphs."""
+
+import pytest
+
+from fashion_knowledge_graph_spark.operators.graph import pagerank
+
+
+def _pr_py(edges, iterations=3, damping=0.85):
+    """Reference implementation: same formula as operators/graph.py
+    (uniform init, weighted contributions, dangling mass spread
+    uniformly)."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(nodes)
+    outw = {}
+    for u, _, w in edges:
+        outw[u] = outw.get(u, 0.0) + w
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dangling = sum(r[v] for v in nodes if v not in outw)
+        mass = {v: 0.0 for v in nodes}
+        for u, v, w in edges:
+            mass[v] += r[u] * w / outw[u]
+        r = {v: (1 - damping) / n
+             + damping * (mass[v] + dangling / n) for v in nodes}
+    return r
+
+
+@pytest.mark.parametrize("edges", [
+    # simple cycle — uniform stationary distribution
+    [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)],
+    # star: hub 1 points everywhere, spokes point back with weights
+    [(1, 2, 1.0), (1, 3, 2.0), (1, 4, 3.0),
+     (2, 1, 1.0), (3, 1, 1.0), (4, 1, 1.0)],
+    # dangling node 4 (no out-edges) exercises redistribution
+    [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (1, 4, 2.0)],
+])
+def test_pagerank_matches_reference(spark, edges):
+    df = spark.createDataFrame(edges, "src int, dst int, weight double")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, weight="weight").collect()}
+    want = _pr_py(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+def test_pagerank_ranks_sum_to_one(spark):
+    edges = [(i, (i * 7 + 3) % 20, float(i % 4 + 1)) for i in range(40)]
+    edges = [(u, v, w) for u, v, w in edges if u != v]
+    df = spark.createDataFrame(edges, "src int, dst int, weight double")
+    ranks = [r["rank"] for r in pagerank(df, weight="weight").collect()]
+    assert sum(ranks) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_unweighted_default(spark):
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    want = _pr_py([(u, v, 1.0) for u, v in edges])
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v

@@ -123,3 +123,101 @@ def test_lang_id_matches_python_reference_on_nasty_corpus(spark):
            for r in tx.lang_id(df).collect()}
     want = {i: ref(s) for i, s in docs}
     assert got == want
+
+
+# ------------------------------------------------------------- PII scan
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "reach me at jane.doe+x@mail.example.org today"),
+        (2, "see https://a-b.example.com/path?q=1 and http://x.io"),
+        (3, "call (212) 555-0123 or 917-555-0199 now"),
+        (4, "server at 10.0.0.254 timed out"),
+        (5, "nothing sensitive here, just 12345"),
+        (6, "mixed a@b.io https://c.d/e 555-867-5309 1.2.3.4"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_pii_counts(spark, pii_docs):
+    pc = tx.pii_counts(F.col("text"))
+    got = {r["doc_id"]: (r["e"], r["p"], r["u"], r["i"]) for r in
+           pii_docs.select("doc_id", pc["email"].alias("e"),
+                           pc["phone"].alias("p"), pc["url"].alias("u"),
+                           pc["ip"].alias("i")).collect()}
+    assert got[1] == (1, 0, 0, 0)
+    assert got[2] == (0, 0, 2, 0)
+    assert got[3] == (0, 2, 0, 0)
+    assert got[4] == (0, 0, 0, 1)
+    assert got[5] == (0, 0, 0, 0)
+    assert got[6] == (1, 1, 1, 1)
+
+
+def test_redact_pii_removes_every_match(spark, pii_docs):
+    red = pii_docs.select(
+        "doc_id", tx.redact_pii(F.col("text")).alias("r")).collect()
+    for row in red:
+        pc = tx.pii_counts(F.lit(row["r"]))
+        left = spark.range(1).select(
+            *[v.alias(k) for k, v in pc.items()]).collect()[0]
+        assert all(left[k] == 0 for k in ("email", "phone", "url", "ip")), \
+            (row["doc_id"], row["r"])
+    by_id = {r["doc_id"]: r["r"] for r in red}
+    assert "<EMAIL>" in by_id[1]
+    assert by_id[2].count("<URL>") == 2
+    assert by_id[3].count("<PHONE>") == 2
+    assert "<IP>" in by_id[4]
+    assert by_id[5] == "nothing sensitive here, just 12345"
+
+
+# ---------------------------------------------------------- repetition
+def test_ngram_repetition_stats(spark):
+    from fashion_knowledge_graph_spark.operators import dedup as dd
+    rows = [
+        (1, "a b a b a b"),          # bigrams: ab ba ab ba ab -> 2/5 distinct
+        (2, "one two three four"),   # all 3 bigrams distinct
+        (3, "solo"),                 # <2 tokens: no bigrams
+        (4, ""),                     # empty
+        (5, "x x x x"),              # bigrams: xx xx xx -> 1/3 distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["id"]: r.asDict() for r in
+           dd.ngram_repetition_stats(df, n=2).collect()}
+    assert (got[1]["n_ngrams"], got[1]["n_distinct"]) == (5, 2)
+    assert got[1]["rep_frac"] == pytest.approx(0.6)
+    assert (got[2]["n_ngrams"], got[2]["n_distinct"]) == (3, 3)
+    assert got[2]["rep_frac"] == 0.0
+    assert (got[3]["n_ngrams"], got[3]["n_distinct"],
+            got[3]["rep_frac"]) == (0, 0, 0.0)
+    assert (got[4]["n_ngrams"], got[4]["n_distinct"],
+            got[4]["rep_frac"]) == (0, 0, 0.0)
+    assert (got[5]["n_ngrams"], got[5]["n_distinct"]) == (3, 1)
+    assert got[5]["rep_frac"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+# -------------------------------------------------------------- TF-IDF
+def test_tfidf_top_terms_matches_reference(spark):
+    import math
+    from collections import Counter
+    rows = [(1, "apple banana apple cherry"),
+            (2, "banana cherry cherry date"),
+            (3, "apple apple apple egg"),
+            (4, "fig")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = [(r["doc_id"], r["term"], r["tf"], r["df_t"], r["tfidf"], r["rnk"])
+           for r in tx.tfidf_top_terms(df, k=2).collect()]
+    # reference
+    docs = {i: t.split() for i, t in rows}
+    n = len(docs)
+    tf = {i: Counter(t) for i, t in docs.items()}
+    dfreq = Counter(term for c in tf.values() for term in c)
+    want = []
+    for i in sorted(docs):
+        scored = sorted(
+            ((term, c, dfreq[term],
+              c * (math.log((n + 1) / (dfreq[term] + 1)) + 1))
+             for term, c in tf[i].items()),
+            key=lambda x: (-x[3], x[0]))[:2]
+        for rnk, (term, c, d, s) in enumerate(scored, 1):
+            want.append((i, term, c, d, round(s, 6), rnk))
+    assert sorted(got) == sorted(want)
