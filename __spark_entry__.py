@@ -740,6 +740,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def tfidf_top_terms(spark, sf):
         return tx.tfidf_top_terms(_load(spark, sf, "documents"), k=3)
 
+    def kmeans_clusters(spark, sf):
+        from fashion_knowledge_graph_spark.operators.clustering import (
+            kmeans_assign,
+        )
+        return kmeans_assign(_load(spark, sf, "embeddings"),
+                             k=8, iterations=2)
+
     def graph_pagerank(spark, sf):
         from fashion_knowledge_graph_spark.operators.graph import pagerank
         und = j6_cooccurrence_edges(spark, sf)
@@ -803,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "tfidf_top_terms": tfidf_top_terms,
         "graph_pagerank": graph_pagerank,
+        "kmeans_clusters": kmeans_clusters,
     }
 
 
@@ -1157,6 +1165,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, term, tf, df_t, round(tfidf, 6) AS tfidf, rnk
         FROM ranked WHERE rnk <= 3
     """
+
+    # k-means: 2 Lloyd updates + final assignment, K=8, init = the 8
+    # smallest vec_ids, argmin ties toward the smaller centroid id —
+    # the exact algorithm of operators/clustering.py::kmeans_assign
+    # (DOUBLE[] casts for the same reason as embedding_near_dup)
+    km_assign = """
+        a{K} AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, c.v) ASC, c.cid ASC) AS rn
+          FROM e CROSS JOIN c{P} c) WHERE rn = 1)"""
+    km_update = """
+        m{K} AS (SELECT a{P}.cid, t.dim, avg(e.v[t.dim]) AS mv
+          FROM e JOIN a{P} USING (vec_id)
+          CROSS JOIN range(1, 65) t(dim)
+          GROUP BY 1, 2),
+        c{K} AS (SELECT c{P}.cid, coalesce(ml.v, c{P}.v) AS v
+          FROM c{P} LEFT JOIN (SELECT cid, list(mv ORDER BY dim) AS v
+                               FROM m{K} GROUP BY cid) ml USING (cid))"""
+    sql["kmeans_clusters"] = ("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v
+               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),"""
+        + km_assign.format(K=0, P=0) + ","
+        + km_update.format(K=1, P=0) + ","
+        + km_assign.format(K=1, P=1) + ","
+        + km_update.format(K=2, P=1) + """
+        SELECT e.vec_id, c.cid AS cluster,
+               round(list_distance(e.v, c.v), 6) AS dist
+        FROM e CROSS JOIN c2 c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY list_distance(e.v, c.v) ASC, c.cid ASC) = 1
+    """)
 
     # PageRank: 3 unrolled iterations, damping 0.85, over the
     # co-purchase graph (j6 edges, both directions) — the exact

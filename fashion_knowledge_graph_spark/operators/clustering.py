@@ -1,0 +1,98 @@
+"""Distributed k-means over an embedding column.
+
+The MLlib pattern, re-expressed directly: centroids live on the
+driver (K×d — a few KB, scale-independent), each iteration is ONE
+map pass over the corpus (an Arrow kernel computing all K distances
+per batch with one BLAS-backed matmul-like broadcast) emitting
+per-partition partial (cluster, count, sum-vector) rows that combine
+on the driver — the treeAggregate shape. No shuffle touches a
+vector: the corpus is read ``iterations + 1`` times and everything
+else is driver-side K×d arithmetic. At 100 TB each pass is pure map
+tasks over input splits.
+
+Determinism: init = the K vectors with the smallest ids; fixed
+iteration count; argmin ties break toward the smaller centroid id.
+This makes the whole algorithm replayable in ANSI SQL (the driver
+oracle unrolls the iterations as CTEs with ``list_distance``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dists_kernel(centroids: np.ndarray, id_col: str, vec_col: str,
+                  emit: str):
+    """mapInArrow kernel factory. ``emit='assign'`` yields
+    (id, cluster, dist); ``emit='partial'`` yields per-batch
+    (cluster, cnt, vsum) partial aggregates."""
+    import pyarrow as pa
+
+    c = centroids  # (k, d) float64, closure-captured (broadcast-sized)
+
+    def kernel(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            x = np.asarray(rb.column(vec_col).to_pylist(),
+                           dtype=np.float64)           # (n, d)
+            # DIRECT-form distances Σ(x-c)² — not the expanded
+            # ||x||²-2x·c+||c||² matmul form, whose cancellation error
+            # (~1e-8) could flip argmin near cluster boundaries vs the
+            # SQL oracle's list_distance; the direct form matches it
+            # to ~1 ulp. n×k×d temporaries are ~8 MB/batch at k=8.
+            sq = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cl = np.argmin(sq, axis=1).astype(np.int32)  # ties → min id
+            if emit == "assign":
+                d = np.sqrt(sq[np.arange(len(cl)), cl])
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(id_col), pa.array(cl, pa.int32()),
+                     pa.array(d, pa.float64())],
+                    names=[id_col, "cluster", "dist"])
+            else:
+                ks, cnts, sums = [], [], []
+                for kk in np.unique(cl):
+                    m = cl == kk
+                    ks.append(int(kk))
+                    cnts.append(int(m.sum()))
+                    sums.append(x[m].sum(axis=0).tolist())
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ks, pa.int32()),
+                     pa.array(cnts, pa.int64()),
+                     pa.array(sums, pa.list_(pa.float64()))],
+                    names=["cluster", "cnt", "vsum"])
+    return kernel
+
+
+def kmeans_assign(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", k: int = 8,
+                  iterations: int = 2) -> DataFrame:
+    """Lloyd's algorithm, ``iterations`` centroid updates, then a
+    final assignment pass. Returns (id, cluster, dist).
+
+    Empty clusters keep their previous centroid (deterministic, and
+    what the SQL replay's LEFT JOIN + coalesce does)."""
+    src = df.select(id_col, vec_col)
+    init = src.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = np.asarray([r[0] for r in init], dtype=np.float64)
+
+    partial_schema = ("cluster int, cnt long, vsum array<double>")
+    for _ in range(iterations):
+        parts = src.mapInArrow(
+            _dists_kernel(centroids, id_col, vec_col, "partial"),
+            partial_schema).collect()          # ≤ k × partitions rows
+        cnt = np.zeros(len(centroids))
+        tot = np.zeros_like(centroids)
+        for r in parts:
+            cnt[r["cluster"]] += r["cnt"]
+            tot[r["cluster"]] += np.asarray(r["vsum"])
+        nz = cnt > 0
+        centroids = centroids.copy()
+        centroids[nz] = tot[nz] / cnt[nz, None]
+
+    out_schema = f"{id_col} long, cluster int, dist double"
+    return src.mapInArrow(
+        _dists_kernel(centroids, id_col, vec_col, "assign"), out_schema) \
+        .select(id_col, "cluster", F.round("dist", 6).alias("dist"))
