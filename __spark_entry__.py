@@ -1210,7 +1210,7 @@ def oracle_sql() -> dict[str, str]:
                  (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.m, 0.0) AS rank
           FROM nodes no CROSS JOIN nn
           LEFT JOIN (SELECT e.dst AS node,
-                            sum(r.rank * e.w / o.outw) AS m
+                            sum(r.rank * (e.w / o.outw)) AS m
                      FROM e JOIN it{P} r ON e.src = r.node
                      JOIN outw o ON e.src = o.src
                      GROUP BY 1) s ON s.node = no.node)"""

@@ -51,6 +51,9 @@ HEADLINE = [
     "embedding_near_dup",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "tfidf_top_terms",
+    "graph_pagerank",
+    "kmeans_clusters",
 ]
 
 

@@ -40,30 +40,42 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     computed once, checkpointed, and reused every iteration.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # materialize the edge list FIRST: nodes / out-weights / dangling
+    # set each consume it, and edges usually arrive from an expensive
+    # upstream plan (a co-occurrence self-join here) that would
+    # otherwise re-execute once per consumer
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
-                     w.alias("w"))
+                     w.alias("w")).localCheckpoint(eager=True)
     nodes = (e.select(F.col("e_src").alias("node"))
              .unionByName(e.select(F.col("e_dst").alias("node")))
              .distinct().localCheckpoint(eager=True))
     n = nodes.count()
-    outw = e.groupBy("e_src").agg(F.sum("w").alias("outw")) \
-        .localCheckpoint(eager=True)
+    outw = e.groupBy("e_src").agg(F.sum("w").alias("outw"))
+    # static per-edge transition share w(u,v)/outw(u): join ONCE
+    # outside the loop (the round-1 shape re-joined outw every
+    # iteration). rank·(w/outw) — keep the parenthesization in sync
+    # with the SQL oracle.
+    e_norm = (e.join(outw, "e_src")
+              .select("e_src", F.col("e_dst").alias("node"),
+                      (F.col("w") / F.col("outw")).alias("share"))
+              .localCheckpoint(eager=True))
+    # dangling node SET is static — compute once; when empty (every
+    # node has out-edges, e.g. symmetrized graphs) the per-iteration
+    # dangling-mass job is skipped entirely
+    dang_nodes = nodes.join(
+        e.select(F.col("e_src").alias("node")).distinct(),
+        "node", "left_anti").localCheckpoint(eager=True)
+    n_dang = dang_nodes.count()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
-        with_out = ranks.join(
-            outw, ranks["node"] == outw["e_src"], "left")
-        # rank mass on dangling nodes (no out-edges) — ONE scalar
-        dangling = with_out.filter(F.col("outw").isNull()) \
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0]
-        contribs = (e.join(ranks, e["e_src"] == ranks["node"])
-                    .select(F.col("e_dst").alias("node"),
-                            (F.col("rank") * F.col("w")).alias("num"),
-                            "e_src"))
-        contribs = contribs.join(outw, "e_src") \
-            .select("node", (F.col("num") / F.col("outw")).alias("contrib"))
-        summed = contribs.groupBy("node").agg(
-            F.sum("contrib").alias("in_mass"))
+        dangling = 0.0 if n_dang == 0 else (
+            ranks.join(dang_nodes, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0])
+        summed = (e_norm.join(ranks, e_norm["e_src"] == ranks["node"])
+                  .select(e_norm["node"],
+                          (F.col("rank") * F.col("share")).alias("contrib"))
+                  .groupBy("node").agg(F.sum("contrib").alias("in_mass")))
         ranks = (nodes.join(summed, "node", "left")
                  .select(
                      "node",

@@ -140,3 +140,67 @@ def test_edge_aggregation_has_partial_aggregate(spark):
     # partial (map-side) aggregation before exactly one exchange
     assert "partial_count" in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_pii_redact_is_pure_codegen_map(spark, tmp_path):
+    """PII counting + redaction is one codegen projection pipelined
+    into the scan — regex work stays JVM-side, no Python, no
+    exchange."""
+    import pandas as pd
+
+    p = str(tmp_path / "pii.parquet")
+    pd.DataFrame({"doc_id": [1], "text": ["a@b.io"]}).to_parquet(p)
+    df = spark.read.parquet(p)
+    pc = tx.pii_counts(F.col("text"))
+    out = df.select("doc_id", *[v.alias(k) for k, v in pc.items()],
+                    tx.redact_pii(F.col("text")).alias("red"))
+    plan = _plan(out)
+    for node in ("Exchange", "Join", "HashAggregate", "Window",
+                 "ArrowEvalPython", "BatchEvalPython", "MapInArrow"):
+        assert node not in plan, (node, plan)
+    assert "* Project" in plan, plan
+
+
+def test_tfidf_plan_has_partial_aggregates_and_no_global_sort(spark,
+                                                              tmp_path):
+    """TF-IDF: both aggregations must be partial (map-side combine
+    before the exchange) and the per-doc ranking must be a window
+    partitioned by doc — never a global Sort over the whole term
+    table."""
+    import pandas as pd
+
+    p = str(tmp_path / "tfidf.parquet")
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a b a", "b c"]}) \
+        .to_parquet(p)
+    df = spark.read.parquet(p)
+    plan = _plan(tx.tfidf_top_terms(df, k=2))
+    assert plan.count("HashAggregate") >= 4, plan  # 2 aggs × partial+final
+    assert "partial_count" in plan, plan
+    assert "Window" in plan, plan
+    # the only Sorts allowed are the window's local per-partition sort
+    # (global=false); a global=true Sort would be a full-data sort
+    import re as _re
+    for m in _re.finditer(r"Sort \[", plan):
+        seg = plan[m.start():m.start() + 200]
+        assert "false" in seg.split("global=")[1][:8] \
+            if "global=" in seg else True, seg
+
+
+def test_kmeans_partials_never_shuffle_vectors(spark):
+    """The k-means iteration plan is a map-only Arrow pass: partial
+    (cluster, count, sum) rows come straight out of the kernel with
+    no exchange before the driver collect."""
+    from fashion_knowledge_graph_spark.operators.clustering import (
+        _dists_kernel,
+    )
+    import numpy as np
+
+    rows = [(i, [float(i), 1.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c = np.zeros((2, 2))
+    parts = df.select("vec_id", "embedding").mapInArrow(
+        _dists_kernel(c, "vec_id", "embedding", "partial"),
+        "cluster int, cnt long, vsum array<double>")
+    plan = _plan(parts)
+    assert "Exchange" not in plan, plan
+    assert "MapInArrow" in plan, plan
