@@ -212,6 +212,39 @@ def _kg_build(spark, sf_dir: str, replicate: int = 1,
     return n
 
 
+def machine_control(seconds: float = 5.0) -> dict:
+    """Pure-CPU 4-vs-16-process control burn — measures what the BOX
+    can scale right now, independent of Spark. Calibration on this
+    host is 0.95 (BENCH.md machine ceiling); a shared-host window
+    where neighbors cap aggregate frequency can drop it to ~0.3 with
+    near-zero visible steal and unaffected single-thread speed —
+    making any multicore measurement in that window meaningless. The
+    scaling harness runs this FIRST and annotates the result."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def burn(q):
+        a = np.random.default_rng(1).random((600, 600))
+        t0, n = time.time(), 0
+        while time.time() - t0 < seconds:
+            a = a @ a
+            a /= np.abs(a).max()
+            n += 1
+        q.put(n)
+
+    tput = {}
+    for procs in (4, 16):
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        tput[procs] = sum(q.get() for _ in ps) / seconds
+    eff = (tput[16] / tput[4]) / 4.0
+    return {"units_per_sec": tput, "eff_4_to_16": round(eff, 3),
+            "calibration": 0.95}
+
+
 def run_scaling(sf_dir: str, levels=(1, 4), replicate: int = 320) -> dict:
     """Same job, same stored input, N vs 4N executors (the
     north_rule's two cluster sizes), fresh driver JVM per level.
@@ -226,6 +259,7 @@ def run_scaling(sf_dir: str, levels=(1, 4), replicate: int = 320) -> dict:
     kernel itself at 0.92)."""
     import subprocess
 
+    ctl = machine_control()
     results = {}
     for execs in levels:
         best = None
@@ -259,13 +293,17 @@ def run_scaling(sf_dir: str, levels=(1, 4), replicate: int = 320) -> dict:
     lo, hi = min(levels), max(levels)
     tput = {c: results[c]["docs_per_sec"] for c in levels}
     eff = (tput_ratio := tput_hi_lo(tput, hi, lo)) / (hi / lo)
-    return {
+    out = {
         "metric": "scaling_efficiency", "value": round(eff, 3),
         "unit": "ratio",
         "levels": {str(c): results[c] for c in levels},
         "throughput": {str(c): tput[c] for c in levels},
         "speedup": round(tput_ratio, 3), "sf": results[lo].get("sf"),
+        "machine_control": ctl,
     }
+    if ctl["eff_4_to_16"] < 0.85:
+        out["window_contended"] = True
+    return out
 
 
 def tput_hi_lo(tput: dict, hi: int, lo: int) -> float:
@@ -399,7 +437,13 @@ def main():
                     merged = json.load(f)
             # keep calibration keys (machine ceilings, LSH results)
             # measured outside the scaling run itself
-            merged.update(res)
+            if res.get("window_contended"):
+                # the box itself couldn't scale during this run (see
+                # machine_control) — record the attempt but do NOT
+                # overwrite the official calm-window measurement
+                merged.setdefault("contended_attempts", []).append(res)
+            else:
+                merged.update(res)
             with open(p, "w") as f:
                 json.dump(merged, f)
             res = merged
