@@ -108,11 +108,16 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     spark.stop()
     total = round(sum(times.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    ctl = machine_control(seconds=2.0)
     out = {
         "metric": "headline_total", "value": total, "unit": "sec",
         "queries": times, "sf": float(sf) if sf else sf_dir,
         "kg_docs": n_docs, "docs_per_sec": round(n_docs / kg_sec, 2),
         "cpus": cpus,
+        # window quality: pure-CPU 4→16-proc scaling on THIS box
+        # during THIS run (0.95 calm calibration; ≤0.5 = neighbors
+        # capping aggregate throughput — times above are inflated)
+        "machine_control_eff": ctl["eff_4_to_16"],
     }
     # attach a COMPACT summary of the latest N-vs-4N executor scaling
     # measurement (full detail lives in SCALING.json / BENCH.md).
