@@ -740,6 +740,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def tfidf_top_terms(spark, sf):
         return tx.tfidf_top_terms(_load(spark, sf, "documents"), k=3)
 
+    def a_percentiles(spark, sf):
+        # EXACT interpolated percentiles (Spark `percentile` ≡ DuckDB
+        # `quantile_cont`, parity-verified); the approx_percentile
+        # t-digest path is the 100 TB variant of the same plan shape
+        li = _load(spark, sf, "lineitem")
+        p = F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))")
+        return li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(p[0], 6).alias("p25"), F.round(p[1], 6).alias("p50"),
+            F.round(p[2], 6).alias("p75"), F.round(p[3], 6).alias("p95"))
+
+    def a_cube_rollup(spark, sf):
+        # grouping-sets aggregation: every (priority × status) combo
+        # plus both partials and the grand total in ONE pass; DECIMAL
+        # accumulation keeps the sums order-independent
+        o = _load(spark, sf, "orders")
+        return (o.cube("o_orderpriority", "o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(
+                         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                         .cast("double"), 2).alias("revenue")))
+
+    def w_running_analytics(spark, sf):
+        # per-customer running spend + previous-order delta: frame-
+        # based window aggs (cumulative sum, lag) with a fully
+        # deterministic (date, orderkey) ordering
+        from pyspark.sql import Window
+        o = _load(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey") \
+            .orderBy("o_orderdate", "o_orderkey")
+        price = F.col("o_totalprice").cast("decimal(18,2)")
+        return o.select(
+            "o_custkey", "o_orderkey",
+            F.round(F.sum(price).over(
+                w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double"), 2).alias("running_spend"),
+            F.round((price - F.lag(price, 1).over(w)).cast("double"), 2)
+            .alias("delta_vs_prev"),
+            F.row_number().over(w).alias("order_seq"))
+
     def kmeans_clusters(spark, sf):
         from fashion_knowledge_graph_spark.operators.clustering import (
             kmeans_assign,
@@ -811,6 +852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms,
         "graph_pagerank": graph_pagerank,
         "kmeans_clusters": kmeans_clusters,
+        "a_percentiles": a_percentiles,
+        "a_cube_rollup": a_cube_rollup,
+        "w_running_analytics": w_running_analytics,
     }
 
 
@@ -1164,6 +1208,41 @@ def oracle_sql() -> dict[str, str]:
           FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
         SELECT doc_id, term, tf, df_t, round(tfidf, 6) AS tfidf, rnk
         FROM ranked WHERE rnk <= 3
+    """
+
+    sql["a_percentiles"] = """
+        SELECT l_returnflag, count(*) AS n,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        FROM lineitem GROUP BY 1
+    """
+
+    sql["a_cube_rollup"] = """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2)
+                 AS revenue
+        FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """
+
+    sql["w_running_analytics"] = """
+        SELECT o_custkey, o_orderkey,
+               round((sum(o_totalprice::DECIMAL(18,2)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING))::DOUBLE, 2)
+                 AS running_spend,
+               round((o_totalprice::DECIMAL(18,2) - lag(
+                 o_totalprice::DECIMAL(18,2), 1) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey))::DOUBLE, 2)
+                 AS delta_vs_prev,
+               row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS order_seq
+        FROM orders
     """
 
     # k-means: 2 Lloyd updates + final assignment, K=8, init = the 8
