@@ -503,6 +503,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_bounds(_load(spark, sf, "events"),
                               by="user_id", ts="ts", gap="4 hours")
 
+    def stream_view_purchase_join(spark, sf):
+        # stream-stream watermarked interval join (two file-source
+        # streams → stateful join → append-mode memory sink): each
+        # purchase attributed to same-user views within 1 h before
+        # it. Lenient watermark in the runner ⇒ stream ≡ the batch
+        # interval join, which the oracle replays directly.
+        from fashion_knowledge_graph_spark.streaming.incremental import (
+            stream_interval_join_once,
+        )
+        return stream_interval_join_once(
+            spark, os.path.join(sf, "events.parquet"))
+
     def stream_windowed_agg(spark, sf):
         # 2.I: the SAME tumbling-window aggregation run as a REAL
         # Structured Streaming query (file source → stateful agg →
@@ -820,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_collect_sorted": a2_collect_sorted,
         "events_tumbling_agg": events_tumbling_agg,
         "stream_windowed_agg": stream_windowed_agg,
+        "stream_view_purchase_join": stream_view_purchase_join,
         "asof_attribution": asof_attribution,
         "range_join_attribution": range_join_attribution,
         "sessionize_events": sessionize_events,
@@ -1208,6 +1221,15 @@ def oracle_sql() -> dict[str, str]:
           FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
         SELECT doc_id, term, tf, df_t, round(tfidf, 6) AS tfidf, rnk
         FROM ranked WHERE rnk <= 3
+    """
+
+    sql["stream_view_purchase_join"] = """
+        SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+               p.user_id, round(p.value, 6) AS purchase_value
+        FROM events p JOIN events v
+          ON p.event_type = 'purchase' AND v.event_type = 'view'
+         AND p.user_id = v.user_id
+         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
     """
 
     sql["a_percentiles"] = """

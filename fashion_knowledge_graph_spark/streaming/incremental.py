@@ -219,6 +219,81 @@ def stream_tumbling_agg_once(spark: SparkSession, events_path: str,
     return spark.table(name)
 
 
+def stream_interval_join(views: DataFrame, purchases: DataFrame,
+                         horizon: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream INNER interval join: attribute each purchase to
+    every view by the same user within ``horizon`` before it.
+
+    Both sides carry watermarks + the time-range predicate, which is
+    what lets Spark bound the join state (each side's buffered rows
+    are purged once the other side's watermark passes the interval) —
+    the canonical stream-stream join shape. At 100 TB/day the state
+    is O(events within horizon+watermark), not O(stream).
+    """
+    v = views.select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("v_ts")) \
+        .withWatermark("v_ts", watermark)
+    p = purchases.select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("value").alias("purchase_value")) \
+        .withWatermark("p_ts", watermark)
+    return p.join(
+        v, (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(
+            f"INTERVAL {horizon}")), "inner")
+
+
+def stream_interval_join_once(spark: SparkSession, events_path: str,
+                              horizon: str = "1 hour") -> DataFrame:
+    """Deterministic driver-facing runner: drain a static events
+    directory through TWO file-source streams (views / purchases) and
+    the stream-stream interval join, append-mode memory sink,
+    availableNow.
+
+    The watermark here is LENIENT (10 years — nothing is ever
+    declared late) so the result ≡ the batch interval join no matter
+    how the source splits into micro-batches; that equivalence is
+    what gives a stateful stream-stream join a full ANSI-SQL oracle.
+    The production shape (tight watermark, bounded state) is
+    ``stream_interval_join``'s default, pinned in
+    tests/test_streaming.py.
+    """
+    import os
+    import tempfile
+
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="fkg_stream_src_")
+        os.symlink(events_path, os.path.join(
+            d, os.path.basename(events_path)))
+        events_path = d
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+
+    def src():
+        return spark.readStream.schema(schema).parquet(events_path)
+
+    out = stream_interval_join(
+        src().filter(F.col("event_type") == "view"),
+        src().filter(F.col("event_type") == "purchase"),
+        horizon=horizon, watermark="3650 days")
+    out = out.select("purchase_id", "view_id",
+                     F.col("p_user").alias("user_id"),
+                     F.round("purchase_value", 6).alias("purchase_value"))
+    _ONCE_SEQ[0] += 1
+    name = f"fkg_stream_ssj_{_ONCE_SEQ[0]}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="fkg_stream_cp_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_event_counts(events_stream: DataFrame,
                         window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:

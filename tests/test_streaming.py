@@ -179,3 +179,51 @@ def test_stream_sessionize_state_carries_across_batches(spark, tmp_path_factory)
             for r in bounds.collect()
             if r["session_idx"] < last[r["user_id"]]}
     assert got == want and len(want) >= 4
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path_factory):
+    """Stream-stream watermarked interval join over a multi-file
+    source (forced micro-batch splits) must equal the batch interval
+    join — including matches that straddle micro-batch boundaries
+    (a view in batch 0 joined by a purchase in batch 2)."""
+    import time as _time
+    from datetime import datetime
+
+    sch = ("event_id bigint, ts timestamp, user_id bigint, "
+           "event_type string, value double, props string")
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(i, mins, uid, typ, val=1.0):
+        from datetime import timedelta
+        return (i, t0 + timedelta(minutes=mins), uid, typ, val, "{}")
+
+    rows = [
+        ev(1, 0, 1, "view"), ev(2, 30, 1, "purchase", 9.0),   # in-window
+        ev(3, 0, 2, "view"), ev(4, 90, 2, "purchase"),        # too late
+        ev(5, 10, 3, "view"), ev(6, 15, 3, "view"),
+        ev(7, 40, 3, "purchase", 5.0),                        # joins both
+        ev(8, 100, 1, "view"), ev(9, 150, 1, "purchase", 2.0),
+        ev(10, 50, 4, "purchase"),                            # no view
+    ]
+    src = str(tmp_path_factory.mktemp("ssj_src"))
+    for part, chunk in enumerate([rows[:4], rows[4:7], rows[7:]]):
+        spark.createDataFrame(chunk, sch).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(src, f"f{part}"))
+        _time.sleep(1.1)
+
+    stream = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    out = st.stream_interval_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour", watermark="10 hours")
+    ck = str(tmp_path_factory.mktemp("ssj_ck"))
+    q = (out.select("purchase_id", "view_id", "purchase_value")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("ssj_mb").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["purchase_id"], r["view_id"], r["purchase_value"])
+           for r in spark.sql("select * from ssj_mb").collect()}
+    want = {(2, 1, 9.0), (7, 5, 5.0), (7, 6, 5.0), (9, 8, 2.0)}
+    assert got == want
