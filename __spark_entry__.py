@@ -752,6 +752,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def tfidf_top_terms(spark, sf):
         return tx.tfidf_top_terms(_load(spark, sf, "documents"), k=3)
 
+    def j_salted_skew_join(spark, sf):
+        # explicit skew handling on a maximally hot key (l_returnflag
+        # has 3 values — every key is a head key): the salted
+        # broadcast join spreads each hot key over n_salt tasks; the
+        # result is identical to the plain join, which is exactly
+        # what the oracle replays
+        from fashion_knowledge_graph_spark.operators.skew import (
+            salted_broadcast_join,
+        )
+        li = _load(spark, sf, "lineitem")
+        dim = li.groupBy("l_returnflag").agg(
+            F.round(F.avg("l_discount"), 6).alias("flag_avg_disc"))
+        big = li.select("l_orderkey", "l_partkey", "l_returnflag",
+                        F.round("l_extendedprice", 2).alias("price"))
+        return salted_broadcast_join(big, dim, ["l_returnflag"],
+                                     n_salt=8)
+
     def a_percentiles(spark, sf):
         # EXACT interpolated percentiles (Spark `percentile` ≡ DuckDB
         # `quantile_cont`, parity-verified); the approx_percentile
@@ -866,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "kmeans_clusters": kmeans_clusters,
         "a_percentiles": a_percentiles,
+        "j_salted_skew_join": j_salted_skew_join,
         "a_cube_rollup": a_cube_rollup,
         "w_running_analytics": w_running_analytics,
     }
@@ -1230,6 +1248,16 @@ def oracle_sql() -> dict[str, str]:
           ON p.event_type = 'purchase' AND v.event_type = 'view'
          AND p.user_id = v.user_id
          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """
+
+    sql["j_salted_skew_join"] = """
+        SELECT li.l_orderkey, li.l_partkey, li.l_returnflag,
+               round(li.l_extendedprice, 2) AS price,
+               d.flag_avg_disc
+        FROM lineitem li
+        JOIN (SELECT l_returnflag,
+                     round(avg(l_discount), 6) AS flag_avg_disc
+              FROM lineitem GROUP BY 1) d USING (l_returnflag)
     """
 
     sql["a_percentiles"] = """
