@@ -237,3 +237,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bktest.ta")
         spark.sql("DROP TABLE IF EXISTS bktest.tb")
         spark.sql("DROP DATABASE IF EXISTS bktest")
+
+
+def test_partitioned_write_prunes_partitions_and_pushes_filters(
+        spark, tmp_path):
+    """Hive-partitioned writes must turn query predicates into
+    partition pruning (PartitionFilters on the partition column —
+    unmatched directories never open) and data-filter pushdown
+    (PushedFilters reaching the parquet reader) — the two scan-side
+    behaviors that make a 100 TB table queryable."""
+    import pandas as pd
+
+    p = str(tmp_path / "events_part")
+    pdf = pd.DataFrame({
+        "event_id": range(100),
+        "day": [f"2026-01-{(i % 5) + 1:02d}" for i in range(100)],
+        "value": [float(i) for i in range(100)],
+    })
+    spark.createDataFrame(pdf).write.partitionBy("day").parquet(p)
+    df = spark.read.parquet(p).filter(
+        (F.col("day") == "2026-01-03") & (F.col("value") > 50.0))
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan, plan
+    assert "2026-01-03" in plan.split("PartitionFilters")[1][:200], plan
+    assert "PushedFilters: [" in plan, plan
+    assert "GreaterThan(value,50.0)" in plan, plan
+    got = df.count()
+    want = len(pdf[(pdf.day == "2026-01-03") & (pdf.value > 50.0)])
+    assert got == want
