@@ -472,6 +472,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "asof_view_id",
             F.date_format("asof_ts", fmt).alias("view_ts"))
 
+    def asof_attribution_cogroup(spark, sf):
+        # the SAME as-of semantics via the cogrouped-map API
+        # (groupBy().cogroup().applyInPandas → per-key merge_asof):
+        # one shuffle per side, pandas kernel per key — the wide-
+        # payload variant of asof_join; identical result, same oracle
+        from fashion_knowledge_graph_spark.operators.temporal import (
+            asof_join_cogroup,
+        )
+        ev = _load(spark, sf, "events")
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        purchases = ev.filter(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts")
+        views = ev.filter(F.col("event_type") == "view") \
+            .select("user_id", "ts", F.col("event_id").alias("view_id"))
+        out = asof_join_cogroup(purchases, views, by="user_id", ts="ts",
+                                payload_cols=["view_id"])
+        return out.select(
+            "event_id", "user_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            "asof_view_id",
+            F.date_format("asof_ts", fmt).alias("view_ts"))
+
     def range_join_attribution(spark, sf):
         # banded range join (bucketed equi-join over time bins + exact
         # filter — no non-equi nested loop): every view within 3 days
@@ -769,6 +791,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return salted_broadcast_join(big, dim, ["l_returnflag"],
                                      n_salt=8)
 
+    def a_pivot_event_matrix(spark, sf):
+        # relational pivot: one row per user, one count column per
+        # event type. The explicit value list keeps the plan a single
+        # pass (no distinct-values pre-job) — at 100 TB an open-ended
+        # pivot would need that extra scan
+        kinds = ["click", "error", "purchase", "signup", "view"]
+        ev = _load(spark, sf, "events")
+        return (ev.groupBy("user_id").pivot("event_type", kinds)
+                .agg(F.count(F.lit(1))).na.fill(0, kinds))
+
     def a_percentiles(spark, sf):
         # EXACT interpolated percentiles (Spark `percentile` ≡ DuckDB
         # `quantile_cont`, parity-verified); the approx_percentile
@@ -851,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_agg": stream_windowed_agg,
         "stream_view_purchase_join": stream_view_purchase_join,
         "asof_attribution": asof_attribution,
+        "asof_attribution_cogroup": asof_attribution_cogroup,
         "range_join_attribution": range_join_attribution,
         "sessionize_events": sessionize_events,
         "stream_sessionize_closed": stream_sessionize_closed,
@@ -884,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": kmeans_clusters,
         "a_percentiles": a_percentiles,
         "j_salted_skew_join": j_salted_skew_join,
+        "a_pivot_event_matrix": a_pivot_event_matrix,
         "a_cube_rollup": a_cube_rollup,
         "w_running_analytics": w_running_analytics,
     }
@@ -1074,6 +1108,8 @@ def oracle_sql() -> dict[str, str]:
           ON p.user_id = v.user_id AND p.ts >= v.ts
     """
 
+    sql["asof_attribution_cogroup"] = sql["asof_attribution"]
+
     sql["range_join_attribution"] = """
         SELECT p.event_id, p.user_id,
                strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
@@ -1258,6 +1294,16 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT l_returnflag,
                      round(avg(l_discount), 6) AS flag_avg_disc
               FROM lineitem GROUP BY 1) d USING (l_returnflag)
+    """
+
+    sql["a_pivot_event_matrix"] = """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS click,
+               count(*) FILTER (WHERE event_type = 'error')    AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events GROUP BY 1
     """
 
     sql["a_percentiles"] = """

@@ -69,6 +69,70 @@ def asof_join(left: DataFrame, right: DataFrame, by: str, ts: str,
         F.col("__m_ts").alias(f"{prefix}{ts}"))
 
 
+def asof_join_cogroup(left: DataFrame, right: DataFrame, by: str,
+                      ts: str, payload_cols: list[str],
+                      prefix: str = "asof_") -> DataFrame:
+    """``asof_join`` as a cogrouped-map (`groupBy().cogroup()
+    .applyInPandas`): both sides shuffle ONCE on ``by``, then each
+    key's partitions meet in a single pandas ``merge_asof``.
+
+    Same contract as ``asof_join`` (backward, ``<=``, unique right per
+    (by, ts)), parity-tested against it. Trade-off vs the union+window
+    form: one Arrow hop and per-key pandas sorts instead of a single
+    JVM window pass — wins when payload columns are wide (the window
+    form carries every column through the sort), loses on tall narrow
+    data. Both are one-shuffle plans; pick per workload.
+
+    Self-source caveat: when both sides derive from the SAME scan
+    (e.g. two filters of one table), their attributes share
+    expression ids and Catalyst's column pruning can drop a column
+    from ONE child of the cogroup (observed: right side delivered
+    without ``ts`` under ``count()``). Detected here via the analyzed
+    plans' exprId overlap; the right side is then decoupled through a
+    materialization barrier. Loading the sides independently avoids
+    the barrier.
+    """
+    import pandas as pd
+
+    def _expr_ids(df):
+        out = df._jdf.queryExecution().analyzed().output()
+        return {out.apply(i).exprId().id() for i in range(out.size())}
+
+    if _expr_ids(left) & _expr_ids(right):
+        right = right.localCheckpoint(eager=True)
+
+    l_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                         for f in left.schema.fields)
+    r_schema = {f.name: f.dataType.simpleString()
+                for f in right.schema.fields}
+    out_schema = (l_fields
+                  + "".join(f", `{prefix}{c}` {r_schema[c]}"
+                            for c in payload_cols)
+                  + f", `{prefix}{ts}` {r_schema[ts]}")
+    l_cols = list(left.columns)
+
+    cols_out = [*l_cols, *[f"{prefix}{c}" for c in payload_cols],
+                f"{prefix}{ts}"]
+
+    def fn(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty:
+            return pd.DataFrame(columns=cols_out)
+        l_pdf = l_pdf.sort_values(ts, kind="mergesort")
+        if r_pdf.empty:
+            out = l_pdf.copy()
+            for c in cols_out[len(l_cols):]:
+                out[c] = None
+            return out[cols_out]
+        r = r_pdf[[ts, *payload_cols]].sort_values(ts, kind="mergesort")
+        r[f"{prefix}{ts}"] = r[ts]
+        r = r.rename(columns={c: f"{prefix}{c}" for c in payload_cols})
+        out = pd.merge_asof(l_pdf, r, on=ts, direction="backward")
+        return out[cols_out]
+
+    return (left.groupBy(by).cogroup(right.groupBy(by))
+            .applyInPandas(fn, out_schema))
+
+
 def range_join(left: DataFrame, right: DataFrame, by: str, ts: str,
                lookback: str, payload_cols: list[str],
                prefix: str = "in_range_") -> DataFrame:

@@ -106,3 +106,20 @@ def test_range_join_plan_is_equi_join(spark):
                         payload_cols=["rid"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_asof_cogroup_matches_window_form(spark):
+    """asof_join_cogroup (cogrouped-map merge_asof) must produce
+    exactly the union+window asof_join's rows — including keys with
+    no right rows and left-only keys."""
+    left = [(i, i % 4, _ts("2024-01-01T00:00:00")
+             + timedelta(minutes=7 * i)) for i in range(40)]
+    right = [(100 + i, i % 3, _ts("2024-01-01T00:00:00")
+              + timedelta(minutes=11 * i)) for i in range(25)]
+    ldf = spark.createDataFrame(left, "event_id long, k long, ts timestamp")
+    rdf = spark.createDataFrame(right, "rid long, k long, ts timestamp")
+    a = sorted(tuple(r) for r in tp.asof_join(
+        ldf, rdf, by="k", ts="ts", payload_cols=["rid"]).collect())
+    b = sorted(tuple(r) for r in tp.asof_join_cogroup(
+        ldf, rdf, by="k", ts="ts", payload_cols=["rid"]).collect())
+    assert a == b and len(a) == 40
