@@ -791,6 +791,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return salted_broadcast_join(big, dim, ["l_returnflag"],
                                      n_salt=8)
 
+    def f_variant_extract(spark, sf):
+        # Spark 4 VariantType roundtrip: build nested JSON from row
+        # values, parse to VARIANT (the open-schema binary encoding
+        # for semi-structured columns at scale — no schema inference
+        # pass, per-path typed access), extract typed paths. The
+        # oracle checks roundtrip identity: extracted values must
+        # equal the originals exactly.
+        o = _load(spark, sf, "orders")
+        js = F.to_json(F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.struct(F.col("o_orderstatus").alias("s"),
+                     F.round("o_totalprice", 2).alias("p")).alias("d"),
+            F.array("o_custkey", "o_orderkey").alias("a")))
+        v = F.parse_json(js)
+        return o.select(
+            "o_orderkey",
+            F.variant_get(v, "$.d.s", "string").alias("status"),
+            F.variant_get(v, "$.d.p", "double").alias("price"),
+            F.variant_get(v, "$.a[1]", "bigint").alias("second_elem"))
+
     def a_pivot_event_matrix(spark, sf):
         # relational pivot: one row per user, one count column per
         # event type. The explicit value list keeps the plan a single
@@ -918,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_percentiles": a_percentiles,
         "j_salted_skew_join": j_salted_skew_join,
         "a_pivot_event_matrix": a_pivot_event_matrix,
+        "f_variant_extract": f_variant_extract,
         "a_cube_rollup": a_cube_rollup,
         "w_running_analytics": w_running_analytics,
     }
@@ -1294,6 +1315,14 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT l_returnflag,
                      round(avg(l_discount), 6) AS flag_avg_disc
               FROM lineitem GROUP BY 1) d USING (l_returnflag)
+    """
+
+    sql["f_variant_extract"] = """
+        SELECT o_orderkey,
+               o_orderstatus AS status,
+               round(o_totalprice, 2) AS price,
+               o_orderkey AS second_elem
+        FROM orders
     """
 
     sql["a_pivot_event_matrix"] = """
