@@ -389,6 +389,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t.delete_where(spark, F.col("acctbal") < 1000)
         return t.read(spark)
 
+    def s_incremental_read(spark, sf):
+        # Iceberg-contract CDC (incremental append scan): two appends
+        # into a snapshot table; the scan between snapshot 1 and
+        # CURRENT must return EXACTLY the second append's rows. The
+        # planning is a manifest file-set diff — no data-compare job —
+        # which at 100 TB is what makes resume/incremental pipelines
+        # (north_rule: "resumable from an Iceberg snapshot checkpoint")
+        # cost O(delta), not O(table).
+        from fashion_knowledge_graph_spark.sources.tables import (
+            SnapshotTable,
+        )
+        ev = _load(spark, sf, "events")
+        t = SnapshotTable(tempfile.mkdtemp(prefix="fkg_cdc_"))
+        s1 = t.write(ev.filter(F.col("user_id") % 2 == 0),
+                     mode="append", stage="base")
+        t.write(ev.filter(F.col("user_id") % 2 != 0),
+                mode="append", stage="inc")
+        inc = t.incremental_read(spark, s1)
+        return inc.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double").alias("total_value"))
+
+    def s_minmax_skipping(spark, sf):
+        # manifest min/max data skipping (Iceberg planFiles): commit
+        # lineitem range-clustered on l_shipdate with per-file bounds,
+        # then read one year — file pruning happens on the DRIVER from
+        # manifest stats before Spark ever lists the files, and the
+        # residual predicate keeps the result exact. The assert pins
+        # that pruning actually engaged (a no-op prune would silently
+        # turn time-slice queries into full scans at 100 TB).
+        import datetime
+
+        from fashion_knowledge_graph_spark.sources.tables import (
+            SnapshotTable,
+        )
+        li = _load(spark, sf, "lineitem")
+        t = SnapshotTable(tempfile.mkdtemp(prefix="fkg_skip_"))
+        t.write(li.repartitionByRange(8, "l_shipdate"), mode="overwrite",
+                stage="cluster", stats_cols=["l_shipdate"])
+        lo = datetime.datetime(1997, 1, 1)
+        hi = datetime.datetime(1997, 12, 31, 23, 59, 59)
+        kept, total = t.prune_files("l_shipdate", lo, hi)
+        assert len(kept) < total, "manifest pruning did not engage"
+        out = t.read_where(spark, "l_shipdate", lo, hi)
+        return out.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double").alias("sum_qty"))
+
+    def s_merge_upsert(spark, sf):
+        # generic MERGE INTO (upsert): matched keys take the source
+        # row, unmatched source rows insert, committed as one
+        # copy-on-write snapshot (reference upsert semantics
+        # src/database/graph_database.py:137-183 generalized beyond
+        # nodes/edges). Updates = every 7th customer (+1000 balance,
+        # uppercased name); inserts = every 11th key shifted past the
+        # key space.
+        from fashion_knowledge_graph_spark.sources.tables import (
+            SnapshotTable,
+        )
+        cust = _load(spark, sf, "customer").select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        t = SnapshotTable(tempfile.mkdtemp(prefix="fkg_merge_"))
+        t.write(cust, mode="overwrite", stage="load")
+        updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey", F.upper("c_name").alias("c_name"),
+            F.round(F.col("acctbal") + 1000, 2).alias("acctbal"))
+        inserts = cust.filter(F.col("c_custkey") % 11 == 0).select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.concat(F.lit("new#"), F.col("c_name")).alias("c_name"),
+            F.lit(0.0).alias("acctbal"))
+        t.merge(spark, updates.unionByName(inserts), ["c_custkey"])
+        return t.read(spark)
+
+    def graph_triangles(spark, sf):
+        # per-node triangle counts over the part co-occurrence graph,
+        # via degree-ordered orientation (bounds wedge blowup on skewed
+        # hubs — see operators/graph.py:triangle_counts)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            triangle_counts,
+        )
+        li = _load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("src"))
+        b = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("dst"))
+        pairs = (a.join(b, "ok").filter(F.col("src") < F.col("dst"))
+                 .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+                 .filter(F.col("w") >= 2))
+        return triangle_counts(pairs)
+
+    def w_gap_islands(spark, sf):
+        # gaps-and-islands: maximal runs of consecutive same-type
+        # events per user (row_number difference trick — pure window
+        # functions, one shuffle on user_id; both window specs share
+        # the partition key so Catalyst evaluates them in one sort)
+        from pyspark.sql import Window
+
+        ev = _load(spark, sf, "events")
+        w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        w_typ = Window.partitionBy("user_id", "event_type") \
+            .orderBy("ts", "event_id")
+        isl = ev.select(
+            "user_id", "event_type", "event_id",
+            (F.row_number().over(w_all) - F.row_number().over(w_typ))
+            .alias("island"))
+        return isl.groupBy("user_id", "event_type", "island").agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("event_id").alias("first_event")) \
+            .drop("island")
+
     def m7_spec_attrs(spark, sf):
         # M7 spec-sheet attribute extraction (reference
         # product_attributes.py:27-88): synthesize a datasheet per part
@@ -939,6 +1051,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_salted_skew_join": j_salted_skew_join,
         "a_pivot_event_matrix": a_pivot_event_matrix,
         "f_variant_extract": f_variant_extract,
+        "s_incremental_read": s_incremental_read,
+        "s_minmax_skipping": s_minmax_skipping,
+        "s_merge_upsert": s_merge_upsert,
+        "graph_triangles": graph_triangles,
+        "w_gap_islands": w_gap_islands,
         "a_cube_rollup": a_cube_rollup,
         "w_running_analytics": w_running_analytics,
     }
@@ -1323,6 +1440,64 @@ def oracle_sql() -> dict[str, str]:
                round(o_totalprice, 2) AS price,
                o_orderkey AS second_elem
         FROM orders
+    """
+
+    sql["s_incremental_read"] = """
+        SELECT event_type, count(*) AS n,
+               round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS total_value
+        FROM events WHERE user_id % 2 <> 0 GROUP BY 1
+    """
+
+    sql["s_minmax_skipping"] = """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_quantity::DECIMAL(18,6)), 2)::DOUBLE AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 23:59:59'
+        GROUP BY 1
+    """
+
+    sql["s_merge_upsert"] = """
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN upper(c_name)
+                    ELSE c_name END AS c_name,
+               round(CASE WHEN c_custkey % 7 = 0
+                          THEN round(c_acctbal, 2) + 1000
+                          ELSE round(c_acctbal, 2) END, 2) AS acctbal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000, 'new#' || c_name, 0.0
+        FROM customer WHERE c_custkey % 11 = 0
+    """
+
+    sql["graph_triangles"] = """
+        WITH e AS (
+          SELECT a.l_partkey AS a, b.l_partkey AS b
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ), tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT node, count(*) AS triangles FROM (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        ) GROUP BY 1
+    """
+
+    sql["w_gap_islands"] = """
+        SELECT user_id, event_type, count(*) AS run_len,
+               min(event_id) AS first_event
+        FROM (SELECT user_id, event_type, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                   - row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS island
+              FROM events)
+        GROUP BY user_id, event_type, island
     """
 
     sql["a_pivot_event_matrix"] = """

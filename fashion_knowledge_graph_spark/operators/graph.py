@@ -85,3 +85,60 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                          + F.lit(dangling / n))).alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected edge list →
+    ``(node, triangles)``.
+
+    Degree-ordered orientation (the standard distributed formulation,
+    cf. Suri & Vassilvitskii "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11): orient every undirected edge from the
+    lower-(degree, id) endpoint to the higher one, then a triangle
+    u-v-w is found EXACTLY once as oriented wedges (u→v, u→w) closed
+    by oriented edge (v→w).
+
+    Scale: orientation caps every node's out-degree at O(√m) even on
+    power-law graphs — the wedge self-join (the quadratic term) is
+    bounded per node, so the head attribute hubs ('black', 'cotton')
+    that would explode a naive neighbor join produce O(m^1.5) wedges
+    total instead of deg(hub)². Three hash joins + one groupBy; no
+    driver-side state.
+    """
+    # canonical undirected edge set (a < b), self-loops dropped.
+    # Materialized: consumed twice (degrees + orientation), and the
+    # upstream edge plan is typically an expensive self-join that must
+    # not re-execute per consumer.
+    a, b = F.col(src), F.col(dst)
+    e = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    # orientation key: (degree, id) — total order, ties broken by id
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    keyed = e.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | \
+          ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    # materialized: the oriented DAG feeds both wedge sides AND the
+    # closure probe (3 consumers)
+    oriented = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v")) \
+        .localCheckpoint(eager=True)
+    # wedges (u→v, u→w) with v before w in orientation order need a
+    # consistent order on (v, w); reuse the oriented edge itself as
+    # the closure probe: triangle iff (v→w) ∈ oriented
+    w1 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "pivot").filter(F.col("x") != F.col("y"))
+    closer = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closer, ["x", "y"])     # each triangle once
+    nodes = (tri.select(F.col("pivot").alias("node"))
+             .unionByName(tri.select(F.col("x").alias("node")))
+             .unionByName(tri.select(F.col("y").alias("node"))))
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("triangles"))

@@ -67,6 +67,13 @@ def get_spark(app: str = "fkg", cpus: int | None = None,
         .config("spark.locality.wait", "0s")
         .config("spark.sql.parquet.compression.codec",
                 os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
+        # INT96 (the legacy default) carries NO min/max statistics, so
+        # timestamp predicates can prune neither parquet row groups nor
+        # SnapshotTable manifests — at 100 TB, time-range queries would
+        # full-scan. TIMESTAMP_MICROS is the modern spec type with
+        # full stats (and what Iceberg mandates).
+        .config("spark.sql.parquet.outputTimestampType",
+                "TIMESTAMP_MICROS")
         # Arrow is the UDF hot path (model-inference stand-ins)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",

@@ -37,6 +37,22 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _stat_key(v):
+    """JSON-storable, order-preserving key for a footer statistic:
+    timestamps → epoch micros, dates → epoch days, bytes → str;
+    ints/floats/strs pass through (same-type comparisons only)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
@@ -63,12 +79,23 @@ class SnapshotTable:
 
     # ---- write --------------------------------------------------------
     def write(self, df: DataFrame, mode: str = "append",
-              stage: str | None = None) -> int:
+              stage: str | None = None,
+              stats_cols: list[str] | None = None) -> int:
         """Commit ``df`` as a new snapshot; returns snapshot id.
 
         Lineage rows (stage, partition_id, output_rows, wall_ms,
         snapshot_id) are collected during the same write job via an
         accumulator and stored in the manifest.
+
+        ``stats_cols``: column names whose per-FILE min/max are read
+        from the parquet footers (no data pass — the same footer open
+        that counts rows) and recorded in the manifest, exactly the
+        lower/upper bounds an Iceberg manifest keeps per data file.
+        ``read_where`` then prunes files against these bounds on the
+        driver BEFORE Spark ever lists them — at 100 TB that is the
+        difference between scanning a date slice and scanning the
+        table. Numeric values are stored as-is; timestamps/dates as
+        integer epoch-micros/days so JSON round-trips keep ordering.
         """
         os.makedirs(self.snap_dir, exist_ok=True)
         parent = self.current_snapshot()
@@ -96,19 +123,48 @@ class SnapshotTable:
         def _footer(p):
             m = re.match(r"part-(\d+)", p)
             pid = int(m.group(1)) if m else -1
-            nrows = pq.ParquetFile(os.path.join(out, p)).metadata.num_rows
-            return {"stage": stage, "partition_id": pid,
-                    "output_rows": int(nrows), "snapshot_id": sid,
-                    "wall_ms": wall_ms}
+            meta = pq.ParquetFile(os.path.join(out, p)).metadata
+            row = {"stage": stage, "partition_id": pid,
+                   "output_rows": int(meta.num_rows), "snapshot_id": sid,
+                   "wall_ms": wall_ms}
+            if stats_cols:
+                names = {meta.schema.column(i).name: i
+                         for i in range(meta.num_columns)}
+                bounds = {}
+                for c in stats_cols:
+                    ci = names.get(c)
+                    lo = hi = None
+                    for g in range(meta.num_row_groups):
+                        st = meta.row_group(g).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break       # any unstat'd group → no bound
+                        gmin, gmax = _stat_key(st.min), _stat_key(st.max)
+                        lo = gmin if lo is None or gmin < lo else lo
+                        hi = gmax if hi is None or gmax > hi else hi
+                    if lo is not None:
+                        bounds[c] = [lo, hi]
+                row["bounds"] = bounds
+            return row
 
         # footer reads are tiny but serial-per-file; at 64+ output
         # files this was measurable driver dead time between jobs
         with ThreadPoolExecutor(max_workers=16) as ex:
             lineage = list(ex.map(_footer, new_files))
 
+        file_stats = {}
+        if stats_cols:
+            for p, row in zip(new_files, lineage):
+                file_stats[os.path.join(f"snap-{sid:08d}", p)] = \
+                    row.pop("bounds")
+
         files = [os.path.join(f"snap-{sid:08d}", p) for p in new_files]
         if mode == "append" and parent is not None:
-            files = self._manifest(parent)["files"] + files
+            pm = self._manifest(parent)
+            files = pm["files"] + files
+            # carry forward parent per-file bounds so pruning sees the
+            # whole table, exactly like Iceberg manifest inheritance
+            file_stats = {**pm.get("file_stats", {}), **file_stats}
         manifest = {
             "snapshot_id": sid, "parent": parent, "mode": mode,
             "stage": stage, "wall_ms": wall_ms,
@@ -116,6 +172,8 @@ class SnapshotTable:
             "lineage": lineage,
             "commit_uuid": str(uuid.uuid4()),
         }
+        if file_stats:
+            manifest["file_stats"] = file_stats
         tmp = os.path.join(self.snap_dir, f".{sid:08d}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -154,6 +212,99 @@ class SnapshotTable:
         files = [os.path.join(self.data_dir, f)
                  for f in self._manifest(sid)["files"]]
         return spark.read.parquet(*files)
+
+    def prune_files(self, col: str, lo=None, hi=None,
+                    snapshot_id: int | None = None
+                    ) -> tuple[list[str], int]:
+        """Manifest-level data skipping: (surviving relpaths, total
+        file count) for ``lo <= col <= hi``, using the per-file min/max
+        recorded at write time (``stats_cols``). Files without recorded
+        bounds are kept conservatively. Pure driver metadata — no Spark
+        job, no file opens; this is Iceberg's planFiles() contract."""
+        sid = snapshot_id if snapshot_id is not None \
+            else self.current_snapshot()
+        m = self._manifest(sid)
+        stats = m.get("file_stats", {})
+        lo_k = _stat_key(lo) if lo is not None else None
+        hi_k = _stat_key(hi) if hi is not None else None
+        kept = []
+        for f in m["files"]:
+            b = stats.get(f, {}).get(col)
+            if b is None:
+                kept.append(f)
+                continue
+            fmin, fmax = b
+            if (hi_k is not None and fmin > hi_k) or \
+                    (lo_k is not None and fmax < lo_k):
+                continue
+            kept.append(f)
+        return kept, len(m["files"])
+
+    def read_where(self, spark: SparkSession, col: str, lo=None,
+                   hi=None, snapshot_id: int | None = None) -> DataFrame:
+        """Range-filtered read with manifest file pruning THEN the
+        exact residual predicate (bounds are file-granular; rows inside
+        a surviving file still need the filter — same two-level scheme
+        as Iceberg + parquet row-group pushdown). Exactness does not
+        depend on the stats: a file wrongly pruned would be a bug, a
+        file wrongly kept only costs the scan."""
+        kept, _ = self.prune_files(col, lo, hi, snapshot_id)
+        if not kept:
+            return self.read(spark, snapshot_id).filter(F.lit(False))
+        df = spark.read.parquet(
+            *[os.path.join(self.data_dir, f) for f in kept])
+        c = F.col(col)
+        if lo is not None:
+            df = df.filter(c >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(c <= F.lit(hi))
+        return df
+
+    def incremental_read(self, spark: SparkSession, from_snapshot: int,
+                         to_snapshot: int | None = None) -> DataFrame:
+        """CDC append scan: rows added AFTER ``from_snapshot`` up to
+        ``to_snapshot`` (default CURRENT) — Iceberg's incremental
+        append scan. Pure manifest file-set diff (appends never rewrite
+        parent files), so no data comparison job. Raises if any commit
+        in the range is an ``overwrite`` (a rewrite has no well-defined
+        appended-rows delta), matching Iceberg's appendsBetween()."""
+        to_sid = to_snapshot if to_snapshot is not None \
+            else self.current_snapshot()
+        sid = to_sid
+        while sid is not None and sid != from_snapshot:
+            m = self._manifest(sid)
+            if m.get("mode") == "overwrite":
+                raise ValueError(
+                    f"snapshot {sid} is an overwrite; incremental read "
+                    f"is defined for append-only ranges")
+            sid = m.get("parent")
+        if sid != from_snapshot:
+            raise ValueError(
+                f"snapshot {from_snapshot} is not an ancestor of {to_sid}")
+        base = set(self._manifest(from_snapshot)["files"])
+        new = [f for f in self._manifest(to_sid)["files"] if f not in base]
+        if not new:
+            return self.read(spark, to_sid).filter(F.lit(False))
+        return spark.read.parquet(
+            *[os.path.join(self.data_dir, f) for f in new])
+
+    def merge(self, spark: SparkSession, source: DataFrame,
+              key_cols: list[str], stage: str | None = "merge") -> int:
+        """``MERGE INTO target USING source ON keys WHEN MATCHED THEN
+        UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — the generic
+        upsert (node/edge upsert in plans/pipeline.py are specialized
+        forms; reference upsert semantics src/database/
+        graph_database.py:137-183). Copy-on-write: unmatched target
+        rows union source rows, committed as one overwrite snapshot.
+        Scale: the anti-join shuffles on the merge keys only; at 100 TB
+        with a dim-sized source Catalyst broadcasts it and the target
+        never shuffles."""
+        target = self.read(spark)
+        cols = [f.name for f in target.schema.fields]
+        untouched = target.join(
+            source.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = untouched.select(*cols).unionByName(source.select(*cols))
+        return self.write(merged, mode="overwrite", stage=stage)
 
     def exists(self) -> bool:
         return self.current_snapshot() is not None

@@ -59,3 +59,47 @@ def test_pagerank_unweighted_default(spark):
     want = _pr_py([(u, v, 1.0) for u, v in edges])
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+# --------------------------------------------------------- triangles
+def _tri_py(edges):
+    """Brute-force per-node triangle counts."""
+    import itertools
+
+    adj = {}
+    es = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        es.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    from fashion_knowledge_graph_spark.operators.graph import triangle_counts
+
+    # deterministic pseudo-random graph incl. a hub (node 0) — the
+    # skew case the degree orientation exists for
+    edges = [(i % 17, (i * i + 5) % 17) for i in range(80)]
+    edges += [(0, k) for k in range(1, 17)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == _tri_py(edges)
+
+
+def test_triangle_counts_duplicate_and_reversed_edges(spark):
+    from fashion_knowledge_graph_spark.operators.graph import triangle_counts
+
+    # duplicates / reversed edges / self-loops must not inflate counts
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 3), (1, 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

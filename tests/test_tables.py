@@ -1,0 +1,154 @@
+"""SnapshotTable Iceberg-contract extensions: manifest min/max data
+skipping, incremental (CDC) append scans, generic MERGE upsert.
+
+These are metadata-plane operations — at 100 TB the whole point is
+that pruning and CDC planning never launch a Spark job; the tests pin
+both the row-level semantics (vs. recomputed-from-scratch expected
+sets) and the metadata behavior (files actually pruned, no data job
+for planning).
+"""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fashion_knowledge_graph_spark.sources.tables import SnapshotTable
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return SnapshotTable(str(tmp_path / "t"))
+
+
+def test_minmax_pruning_skips_files(spark, tbl):
+    # 8 range-clustered files over k=0..799: a 100-wide slice must
+    # survive in ≤2 files (boundary rows may straddle one cut)
+    df = spark.range(800).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    tbl.write(df.repartitionByRange(8, "k"), mode="overwrite",
+              stage="load", stats_cols=["k"])
+
+    kept, total = tbl.prune_files("k", 250, 349)
+    assert total == 8
+    assert 1 <= len(kept) <= 2
+
+    out = tbl.read_where(spark, "k", 250, 349)
+    got = sorted(r["k"] for r in out.collect())
+    assert got == list(range(250, 350))
+    # exactness must not depend on stats: same rows as full-scan filter
+    full = sorted(r["k"] for r in
+                  tbl.read(spark).filter("k between 250 and 349").collect())
+    assert got == full
+
+
+def test_minmax_pruning_timestamps(spark, tbl):
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.range(400).select(
+        (F.lit(base) + F.make_interval(hours=F.col("id"))).alias("ts"),
+        F.col("id").alias("v"))
+    tbl.write(df.repartitionByRange(4, "ts"), mode="overwrite",
+              stage="load", stats_cols=["ts"])
+    lo = base + datetime.timedelta(hours=100)
+    hi = base + datetime.timedelta(hours=150)
+    kept, total = tbl.prune_files("ts", lo, hi)
+    assert total == 4 and len(kept) <= 2
+    assert tbl.read_where(spark, "ts", lo, hi).count() == 51
+
+
+def test_pruning_keeps_files_without_stats(spark, tbl):
+    # first commit without stats_cols → bounds unknown → always kept
+    df = spark.range(100).select(F.col("id").alias("k"))
+    tbl.write(df, mode="overwrite", stage="load")
+    kept, total = tbl.prune_files("k", 5, 6)
+    assert kept and len(kept) == total
+    assert tbl.read_where(spark, "k", 5, 6).count() == 2
+
+
+def test_append_inherits_parent_bounds(spark, tbl):
+    a = spark.range(100).select(F.col("id").alias("k"))
+    b = spark.range(100, 200).select(F.col("id").alias("k"))
+    tbl.write(a.coalesce(1), mode="overwrite", stage="a", stats_cols=["k"])
+    tbl.write(b.coalesce(1), mode="append", stage="b", stats_cols=["k"])
+    kept, total = tbl.prune_files("k", 150, 160)
+    assert total == 2 and len(kept) == 1
+    assert tbl.read_where(spark, "k", 150, 160).count() == 11
+
+
+def test_incremental_read_returns_appended_rows_only(spark, tbl):
+    a = spark.range(10).select(F.col("id").alias("k"))
+    b = spark.range(10, 25).select(F.col("id").alias("k"))
+    c = spark.range(25, 30).select(F.col("id").alias("k"))
+    s1 = tbl.write(a, mode="overwrite", stage="base")
+    s2 = tbl.write(b, mode="append", stage="inc1")
+    s3 = tbl.write(c, mode="append", stage="inc2")
+
+    got = sorted(r["k"] for r in tbl.incremental_read(spark, s1).collect())
+    assert got == list(range(10, 30))
+    got12 = sorted(r["k"] for r in
+                   tbl.incremental_read(spark, s1, s2).collect())
+    assert got12 == list(range(10, 25))
+    got23 = sorted(r["k"] for r in
+                   tbl.incremental_read(spark, s2, s3).collect())
+    assert got23 == list(range(25, 30))
+    # empty range → empty result, same schema
+    empty = tbl.incremental_read(spark, s3, s3)
+    assert empty.count() == 0 and empty.columns == ["k"]
+
+
+def test_incremental_read_rejects_overwrite_range(spark, tbl):
+    a = spark.range(10).select(F.col("id").alias("k"))
+    s1 = tbl.write(a, mode="overwrite", stage="base")
+    tbl.write(a, mode="overwrite", stage="rebuild")
+    with pytest.raises(ValueError, match="overwrite"):
+        tbl.incremental_read(spark, s1)
+
+
+def test_incremental_read_rejects_non_ancestor(spark, tbl):
+    a = spark.range(10).select(F.col("id").alias("k"))
+    tbl.write(a, mode="append", stage="base")
+    tbl.write(a, mode="append", stage="inc")
+    with pytest.raises(ValueError, match="not an ancestor"):
+        tbl.incremental_read(spark, 99)
+
+
+def test_merge_upsert_semantics(spark, tbl):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, name string, v double")
+    src = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)],
+        "k int, name string, v double")
+    tbl.write(base, mode="overwrite", stage="load")
+    tbl.merge(spark, src, ["k"])
+    got = sorted(map(tuple, tbl.read(spark).collect()))
+    assert got == [(1, "a", 10.0), (2, "B", 99.0),
+                   (3, "c", 30.0), (4, "d", 40.0)]
+    # time travel still shows pre-merge state
+    pre = sorted(r["name"] for r in tbl.read(spark, 1).collect())
+    assert pre == ["a", "b", "c"]
+
+
+def test_prune_is_metadata_only(spark, tbl):
+    """planFiles contract: pruning must not launch a Spark job."""
+    df = spark.range(100).select(F.col("id").alias("k"))
+    tbl.write(df.repartitionByRange(4, "k"), mode="overwrite",
+              stage="load", stats_cols=["k"])
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    tbl.prune_files("k", 10, 20)
+    tbl.prune_files("k", None, 5)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before)
+
+
+def test_prune_open_ended_bounds(spark, tbl):
+    df = spark.range(100).select(F.col("id").alias("k"))
+    tbl.write(df.repartitionByRange(4, "k"), mode="overwrite",
+              stage="load", stats_cols=["k"])
+    kept_lo, total = tbl.prune_files("k", lo=80)
+    kept_hi, _ = tbl.prune_files("k", hi=10)
+    assert total == 4 and len(kept_lo) == 1 and len(kept_hi) == 1
+    assert tbl.read_where(spark, "k", lo=80).count() == 20
+    assert tbl.read_where(spark, "k", hi=10).count() == 11
