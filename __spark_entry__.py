@@ -501,6 +501,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.min("event_id").alias("first_event")) \
             .drop("island")
 
+    def pack_sequences(spark, sf):
+        # LLM-training sequence packing: greedy fixed-token-budget bin
+        # assignment, deterministic per fixed doc_id shard (see
+        # operators/packing.py — the sequential decision runs inside a
+        # per-shard applyInPandas; the DuckDB oracle replays the greedy
+        # walk as a recursive CTE)
+        from fashion_knowledge_graph_spark.functions.text import (
+            token_count,
+        )
+        from fashion_knowledge_graph_spark.operators.packing import (
+            pack_greedy,
+        )
+        docs = _load(spark, sf, "documents").filter(
+            F.col("text").isNotNull())
+        toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
+        return pack_greedy(toks, id_col="doc_id", token_col="n_tokens",
+                           capacity=512, shard_width=100)
+
     def m7_spec_attrs(spark, sf):
         # M7 spec-sheet attribute extraction (reference
         # product_attributes.py:27-88): synthesize a datasheet per part
@@ -1052,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_pivot_event_matrix": a_pivot_event_matrix,
         "f_variant_extract": f_variant_extract,
         "s_incremental_read": s_incremental_read,
+        "pack_sequences": pack_sequences,
         "s_minmax_skipping": s_minmax_skipping,
         "s_merge_upsert": s_merge_upsert,
         "graph_triangles": graph_triangles,
@@ -1440,6 +1459,29 @@ def oracle_sql() -> dict[str, str]:
                round(o_totalprice, 2) AS price,
                o_orderkey AS second_elem
         FROM orders
+    """
+
+    toks_d = _toks_sql("text")
+    sql["pack_sequences"] = f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id AS id, doc_id // 100 AS shard,
+                 len({toks_d}) AS tok,
+                 row_number() OVER (PARTITION BY doc_id // 100
+                                    ORDER BY doc_id) AS rn
+          FROM documents WHERE text IS NOT NULL
+        ), p AS (
+          SELECT id, shard, rn, tok, tok AS fill,
+                 CAST(0 AS BIGINT) AS bin
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.id, t.shard, t.rn, t.tok,
+                 CASE WHEN p.fill + t.tok > 512 THEN t.tok
+                      ELSE p.fill + t.tok END,
+                 CASE WHEN p.fill + t.tok > 512 THEN p.bin + 1
+                      ELSE p.bin END
+          FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1
+        )
+        SELECT id, shard, bin, fill AS fill_after FROM p
     """
 
     sql["s_incremental_read"] = """

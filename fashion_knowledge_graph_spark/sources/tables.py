@@ -170,6 +170,12 @@ class SnapshotTable:
             "stage": stage, "wall_ms": wall_ms,
             "files": files,
             "lineage": lineage,
+            # Iceberg keeps the table schema in metadata, not in data
+            # files: readers bind by NAME to this schema, so an append
+            # that adds a column null-fills it on pre-evolution files,
+            # and `read` never runs a footer-inference job over
+            # (at 100 TB) millions of files.
+            "schema": json.loads(df.schema.json()),
             "commit_uuid": str(uuid.uuid4()),
         }
         if file_stats:
@@ -206,11 +212,20 @@ class SnapshotTable:
     # ---- read ---------------------------------------------------------
     def read(self, spark: SparkSession,
              snapshot_id: int | None = None) -> DataFrame:
+        """Read a snapshot with ITS schema (time travel sees the
+        schema as of that snapshot, like Iceberg): files written
+        before a column was added null-fill it by name. Falls back to
+        footer inference for pre-schema-tracking manifests."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot()
         if sid is None:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
-        files = [os.path.join(self.data_dir, f)
-                 for f in self._manifest(sid)["files"]]
+        m = self._manifest(sid)
+        files = [os.path.join(self.data_dir, f) for f in m["files"]]
+        if "schema" in m:
+            from pyspark.sql.types import StructType
+
+            return spark.read.schema(
+                StructType.fromJson(m["schema"])).parquet(*files)
         return spark.read.parquet(*files)
 
     def prune_files(self, col: str, lo=None, hi=None,

@@ -152,3 +152,31 @@ def test_prune_open_ended_bounds(spark, tbl):
     assert total == 4 and len(kept_lo) == 1 and len(kept_hi) == 1
     assert tbl.read_where(spark, "k", lo=80).count() == 20
     assert tbl.read_where(spark, "k", hi=10).count() == 11
+
+
+def test_schema_evolution_add_column(spark, tbl):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    s1 = tbl.write(base, mode="overwrite", stage="load")
+    evolved = spark.createDataFrame(
+        [(3, "c", 9.5)], "k int, v string, score double")
+    tbl.write(evolved, mode="append", stage="evolve")
+
+    cur = tbl.read(spark)
+    assert cur.columns == ["k", "v", "score"]
+    got = {r["k"]: r["score"] for r in cur.collect()}
+    assert got == {1: None, 2: None, 3: 9.5}
+    # time travel sees the PRE-evolution schema (Iceberg semantics)
+    old = tbl.read(spark, s1)
+    assert old.columns == ["k", "v"] and old.count() == 2
+
+
+def test_read_uses_manifest_schema_not_inference(spark, tbl):
+    # explicit-schema reads must round-trip types exactly
+    from pyspark.sql.types import StructType
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "x")], "k bigint, v double, s string")
+    tbl.write(df, mode="overwrite", stage="load")
+    m = tbl._manifest(1)
+    assert StructType.fromJson(m["schema"]) == df.schema
+    assert tbl.read(spark).schema == df.schema
