@@ -756,6 +756,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      num_hashes=128, bands=32)
         return dd.dedup_keep(docs, pairs)
 
+    def decontam_overlap(spark, sf):
+        # Benchmark decontamination (LLM pretraining hygiene): docs
+        # with doc_id % 41 == 0 stand in for a held-out eval set;
+        # training docs sharing any word-4-gram with them are flagged
+        # with overlap stats. Bench posting list broadcasts, so the
+        # train side never shuffles (operators/dedup.py::decontaminate)
+        docs = _docs_split(spark, sf).filter(F.col("text").isNotNull())
+        bench = docs.filter(F.col("doc_id") % 41 == 0)
+        train = docs.filter(F.col("doc_id") % 41 != 0)
+        return dd.decontaminate(train, bench, n=4) \
+            .select(F.col("id").alias("train_id"), "n_hit_shingles",
+                    "n_bench_docs", "train_shingles",
+                    "contamination_frac")
+
     def embedding_near_dup(spark, sf):
         # auto-dispatch: exact matmul at this scale (oracle config);
         # corpora over the budget switch to the LSH-blocked path
@@ -1044,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "decontam_overlap": decontam_overlap,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_clusters": dedup_clusters,
@@ -1688,6 +1703,39 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = inter.id_a
         JOIN sizes sb ON sb.id = inter.id_b
         WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35
+    """
+
+    # decontamination: word-4-gram overlap between the doc_id%41 bench
+    # split and the rest, replayed with the same tokenizer/shingle spec
+    sql["decontam_overlap"] = f"""
+        WITH toksd AS (
+          SELECT doc_id AS id, {_toks_sql('text')} AS tk
+          FROM documents WHERE text IS NOT NULL),
+        sh4 AS (
+          SELECT id, CASE
+            WHEN len(tk) >= 4 THEN list_distinct(list_transform(
+                   range(1, len(tk) - 2),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                        || ' ' || tk[i+3]))
+            WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+            ELSE []::VARCHAR[] END AS shs
+          FROM toksd),
+        post4 AS (SELECT id, unnest(shs) AS s FROM sh4),
+        tp AS (SELECT * FROM post4 WHERE id % 41 <> 0),
+        bp AS (SELECT * FROM post4 WHERE id % 41 = 0),
+        hits AS (
+          SELECT tp.id,
+                 count(DISTINCT tp.s) AS n_hit_shingles,
+                 count(DISTINCT bp.id) AS n_bench_docs
+          FROM tp JOIN bp ON tp.s = bp.s GROUP BY 1),
+        sizes4 AS (
+          SELECT id, count(*) AS train_shingles FROM tp
+          WHERE id IN (SELECT id FROM hits) GROUP BY 1)
+        SELECT hits.id AS train_id, n_hit_shingles, n_bench_docs,
+               train_shingles,
+               round(n_hit_shingles / train_shingles::DOUBLE, 6)
+                 AS contamination_frac
+        FROM hits JOIN sizes4 ON hits.id = sizes4.id
     """
 
     # MinHash+LSH, fully replayed in DuckDB: the portable lane family

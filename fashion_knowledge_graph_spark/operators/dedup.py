@@ -839,3 +839,49 @@ def dedup_keep(df: DataFrame, pairs: DataFrame,
     labels = connected_components(edges, df.select(id_col), id_col=id_col)
     return labels.select(F.col("id").alias(id_col),
                          F.col("component").alias("keep_id"))
+
+
+# ----------------------------------------------------- decontamination
+def decontaminate(train: DataFrame, bench: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 8,
+                  broadcast_bench: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word-``n``-gram shingle with a held-out benchmark document
+    (the GPT-3-appendix / Gopher / Llama pretraining hygiene step —
+    overlap with an eval set must be found and dropped before
+    training, not after).
+
+    Shape: inverted-index equi-join on the 60-bit shingle hash — the
+    same posting-list Arrow kernel as the dedup family, never a
+    cross product. The benchmark side is eval-set-sized (thousands of
+    docs against a 100 TB train corpus), so its posting list is
+    broadcast by default: the train posting list then never shuffles —
+    the probe is map-side, and only the (hit id, sh, bench_id) rows
+    (rare by construction) reach the two-phase distinct aggregation.
+    Per-doc shingle totals are computed only for contaminated ids
+    (semi-join first), not the whole corpus.
+
+    Output: one row per contaminated train doc —
+    (id, n_hit_shingles, n_bench_docs, train_shingles,
+    contamination_frac = hit/total distinct shingles).
+    """
+    post_t = _shingle_posting(train, id_col, text_col, n)
+    post_b = _shingle_posting(bench, id_col, text_col, n) \
+        .select(F.col("id").alias("bench_id"), "sh")
+    if broadcast_bench:
+        post_b = F.broadcast(post_b)
+    # posting list feeds the probe AND the (filtered) size count:
+    # materialize once (same eager-checkpoint rationale as
+    # jaccard_pairs_exact — avoids recomputing the Arrow kernel and
+    # the AQE duplicate-materialization race)
+    post_t = post_t.localCheckpoint(eager=True)
+    hits = post_t.join(post_b, "sh").groupBy("id").agg(
+        F.countDistinct("sh").alias("n_hit_shingles"),
+        F.countDistinct("bench_id").alias("n_bench_docs"))
+    sizes = post_t.join(hits.select("id"), "id") \
+        .groupBy("id").agg(F.count(F.lit(1)).alias("train_shingles"))
+    return hits.join(sizes, "id").withColumn(
+        "contamination_frac",
+        F.round(F.col("n_hit_shingles")
+                / F.col("train_shingles").cast("double"), 6))

@@ -291,3 +291,41 @@ def test_dedup_keep_components(spark, corpus):
             parent[max(ra, rb)] = min(ra, rb)
     exp = {i: find(i) for i, _ in _mk_corpus()}
     assert got == exp
+
+
+def test_decontaminate_matches_bruteforce(spark, corpus):
+    # bench split = doc_id % 7 == 0 (corpus has exact + near dups, so
+    # cross-split 3-gram overlap is guaranteed non-vacuous)
+    rows = _mk_corpus()
+    bench = {i: _shingle_set(t, 3) for i, t in rows if i % 7 == 0}
+    train = {i: _shingle_set(t, 3) for i, t in rows if i % 7 != 0}
+    expect = {}
+    for i, sh in train.items():
+        hit_sh = set()
+        hit_docs = 0
+        for b, bs in bench.items():
+            inter = sh & bs
+            if inter:
+                hit_sh |= inter
+                hit_docs += 1
+        if hit_sh:
+            expect[i] = (len(hit_sh), hit_docs, len(sh),
+                         round(len(hit_sh) / len(sh), 6))
+    assert expect, "fixture must produce contamination"
+
+    df = corpus
+    out = dd.decontaminate(
+        df.filter(F.col("doc_id") % 7 != 0),
+        df.filter(F.col("doc_id") % 7 == 0), n=3).collect()
+    got = {r["id"]: (r["n_hit_shingles"], r["n_bench_docs"],
+                     r["train_shingles"],
+                     round(r["contamination_frac"], 6)) for r in out}
+    assert got == expect
+
+
+def test_decontaminate_no_overlap_is_empty(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo")], "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(2, "zulu yankee xray whiskey victor")], "doc_id int, text string")
+    assert dd.decontaminate(train, bench, n=3).count() == 0
