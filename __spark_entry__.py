@@ -57,6 +57,13 @@ def _toks_sql(col: str) -> str:
             "t -> t <> '')")
 
 
+# corpus-mix rates / split weights for `domain_mix_split` — shared by
+# the Spark query and its DuckDB oracle so both embed the SAME
+# precomputed integer thresholds (see operators/sampling.py)
+_MIX_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1}
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
 def _stopword_values() -> str:
     from fashion_knowledge_graph_spark.functions.text import LANG_STOPWORDS
     rows = [f"('{lang}', '{t}')"
@@ -756,6 +763,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      num_hashes=128, bands=32)
         return dd.dedup_keep(docs, pairs)
 
+    def domain_mix_split(spark, sf):
+        # Corpus mixing + dataset split (LLM pretraining): per-lang
+        # sampling rates then a disjoint train/val/test assignment,
+        # both pure deterministic functions of (salt, doc_id) via the
+        # portable 60-bit md5 hash — reproducible across reruns,
+        # partitionings, and cluster sizes, unlike rand()/df.sample
+        # (operators/sampling.py). The oracle replays the identical
+        # integer-threshold decisions.
+        from fashion_knowledge_graph_spark.operators.sampling import (
+            domain_sample, hash_split,
+        )
+        docs = _load(spark, sf, "documents")
+        mixed = domain_sample(docs, "doc_id", "lang", _MIX_RATES,
+                              salt="mix")
+        return hash_split(mixed, "doc_id", _SPLIT_WEIGHTS,
+                          salt="split") \
+            .select("doc_id", "lang", "source", "split")
+
     def decontam_overlap(spark, sf):
         # Benchmark decontamination (LLM pretraining hygiene): docs
         # with doc_id % 41 == 0 stand in for a held-out eval set;
@@ -1059,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "decontam_overlap": decontam_overlap,
+        "domain_mix_split": domain_mix_split,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_clusters": dedup_clusters,
@@ -1703,6 +1729,34 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = inter.id_a
         JOIN sizes sb ON sb.id = inter.id_b
         WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35
+    """
+
+    # domain mixing + split: identical integer thresholds to the Spark
+    # query (both derive from _MIX_RATES/_SPLIT_WEIGHTS)
+    from fashion_knowledge_graph_spark.operators.sampling import (
+        rate_threshold,
+    )
+    _mix_case = "CASE lang " + " ".join(
+        f"WHEN '{d}' THEN {rate_threshold(r)}"
+        for d, r in sorted(_MIX_RATES.items())) + " ELSE 0 END"
+    _names = list(_SPLIT_WEIGHTS)
+    _acc, _cuts = 0.0, []
+    for _nm in _names[:-1]:
+        _acc += _SPLIT_WEIGHTS[_nm]
+        _cuts.append(rate_threshold(_acc))
+    _split_case = "CASE " + " ".join(
+        f"WHEN hp < {c} THEN '{n}'"
+        for n, c in zip(_names[:-1], _cuts)) + f" ELSE '{_names[-1]}' END"
+    sql["domain_mix_split"] = f"""
+        WITH h AS (
+          SELECT doc_id, lang, source,
+                 ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))
+                   ::BIGINT AS hm,
+                 ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))
+                   ::BIGINT AS hp
+          FROM documents)
+        SELECT doc_id, lang, source, {_split_case} AS split
+        FROM h WHERE hm < {_mix_case}
     """
 
     # decontamination: word-4-gram overlap between the doc_id%41 bench

@@ -1,0 +1,82 @@
+"""Deterministic hash-based sampling: domain mixing + dataset splits.
+
+Pretraining pipelines need REPRODUCIBLE sampling: corpus mixing
+weights (The Pile / Llama-style per-domain sampling ratios) and
+train/val/test splits must be stable across reruns, cluster sizes and
+partitionings — ``rand()``-based sampling is none of those (Spark's
+``df.sample`` is seed-stable only for a fixed partitioning). Every
+decision here is a pure function of ``(salt, key)``:
+``md5(salt:key)`` → 60-bit integer → compare against a precomputed
+integer threshold. No RNG state, no shuffle, pure whole-stage-codegen
+projection+filter — at 100 TB this runs at scan speed and composes
+with column pruning and partition pruning on the domain column.
+
+The 60-bit hash is the repo's shared portable convention
+(``functions/text.shingle_hash``): Spark
+``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+``('0x' || substr(md5(x),1,15))::BIGINT``, so the driver oracle
+replays sampling decisions bit-exactly. Thresholds are precomputed in
+Python as integers (``rate * 2^60``) and embedded as literals in BOTH
+engines — no float comparison ever happens distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPACE = 1 << 60          # md5[:15 hex] = 60 uniform bits
+
+
+def rate_threshold(rate: float) -> int:
+    """Integer keep-threshold for a rate in [0, 1]."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return int(rate * HASH_SPACE)
+
+
+def sample_hash(key_col: Column | str, salt: str) -> Column:
+    """Uniform 60-bit integer, a pure function of (salt, key)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    s = F.concat_ws(":", F.lit(salt), key.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def domain_sample(df: DataFrame, key_col: str, domain_col: str,
+                  rates: dict[str, float], salt: str = "mix",
+                  default_rate: float = 0.0) -> DataFrame:
+    """Keep each row with its domain's probability, deterministically:
+    row survives iff ``sample_hash(salt, key) < rate[domain] * 2^60``.
+    Domains absent from ``rates`` get ``default_rate``. Rate 1.0 keeps
+    everything (threshold = 2^60 > any hash), 0.0 nothing."""
+    thr = F.lit(rate_threshold(default_rate))
+    for dom, rate in sorted(rates.items()):
+        thr = F.when(F.col(domain_col) == dom,
+                     F.lit(rate_threshold(rate))).otherwise(thr)
+    return df.filter(sample_hash(key_col, salt) < thr)
+
+
+def hash_split(df: DataFrame, key_col: str,
+               weights: dict[str, float], salt: str = "split",
+               split_col: str = "split") -> DataFrame:
+    """Assign every row to exactly one named split by cumulative
+    integer thresholds over the same 60-bit hash (insertion order of
+    ``weights`` defines the bands; weights must sum to 1). Disjoint
+    and exhaustive by construction; membership of a key never changes
+    when data is added, repartitioned, or reprocessed."""
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    names = list(weights)
+    cuts, acc = [], 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        cuts.append(rate_threshold(acc))
+    # materialize the hash once per row (a literal-threshold CASE over
+    # it is free; re-evaluating md5 per band is not)
+    hcol = f"__{split_col}_hash"
+    h = F.col(hcol)
+    expr = F.lit(names[-1])
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        expr = F.when(h < cut, F.lit(name)).otherwise(expr)
+    return (df.withColumn(hcol, sample_hash(key_col, salt))
+            .withColumn(split_col, expr).drop(hcol))

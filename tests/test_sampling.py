@@ -1,0 +1,82 @@
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from fashion_knowledge_graph_spark.operators.sampling import (
+    HASH_SPACE,
+    domain_sample,
+    hash_split,
+    rate_threshold,
+    sample_hash,
+)
+
+
+def _py_hash(salt: str, key) -> int:
+    return int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)]
+    return spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+
+def test_sample_hash_matches_python_md5(spark):
+    df = spark.createDataFrame([(7,), (123456789012345,)], "k bigint")
+    got = {r["k"]: r["h"] for r in
+           df.select("k", sample_hash("k", "s").alias("h")).collect()}
+    assert got == {k: _py_hash("s", k) for k in got}
+
+
+def test_domain_sample_deterministic_across_partitionings(docs):
+    a = domain_sample(docs, "doc_id", "lang", {"en": 0.5, "de": 0.2})
+    b = domain_sample(docs.repartition(17, "lang"), "doc_id", "lang",
+                      {"en": 0.5, "de": 0.2})
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert ids_a == ids_b and ids_a
+    # exact python replay of every keep decision
+    expect = [i for i in range(3000)
+              if _py_hash("mix", i) < rate_threshold(
+                  {"en": 0.5, "de": 0.2}.get(["en", "de", "zh"][i % 3], 0.0))]
+    assert ids_a == expect
+
+
+def test_domain_sample_rates_are_calibrated(docs):
+    kept = domain_sample(docs, "doc_id", "lang",
+                         {"en": 0.5, "de": 0.2, "zh": 1.0}) \
+        .groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in kept}
+    assert got["zh"] == 1000                      # rate 1.0 keeps all
+    assert abs(got["en"] - 500) < 60              # ~binomial 3σ
+    assert abs(got["de"] - 200) < 50
+
+
+def test_hash_split_disjoint_exhaustive_and_stable(docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(docs, "doc_id", w).collect()
+    assert len(out) == 3000
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 2400) < 90
+    # membership is per-key stable: a subset of the data gets the
+    # identical assignment (append-safe splits)
+    sub = hash_split(docs.filter(F.col("doc_id") < 100), "doc_id", w)
+    full = {r["doc_id"]: r["split"] for r in out}
+    for r in sub.collect():
+        assert r["split"] == full[r["doc_id"]]
+
+
+def test_hash_split_rejects_bad_weights(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError):
+        rate_threshold(1.5)
+
+
+def test_rate_threshold_bounds():
+    assert rate_threshold(0.0) == 0
+    assert rate_threshold(1.0) == HASH_SPACE
