@@ -861,6 +861,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    selected=seeds, top_k=5) \
             .select("query_id", "rel_type", "product_id", "weight")
 
+    def kg_2hop_recs(spark, sf):
+        # 2-hop collaborative-filtering expansion: new items reachable
+        # through a shared neighbor, direct neighbors excluded,
+        # bottleneck-weight path scoring (plans/queries.py::
+        # two_hop_recommend; oracle replays both hops + NOT EXISTS +
+        # scoring in SQL over the materialized edges)
+        from fashion_knowledge_graph_spark.plans import queries as Q
+        out = _kg_world(spark, sf)
+        seeds = out["edges"].select(
+            F.col("src").alias("product_id")).distinct() \
+            .orderBy("product_id").limit(20)
+        return Q.two_hop_recommend(out["edges"], seeds, top_k=10)
+
     def kg_mention_gates(spark, sf):
         # P3/P5/P6/P8 + W1 relationally, over the materialized PRE-gate
         # segmentation rows — the last un-oracled reference semantics
@@ -1097,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": kg_edges,
         "kg_canonical": kg_canonical,
         "kg_complete_the_look": kg_complete_the_look,
+        "kg_2hop_recs": kg_2hop_recs,
         "kg_mention_gates": kg_mention_gates,
         "kg_ctl_filtered": kg_ctl_filtered,
         "kg_lineage_metrics": kg_lineage_metrics,
@@ -2159,6 +2173,37 @@ def _kg_oracle_sql() -> dict[str, str]:
         SELECT src AS subj, 'complements' AS pred, dst AS obj,
                weight::DOUBLE AS score
         FROM edges
+    """
+
+    sql["kg_2hop_recs"] = f"""
+        WITH RECURSIVE {base},
+        seeds AS (SELECT DISTINCT src AS sel_id FROM edges
+                  ORDER BY sel_id LIMIT 20),
+        esym AS (SELECT src, dst, weight FROM edges WHERE weight >= 1
+                 UNION ALL
+                 SELECT dst AS src, src AS dst, weight FROM edges
+                 WHERE weight >= 1),
+        h1 AS (SELECT s.sel_id, e.dst AS mid, e.weight AS w1
+               FROM seeds s JOIN esym e ON e.src = s.sel_id),
+        h2 AS (SELECT h1.sel_id, h1.w1, e.dst AS dst2, e.weight AS w2
+               FROM h1 JOIN esym e ON e.src = h1.mid),
+        cand AS (
+          SELECT * FROM h2
+          WHERE dst2 <> sel_id
+            AND NOT EXISTS (SELECT 1 FROM h1 x
+                            WHERE x.sel_id = h2.sel_id
+                              AND x.mid = h2.dst2)),
+        scored AS (
+          SELECT sel_id, dst2,
+                 sum(least(w1, w2))::BIGINT AS score,
+                 count(*) AS n_paths
+          FROM cand GROUP BY 1, 2)
+        SELECT sel_id AS query_id, dst2 AS product_id, score, n_paths
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY sel_id
+                ORDER BY score DESC, n_paths DESC, dst2 ASC) AS rn
+              FROM scored) z
+        WHERE rn <= 10
     """
 
     sql["kg_complete_the_look"] = f"""

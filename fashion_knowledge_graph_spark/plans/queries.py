@@ -86,6 +86,54 @@ def complete_the_look(edges: DataFrame, nodes: DataFrame,
         "type", "color", "category")
 
 
+def two_hop_recommend(edges: DataFrame, seeds: DataFrame,
+                      weight_threshold: int = 1,
+                      top_k: int = 10) -> DataFrame:
+    """2-hop expansion — "related to what you're related to" — the
+    collaborative-filtering extension of the reference's 1-hop Cypher
+    (src/database/graph_database.py:289-326, one `-[r]-` hop further):
+
+    - paths seed → mid → dst over the symmetrized weight-filtered
+      graph; the seed itself and its DIRECT neighbors are excluded
+      (anti-join), so results are genuinely new discoveries
+    - score = Σ over paths of the bottleneck weight min(w1, w2);
+      n_paths ranks ties
+    - top-k per seed, deterministic dst tie-break
+
+    Scale shape: the seed set broadcasts (hop 1 never shuffles the
+    edge table); hop 2 is one equi-join shuffled on the mid key; the
+    anti-join reuses hop 1's output. Hub mids fan out quadratically —
+    at 100 TB cap them upstream (the edges table is already
+    weight-aggregated, and a degree cap like triangle counting's
+    O(√m) orientation bound applies if needed).
+
+    Output: (query_id, product_id, score, n_paths).
+    """
+    sym = symmetrize_edges(edges).filter(
+        F.col("weight") >= weight_threshold) \
+        .select("src", "dst", "weight")
+    sel = F.broadcast(seeds.select(F.col("product_id").alias("sel_id")))
+    h1 = sym.join(sel, sym.src == F.col("sel_id")) \
+        .select("sel_id", F.col("dst").alias("mid"),
+                F.col("weight").alias("w1"))
+    h2 = h1.join(
+        sym.select(F.col("src").alias("mid"),
+                   F.col("dst").alias("dst2"),
+                   F.col("weight").alias("w2")), "mid")
+    neigh = h1.select("sel_id", F.col("mid").alias("dst2")).distinct()
+    cand = h2.filter(F.col("dst2") != F.col("sel_id")) \
+        .join(neigh, ["sel_id", "dst2"], "left_anti")
+    scored = cand.groupBy("sel_id", "dst2").agg(
+        F.sum(F.least("w1", "w2")).alias("score"),
+        F.count(F.lit(1)).alias("n_paths"))
+    out = grouped_top_k(scored, ["sel_id"],
+                        [F.desc("score"), F.desc("n_paths")],
+                        top_k, tie_breaks=[F.asc("dst2")])
+    return out.select(F.col("sel_id").alias("query_id"),
+                      F.col("dst2").alias("product_id"),
+                      "score", "n_paths")
+
+
 def outfit_from_image(query_docs: DataFrame, catalog: DataFrame,
                       threshold: float = 0.7, top_k: int = tx.LINK_TOP_K,
                       strategy: str = "exact") -> DataFrame:

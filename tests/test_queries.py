@@ -134,3 +134,30 @@ def test_outfit_from_text_rrf(spark, catalog_df):
         assert [p for p, _ in got] == [p for p, _ in exp_top], qid
         for (gp, gs), (ep, es) in zip(got, exp_top):
             assert gs == pytest.approx(es)
+
+
+def test_two_hop_recommend_semantics(spark):
+    # a--b(3), a--c(1), b--d(2), c--d(5), d--e(4); seed = a
+    # 2-hop from a: via b -> d (min(3,2)=2), via c -> d (min(1,5)=1)
+    #   d scores 2+1=3 with 2 paths; e is 3 hops away -> absent;
+    #   b,c are direct neighbors -> excluded; a itself excluded
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "d", 2),
+         ("c", "d", 5), ("d", "e", 4)],
+        "src string, dst string, weight int")
+    seeds = spark.createDataFrame([("a",)], "product_id string")
+    out = Q.two_hop_recommend(edges, seeds, top_k=10).collect()
+    assert [(r["query_id"], r["product_id"], r["score"], r["n_paths"])
+            for r in out] == [("a", "d", 3, 2)]
+
+
+def test_two_hop_recommend_weight_threshold_and_topk(spark):
+    # threshold prunes the weight-1 edge BEFORE path enumeration
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "d", 2), ("c", "e", 9)],
+        "src string, dst string, weight int")
+    seeds = spark.createDataFrame([("a",)], "product_id string")
+    out = Q.two_hop_recommend(edges, seeds, weight_threshold=2,
+                              top_k=10).collect()
+    # a--c dropped (w=1) so e unreachable; only a->b->d remains
+    assert [(r["product_id"], r["score"]) for r in out] == [("d", 2)]
