@@ -781,6 +781,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           salt="split") \
             .select("doc_id", "lang", "source", "split")
 
+    def emb_quantize_int8(spark, sf):
+        # int8 symmetric max-abs quantization of the embeddings table
+        # (operators/quantize.py): integer codes are replayed EXACTLY
+        # by the oracle (portable floor(x+0.5) rounding, checksummed),
+        # reconstruction error stats rounded
+        from fashion_knowledge_graph_spark.operators.quantize import (
+            quantize_int8,
+        )
+        emb = _load(spark, sf, "embeddings")
+        out = quantize_int8(emb, id_col="vec_id", vec_col="embedding")
+        return out.select(
+            F.col("id").alias("vec_id"),
+            F.round("scale", 6).alias("scale"),
+            "q_sum", "q_l1",
+            F.round("max_err", 6).alias("max_err"),
+            F.round("mse", 8).alias("mse"))
+
     def decontam_overlap(spark, sf):
         # Benchmark decontamination (LLM pretraining hygiene): docs
         # with doc_id % 41 == 0 stand in for a held-out eval set;
@@ -1098,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "decontam_overlap": decontam_overlap,
         "domain_mix_split": domain_mix_split,
+        "emb_quantize_int8": emb_quantize_int8,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_clusters": dedup_clusters,
@@ -1743,6 +1761,39 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = inter.id_a
         JOIN sizes sb ON sb.id = inter.id_b
         WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35
+    """
+
+    # int8 quantization: the integer codes re-derived elementwise in
+    # SQL (identical IEEE double ops + portable floor(x+0.5) rounding
+    # → checksums compare EXACTLY); float error stats rounded
+    sql["emb_quantize_int8"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     coalesce(list_max(list_transform(v, x -> abs(x))),
+                              0.0) AS scale
+              FROM e),
+        q AS (SELECT vec_id, v, scale,
+                     CASE WHEN scale = 0
+                          THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                          ELSE list_transform(v, x ->
+                            CAST(floor(x * 127.0 / scale + 0.5)
+                                 AS BIGINT)) END AS qv
+              FROM s),
+        err AS (SELECT vec_id, scale, qv,
+                       list_transform(range(1, len(v) + 1),
+                         i -> abs(qv[i] * scale / 127.0 - v[i])) AS ev,
+                       len(v) AS dim
+                FROM q)
+        SELECT vec_id, round(scale, 6) AS scale,
+               coalesce(list_sum(qv), 0)::BIGINT AS q_sum,
+               coalesce(list_sum(list_transform(qv, x -> abs(x))),
+                        0)::BIGINT AS q_l1,
+               round(coalesce(list_max(ev), 0.0), 6) AS max_err,
+               round(coalesce(list_sum(
+                       list_transform(ev, x -> x * x)), 0.0)
+                     / greatest(dim, 1), 8) AS mse
+        FROM err
     """
 
     # domain mixing + split: identical integer thresholds to the Spark

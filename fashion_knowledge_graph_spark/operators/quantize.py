@@ -1,0 +1,109 @@
+"""Embedding quantization: float32 → int8 with per-vector scale.
+
+The standard storage/memory lever for vector search at corpus scale:
+a 512-d float32 embedding is 2 KB; symmetric int8 quantization cuts
+it to 512 B + one float, with ~0.3% typical cosine error — the
+difference between an ANN index fitting in executor memory or
+spilling. (FAISS `SQ8`, Milvus/pgvector int8 are this exact scheme.)
+
+Scheme (symmetric max-abs, per vector):
+    scale = max(|x_i|)            (0-vectors keep scale 0, q = 0)
+    q_i   = floor(x_i * 127 / scale + 0.5)   in [-127, 127]
+    x̂_i  = q_i * scale / 127
+
+``floor(v + 0.5)`` — NOT banker's rounding — is used so the decision
+is portable bit-for-bit: numpy here, Spark SQL, and DuckDB all agree
+on it, letting the driver oracle replay quantization EXACTLY (integer
+codes compare hash-equal; no float-tolerance hand-waving).
+
+Runs as one ``mapInArrow`` numpy kernel (matrix ops over the whole
+batch, zero per-row Python) — the same hot-path pattern as the dedup
+signature kernels. Map-only: no shuffle, composes with any upstream
+scan at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401 (callers compose)
+from pyspark.sql import types as T
+
+
+def quantize_int8(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """→ (id, scale float, qvec array<int> in [-127,127], plus exact
+    integer ``q_sum``/``q_l1`` checksums and float64 reconstruction
+    error stats ``max_err``/``mse``)."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = T.StructType([
+        T.StructField("id", df.schema[id_col].dataType),
+        T.StructField("scale", T.DoubleType()),
+        T.StructField("qvec", T.ArrayType(T.IntegerType())),
+        T.StructField("q_sum", T.LongType()),
+        T.StructField("q_l1", T.LongType()),
+        T.StructField("max_err", T.DoubleType()),
+        T.StructField("mse", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            vecs = rb.column(vec_col)
+            # ragged-safe: testdata vectors share a dim per table, but
+            # the kernel must not assume it
+            flat = np.asarray(vecs.values.to_numpy(zero_copy_only=False),
+                              dtype=np.float64)
+            offs = np.asarray(vecs.offsets.to_numpy(zero_copy_only=False),
+                              dtype=np.int64)
+            lens = np.diff(offs)
+
+            # All segment reductions run over a ONE-ZERO-PADDED array:
+            # a zero-length vector makes some offset == len(flat),
+            # which raw reduceat rejects, and clamping instead would
+            # corrupt the previous segment (the simhash trailing-
+            # empty-doc lesson, dedup.py::simhash_df). The pad is
+            # absorbing for every op used (max/add over values ≥ 0 or
+            # exact-zero pads); empty segments are masked out after.
+            def seg(op, arr, pad=0.0):
+                if not len(flat):
+                    return np.zeros(n, dtype=arr.dtype)
+                padded = np.concatenate([arr, np.asarray([pad],
+                                                         dtype=arr.dtype)])
+                out = op.reduceat(padded, offs[:-1])
+                out[lens == 0] = pad
+                return out
+
+            scale = seg(np.maximum, np.abs(flat))
+            per_elem_scale = np.repeat(scale, lens)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q = np.floor(flat * 127.0 / per_elem_scale + 0.5)
+            if len(q):
+                q[per_elem_scale == 0.0] = 0.0
+            q = q.astype(np.int64)
+            recon = q * per_elem_scale / 127.0
+            err = np.abs(recon - flat)
+            qsum = seg(np.add, q, pad=0)
+            ql1 = seg(np.add, np.abs(q), pad=0)
+            maxe = seg(np.maximum, err)
+            msev = seg(np.add, err * err) / np.maximum(lens, 1)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(id_col),
+                 pa.array(scale),
+                 pa.ListArray.from_arrays(
+                     pa.array(offs, type=pa.int32()),
+                     pa.array(q.astype(np.int32))),
+                 pa.array(qsum), pa.array(ql1),
+                 pa.array(maxe), pa.array(msev)],
+                schema=pa.schema([
+                    ("id", rb.column(id_col).type),
+                    ("scale", pa.float64()),
+                    ("qvec", pa.list_(pa.int32())),
+                    ("q_sum", pa.int64()), ("q_l1", pa.int64()),
+                    ("max_err", pa.float64()), ("mse", pa.float64())]))
+
+    return df.select(F.col(id_col), F.col(vec_col)) \
+        .mapInArrow(kernel, out_schema)
