@@ -781,6 +781,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           salt="split") \
             .select("doc_id", "lang", "source", "split")
 
+    def zorder_events_key(spark, sf):
+        # Morton z-order key over (user_id, value-cents): the
+        # clustering key behind multi-column min/max data skipping
+        # (functions/zorder.py; zorder_by + SnapshotTable stats
+        # pruning is pinned in test_zorder). Pure codegen BIGINT
+        # bit-interleave — the oracle rebuilds the key bit-for-bit.
+        from fashion_knowledge_graph_spark.functions.zorder import (
+            bucketize, zorder_key,
+        )
+        ev = _load(spark, sf, "events")
+        cents = F.floor(F.col("value") * 100).cast("long")
+        z = zorder_key([bucketize(F.col("user_id"), 0, 2000, 16),
+                        bucketize(cents, 0, 100000, 16)], bits=16)
+        return ev.select("event_id", z.alias("zkey"))
+
     def emb_quantize_int8(spark, sf):
         # int8 symmetric max-abs quantization of the embeddings table
         # (operators/quantize.py): integer codes are replayed EXACTLY
@@ -1116,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": decontam_overlap,
         "domain_mix_split": domain_mix_split,
         "emb_quantize_int8": emb_quantize_int8,
+        "zorder_events_key": zorder_events_key,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_clusters": dedup_clusters,
@@ -1761,6 +1777,24 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = inter.id_a
         JOIN sizes sb ON sb.id = inter.id_b
         WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35
+    """
+
+    # z-order key: identical bucket arithmetic (exact BIGINT ops + one
+    # IEEE double division) + bit interleave rebuilt with SQL shifts
+    _z_terms = " | ".join(
+        f"(((b{i} >> {b}) & 1) << {2 * b + i})"
+        for b in range(16) for i in (0, 1))
+    sql["zorder_events_key"] = f"""
+        WITH bkt AS (
+          SELECT event_id,
+                 greatest(0, least(65535,
+                   CAST(floor((user_id - 0) * 65535 / 2000)
+                        AS BIGINT))) AS b0,
+                 greatest(0, least(65535,
+                   CAST(floor((CAST(floor(value * 100) AS BIGINT) - 0)
+                              * 65535 / 100000) AS BIGINT))) AS b1
+          FROM events)
+        SELECT event_id, {_z_terms} AS zkey FROM bkt
     """
 
     # int8 quantization: the integer codes re-derived elementwise in
