@@ -686,6 +686,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return stream_tumbling_agg_once(
             spark, os.path.join(sf, "events.parquet"))
 
+    def stream_dedup_distinct(spark, sf):
+        # Streaming dedup with bounded state
+        # (dropDuplicatesWithinWatermark): over a drained static
+        # source with a lenient watermark the emitted key set ≡ batch
+        # SELECT DISTINCT by construction; the state-expiry semantics
+        # (key re-emission after the watermark passes) are pinned in
+        # tests/test_streaming.py.
+        from fashion_knowledge_graph_spark.streaming.incremental import (
+            stream_dedup_once,
+        )
+        return stream_dedup_once(
+            spark, os.path.join(sf, "events.parquet"))
+
     def f9_content_ids(spark, sf):
         # F9 (reference app/main.py:676,704 uses uuid4 for image ids):
         # content-addressed deterministic ids — md5 for the short
@@ -1121,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_attribution": range_join_attribution,
         "sessionize_events": sessionize_events,
         "stream_sessionize_closed": stream_sessionize_closed,
+        "stream_dedup_distinct": stream_dedup_distinct,
         "f9_content_ids": f9_content_ids,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
@@ -1341,6 +1355,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["stream_windowed_agg"] = sql["events_tumbling_agg"]
+
+    sql["stream_dedup_distinct"] = """
+        SELECT DISTINCT user_id, event_type FROM events
+    """
 
     sql["asof_attribution"] = """
         SELECT p.event_id, p.user_id,

@@ -310,3 +310,59 @@ def stream_event_counts(events_stream: DataFrame,
                  F.sum("value").alias("total_value"))
             .select(F.col("win.start").alias("window_start"),
                     "event_type", "n", "total_value"))
+
+
+def stream_dedup_keys(events_stream: DataFrame,
+                      keys: list[str],
+                      watermark: str = "2 hours",
+                      ts: str = "ts") -> DataFrame:
+    """Streaming deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key
+    and expires each key's state once the event-time watermark passes
+    it — the only dedup shape that survives an unbounded stream
+    (plain ``dropDuplicates`` on a stream grows state forever; at
+    100 TB/day ingest that is an OOM, not an operator).
+
+    Emits the surviving rows' KEY COLUMNS (append mode): which
+    physical row wins per key is arrival-order-dependent, the key set
+    is not — so downstream consumers (and the oracle) get a
+    deterministic contract. A key CAN legitimately reappear after its
+    state expired; the watermark is the dedup horizon, exactly
+    Kafka-ingest semantics."""
+    return (events_stream
+            .withWatermark(ts, watermark)
+            .dropDuplicatesWithinWatermark(keys)
+            .select(*keys))
+
+
+def stream_dedup_once(spark: SparkSession, events_path: str,
+                      keys: list[str] | None = None) -> DataFrame:
+    """Drain a static events directory through ``stream_dedup_keys``
+    with a lenient (1-year) watermark — no state ever expires during
+    the bounded run, so the emitted key set ≡ batch ``SELECT
+    DISTINCT`` no matter how the source splits into micro-batches.
+    The driver-facing deterministic runner (same pattern as
+    ``stream_tumbling_agg_once``); the bounded-state expiry semantics
+    are pinned separately in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    keys = keys or ["user_id", "event_type"]
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="fkg_stream_src_")
+        os.symlink(events_path, os.path.join(
+            d, os.path.basename(events_path)))
+        events_path = d
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    src = spark.readStream.schema(schema).parquet(events_path)
+    out = stream_dedup_keys(src, keys, watermark="365 days")
+    _ONCE_SEQ[0] += 1
+    name = f"fkg_stream_dedup_{_ONCE_SEQ[0]}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="fkg_stream_cp_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)

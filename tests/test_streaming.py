@@ -227,3 +227,71 @@ def test_stream_interval_join_equals_batch(spark, tmp_path_factory):
            for r in spark.sql("select * from ssj_mb").collect()}
     want = {(2, 1, 9.0), (7, 5, 5.0), (7, 6, 5.0), (9, 8, 2.0)}
     assert got == want
+
+
+def test_stream_dedup_within_watermark_semantics(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark: duplicates within the horizon are
+    suppressed ACROSS micro-batches; once the event-time watermark
+    passes a key's state, the key legitimately re-emits (bounded-state
+    dedup, not global distinct)."""
+    import os
+    import time as _time
+
+    from fashion_knowledge_graph_spark.streaming import incremental as sti
+
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    base = pd.Timestamp("2026-03-01 10:00:00")
+    sch = ("event_id bigint, ts timestamp, user_id bigint, "
+           "event_type string, value double, props string")
+    mins = pd.Timedelta(minutes=1)
+    batches = [
+        # batch 1: first sighting of key (1, view)
+        [(1, base.to_pydatetime(), 1, "view", 1.0, "{}")],
+        # batch 2: duplicate 5 min later (inside the 1 h horizon) —
+        # suppressed ACROSS the micro-batch boundary
+        [(2, (base + 5 * mins).to_pydatetime(), 1, "view", 1.0, "{}")],
+        # batch 3: a far-future key drags the watermark to +540 min,
+        # way past key 1's expiry (+65 min)
+        [(3, (base + 600 * mins).to_pydatetime(), 2, "buy", 1.0, "{}")],
+        # batches 4-5: eviction is visible to arrivals one batch
+        # AFTER the watermark passes (measured: the +601 arrival in
+        # the same batch as the eviction is still suppressed), so a
+        # spacer batch advances things and the +603 re-arrival of the
+        # expired key must emit
+        [(4, (base + 601 * mins).to_pydatetime(), 1, "view", 1.0, "{}")],
+        [(5, (base + 603 * mins).to_pydatetime(), 1, "view", 1.0, "{}")],
+    ]
+    for part, chunk in enumerate(batches):
+        spark.createDataFrame(chunk, sch).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(src, f"f{part}"))
+        _time.sleep(1.1)   # strictly increasing mtimes → batch order
+
+    stream = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    out = sti.stream_dedup_keys(stream, ["user_id", "event_type"],
+                                watermark="1 hour")
+    ck = str(tmp_path_factory.mktemp("dedup_ck"))
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_mb").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = sorted(map(tuple,
+                     spark.sql("select * from dedup_mb").collect()))
+    # (1, view) EXACTLY twice — once before and once after expiry,
+    # out of four arrivals: the +5 min duplicate is suppressed across
+    # the batch boundary, and post-expiry re-arrival emits again
+    assert got == [(1, "view"), (1, "view"), (2, "buy")]
+
+
+def test_stream_dedup_once_equals_batch_distinct(spark, tmp_path_factory):
+    import os
+
+    from fashion_knowledge_graph_spark.streaming import incremental as sti
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    path = os.path.join(sf, "events.parquet")
+    got = sorted(map(tuple, sti.stream_dedup_once(spark, path).collect()))
+    want = sorted(map(tuple, spark.read.parquet(path)
+                      .select("user_id", "event_type").distinct().collect()))
+    assert got == want and len(want) > 0
