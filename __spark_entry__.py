@@ -446,6 +446,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
             .cast("double").alias("sum_qty"))
 
+    def s_compact_optimize(spark, sf):
+        # OPTIMIZE small files: 12 micro-batch-sized appends → one
+        # compaction commit; the read-back after compaction must be
+        # row-identical to the plain source (the oracle), and the
+        # in-query asserts prove files actually shrank and time travel
+        # still sees the pre-compact layout
+        from fashion_knowledge_graph_spark.sources.tables import (
+            SnapshotTable,
+        )
+        ev = _load(spark, sf, "events").select(
+            "event_id", "user_id", "event_type",
+            F.round(F.col("value"), 2).alias("value"))
+        t = SnapshotTable(tempfile.mkdtemp(prefix="fkg_compact_"))
+        for i in range(12):
+            t.write(ev.filter(F.col("event_id") % 12 == i).repartition(4),
+                    mode="append" if i else "overwrite", stage="ingest")
+        pre_sid = t.current_snapshot()
+        pre_files = len(t._manifest(pre_sid)["files"])
+        t.compact(spark)
+        post_files = len(t._manifest(t.current_snapshot())["files"])
+        assert post_files < pre_files // 4, (pre_files, post_files)
+        assert t.read(spark, pre_sid).count() == t.read(spark).count()
+        return t.read(spark)
+
     def s_merge_upsert(spark, sf):
         # generic MERGE INTO (upsert): matched keys take the source
         # row, unmatched source rows insert, committed as one
@@ -1176,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences,
         "s_minmax_skipping": s_minmax_skipping,
         "s_merge_upsert": s_merge_upsert,
+        "s_compact_optimize": s_compact_optimize,
         "graph_triangles": graph_triangles,
         "w_gap_islands": w_gap_islands,
         "a_cube_rollup": a_cube_rollup,
@@ -1604,6 +1629,12 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
                              AND TIMESTAMP '1997-12-31 23:59:59'
         GROUP BY 1
+    """
+
+    sql["s_compact_optimize"] = """
+        SELECT event_id, user_id, event_type,
+               round(value, 2) AS value
+        FROM events
     """
 
     sql["s_merge_upsert"] = """

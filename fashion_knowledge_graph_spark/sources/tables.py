@@ -321,6 +321,45 @@ class SnapshotTable:
         merged = untouched.select(*cols).unionByName(source.select(*cols))
         return self.write(merged, mode="overwrite", stage=stage)
 
+    def compact(self, spark: SparkSession,
+                target_files: int | None = None,
+                target_file_bytes: int = 128 << 20,
+                stats_cols: list[str] | None = None,
+                shuffle: bool = False) -> int:
+        """``OPTIMIZE`` / small-file bin-packing: rewrite the CURRENT
+        snapshot's rows into ~``target_files`` right-sized files as
+        one overwrite commit (stage ``compact``). The small-files
+        problem is THE operational tax of streaming ingest at scale —
+        a day of micro-batch appends leaves thousands of KB-sized
+        files whose per-file open/footer/task costs dominate every
+        subsequent scan; Iceberg's rewriteDataFiles / Delta's OPTIMIZE
+        exist for exactly this. Content is row-identical by
+        construction; earlier snapshots still read the old layout
+        (time travel), and ``lineage_current`` restarts at the
+        compaction like any overwrite.
+
+        ``target_files`` defaults to current-total-bytes /
+        ``target_file_bytes`` (driver-side ``stat`` of the manifest's
+        files — no Spark job). ``shuffle=False`` uses ``coalesce``
+        (narrow — no shuffle, the right default for merging small
+        files); pass ``shuffle=True`` for round-robin rebalancing when
+        input files are badly skewed. Pass ``stats_cols`` to re-record
+        per-file min/max bounds — compaction of a sorted/z-ordered
+        table keeps pruning tight."""
+        sid = self.current_snapshot()
+        if sid is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        if target_files is None:
+            total = sum(
+                os.path.getsize(os.path.join(self.data_dir, f))
+                for f in self._manifest(sid)["files"])
+            target_files = max(1, -(-total // target_file_bytes))
+        cur = self.read(spark)
+        packed = cur.repartition(target_files) if shuffle \
+            else cur.coalesce(target_files)
+        return self.write(packed, mode="overwrite", stage="compact",
+                          stats_cols=stats_cols)
+
     def exists(self) -> bool:
         return self.current_snapshot() is not None
 

@@ -180,3 +180,48 @@ def test_read_uses_manifest_schema_not_inference(spark, tbl):
     m = tbl._manifest(1)
     assert StructType.fromJson(m["schema"]) == df.schema
     assert tbl.read(spark).schema == df.schema
+
+
+def test_compact_merges_small_files(spark, tbl):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(200)],
+                               "k int, v string")
+    for i in range(5):
+        tbl.write(df.filter(F.col("k") % 5 == i).repartition(4),
+                  mode="append" if i else "overwrite", stage="ingest")
+    pre_sid = tbl.current_snapshot()
+    pre_files = tbl._manifest(pre_sid)["files"]
+    assert len(pre_files) == 20
+
+    sid = tbl.compact(spark)
+    post = tbl._manifest(sid)["files"]
+    assert len(post) < len(pre_files)
+    # content row-identical
+    assert sorted(map(tuple, tbl.read(spark).collect())) == \
+        sorted(map(tuple, df.collect()))
+    # time travel still reads the pre-compact layout
+    assert sorted(map(tuple, tbl.read(spark, pre_sid).collect())) == \
+        sorted(map(tuple, df.collect()))
+    # compaction is an overwrite: incremental reads across it refuse
+    with pytest.raises(ValueError):
+        tbl.incremental_read(spark, from_snapshot=pre_sid)
+
+
+def test_compact_auto_target_and_stats(spark, tbl):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k int")
+    for i in range(4):
+        tbl.write(df.filter((F.col("k") % 4) == i).repartition(3),
+                  mode="append" if i else "overwrite", stage="ingest")
+    # tiny files + 128 MB target → exactly 1 output file
+    sid = tbl.compact(spark, stats_cols=["k"])
+    m = tbl._manifest(sid)
+    assert len(m["files"]) == 1
+    # stats re-recorded: pruning works after compaction
+    kept, total = tbl.prune_files("k", lo=2000, hi=3000)
+    assert total == 1 and kept == []
+    assert tbl.read_where(spark, "k", lo=10, hi=20).count() == 11
+
+
+def test_compact_empty_table_raises(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "nothing"))
+    with pytest.raises(FileNotFoundError):
+        t.compact(spark)
