@@ -633,6 +633,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "asof_view_id",
             F.date_format("asof_ts", fmt).alias("view_ts"))
 
+    def funnel_view_click_purchase(spark, sf):
+        # ordered funnel (behavioral analytics): first view → first
+        # click after it → first purchase after that, per user
+        # (operators/temporal.py::funnel — co-partitioned left joins,
+        # one shuffle key throughout)
+        from fashion_knowledge_graph_spark.operators.temporal import (
+            funnel,
+        )
+        ev = _load(spark, sf, "events")
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        out = funnel(ev, ["view", "click", "purchase"])
+        return out.select(
+            "user_id",
+            F.date_format("t1", fmt).alias("view_ts"),
+            F.date_format("t2", fmt).alias("click_ts"),
+            F.date_format("t3", fmt).alias("purchase_ts"))
+
     def asof_attribution_cogroup(spark, sf):
         # the SAME as-of semantics via the cogrouped-map API
         # (groupBy().cogroup().applyInPandas → per-key merge_asof):
@@ -1154,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_agg": stream_windowed_agg,
         "stream_view_purchase_join": stream_view_purchase_join,
         "asof_attribution": asof_attribution,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
         "asof_attribution_cogroup": asof_attribution_cogroup,
         "range_join_attribution": range_join_attribution,
         "sessionize_events": sessionize_events,
@@ -1383,6 +1401,26 @@ def oracle_sql() -> dict[str, str]:
 
     sql["stream_dedup_distinct"] = """
         SELECT DISTINCT user_id, event_type FROM events
+    """
+
+    sql["funnel_view_click_purchase"] = """
+        WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+               FROM s1 LEFT JOIN events e
+                 ON e.user_id = s1.user_id
+                AND e.event_type = 'click' AND e.ts > s1.t1
+               GROUP BY 1, 2),
+        s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+               FROM s2 LEFT JOIN events e
+                 ON e.user_id = s2.user_id
+                AND e.event_type = 'purchase' AND e.ts > s2.t2
+               GROUP BY 1, 2, 3)
+        SELECT user_id,
+               strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+               strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        FROM s3
     """
 
     sql["asof_attribution"] = """

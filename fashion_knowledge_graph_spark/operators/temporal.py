@@ -219,3 +219,38 @@ def session_bounds(events: DataFrame, by: str = "user_id",
                  .alias("session_start"),
                  F.date_format(F.max(ts), "yyyy-MM-dd HH:mm:ss")
                  .alias("session_end")))
+
+
+def funnel(events: DataFrame, steps: list[str], by: str = "user_id",
+           ts: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel completion: step k's time is the MIN event time
+    of ``steps[k]`` STRICTLY AFTER step k-1's time, per entity — the
+    standard behavioral-analytics shape ("of users who viewed, how
+    many then clicked, then purchased, in that order").
+
+    Output: one row per entity that completed step 1, columns
+    ``t1..tK`` (timestamps; ``tk`` NULL once the funnel stalls — and
+    every later step is NULL by construction since its predicate
+    compares against NULL).
+
+    Scale shape: K-1 left joins, every one keyed on the SAME entity
+    column — after the first shuffle all stages are co-partitioned,
+    so Spark reuses the hash partitioning instead of re-shuffling
+    (one Exchange per new data source, none between stages). Each
+    stage's aggregation is partial-agg'd map-side. Events tables are
+    filtered to one step's type before joining, so no stage carries
+    the full event stream."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    cur = (events.filter(F.col(type_col) == steps[0])
+           .groupBy(by).agg(F.min(ts).alias("t1")))
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step) \
+            .select(by, F.col(ts).alias("__nts"))
+        prev_cols = [f"t{i}" for i in range(1, k)]
+        cur = (cur.join(nxt, by, "left")
+               .withColumn("__ok", F.when(
+                   F.col("__nts") > F.col(f"t{k - 1}"), F.col("__nts")))
+               .groupBy(by, *prev_cols)
+               .agg(F.min("__ok").alias(f"t{k}")))
+    return cur

@@ -1,6 +1,7 @@
 from datetime import datetime, timedelta
 
 import pandas as pd
+import pytest
 
 from fashion_knowledge_graph_spark.operators import temporal as tp
 
@@ -123,3 +124,42 @@ def test_asof_cogroup_matches_window_form(spark):
     b = sorted(tuple(r) for r in tp.asof_join_cogroup(
         ldf, rdf, by="k", ts="ts", payload_cols=["rid"]).collect())
     assert a == b and len(a) == 40
+
+
+def test_funnel_ordered_semantics(spark):
+    from fashion_knowledge_graph_spark.operators.temporal import funnel
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1 completes in order: view@0, click@5, purchase@9
+        (1, t0, "view"), (1, t0 + 5 * m, "click"), (1, t0 + 9 * m, "purchase"),
+        # user 2: click BEFORE first view → t2 must use the click
+        # AFTER the view (none) → stalls at t1; the purchase@8 is
+        # unreachable because t2 is NULL
+        (2, t0 + 3 * m, "view"), (2, t0 + 1 * m, "click"),
+        (2, t0 + 8 * m, "purchase"),
+        # user 3: never views → not in the funnel at all
+        (3, t0, "click"), (3, t0 + 1 * m, "purchase"),
+        # user 4: two views; funnel anchors at the FIRST view; click
+        # ties exactly with the first view → strict > excludes it
+        (4, t0, "view"), (4, t0, "click"), (4, t0 + 2 * m, "view"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, k) for u, t, k in rows],
+        "user_id int, ts timestamp, event_type string")
+    got = {r["user_id"]: (r["t1"], r["t2"], r["t3"])
+           for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1] == (t0, t0 + 5 * m, t0 + 9 * m)
+    assert got[2] == (t0 + 3 * m, None, None)
+    assert got[4] == (t0, None, None)
+
+
+def test_funnel_rejects_single_step(spark):
+    from fashion_knowledge_graph_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame([(1,)], "user_id int")
+    with pytest.raises(ValueError):
+        funnel(ev, ["view"])
