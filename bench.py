@@ -54,6 +54,11 @@ HEADLINE = [
     "tfidf_top_terms",
     "graph_pagerank",
     "kmeans_clusters",
+    "decontam_overlap",
+    "domain_mix_split",
+    "emb_quantize_int8",
+    "pack_sequences",
+    "funnel_view_click_purchase",
 ]
 
 

@@ -265,3 +265,68 @@ def test_partitioned_write_prunes_partitions_and_pushes_filters(
     got = df.count()
     want = len(pdf[(pdf.day == "2026-01-03") & (pdf.value > 50.0)])
     assert got == want
+
+
+def test_domain_mix_split_is_pure_codegen_scan(spark, tmp_path):
+    """Sampling + split decisions are literal-threshold md5 compares:
+    one WholeStageCodegen over the scan — zero exchanges, zero Python
+    (at 100 TB this runs at scan speed or it's wrong)."""
+    from fashion_knowledge_graph_spark.operators.sampling import (
+        domain_sample, hash_split,
+    )
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame([(i, ["en", "de"][i % 2]) for i in range(100)],
+                          "doc_id bigint, lang string").write.parquet(p)
+    df = spark.read.parquet(p)
+    out = hash_split(domain_sample(df, "doc_id", "lang", {"en": 0.5}),
+                     "doc_id", {"train": 0.9, "test": 0.1})
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow",
+                "FlatMapGroupsInPandas"):
+        assert bad not in plan, plan
+    # the whole query is scan → filter → project inside ONE codegen
+    # stage (formatted mode tags nodes with "[codegen id : N]")
+    assert "[codegen id : 1]" in plan, plan
+    assert "codegen id : 2" not in plan, plan
+
+
+def test_quantize_is_single_arrow_map_no_shuffle(spark):
+    """quantize_int8: exactly one MapInArrow, zero exchanges — a
+    map-only kernel that composes with any upstream scan."""
+    import re
+
+    from fashion_knowledge_graph_spark.operators.quantize import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])],
+                               "vec_id bigint, embedding array<float>")
+    plan = _plan(quantize_int8(df))
+    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"\(\d+\) MapInArrow", plan)) == 1, plan
+
+
+def test_funnel_reuses_one_partitioning(spark, tmp_path):
+    """funnel(): every join/agg keys on the entity column, so the plan
+    may exchange each SOURCE once but must never re-shuffle between
+    funnel stages — with K=3 steps over one parquet source that is at
+    most 3 scan-side exchanges (hashpartitioning(user_id)) and no
+    other partitioning key anywhere."""
+    import re
+
+    from fashion_knowledge_graph_spark.operators.temporal import funnel
+
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i % 7, i, ["view", "click", "purchase"][i % 3])
+         for i in range(100)],
+        "user_id bigint, seq long, event_type string") \
+        .withColumn("ts", F.timestamp_seconds(F.col("seq"))) \
+        .write.parquet(p)
+    ev = spark.read.parquet(p)
+    plan = _plan(funnel(ev, ["view", "click", "purchase"]))
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys == {"user_id"}, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
