@@ -867,6 +867,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("max_err", 6).alias("max_err"),
             F.round("mse", 8).alias("mse"))
 
+    def ann_int8_topk(spark, sf):
+        # the quantized search path: quantize the corpus, search over
+        # the int8 CODES (cosine is scale-invariant so no dequant);
+        # integer dots are exact in both engines, so this oracle is
+        # bit-exact with no float-tolerance caveat
+        from fashion_knowledge_graph_spark.operators.quantize import (
+            int8_cosine_topk, quantize_int8,
+        )
+        emb = _load(spark, sf, "embeddings")
+        qz = quantize_int8(emb).select("id", "qvec")
+        q = qz.filter(F.col("id") < 20)
+        return int8_cosine_topk(q, qz, k=5) \
+            .select("query_id", "corpus_id", "rank")
+
     def decontam_overlap(spark, sf):
         # Benchmark decontamination (LLM pretraining hygiene): docs
         # with doc_id % 41 == 0 stand in for a held-out eval set;
@@ -1187,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": decontam_overlap,
         "domain_mix_split": domain_mix_split,
         "emb_quantize_int8": emb_quantize_int8,
+        "ann_int8_topk": ann_int8_topk,
         "zorder_events_key": zorder_events_key,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
@@ -1915,6 +1930,47 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(ev, x -> x * x)), 0.0)
                      / greatest(dim, 1), 8) AS mse
         FROM err
+    """
+
+    # int8 ANN: same quantization CTE, then EXACT integer dot products
+    # (BIGINT here, exact small-int float64 einsum in the kernel) —
+    # scores agree bit-for-bit, ranks need no tolerance
+    sql["ann_int8_topk"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     coalesce(list_max(list_transform(v, x -> abs(x))),
+                              0.0) AS scale
+              FROM e),
+        q AS (SELECT vec_id,
+                     CASE WHEN scale = 0
+                          THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                          ELSE list_transform(v, x ->
+                            CAST(floor(x * 127.0 / scale + 0.5)
+                                 AS BIGINT)) END AS qv
+              FROM s),
+        qq AS (SELECT vec_id, qv,
+                      coalesce(list_sum(list_transform(qv, x -> x * x)),
+                               0)::BIGINT AS nrm
+               FROM q),
+        pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+                 coalesce(list_sum(list_transform(
+                     range(1, len(a.qv) + 1),
+                     i -> a.qv[i] * b.qv[i])), 0)::BIGINT AS dot,
+                 a.nrm AS qn, b.nrm AS cn
+          FROM qq a JOIN qq b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 20),
+        scored AS (
+          SELECT query_id, corpus_id,
+                 dot / greatest(sqrt(qn) * sqrt(cn), 1e-300) AS sc
+          FROM pairs),
+        ranked AS (
+          SELECT query_id, corpus_id, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sc DESC, corpus_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 5
     """
 
     # domain mixing + split: identical integer thresholds to the Spark

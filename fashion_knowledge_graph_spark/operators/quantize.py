@@ -107,3 +107,26 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id",
 
     return df.select(F.col(id_col), F.col(vec_col)) \
         .mapInArrow(kernel, out_schema)
+
+
+def int8_cosine_topk(queries_q: DataFrame, corpus_q: DataFrame,
+                     k: int = 5, q_id: str = "id", q_vec: str = "qvec",
+                     c_id: str = "id", c_vec: str = "qvec") -> DataFrame:
+    """ANN search directly over the QUANTIZED codes — the payoff of
+    ``quantize_int8``: cosine is scale-invariant, so
+    ``cos(deq(a), deq(b)) == cos(qvec_a, qvec_b)`` exactly (the
+    per-vector scales cancel), and the corpus rides the search as
+    int8 codes — 4× less broadcast/shuffle/cache traffic, and at real
+    scale an int8 GEMM roughly doubles kernel throughput vs f32.
+
+    Reuses the float ANN machinery (`similarity.cosine_topk` →
+    `linking._dot_arrow`): its float64 arithmetic is EXACT on integer
+    codes (|q| ≤ 127 ⇒ every product and any practical-dim sum is far
+    below 2^53), so scores are bit-identical to exact BIGINT
+    arithmetic — which is how the driver oracle replays this without
+    any float-tolerance caveat, unlike the f32 path where summation
+    order can flip the last ulp."""
+    from .similarity import cosine_topk
+
+    return cosine_topk(queries_q, corpus_q, k=k,
+                       q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec)

@@ -73,3 +73,39 @@ def test_quantize_trailing_empty_vector(spark):
     assert out[1]["qvec"] == [32, -127] and out[1]["scale"] == 4.0
     assert out[2]["qvec"] == [] and out[2]["scale"] == 0.0
     assert out[2]["q_sum"] == 0 and out[2]["max_err"] == 0.0
+
+
+def test_int8_topk_recall_vs_float_path(spark):
+    # 200 vectors, 32-d: int8 search must agree with exact float
+    # search on nearly every top-1 and most of top-5 (quantization
+    # noise can only flip genuine near-ties)
+    from fashion_knowledge_graph_spark.operators.quantize import (
+        int8_cosine_topk,
+        quantize_int8,
+    )
+    from fashion_knowledge_graph_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(size=32).astype(np.float32).tolist())
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 30)
+
+    exact = cosine_topk(q, emb, k=5).collect()
+    qz = quantize_int8(emb).select("id", "qvec")
+    got = int8_cosine_topk(qz.filter(F.col("id") < 30), qz, k=5).collect()
+
+    def tops(rows_, r):
+        return {x["query_id"]: x["corpus_id"] for x in rows_
+                if x["rank"] == r}
+
+    t1_exact, t1_int8 = tops(exact, 1), tops(got, 1)
+    assert set(t1_exact) == set(t1_int8)
+    agree = sum(t1_exact[k_] == t1_int8[k_] for k_ in t1_exact)
+    assert agree >= 0.95 * len(t1_exact), (agree, len(t1_exact))
+
+    top5e = {(x["query_id"], x["corpus_id"]) for x in exact}
+    top5q = {(x["query_id"], x["corpus_id"]) for x in got}
+    assert len(top5e & top5q) >= 0.9 * len(top5e)
