@@ -470,6 +470,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert t.read(spark, pre_sid).count() == t.read(spark).count()
         return t.read(spark)
 
+    def mv_incremental_refresh(spark, sf):
+        # incrementally-maintained materialized view: 3 CDC appends,
+        # first refresh = full build, later refreshes fold ONLY the
+        # appended files via the manifest diff (sources/matview.py);
+        # exact decimal sums make the mergeable state hash-stable.
+        # The final view must equal a direct GROUP BY over everything
+        # (the oracle).
+        from fashion_knowledge_graph_spark.sources.matview import (
+            IncrementalMV,
+        )
+        from fashion_knowledge_graph_spark.sources.tables import (
+            SnapshotTable,
+        )
+        ev = _load(spark, sf, "events").select(
+            (F.col("user_id") % 100).alias("cohort"), "event_type",
+            F.col("value").cast("decimal(18,6)").alias("value"),
+            "event_id")
+        root = tempfile.mkdtemp(prefix="fkg_mv_")
+        src = SnapshotTable(os.path.join(root, "src"))
+        mv = IncrementalMV(src, os.path.join(root, "mv"),
+                           keys=["cohort", "event_type"],
+                           sum_cols=["value"])
+        for i in range(3):
+            src.write(ev.filter(F.col("event_id") % 3 == i)
+                      .drop("event_id"),
+                      mode="append" if i else "overwrite", stage="cdc")
+            mv.refresh(spark)
+        assert mv.refresh(spark) == src.current_snapshot()  # no-op
+        out = mv.read(spark)
+        return out.select(
+            "cohort", "event_type", "n_rows",
+            F.round("sum_value", 4).cast("double").alias("sum_value"),
+            F.round(F.col("sum_value").cast("double") / F.col("n_rows"),
+                    6).alias("avg_value"))
+
     def s_merge_upsert(spark, sf):
         # generic MERGE INTO (upsert): matched keys take the source
         # row, unmatched source rows insert, committed as one
@@ -1234,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_minmax_skipping": s_minmax_skipping,
         "s_merge_upsert": s_merge_upsert,
         "s_compact_optimize": s_compact_optimize,
+        "mv_incremental_refresh": mv_incremental_refresh,
         "graph_triangles": graph_triangles,
         "w_gap_islands": w_gap_islands,
         "a_cube_rollup": a_cube_rollup,
@@ -1682,6 +1718,15 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
                              AND TIMESTAMP '1997-12-31 23:59:59'
         GROUP BY 1
+    """
+
+    sql["mv_incremental_refresh"] = """
+        SELECT user_id % 100 AS cohort, event_type,
+               count(*) AS n_rows,
+               round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS sum_value,
+               round(sum(value::DECIMAL(18,6))::DOUBLE / count(*), 6)
+                 AS avg_value
+        FROM events GROUP BY 1, 2
     """
 
     sql["s_compact_optimize"] = """

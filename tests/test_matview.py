@@ -1,0 +1,83 @@
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fashion_knowledge_graph_spark.sources.matview import IncrementalMV
+from fashion_knowledge_graph_spark.sources.tables import SnapshotTable
+
+
+def _mk(spark, tmp, n=300):
+    src = SnapshotTable(os.path.join(tmp, "src"))
+    mv = IncrementalMV(src, os.path.join(tmp, "mv"),
+                       keys=["k"], sum_cols=["v"])
+    df = spark.createDataFrame(
+        [(i, i % 7, (i * 13) % 100) for i in range(n)],
+        "i long, k long, v long")
+    return src, mv, df
+
+
+def _full(df):
+    return {(r["k"]): (r["n"], r["s"]) for r in
+            df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("v").alias("s")).collect()}
+
+
+def test_mv_incremental_equals_full_recompute(spark, tmp_path):
+    src, mv, df = _mk(spark, str(tmp_path))
+    for i in range(4):
+        src.write(df.filter(F.col("i") % 4 == i).drop("i"),
+                  mode="append" if i else "overwrite", stage="cdc")
+        mv.refresh(spark)
+        got = {r["k"]: (r["n_rows"], r["sum_v"])
+               for r in mv.read(spark).collect()}
+        want = _full(df.filter(F.col("i") % 4 <= i))
+        assert got == want
+
+
+def test_mv_refresh_is_o_delta_not_full_scan(spark, tmp_path,
+                                             monkeypatch):
+    """After the first build, refresh must NEVER read the full source
+    — poison SnapshotTable.read for the SOURCE table and fold two more
+    appends through incremental_read alone."""
+    src, mv, df = _mk(spark, str(tmp_path))
+    src.write(df.filter(F.col("i") % 3 == 0).drop("i"),
+              mode="overwrite", stage="cdc")
+    mv.refresh(spark)
+
+    real_read = SnapshotTable.read
+
+    def poisoned(self, spark_, snapshot_id=None):
+        if self.root == src.root and snapshot_id is None:
+            raise AssertionError("full source scan during incremental "
+                                 "refresh")
+        return real_read(self, spark_, snapshot_id)
+
+    monkeypatch.setattr(SnapshotTable, "read", poisoned)
+    for i in (1, 2):
+        src.write(df.filter(F.col("i") % 3 == i).drop("i"),
+                  mode="append", stage="cdc")
+        mv.refresh(spark)
+    monkeypatch.setattr(SnapshotTable, "read", real_read)
+    assert {r["k"]: (r["n_rows"], r["sum_v"])
+            for r in mv.read(spark).collect()} == _full(df)
+
+
+def test_mv_refresh_noop_and_avg_derivation(spark, tmp_path):
+    src, mv, df = _mk(spark, str(tmp_path))
+    src.write(df.drop("i"), mode="overwrite", stage="load")
+    sid = mv.refresh(spark)
+    n_snaps = len(mv.table.snapshots())
+    assert mv.refresh(spark) == sid            # source unchanged
+    assert len(mv.table.snapshots()) == n_snaps  # ... and no commit
+    row = {r["k"]: r for r in mv.read(spark).collect()}
+    for k, r in row.items():
+        assert r["avg_v"] == pytest.approx(r["sum_v"] / r["n_rows"])
+
+
+def test_mv_on_empty_source_raises(spark, tmp_path):
+    src = SnapshotTable(os.path.join(str(tmp_path), "none"))
+    mv = IncrementalMV(src, os.path.join(str(tmp_path), "mv"),
+                       keys=["k"], sum_cols=["v"])
+    with pytest.raises(FileNotFoundError):
+        mv.refresh(spark)
