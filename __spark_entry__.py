@@ -668,6 +668,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "asof_view_id",
             F.date_format("asof_ts", fmt).alias("view_ts"))
 
+    def graph_kcore(spark, sf):
+        # fixed-round k-core peeling (k=3, 3 rounds) over the
+        # symmetrized co-purchase graph — unrolled-iteration contract
+        # like graph_pagerank, so the oracle replays each peel as CTEs
+        from fashion_knowledge_graph_spark.operators.graph import (
+            kcore_peel,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        e = und.select("src", "dst").unionByName(
+            und.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst")))
+        return kcore_peel(e, k=3, rounds=3)
+
     def funnel_view_click_purchase(spark, sf):
         # ordered funnel (behavioral analytics): first view → first
         # click after it → first purchase after that, per user
@@ -1221,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_view_purchase_join": stream_view_purchase_join,
         "asof_attribution": asof_attribution,
         "funnel_view_click_purchase": funnel_view_click_purchase,
+        "graph_kcore": graph_kcore,
         "asof_attribution_cogroup": asof_attribution_cogroup,
         "range_join_attribution": range_join_attribution,
         "sessionize_events": sessionize_events,
@@ -1453,6 +1467,32 @@ def oracle_sql() -> dict[str, str]:
     sql["stream_dedup_distinct"] = """
         SELECT DISTINCT user_id, event_type FROM events
     """
+
+    # k-core: 3 peel rounds unrolled as CTEs over the symmetrized
+    # co-purchase graph (same unrolled-iteration contract as pagerank)
+    _kc = ["""
+        und AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        e0 AS (SELECT src, dst FROM und
+               UNION ALL SELECT dst AS src, src AS dst FROM und)
+    """]
+    for _r in range(3):
+        _kc.append(f"""
+        d{_r} AS (SELECT src AS node, count(*) AS deg FROM e{_r}
+                  GROUP BY 1),
+        k{_r} AS (SELECT node FROM d{_r} WHERE deg >= 3),
+        e{_r + 1} AS (
+          SELECT e.src, e.dst FROM e{_r} e
+          JOIN k{_r} a ON e.src = a.node
+          JOIN k{_r} b ON e.dst = b.node)
+        """)
+    sql["graph_kcore"] = ("WITH " + ",".join(_kc) + """
+        SELECT src AS node, count(*) AS deg FROM e3 GROUP BY 1
+    """)
 
     sql["funnel_view_click_purchase"] = """
         WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

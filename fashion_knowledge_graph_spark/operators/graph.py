@@ -142,3 +142,37 @@ def triangle_counts(edges: DataFrame, src: str = "src",
              .unionByName(tri.select(F.col("y").alias("node"))))
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).alias("triangles"))
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-round k-core peeling over an UNDIRECTED (symmetrized)
+    edge list: each round recomputes degrees, keeps vertices with
+    degree ≥ k, and drops every edge touching a peeled vertex.
+    Enough rounds converge to the k-core (the maximal subgraph where
+    every vertex has degree ≥ k); a FIXED round count keeps the
+    result deterministic and ANSI-SQL-replayable — the same
+    unrolled-iteration contract as ``pagerank``.
+
+    Returns the surviving vertices with their degree in the final
+    surviving subgraph (NOT the original graph).
+
+    Scale shape per round: one partial-agg'd degree count + two
+    semi-joins keyed on the endpoints — |E| narrow rows, no vertex
+    state beyond (node, deg). The edge set shrinks monotonically and
+    is checkpointed per round (lineage truncation; without it round R
+    replays rounds 1..R-1).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(
+            F.col("src").alias("node"))
+        e = (e.join(keep.withColumnRenamed("node", "src"), "src",
+                    "left_semi")
+             .join(keep.withColumnRenamed("node", "dst"), "dst",
+                   "left_semi")
+             .localCheckpoint(eager=True))
+    return e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
+        .select(F.col("src").alias("node"), "deg")

@@ -103,3 +103,44 @@ def test_triangle_counts_duplicate_and_reversed_edges(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def _py_kcore(edges, k, rounds):
+    """Reference peeling over an undirected edge set {(a, b), (b, a)}."""
+    e = set(edges)
+    for _ in range(rounds):
+        deg = {}
+        for a, _b in e:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        e = {(a, b) for a, b in e if a in keep and b in keep}
+    deg = {}
+    for a, _b in e:
+        deg[a] = deg.get(a, 0) + 1
+    return deg
+
+
+def test_kcore_peel_matches_python(spark):
+    from fashion_knowledge_graph_spark.operators.graph import kcore_peel
+
+    # triangle+tail: the tail peels in round 1, which drops a triangle
+    # vertex's degree — needs MULTIPLE rounds to stabilize; plus a
+    # 4-clique that must survive k=2 and k=3 intact
+    und = [(1, 2), (2, 3), (1, 3), (3, 4),            # triangle + tail
+           (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    for k, rounds in ((2, 3), (3, 3), (4, 2)):
+        got = {r["node"]: r["deg"]
+               for r in kcore_peel(df, k=k, rounds=rounds).collect()}
+        assert got == _py_kcore(sym, k, rounds), (k, rounds)
+
+
+def test_kcore_clique_survives_star_peels(spark):
+    from fashion_knowledge_graph_spark.operators.graph import kcore_peel
+
+    star = [(0, i) for i in range(1, 8)]
+    sym = star + [(b, a) for a, b in star]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    # leaves have degree 1 → peel at k=2; the hub then has degree 0
+    assert kcore_peel(df, k=2, rounds=2).count() == 0
