@@ -330,3 +330,28 @@ def test_funnel_reuses_one_partitioning(spark, tmp_path):
     keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
     assert keys == {"user_id"}, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+
+def test_dynamic_partition_pruning_engages_on_dim_join(spark, tmp_path):
+    """A fact table partitioned on the join key, joined to a FILTERED
+    dim, must scan only the partitions the dim filter selects — at
+    runtime, via dynamic partition pruning (the filter value is not
+    known at plan time). At 100 TB this is a date-dim join touching
+    one day instead of the whole table."""
+    import pandas as pd
+
+    fact_p = str(tmp_path / "fact")
+    pd_fact = pd.DataFrame({
+        "k": [i % 10 for i in range(1000)],
+        "v": [float(i) for i in range(1000)],
+    })
+    spark.createDataFrame(pd_fact).write.partitionBy("k").parquet(fact_p)
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(10)], "k int, name string") \
+        .filter(F.col("name") == "d3")
+    fact = spark.read.parquet(fact_p)
+    joined = fact.join(dim, "k").select("k", "v", "name")
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is the single partition's rows
+    assert joined.count() == len(pd_fact[pd_fact.k == 3])
