@@ -505,6 +505,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("sum_value").cast("double") / F.col("n_rows"),
                     6).alias("avg_value"))
 
+    def s_expire_vacuum(spark, sf):
+        # retention: copy-on-write DELETE rewrite, then expire the
+        # pre-delete snapshot — its files are unreferenced and must be
+        # physically reclaimed (bytes > 0 asserted in-query); the
+        # surviving content is the oracle
+        from fashion_knowledge_graph_spark.sources.tables import (
+            SnapshotTable,
+        )
+        cust = _load(spark, sf, "customer").select(
+            "c_custkey", "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"))
+        t = SnapshotTable(tempfile.mkdtemp(prefix="fkg_expire_"))
+        t.write(cust, mode="overwrite", stage="load")
+        t.delete_where(spark, F.col("c_custkey") % 3 == 0)
+        res = t.expire_snapshots(keep_last=1)
+        assert res["expired"] == [1] and res["bytes"] > 0, res
+        assert len(t.snapshots()) == 1
+        return t.read(spark)
+
     def s_merge_upsert(spark, sf):
         # generic MERGE INTO (upsert): matched keys take the source
         # row, unmatched source rows insert, committed as one
@@ -1284,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_merge_upsert": s_merge_upsert,
         "s_compact_optimize": s_compact_optimize,
         "mv_incremental_refresh": mv_incremental_refresh,
+        "s_expire_vacuum": s_expire_vacuum,
         "graph_triangles": graph_triangles,
         "w_gap_islands": w_gap_islands,
         "a_cube_rollup": a_cube_rollup,
@@ -1758,6 +1778,11 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
                              AND TIMESTAMP '1997-12-31 23:59:59'
         GROUP BY 1
+    """
+
+    sql["s_expire_vacuum"] = """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        FROM customer WHERE NOT (c_custkey % 3 = 0)
     """
 
     sql["mv_incremental_refresh"] = """

@@ -360,6 +360,54 @@ class SnapshotTable:
         return self.write(packed, mode="overwrite", stage="compact",
                           stats_cols=stats_cols)
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Retention: drop all but the newest ``keep_last`` snapshots
+        and physically delete data files no retained snapshot
+        references — Iceberg's ``expireSnapshots`` + orphan-file
+        removal, the mechanism that stops a 100 TB table's history
+        from storing every superseded rewrite forever.
+
+        Safety property (the whole point): append chains SHARE files
+        across manifests, so deletion is computed as
+        ``all files − ⋃ retained manifests' files`` — a file is
+        removed only when NO retained snapshot can reach it. The
+        CURRENT snapshot is always retained; expired ids no longer
+        time-travel (their manifests are gone). Pure driver-side
+        metadata + unlink — no Spark job.
+
+        Returns {"expired": [ids], "files_deleted": n, "bytes": n}.
+        """
+        sids = self.snapshots()
+        if not sids:
+            return {"expired": [], "files_deleted": 0, "bytes": 0}
+        keep = set(sids[-max(keep_last, 1):])
+        cur = self.current_snapshot()
+        keep.add(cur)
+        live: set[str] = set()
+        for sid in keep:
+            live.update(self._manifest(sid)["files"])
+        expired = [s for s in sids if s not in keep]
+        deleted = bytes_freed = 0
+        for sid in expired:
+            for f in self._manifest(sid)["files"]:
+                if f in live:
+                    continue
+                p = os.path.join(self.data_dir, f)
+                if os.path.exists(p):
+                    bytes_freed += os.path.getsize(p)
+                    os.unlink(p)
+                    deleted += 1
+                live.add(f)          # unlink once even if re-listed
+            os.unlink(os.path.join(self.snap_dir, f"{sid:08d}.json"))
+        # drop now-empty snapshot data dirs (cosmetic, keeps du clean)
+        for d in list(os.listdir(self.data_dir)) \
+                if os.path.isdir(self.data_dir) else []:
+            full = os.path.join(self.data_dir, d)
+            if os.path.isdir(full) and not os.listdir(full):
+                os.rmdir(full)
+        return {"expired": expired, "files_deleted": deleted,
+                "bytes": bytes_freed}
+
     def exists(self) -> bool:
         return self.current_snapshot() is not None
 
@@ -383,7 +431,11 @@ class SnapshotTable:
         rows: list[dict] = []
         sid = self.current_snapshot()
         while sid is not None:
-            m = self._manifest(sid)
+            try:
+                m = self._manifest(sid)
+            except FileNotFoundError:
+                break     # ancestor expired (expire_snapshots) — the
+                #  retained commits' lineage is all that remains
             rows.extend(m.get("lineage", []))
             if m.get("mode") == "overwrite":
                 break

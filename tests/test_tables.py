@@ -225,3 +225,49 @@ def test_compact_empty_table_raises(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "nothing"))
     with pytest.raises(FileNotFoundError):
         t.compact(spark)
+
+
+def test_expire_keeps_files_shared_with_retained_appends(spark, tbl):
+    df = spark.createDataFrame([(i,) for i in range(30)], "k int")
+    for i in range(3):
+        tbl.write(df.filter(F.col("k") % 3 == i),
+                  mode="append" if i else "overwrite", stage="ingest")
+    s1 = 1
+    res = tbl.expire_snapshots(keep_last=1)
+    # append manifests are cumulative: every data file of s1/s2 is
+    # still referenced by s3 → NOTHING may be physically deleted
+    assert res["expired"] == [1, 2] and res["files_deleted"] == 0
+    assert sorted(r["k"] for r in tbl.read(spark).collect()) == \
+        list(range(30))
+    with pytest.raises(FileNotFoundError):
+        tbl.read(spark, s1)          # expired → no more time travel
+    assert tbl.snapshots() == [3]
+
+
+def test_expire_reclaims_superseded_rewrites(spark, tbl):
+    df = spark.createDataFrame([(i,) for i in range(100)], "k int")
+    tbl.write(df, mode="overwrite", stage="load")
+    tbl.delete_where(spark, F.col("k") >= 50)     # copy-on-write rewrite
+    res = tbl.expire_snapshots(keep_last=1)
+    assert res["expired"] == [1]
+    assert res["files_deleted"] > 0 and res["bytes"] > 0
+    assert sorted(r["k"] for r in tbl.read(spark).collect()) == \
+        list(range(50))
+    # lineage of the current content survives the expired ancestor
+    assert tbl.lineage_current()
+
+
+def test_expire_after_compact_drops_small_files(spark, tbl):
+    df = spark.createDataFrame([(i,) for i in range(60)], "k int")
+    for i in range(3):
+        tbl.write(df.filter(F.col("k") % 3 == i).repartition(4),
+                  mode="append" if i else "overwrite", stage="ingest")
+    import os
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(tbl.data_dir))
+    tbl.compact(spark)
+    res = tbl.expire_snapshots(keep_last=1)
+    n_files_after = sum(len(fs) for _, _, fs in os.walk(tbl.data_dir))
+    assert res["files_deleted"] == 12          # all pre-compact files
+    assert n_files_after < n_files_before
+    assert sorted(r["k"] for r in tbl.read(spark).collect()) == \
+        list(range(60))
