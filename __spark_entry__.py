@@ -505,6 +505,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("sum_value").cast("double") / F.col("n_rows"),
                     6).alias("avg_value"))
 
+    def s_wap_publish(spark, sf):
+        # write-audit-publish: the candidate commit stays invisible
+        # while the audit runs against its snapshot; publish is one
+        # atomic pointer move. Audit gate: no negative balances
+        # (violators clamped in the fixed batch). count_rows =
+        # metadata-only COUNT(*) from footers, asserted against the
+        # published state.
+        from fashion_knowledge_graph_spark.sources.tables import (
+            SnapshotTable,
+        )
+        cust = _load(spark, sf, "customer").select(
+            "c_custkey", "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"))
+        t = SnapshotTable(tempfile.mkdtemp(prefix="fkg_wap_"))
+        t.write(cust, mode="overwrite", stage="load")
+        candidate = cust.withColumn(
+            "acctbal", F.round(F.greatest(F.col("acctbal"), F.lit(0.0)),
+                               2))
+        sid = t.write_staged(candidate, stage="candidate")
+        assert t.current_snapshot() == 1            # still unpublished
+        assert t.read(spark, sid).filter(
+            F.col("acctbal") < 0).count() == 0      # audit passes
+        t.publish(sid)
+        assert t.count_rows() == cust.count()       # metadata COUNT(*)
+        return t.read(spark)
+
     def s_expire_vacuum(spark, sf):
         # retention: copy-on-write DELETE rewrite, then expire the
         # pre-delete snapshot — its files are unreferenced and must be
@@ -1304,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_compact_optimize": s_compact_optimize,
         "mv_incremental_refresh": mv_incremental_refresh,
         "s_expire_vacuum": s_expire_vacuum,
+        "s_wap_publish": s_wap_publish,
         "graph_triangles": graph_triangles,
         "w_gap_islands": w_gap_islands,
         "a_cube_rollup": a_cube_rollup,
@@ -1778,6 +1805,12 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
                              AND TIMESTAMP '1997-12-31 23:59:59'
         GROUP BY 1
+    """
+
+    sql["s_wap_publish"] = """
+        SELECT c_custkey, c_name,
+               round(greatest(round(c_acctbal, 2), 0.0), 2) AS acctbal
+        FROM customer
     """
 
     sql["s_expire_vacuum"] = """

@@ -99,7 +99,10 @@ class SnapshotTable:
         """
         os.makedirs(self.snap_dir, exist_ok=True)
         parent = self.current_snapshot()
-        sid = (parent or 0) + 1 if parent is not None else 1
+        # allocate PAST every existing manifest, not parent+1: a
+        # staged (write_staged) snapshot holds an id beyond CURRENT,
+        # and parent+1 would overwrite its manifest
+        sid = max(self.snapshots(), default=0) + 1
         out = os.path.join(self.data_dir, f"snap-{sid:08d}")
 
         t0 = time.time()
@@ -359,6 +362,69 @@ class SnapshotTable:
             else cur.coalesce(target_files)
         return self.write(packed, mode="overwrite", stage="compact",
                           stats_cols=stats_cols)
+
+    def count_rows(self, snapshot_id: int | None = None) -> int:
+        """Metadata-only ``COUNT(*)``: sum the per-file row counts the
+        commit recorded from parquet footers — zero Spark jobs, zero
+        data reads (Iceberg answers SELECT COUNT(*) the same way).
+        Counts CURRENT content by re-deriving per-file rows from each
+        retained manifest's lineage, restricted to the files the
+        target manifest actually lists."""
+        sid = snapshot_id if snapshot_id is not None \
+            else self.current_snapshot()
+        if sid is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        target_files = set(self._manifest(sid)["files"])
+        total, seen = 0, set()
+        # per-file rows live in the lineage of the commit that WROTE
+        # the file; walk all retained manifests and take each listed
+        # file's count once
+        for s in self.snapshots():
+            m = self._manifest(s)
+            new_files = [f for f in m["files"]
+                         if f.startswith(f"snap-{s:08d}")]
+            for f, row in zip(sorted(new_files),
+                              m.get("lineage", [])):
+                if f in target_files and f not in seen:
+                    total += row["output_rows"]
+                    seen.add(f)
+        if seen != target_files:
+            raise ValueError("missing footer counts for "
+                             f"{len(target_files - seen)} files")
+        return total
+
+    # ---- write-audit-publish -------------------------------------------
+    def write_staged(self, df: DataFrame, stage: str | None = None,
+                     stats_cols: list[str] | None = None) -> int:
+        """WAP step 1: commit ``df`` as a snapshot WITHOUT moving
+        CURRENT — readers keep seeing the published table while audits
+        run against the staged snapshot (``read(spark, sid)``). The
+        staged snapshot is an overwrite of table content when
+        published; until then it is invisible and expirable."""
+        cur_path = os.path.join(self.snap_dir, "CURRENT")
+        before = self.current_snapshot()
+        sid = self.write(df, mode="overwrite", stage=stage or "staged",
+                         stats_cols=stats_cols)
+        # write() moved CURRENT; restore it (atomic replace, same
+        # mechanism) — the manifest stays, unreferenced
+        if before is None:
+            os.unlink(cur_path)
+        else:
+            tmp = os.path.join(self.snap_dir, ".CURRENT.tmp")
+            with open(tmp, "w") as f:
+                f.write(str(before))
+            os.replace(tmp, cur_path)
+        return sid
+
+    def publish(self, snapshot_id: int) -> None:
+        """WAP step 3: atomically point CURRENT at an audited staged
+        snapshot. One rename — readers switch between two complete
+        table states, never a partial one."""
+        self._manifest(snapshot_id)          # must exist
+        tmp = os.path.join(self.snap_dir, ".CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+        os.replace(tmp, os.path.join(self.snap_dir, "CURRENT"))
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Retention: drop all but the newest ``keep_last`` snapshots

@@ -271,3 +271,56 @@ def test_expire_after_compact_drops_small_files(spark, tbl):
     assert n_files_after < n_files_before
     assert sorted(r["k"] for r in tbl.read(spark).collect()) == \
         list(range(60))
+
+
+def test_count_rows_is_metadata_only(spark, tbl):
+    df = spark.createDataFrame([(i,) for i in range(123)], "k int")
+    tbl.write(df.repartition(4), mode="overwrite", stage="load")
+    tbl.write(spark.createDataFrame([(i,) for i in range(7)], "k int"),
+              mode="append", stage="more")
+    # no active jobs needed: pure manifest arithmetic
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup()
+    assert tbl.count_rows() == 130
+    assert tbl.count_rows(1) == 123          # time-travel count
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup()
+    assert before == after
+    # and stays correct across rewrites
+    tbl.delete_where(spark, F.col("k") >= 100)
+    assert tbl.count_rows() == tbl.read(spark).count()
+
+
+def test_write_audit_publish_flow(spark, tbl):
+    good = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    tbl.write(good, mode="overwrite", stage="load")
+
+    # stage a bad batch: published readers must NOT see it
+    bad = spark.createDataFrame([(3, -1.0)], "k int, v double")
+    staged_bad = tbl.write_staged(bad, stage="candidate")
+    assert tbl.current_snapshot() == 1
+    assert sorted(r["k"] for r in tbl.read(spark).collect()) == [1, 2]
+    # the audit runs against the staged snapshot and rejects it
+    audit = tbl.read(spark, staged_bad)
+    assert audit.filter(F.col("v") < 0).count() > 0
+
+    # stage a good batch, audit passes, publish atomically
+    fixed = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)],
+                                  "k int, v double")
+    staged_ok = tbl.write_staged(fixed, stage="candidate")
+    assert tbl.read(spark, staged_ok).filter(F.col("v") < 0).count() == 0
+    tbl.publish(staged_ok)
+    assert tbl.current_snapshot() == staged_ok
+    assert sorted(r["k"] for r in tbl.read(spark).collect()) == [1, 2, 3]
+
+    # a later append allocates past the staged ids (no manifest clash)
+    tbl.write(spark.createDataFrame([(4, 40.0)], "k int, v double"),
+              mode="append", stage="more")
+    assert tbl.current_snapshot() == 4
+    assert tbl.count_rows() == 4
+
+
+def test_write_staged_on_empty_table(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "wap_new"))
+    sid = t.write_staged(spark.createDataFrame([(1,)], "k int"))
+    assert t.current_snapshot() is None       # still unpublished
+    t.publish(sid)
+    assert t.read(spark).count() == 1
