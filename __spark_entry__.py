@@ -974,6 +974,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return int8_cosine_topk(q, qz, k=5) \
             .select("query_id", "corpus_id", "rank")
 
+    def text_quality_gate(spark, sf):
+        # Dolma-style declarative mixer: fixed rule set, one verdict
+        # per doc (first failing rule). PII injected deterministically
+        # (corpus carries none) with the same expression as
+        # text_pii_redact so the pii rule fires non-vacuously.
+        from fashion_knowledge_graph_spark.operators.quality import (
+            quality_gate,
+        )
+        docs = _load(spark, sf, "documents")
+        aug = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@example.com via https://shop.example.com/i/"),
+                     F.col("doc_id").cast("string"))
+        ).when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" call (555) 010-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"),
+                            4, "0"))
+        ).otherwise(F.col("text"))
+        return quality_gate(
+            docs.select("doc_id", aug.alias("text")),
+            min_tokens=30, max_rep_frac=0.2,
+            allowed_langs=("en", "de", "es", "fr"), max_pii=0)
+
     def decontam_overlap(spark, sf):
         # Benchmark decontamination (LLM pretraining hygiene): docs
         # with doc_id % 41 == 0 stand in for a held-out eval set;
@@ -1294,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "decontam_overlap": decontam_overlap,
         "domain_mix_split": domain_mix_split,
+        "text_quality_gate": text_quality_gate,
         "emb_quantize_int8": emb_quantize_int8,
         "ann_int8_topk": ann_int8_topk,
         "zorder_events_key": zorder_events_key,
@@ -1705,6 +1732,52 @@ def oracle_sql() -> dict[str, str]:
     sql["text_pii_redact"] = f"""
         SELECT doc_id, {counts_sql}, {red_sql} AS redacted
         FROM documents
+    """
+
+    # quality gate: all four signals recomputed over the SAME
+    # augmented text, verdict = first failing rule (identical order)
+    pii_total_sql = " + ".join(
+        f"coalesce(len(regexp_extract_all(text, "
+        f"'{PII_PATTERNS[k]}')), 0)"
+        for k in ("email", "phone", "url", "ip"))
+    sql["text_quality_gate"] = f"""
+        WITH aug AS (SELECT doc_id, {aug_sql} AS text FROM documents),
+        tkx AS (SELECT doc_id, {toks} AS tk, text FROM aug),
+        sig AS (
+          SELECT doc_id,
+                 coalesce(len(tk), 0) AS n_tokens,
+                 CASE WHEN coalesce(len(tk), 0) >= 2
+                      THEN round(1.0 - len(list_distinct(
+                             list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i+1])))
+                           / (len(tk) - 1)::DOUBLE, 6)
+                      ELSE 0.0 END AS rep_frac,
+                 ({pii_total_sql}) AS pii_total
+          FROM tkx),
+        tokq AS (SELECT doc_id, unnest(tk) AS token FROM tkx),
+        swq(lang, token) AS (VALUES {_stopword_values()}),
+        hitsq AS (
+          SELECT doc_id, lang, count(*) AS lang_hits
+          FROM tokq JOIN swq USING (token) GROUP BY 1, 2),
+        bestq AS (
+          SELECT doc_id, lang, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY lang_hits DESC, lang ASC) AS rn
+          FROM hitsq),
+        langq AS (
+          SELECT a.doc_id, coalesce(b.lang, 'und') AS lang_pred
+          FROM aug a LEFT JOIN (SELECT * FROM bestq WHERE rn = 1) b
+            USING (doc_id))
+        SELECT s.doc_id AS id, s.n_tokens, s.rep_frac, l.lang_pred,
+               s.pii_total,
+               CASE WHEN s.n_tokens < 30 THEN 'too_short'
+                    WHEN s.n_tokens > 100000 THEN 'too_long'
+                    WHEN s.rep_frac > 0.2 THEN 'repetitive'
+                    WHEN l.lang_pred NOT IN ('en', 'de', 'es', 'fr')
+                         THEN 'lang'
+                    WHEN s.pii_total > 0 THEN 'pii'
+                    ELSE 'pass' END AS verdict
+        FROM sig s JOIN langq l ON s.doc_id = l.doc_id
     """
 
     sql["text_repetition"] = f"""

@@ -131,7 +131,21 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
     driver oracle (``__spark_entry__`` ``text_lang_id`` SQL) and in
     ``stopword_dim`` for anyone who wants the join shape.
     """
-    norm = norm_text(F.col(text_col))
+    best = lang_best(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.when(best["h"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
+        best["h"].alias("lang_hits"))
+
+
+def lang_best(col) -> Column:
+    """The lang-ID argmax as a reusable EXPRESSION — struct
+    (h=hits, ni, lang); callers derive ``lang_pred`` as
+    ``when(best['h'] > 0, best['lang']).otherwise('und')``. Pure
+    codegen, so any operator can fold language detection into an
+    existing projection instead of joining ``lang_id``'s output
+    (one scan instead of two + a join)."""
+    norm = norm_text(col)
     cands = []
     for i, lang in enumerate(sorted(LANG_STOPWORDS)):
         pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
@@ -140,11 +154,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
         cands.append(F.struct(hits.cast("long").alias("h"),
                               F.lit(-i).alias("ni"),
                               F.lit(lang).alias("lang")))
-    best = F.greatest(*cands)
-    return df.select(
-        F.col(id_col),
-        F.when(best["h"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
-        best["h"].alias("lang_hits"))
+    return F.greatest(*cands)
 
 
 # ----------------------------------------------------------- PII scan
