@@ -505,6 +505,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("sum_value").cast("double") / F.col("n_rows"),
                     6).alias("avg_value"))
 
+    def s_snapshot_diff(spark, sf):
+        # full CDC between snapshots including a rewrite: delete every
+        # 4th customer (copy-on-write), append clone rows, then diff
+        # vs the original snapshot — deletes AND inserts both surface
+        # (incremental_read alone would refuse across the rewrite)
+        from fashion_knowledge_graph_spark.sources.tables import (
+            SnapshotTable,
+        )
+        cust = _load(spark, sf, "customer").select(
+            "c_custkey", "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"))
+        t = SnapshotTable(tempfile.mkdtemp(prefix="fkg_diff_"))
+        t.write(cust, mode="overwrite", stage="load")
+        t.delete_where(spark, F.col("c_custkey") % 4 == 0)
+        clones = cust.filter(F.col("c_custkey") % 9 == 0).select(
+            (F.col("c_custkey") + 2_000_000).alias("c_custkey"),
+            F.concat(F.lit("c#"), F.col("c_name")).alias("c_name"),
+            "acctbal")
+        t.write(clones, mode="append", stage="late")
+        return t.diff(spark, from_snapshot=1)
+
     def s_wap_publish(spark, sf):
         # write-audit-publish: the candidate commit stays invisible
         # while the audit runs against its snapshot; publish is one
@@ -960,6 +981,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("max_err", 6).alias("max_err"),
             F.round("mse", 8).alias("mse"))
 
+    def ann_hard_negatives(spark, sf):
+        # contrastive-training data: top-5 most-similar DIFFERENT-label
+        # items per query (operators/similarity.py::hard_negatives)
+        emb = _load(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 20)
+        return sim.hard_negatives(emb, k=5, queries=q) \
+            .select("query_id", "corpus_id", "rank")
+
     def ann_int8_topk(spark, sf):
         # the quantized search path: quantize the corpus, search over
         # the int8 CODES (cosine is scale-invariant so no dequant);
@@ -1323,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_gate": text_quality_gate,
         "emb_quantize_int8": emb_quantize_int8,
         "ann_int8_topk": ann_int8_topk,
+        "ann_hard_negatives": ann_hard_negatives,
         "zorder_events_key": zorder_events_key,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
@@ -1358,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_incremental_refresh": mv_incremental_refresh,
         "s_expire_vacuum": s_expire_vacuum,
         "s_wap_publish": s_wap_publish,
+        "s_snapshot_diff": s_snapshot_diff,
         "graph_triangles": graph_triangles,
         "w_gap_islands": w_gap_islands,
         "a_cube_rollup": a_cube_rollup,
@@ -1878,6 +1909,16 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
                              AND TIMESTAMP '1997-12-31 23:59:59'
         GROUP BY 1
+    """
+
+    sql["s_snapshot_diff"] = """
+        SELECT c_custkey + 2000000 AS c_custkey,
+               'c#' || c_name AS c_name,
+               round(c_acctbal, 2) AS acctbal, 'insert' AS op
+        FROM customer WHERE c_custkey % 9 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, round(c_acctbal, 2), 'delete'
+        FROM customer WHERE c_custkey % 4 = 0
     """
 
     sql["s_wap_publish"] = """
@@ -2454,6 +2495,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 5
     """
     sql["ann_ivf_topk"] = sql["ann_cosine_topk"]
+    sql["ann_hard_negatives"] = f"""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                 list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]) AS s
+          FROM embeddings q JOIN embeddings c
+            ON q.vec_id <> c.vec_id AND q.label <> c.label
+          WHERE q.vec_id < 20),
+        ranked AS (
+          SELECT query_id, corpus_id, s, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY s DESC, corpus_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 5
+    """
     # exhaustive sign-LSH (nbits=0 → single bucket) ⇒ exact top-k
     sql["ann_lsh_topk"] = sql["ann_cosine_topk"]
 

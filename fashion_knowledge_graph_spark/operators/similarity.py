@@ -102,6 +102,32 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return _rerank(paired, k)
 
 
+def hard_negatives(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label",
+                   queries: DataFrame | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar items with a DIFFERENT label — the examples an
+    embedding model learns the most from (random negatives are too
+    easy; BM25/ANN-mined hard negatives are the standard recipe for
+    dense retrievers). Same physical shape as ``cosine_topk`` —
+    queries broadcast, corpus un-shuffled, Arrow dot kernel, narrow
+    top-k window — with the label-mismatch predicate folded into the
+    broadcast join."""
+    qsrc = queries if queries is not None else df
+    q = qsrc.select(F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("q_vec"),
+                    F.col(label_col).alias("q_label"))
+    c = df.select(F.col(id_col).alias("corpus_id"),
+                  F.col(vec_col).alias("c_vec"),
+                  F.col(label_col).alias("c_label"))
+    cand = c.join(F.broadcast(q),
+                  (F.col("query_id") != F.col("corpus_id"))
+                  & (F.col("q_label") != F.col("c_label")), "inner") \
+        .drop("q_label", "c_label")
+    return _rerank(cand, k)
+
+
 def _centroids(corpus: DataFrame, c_id: str, c_vec: str,
                ncentroids: int) -> list[tuple[int, list[float]]]:
     """Deterministic centroid sample: the ``ncentroids`` corpus rows

@@ -105,3 +105,36 @@ def test_lsh_topk_recall_on_clusters(spark, corpus_df, query_df, corpus_rows):
     hits = sum(len(got.get(q, set()) & {i for i, _ in exp[q]}) for q in exp)
     total = sum(len(exp[q]) for q in exp)
     assert hits / total >= 0.9, hits / total
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fashion_knowledge_graph_spark.operators.similarity import (
+        cosine_topk,
+        hard_negatives,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=16).astype("float32").tolist(), i % 4)
+            for i in range(80)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = hard_negatives(emb, k=5, queries=q).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    assert len(out) == 50
+    for r in out:
+        assert labels[r["query_id"]] != labels[r["corpus_id"]]
+    # and it is exactly the label-filtered exact top-k: brute-force
+    # reference from cosine_topk restricted to different labels
+    full = cosine_topk(q, emb, k=79).collect()
+    by_q = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["rank"])):
+        if labels[r["query_id"]] != labels[r["corpus_id"]]:
+            by_q.setdefault(r["query_id"], []).append(r["corpus_id"])
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["corpus_id"])
+    assert got == {k: v[:5] for k, v in by_q.items()}

@@ -324,3 +324,31 @@ def test_write_staged_on_empty_table(spark, tmp_path):
     assert t.current_snapshot() is None       # still unpublished
     t.publish(sid)
     assert t.read(spark).count() == 1
+
+
+def test_diff_append_fast_path_and_rewrite_path(spark, tbl):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)],
+                               "k int, v string")
+    tbl.write(df, mode="overwrite", stage="load")
+    tbl.write(spark.createDataFrame([(100, "new")], "k int, v string"),
+              mode="append", stage="more")
+    # append-only range → insert-only feed (manifest fast path)
+    d = tbl.diff(spark, 1).collect()
+    assert [(r["k"], r["op"]) for r in d] == [(100, "insert")]
+
+    tbl.delete_where(spark, F.col("k") < 5)      # rewrite in range
+    d2 = {(r["k"], r["op"]) for r in tbl.diff(spark, 1).collect()}
+    assert d2 == {(100, "insert")} | {(i, "delete") for i in range(5)}
+    # bounded window AFTER the rewrite works too
+    assert tbl.diff(spark, 2).count() == 5
+
+
+def test_diff_multiset_semantics(spark, tbl):
+    dup = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")],
+                                "k int, v string")
+    tbl.write(dup, mode="overwrite", stage="load")
+    tbl.write(spark.createDataFrame([(1, "x")], "k int, v string"),
+              mode="overwrite", stage="rewrite")
+    d = [(r["k"], r["op"]) for r in tbl.diff(spark, 1).collect()]
+    # one (1,x) survives; the OTHER copy and (2,y) are deletes
+    assert sorted(d) == [(1, "delete"), (2, "delete")]
