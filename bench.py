@@ -59,6 +59,8 @@ HEADLINE = [
     "emb_quantize_int8",
     "pack_sequences",
     "funnel_view_click_purchase",
+    "text_quality_gate",
+    "ann_hard_negatives",
 ]
 
 

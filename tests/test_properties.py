@@ -89,3 +89,28 @@ def test_shingle_set_properties(texts):
         # covered in test_text.py; here we check the invariant shape
         assert all(1 <= len(s.split(" ")) <= 3 for s in exp)
         assert len(exp) == len(set(exp))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, width=32),
+                min_size=0, max_size=64))
+def test_int8_quantization_error_bound_and_range(vec):
+    """For ANY float32 vector: codes stay in [-127, 127] and the
+    reconstruction error of every element is bounded by half a
+    quantization step (scale/127/2), the information-theoretic floor
+    for round-to-nearest — mirrors operators/quantize.py's kernel
+    arithmetic exactly."""
+    v = np.asarray(vec, dtype=np.float64)
+    if v.size == 0:
+        return
+    scale = float(np.max(np.abs(v)))
+    if scale == 0.0:
+        q = np.zeros(v.size)
+    else:
+        q = np.floor(v * 127.0 / scale + 0.5)
+    assert q.min() >= -127 and q.max() <= 127
+    recon = q * scale / 127.0
+    err = np.abs(recon - v)
+    # half-step bound with a float-arithmetic epsilon
+    assert (err <= scale / 127.0 / 2.0 + 1e-9 * max(scale, 1.0)).all()
