@@ -80,8 +80,18 @@ class IncrementalMV:
         if last is None:
             self._commit(self._partial(self.source.read(spark)), cur)
             return cur
-        delta = self.source.incremental_read(spark, from_snapshot=last,
-                                             to_snapshot=cur)
+        try:
+            delta = self.source.incremental_read(
+                spark, from_snapshot=last, to_snapshot=cur)
+        except (ValueError, FileNotFoundError):
+            # the range is not an append-only chain — the source was
+            # rewritten (delete/merge/compact) or the last-refresh
+            # snapshot was expired. Incremental math is undefined
+            # across a rewrite; fall back to a full rebuild (correct,
+            # O(source)) rather than guessing. Operationally: compact
+            # sources right AFTER an MV refresh, not before.
+            self._commit(self._partial(self.source.read(spark)), cur)
+            return cur
         merged = (self.table.read(spark)
                   .unionByName(self._partial(delta))
                   .groupBy(*self.keys)

@@ -81,3 +81,31 @@ def test_mv_on_empty_source_raises(spark, tmp_path):
                        keys=["k"], sum_cols=["v"])
     with pytest.raises(FileNotFoundError):
         mv.refresh(spark)
+
+
+def test_mv_refresh_survives_source_compaction_and_expiry(spark,
+                                                          tmp_path):
+    """A source rewrite (compact) between refreshes makes the
+    incremental range undefined — refresh must fall back to a full
+    rebuild and stay correct, likewise when the last-refresh snapshot
+    was expired."""
+    src, mv, df = _mk(spark, str(tmp_path))
+    src.write(df.filter(F.col("i") % 2 == 0).drop("i").repartition(4),
+              mode="overwrite", stage="load")
+    mv.refresh(spark)
+
+    src.write(df.filter(F.col("i") % 2 == 1).drop("i").repartition(4),
+              mode="append", stage="cdc")
+    src.compact(spark)                      # rewrite between refreshes
+    mv.refresh(spark)
+    assert {r["k"]: (r["n_rows"], r["sum_v"])
+            for r in mv.read(spark).collect()} == _full(df)
+
+    src.write(spark.createDataFrame([(99, 7)], "k long, v long"),
+              mode="append", stage="late")
+    src.expire_snapshots(keep_last=1)       # expire the refresh point
+    mv.refresh(spark)
+    want = _full(df)
+    want[99] = (1, 7)
+    assert {r["k"]: (r["n_rows"], r["sum_v"])
+            for r in mv.read(spark).collect()} == want
