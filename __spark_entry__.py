@@ -1003,6 +1003,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return int8_cosine_topk(q, qz, k=5) \
             .select("query_id", "corpus_id", "rank")
 
+    def text_pmi_collocations(spark, sf):
+        # collocation mining: pointwise mutual information of adjacent
+        # word pairs, ln((c_ab/N_b) / ((c_a/N_u)(c_b/N_u))), min-count
+        # 5. Corpus totals ride a broadcast crossJoin (two scalar
+        # rows), never a driver collect; both count aggs are
+        # partial-agg'd. The bigram posting comes from the shared
+        # Arrow shingle kernel.
+        from fashion_knowledge_graph_spark.functions import text as txf
+        docs = _load(spark, sf, "documents")
+        toks = docs.select(F.explode(txf.tokens(F.col("text")))
+                           .alias("w"))
+        uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+        n_uni = uni.agg(F.sum("c_w").alias("n_u"))
+        # adjacent pairs: NON-distinct bigrams (posexplode windows),
+        # not the deduped shingle posting — PMI needs true counts
+        big = docs.select(
+            txf.tokens(F.col("text")).alias("tk")) \
+            .select(F.posexplode("tk").alias("i", "w1"), "tk") \
+            .filter(F.col("i") < F.size("tk") - 1) \
+            .select("w1", F.col("tk")[F.col("i") + 1].alias("w2"))
+        bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")) \
+            .filter(F.col("c_ab") >= 5)
+        n_bi = big.agg(F.count(F.lit(1)).alias("n_b"))
+        ua = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+        ub = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+        out = (bi.join(ua, "w1").join(ub, "w2")
+               .crossJoin(F.broadcast(n_uni))
+               .crossJoin(F.broadcast(n_bi)))
+        pmi = F.log((F.col("c_ab") / F.col("n_b"))
+                    / ((F.col("c_a") / F.col("n_u"))
+                       * (F.col("c_b") / F.col("n_u"))))
+        return out.select("w1", "w2", "c_ab",
+                          F.round(pmi, 6).alias("pmi"))
+
+    def events_cohort_retention(spark, sf):
+        # cohort retention matrix: users grouped by first-activity
+        # DAY (the corpus spans one month), distinct active users per
+        # (cohort_day, days_since). Two user-keyed aggs + one join —
+        # classic product analytics, every shuffle on user_id or the
+        # (small) matrix key. Days as portable epoch-day integers.
+        ev = _load(spark, sf, "events").select(
+            "user_id",
+            F.datediff(F.to_date("ts"),
+                       F.lit("1970-01-01").cast("date")).alias("d_abs"))
+        act = ev.distinct()
+        first = act.groupBy("user_id").agg(
+            F.min("d_abs").alias("cohort_day"))
+        return (act.join(first, "user_id")
+                .groupBy("cohort_day",
+                         (F.col("d_abs") - F.col("cohort_day"))
+                         .alias("days_since"))
+                .agg(F.countDistinct("user_id").alias("active_users")))
+
     def text_quality_gate(spark, sf):
         # Dolma-style declarative mixer: fixed rule set, one verdict
         # per doc (first failing rule). PII injected deterministically
@@ -1350,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": decontam_overlap,
         "domain_mix_split": domain_mix_split,
         "text_quality_gate": text_quality_gate,
+        "text_pmi_collocations": text_pmi_collocations,
+        "events_cohort_retention": events_cohort_retention,
         "emb_quantize_int8": emb_quantize_int8,
         "ann_int8_topk": ann_int8_topk,
         "ann_hard_negatives": ann_hard_negatives,
@@ -1809,6 +1864,36 @@ def oracle_sql() -> dict[str, str]:
                     WHEN s.pii_total > 0 THEN 'pii'
                     ELSE 'pass' END AS verdict
         FROM sig s JOIN langq l ON s.doc_id = l.doc_id
+    """
+
+    sql["text_pmi_collocations"] = f"""
+        WITH tkp AS (SELECT {toks} AS tk FROM documents),
+        unip AS (SELECT unnest(tk) AS w FROM tkp),
+        uc AS (SELECT w, count(*) AS c_w FROM unip GROUP BY 1),
+        nu AS (SELECT sum(c_w)::BIGINT AS n_u FROM uc),
+        bigp AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+                 FROM tkp, LATERAL unnest(range(1, len(tk))) AS t(i)),
+        bc AS (SELECT w1, w2, count(*) AS c_ab FROM bigp
+               GROUP BY 1, 2 HAVING count(*) >= 5),
+        nb AS (SELECT count(*) AS n_b FROM bigp)
+        SELECT w1, w2, c_ab,
+               round(ln((c_ab / n_b)
+                        / ((ca.c_w / n_u) * (cb.c_w / n_u))), 6) AS pmi
+        FROM bc JOIN uc ca ON ca.w = bc.w1
+                JOIN uc cb ON cb.w = bc.w2, nu, nb
+    """
+
+    sql["events_cohort_retention"] = """
+        WITH act AS (
+          SELECT DISTINCT user_id,
+                 date_diff('day', DATE '1970-01-01', ts::DATE) AS d_abs
+          FROM events),
+        firstd AS (SELECT user_id, min(d_abs) AS cohort_day
+                   FROM act GROUP BY 1)
+        SELECT f.cohort_day, a.d_abs - f.cohort_day AS days_since,
+               count(DISTINCT a.user_id) AS active_users
+        FROM act a JOIN firstd f USING (user_id)
+        GROUP BY 1, 2
     """
 
     sql["text_repetition"] = f"""
