@@ -1015,7 +1015,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         toks = docs.select(F.explode(txf.tokens(F.col("text")))
                            .alias("w"))
         uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-        n_uni = uni.agg(F.sum("c_w").alias("n_u"))
+        # corpus totals from per-doc token counts — one cheap codegen
+        # agg over the docs scan, NOT a second pass over the exploded
+        # token/bigram tables (n_u = Σ n_tokens, n_b = Σ (n_tokens-1))
+        nt = F.coalesce(txf.token_count(F.col("text")), F.lit(0))
+        totals = docs.agg(
+            F.sum(nt).alias("n_u"),
+            F.sum(F.greatest(nt - 1, F.lit(0))).alias("n_b"))
         # adjacent pairs: NON-distinct bigrams (posexplode windows),
         # not the deduped shingle posting — PMI needs true counts
         big = docs.select(
@@ -1025,12 +1031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("w1", F.col("tk")[F.col("i") + 1].alias("w2"))
         bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")) \
             .filter(F.col("c_ab") >= 5)
-        n_bi = big.agg(F.count(F.lit(1)).alias("n_b"))
         ua = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
         ub = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
-        out = (bi.join(ua, "w1").join(ub, "w2")
-               .crossJoin(F.broadcast(n_uni))
-               .crossJoin(F.broadcast(n_bi)))
+        out = bi.join(ua, "w1").join(ub, "w2") \
+            .crossJoin(F.broadcast(totals))
         pmi = F.log((F.col("c_ab") / F.col("n_b"))
                     / ((F.col("c_a") / F.col("n_u"))
                        * (F.col("c_b") / F.col("n_u"))))
