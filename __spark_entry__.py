@@ -854,6 +854,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return stream_dedup_once(
             spark, os.path.join(sf, "events.parquet"))
 
+    def stream_merge_upsert(spark, sf):
+        # streaming MERGE INTO: 3 ordered micro-batches (event_id % 3,
+        # mtimes forced increasing so the file source's batch order is
+        # deterministic) upsert into a SnapshotTable keyed on
+        # (user_id, event_type), latest event_id per key per batch
+        # wins — final state = row ranked first by (batch, event_id)
+        # desc, which is exactly what the oracle replays.
+        from fashion_knowledge_graph_spark.streaming.incremental import (
+            stream_merge_once,
+        )
+        src = tempfile.mkdtemp(prefix="fkg_smerge_src_")
+        ev = _load(spark, sf, "events")
+        for i in range(3):
+            d = os.path.join(src, f"b{i}")
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1) \
+                .write.mode("overwrite").parquet(d)
+            for root_, _, files_ in os.walk(d):
+                for fl in files_:
+                    os.utime(os.path.join(root_, fl),
+                             (1_700_000_000 + i, 1_700_000_000 + i))
+        return stream_merge_once(
+            spark, src + "/*", tempfile.mkdtemp(prefix="fkg_smerge_t_"))
+
     def f9_content_ids(spark, sf):
         # F9 (reference app/main.py:676,704 uses uuid4 for image ids):
         # content-addressed deterministic ids — md5 for the short
@@ -1397,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "stream_sessionize_closed": stream_sessionize_closed,
         "stream_dedup_distinct": stream_dedup_distinct,
+        "stream_merge_upsert": stream_merge_upsert,
         "f9_content_ids": f9_content_ids,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
@@ -1630,6 +1654,17 @@ def oracle_sql() -> dict[str, str]:
 
     sql["stream_dedup_distinct"] = """
         SELECT DISTINCT user_id, event_type FROM events
+    """
+
+    sql["stream_merge_upsert"] = """
+        SELECT event_id, user_id, event_type, value
+        FROM (SELECT event_id, user_id, event_type, value,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY (event_id % 3) DESC, event_id DESC)
+                       AS rn
+              FROM events) z
+        WHERE rn = 1
     """
 
     # k-core: 3 peel rounds unrolled as CTEs over the symmetrized

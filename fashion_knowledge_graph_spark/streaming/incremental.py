@@ -366,3 +366,84 @@ def stream_dedup_once(spark: SparkSession, events_path: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_merge_into(stream_df: DataFrame, table, key_cols: list[str],
+                      order_col: str, checkpoint: str):
+    """Streaming MERGE INTO (upsert sink): each micro-batch is reduced
+    to one row per key (latest by ``order_col``) and merged into a
+    ``SnapshotTable`` — the lakehouse CDC-apply pattern (Delta's
+    foreachBatch-MERGE). Structured Streaming replays micro-batches
+    after failures, and a blind merge re-applied is only idempotent if
+    NOTHING else committed in between — so the sink records the last
+    applied batch id in the table directory and skips replays
+    (transactional exactly-once across restarts, the same batchId
+    fencing Delta sinks use).
+
+    Returns the started query (availableNow trigger is the caller's
+    choice via the stream's writeStream options)."""
+    import json
+    import os
+
+    from ..operators.topk import grouped_top_k
+
+    state_path = os.path.join(table.root, "_sink_state.json")
+
+    def _last_applied() -> int:
+        if not os.path.exists(state_path):
+            return -1
+        with open(state_path) as f:
+            return json.load(f)["last_batch"]
+
+    def sink(batch_df, batch_id: int):
+        if batch_id <= _last_applied():
+            return                      # replayed batch — already in
+        reduced = grouped_top_k(
+            batch_df, key_cols,
+            [batch_df[order_col].desc()], 1)
+        spark_ = batch_df.sparkSession
+        if table.exists():
+            table.merge(spark_, reduced, key_cols,
+                        stage=f"stream_merge_{batch_id}")
+        else:
+            table.write(reduced, mode="overwrite",
+                        stage=f"stream_merge_{batch_id}")
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_batch": int(batch_id)}, f)
+        os.replace(tmp, state_path)
+
+    return (stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def stream_merge_once(spark: SparkSession, events_path: str,
+                      table_root: str) -> DataFrame:
+    """Driver runner: drain the events directory through
+    ``stream_merge_into`` keyed on (user_id, event_type), latest row
+    by event_id wins. Deterministic over a static source regardless
+    of micro-batching: per key, the last-arriving batch's max-event_id
+    row is the final state."""
+    import os
+    import tempfile
+
+    from ..sources.tables import SnapshotTable
+
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="fkg_stream_src_")
+        os.symlink(events_path, os.path.join(
+            d, os.path.basename(events_path)))
+        events_path = d
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)     # one file = one batch
+           .parquet(events_path)
+           .select("event_id", "user_id", "event_type", "value"))
+    t = SnapshotTable(table_root)
+    q = stream_merge_into(src, t, ["user_id", "event_type"],
+                          "event_id",
+                          tempfile.mkdtemp(prefix="fkg_stream_cp_"))
+    q.awaitTermination()
+    return t.read(spark)

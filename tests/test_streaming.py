@@ -295,3 +295,56 @@ def test_stream_dedup_once_equals_batch_distinct(spark, tmp_path_factory):
     want = sorted(map(tuple, spark.read.parquet(path)
                       .select("user_id", "event_type").distinct().collect()))
     assert got == want and len(want) > 0
+
+
+def test_stream_merge_into_upserts_and_fences_replays(spark,
+                                                      tmp_path_factory):
+    import os
+
+    from fashion_knowledge_graph_spark.sources.tables import SnapshotTable
+    from fashion_knowledge_graph_spark.streaming import incremental as sti
+
+    src = str(tmp_path_factory.mktemp("smerge_src"))
+    sch = ("event_id bigint, ts timestamp, user_id bigint, "
+           "event_type string, value double, props string")
+    base = pd.Timestamp("2026-04-01")
+    batches = [
+        # batch 0: two keys
+        [(1, base.to_pydatetime(), 1, "view", 1.0, "{}"),
+         (2, base.to_pydatetime(), 2, "view", 2.0, "{}")],
+        # batch 1: overwrites key (1, view) — higher event_id wins
+        # within the batch too (4 beats 3)
+        [(3, base.to_pydatetime(), 1, "view", 30.0, "{}"),
+         (4, base.to_pydatetime(), 1, "view", 40.0, "{}")],
+    ]
+    for i, chunk in enumerate(batches):
+        d = os.path.join(src, f"b{i}")
+        spark.createDataFrame(chunk, sch).coalesce(1) \
+            .write.mode("overwrite").parquet(d)
+        for root_, _, files_ in os.walk(d):
+            for fl in files_:
+                os.utime(os.path.join(root_, fl), (1e9 + i, 1e9 + i))
+
+    troot = str(tmp_path_factory.mktemp("smerge_tbl")) + "/t"
+    got = sti.stream_merge_once(spark, src + "/*", troot)
+    state = {(r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+             for r in got.collect()}
+    assert state == {(1, "view"): (4, 40.0), (2, "view"): (2, 2.0)}
+
+    # replay fencing: re-applying an already-applied batch id is a
+    # no-op — the table's snapshot count must not move
+    t = SnapshotTable(troot)
+    n_before = len(t.snapshots())
+    q = sti.stream_merge_into(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .select("event_id", "user_id", "event_type", "value"),
+        t, ["user_id", "event_type"], "event_id",
+        str(tmp_path_factory.mktemp("smerge_ck2")))
+    q.awaitTermination(300)
+    # fresh checkpoint ⇒ batches replay with the SAME ids (0, 1) —
+    # the sink state file fences both
+    assert len(t.snapshots()) == n_before
+    got2 = {(r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+            for r in t.read(spark).collect()}
+    assert got2 == state
