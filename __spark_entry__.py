@@ -1083,6 +1083,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          .alias("days_since"))
                 .agg(F.countDistinct("user_id").alias("active_users")))
 
+    def weighted_doc_sample(spark, sf):
+        # weighted sampling without replacement (Efraimidis–Spirakis):
+        # 10 docs per lang, inclusion probability ∝ n_chars; the
+        # ln(u)/w ranking uses the portable hash so the oracle
+        # reproduces the SAME sample bit-for-bit
+        from fashion_knowledge_graph_spark.operators.sampling import (
+            weighted_sample_k,
+        )
+        docs = _load(spark, sf, "documents")
+        return weighted_sample_k(docs, "doc_id", "n_chars", k=10,
+                                 by=["lang"]) \
+            .select("doc_id", "lang", "n_chars")
+
     def text_quality_gate(spark, sf):
         # Dolma-style declarative mixer: fixed rule set, one verdict
         # per doc (first failing rule). PII injected deterministically
@@ -1432,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_split": domain_mix_split,
         "text_quality_gate": text_quality_gate,
         "text_pmi_collocations": text_pmi_collocations,
+        "weighted_doc_sample": weighted_doc_sample,
         "events_cohort_retention": events_cohort_retention,
         "emb_quantize_int8": emb_quantize_int8,
         "ann_int8_topk": ann_int8_topk,
@@ -2380,6 +2394,22 @@ def oracle_sql() -> dict[str, str]:
           FROM documents)
         SELECT doc_id, lang, source, {_split_case} AS split
         FROM h WHERE hm < {_mix_case}
+    """
+
+    sql["weighted_doc_sample"] = """
+        WITH es AS (
+          SELECT doc_id, lang, n_chars,
+                 ln(((('0x' || substr(md5('wsample:'
+                        || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                     ::DOUBLE) / 1152921504606846976.0)
+                   / n_chars::DOUBLE AS es_key
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0)
+        SELECT doc_id, lang, n_chars
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY es_key DESC, doc_id ASC) AS rn FROM es) z
+        WHERE rn <= 10
     """
 
     # decontamination: word-4-gram overlap between the doc_id%41 bench

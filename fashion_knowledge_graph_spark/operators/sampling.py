@@ -80,3 +80,35 @@ def hash_split(df: DataFrame, key_col: str,
         expr = F.when(h < cut, F.lit(name)).otherwise(expr)
     return (df.withColumn(hcol, sample_hash(key_col, salt))
             .withColumn(split_col, expr).drop(hcol))
+
+
+def weighted_sample_k(df: DataFrame, key_col: str, weight_col: str,
+                      k: int, by: list[str] | None = None,
+                      salt: str = "wsample") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group
+    (Efraimidis–Spirakis A-ES): rank every row by ``ln(u) / w`` with
+    ``u`` uniform in (0, 1] and keep the k largest — each row's
+    inclusion probability is proportional to its weight, exactly the
+    one-pass distributed form (a weighted reservoir is its streaming
+    twin). ``u`` comes from the portable 60-bit md5 hash, so the
+    sample is a pure function of (salt, key): reproducible across
+    reruns/partitionings and bit-identical in the SQL oracle — the
+    property rand()-based weighted sampling cannot give.
+
+    Rows with weight <= 0 or NULL are excluded (zero mass). One
+    window shuffle on ``by`` (or a single global group for by=None —
+    fine for k-sized outputs, use grouped mode at scale).
+    """
+    from pyspark.sql import Window
+
+    u = (sample_hash(key_col, salt) + F.lit(1)).cast("double") \
+        / F.lit(float(HASH_SPACE))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    out = df.filter(F.col(weight_col).isNotNull()
+                    & (F.col(weight_col) > 0)) \
+        .withColumn("__es_key", key)
+    part = Window.partitionBy(*by) if by else Window.partitionBy()
+    w = part.orderBy(F.desc("__es_key"), F.asc(key_col))
+    return (out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__es_key", "__rn"))

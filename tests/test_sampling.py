@@ -80,3 +80,48 @@ def test_hash_split_rejects_bad_weights(docs):
 def test_rate_threshold_bounds():
     assert rate_threshold(0.0) == 0
     assert rate_threshold(1.0) == HASH_SPACE
+
+
+def test_weighted_sample_k_proportional_and_deterministic(spark):
+    from fashion_knowledge_graph_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    # two weight classes, 10x apart: across many salts, heavy rows
+    # must be sampled ~10x as often (A-ES inclusion ∝ weight for
+    # k << n); same salt ⇒ identical sample across partitionings
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "k bigint, w double")
+    heavy = light = 0
+    for s in range(30):
+        got = weighted_sample_k(df, "k", "w", k=10,
+                                salt=f"s{s}").collect()
+        assert len(got) == 10
+        heavy += sum(1 for r in got if r["k"] % 2 == 0)
+        light += sum(1 for r in got if r["k"] % 2 == 1)
+    assert heavy + light == 300
+    ratio = heavy / max(light, 1)
+    assert 5.0 < ratio < 20.0, (heavy, light)
+
+    a = sorted(r["k"] for r in weighted_sample_k(
+        df, "k", "w", k=10, salt="fix").collect())
+    b = sorted(r["k"] for r in weighted_sample_k(
+        df.repartition(13), "k", "w", k=10, salt="fix").collect())
+    assert a == b
+
+
+def test_weighted_sample_k_grouped_and_zero_weight(spark):
+    from fashion_knowledge_graph_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    rows = [(i, ["a", "b"][i % 2], 0.0 if i < 4 else 1.0)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "k bigint, g string, w double")
+    got = weighted_sample_k(df, "k", "w", k=3, by=["g"]).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["g"], []).append(r["k"])
+        assert r["k"] >= 4            # zero-weight rows never sampled
+    assert sorted(per) == ["a", "b"]
+    assert all(len(v) == 3 for v in per.values())
