@@ -747,6 +747,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.col("src").alias("dst")))
         return kcore_peel(e, k=3, rounds=3)
 
+    def graph_bfs_distances(spark, sf):
+        # multi-source BFS (3 hops) from the 5 smallest product keys
+        # over the symmetrized co-purchase graph — unrolled frontier
+        # expansion, anti-joined visited set (operators/graph.py)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            bfs_distances,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        e = und.select("src", "dst").unionByName(
+            und.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst")))
+        seeds = und.select(F.col("src").alias("node")).distinct() \
+            .orderBy("node").limit(5)
+        return bfs_distances(e, seeds, max_depth=3)
+
     def funnel_view_click_purchase(spark, sf):
         # ordered funnel (behavioral analytics): first view → first
         # click after it → first purchase after that, per user
@@ -1428,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": asof_attribution,
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "graph_kcore": graph_kcore,
+        "graph_bfs_distances": graph_bfs_distances,
         "asof_attribution_cogroup": asof_attribution_cogroup,
         "range_join_attribution": range_join_attribution,
         "sessionize_events": sessionize_events,
@@ -1705,6 +1721,37 @@ def oracle_sql() -> dict[str, str]:
         """)
     sql["graph_kcore"] = ("WITH " + ",".join(_kc) + """
         SELECT src AS node, count(*) AS deg FROM e3 GROUP BY 1
+    """)
+
+    # BFS: 3 unrolled frontier expansions over the symmetrized
+    # co-purchase graph (same CTE base as k-core)
+    _bfs = ["""
+        undb AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        eb AS (SELECT src, dst FROM undb
+               UNION ALL SELECT dst AS src, src AS dst FROM undb),
+        v0 AS (SELECT node, 0 AS dist FROM (
+                 SELECT DISTINCT src AS node FROM undb
+                 ORDER BY node LIMIT 5))
+    """]
+    for _d in range(1, 4):
+        _prev = " UNION ALL ".join(f"SELECT * FROM v{_j}"
+                                   for _j in range(_d))
+        _bfs.append(f"""
+        v{_d} AS (
+          SELECT DISTINCT e.dst AS node, {_d} AS dist
+          FROM v{_d - 1} f JOIN eb e ON e.src = f.node
+          WHERE e.dst NOT IN (SELECT node FROM ({_prev})))
+        """)
+    sql["graph_bfs_distances"] = ("WITH " + ",".join(_bfs) + """
+        SELECT node, dist FROM v0
+        UNION ALL SELECT node, dist FROM v1
+        UNION ALL SELECT node, dist FROM v2
+        UNION ALL SELECT node, dist FROM v3
     """)
 
     sql["funnel_view_click_purchase"] = """

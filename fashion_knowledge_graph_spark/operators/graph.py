@@ -176,3 +176,35 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int,
              .localCheckpoint(eager=True))
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
         .select(F.col("src").alias("node"), "deg")
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, max_depth: int,
+                  src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-depth multi-source BFS over an UNDIRECTED (symmetrized)
+    edge list: dist(v) = min hops from any seed, up to ``max_depth``
+    (unreached nodes are absent). The fixed depth keeps the result
+    deterministic and SQL-replayable — the unrolled-iteration
+    contract shared with ``pagerank``/``kcore_peel``; at real scale
+    the same loop runs to frontier exhaustion instead.
+
+    Scale shape per round: frontier ⋈ edges on the src key (the
+    frontier is usually the small side → broadcast), distinct on the
+    new frontier, anti-join against visited — all narrow (node, dist)
+    rows; frontier and visited are checkpointed per round so round d
+    doesn't replay rounds 1..d-1.
+    """
+    node_col = seeds.columns[0]
+    e = edges.select(F.col(src).alias("e_src"),
+                     F.col(dst).alias("e_dst")).localCheckpoint(eager=True)
+    visited = seeds.select(F.col(node_col).alias("node"),
+                           F.lit(0).alias("dist")).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["e_src"])
+               .select(F.col("e_dst").alias("node")).distinct()
+               .join(visited, "node", "left_anti")
+               .withColumn("dist", F.lit(d))
+               .localCheckpoint(eager=True))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -144,3 +144,26 @@ def test_kcore_clique_survives_star_peels(spark):
     df = spark.createDataFrame(sym, "src long, dst long")
     # leaves have degree 1 → peel at k=2; the hub then has degree 0
     assert kcore_peel(df, k=2, rounds=2).count() == 0
+
+
+def test_bfs_distances_matches_python(spark):
+    from fashion_knowledge_graph_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    # path 1-2-3-4-5 + branch 2-10; seeds {1}; depth 3 ⇒ node 5 absent
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 10)]
+    sym = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(e, seeds, max_depth=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3}
+
+    # multi-source: min over seeds; disconnected node 99 absent
+    e2 = spark.createDataFrame(sym + [(99, 98), (98, 99)],
+                               "src long, dst long")
+    seeds2 = spark.createDataFrame([(1,), (5,)], "node long")
+    got2 = {r["node"]: r["dist"]
+            for r in bfs_distances(e2, seeds2, max_depth=2).collect()}
+    assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2, 10: 2}
