@@ -747,6 +747,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.col("src").alias("dst")))
         return kcore_peel(e, k=3, rounds=3)
 
+    def q5_local_supplier_volume(spark, sf):
+        # TPC-H Q5 shape: 6-table join (customer⋈orders⋈lineitem⋈
+        # supplier⋈nation⋈region) with the same-nation predicate —
+        # the canonical join-reordering/broadcast workout; Catalyst
+        # broadcasts the dim chain and the fact tables shuffle once
+        cust = _load(spark, sf, "customer")
+        orders = _load(spark, sf, "orders")
+        li = _load(spark, sf, "lineitem")
+        supp = _load(spark, sf, "supplier")
+        nat = _load(spark, sf, "nation")
+        reg = _load(spark, sf, "region")
+        return (cust.join(orders,
+                          cust.c_custkey == orders.o_custkey)
+                .join(li, orders.o_orderkey == li.l_orderkey)
+                .join(supp, (li.l_suppkey == supp.s_suppkey)
+                      & (cust.c_nationkey == supp.s_nationkey))
+                .join(nat, supp.s_nationkey == nat.n_nationkey)
+                .join(reg, nat.n_regionkey == reg.r_regionkey)
+                .groupBy("n_name")
+                .agg(F.round(F.sum(
+                    (F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")))
+                    .cast("decimal(18,6)")), 4)
+                    .cast("double").alias("revenue"),
+                    F.count(F.lit(1)).alias("n_items")))
+
     def graph_bfs_distances(spark, sf):
         # multi-source BFS (3 hops) from the 5 smallest product keys
         # over the symmetrized co-purchase graph — unrolled frontier
@@ -1444,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "graph_kcore": graph_kcore,
         "graph_bfs_distances": graph_bfs_distances,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         "asof_attribution_cogroup": asof_attribution_cogroup,
         "range_join_attribution": range_join_attribution,
         "sessionize_events": sessionize_events,
@@ -1722,6 +1749,21 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_kcore"] = ("WITH " + ",".join(_kc) + """
         SELECT src AS node, count(*) AS deg FROM e3 GROUP BY 1
     """)
+
+    sql["q5_local_supplier_volume"] = """
+        SELECT n_name,
+               round(sum((l_extendedprice * (1 - l_discount))
+                         ::DECIMAL(18,6)), 4)::DOUBLE AS revenue,
+               count(*) AS n_items
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1
+    """
 
     # BFS: 3 unrolled frontier expansions over the symmetrized
     # co-purchase graph (same CTE base as k-core)
