@@ -355,3 +355,40 @@ def test_dynamic_partition_pruning_engages_on_dim_join(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     # and the result is the single partition's rows
     assert joined.count() == len(pd_fact[pd_fact.k == 3])
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(
+        spark, tmp_path):
+    """When the dim side is filtered and broadcast is off (the
+    sort-merge regime of two big tables at 100 TB), Spark must inject
+    a runtime bloom filter (might_contain) on the fact scan so
+    non-matching rows die before the shuffle. Conf-gated; thresholds
+    forced so the optimizer fires at test scale."""
+    spark.range(100_000).selectExpr("id AS k", "id * 2 AS v") \
+        .write.parquet(str(tmp_path / "fact"))
+    spark.range(1_000).selectExpr("id AS k", "'x' AS n") \
+        .write.parquet(str(tmp_path / "dim"))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.read.parquet(str(tmp_path / "dim")) \
+            .filter(F.col("n") == "x")
+        plan = _plan(fact.join(dim, "k"))
+        assert "might_contain" in plan.lower(), plan
+        assert fact.join(dim, "k").count() == 1_000
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
