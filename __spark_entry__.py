@@ -32,7 +32,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -746,6 +746,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             und.select(F.col("dst").alias("src"),
                        F.col("src").alias("dst")))
         return kcore_peel(e, k=3, rounds=3)
+
+    def rfm_segments(spark, sf):
+        # RFM customer segmentation: recency (days since last order),
+        # frequency (orders), monetary (total spend) → quartile
+        # buckets via ntile with a deterministic custkey tie-break →
+        # segment sizes. Two shuffles: custkey agg, then the three
+        # small ntile windows over customer-sized rows.
+        orders = _load(spark, sf, "orders")
+        anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+        per_cust = (orders.groupBy("o_custkey")
+                    .agg(F.max("o_orderdate").alias("last_order"),
+                         F.count(F.lit(1)).alias("frequency"),
+                         F.round(F.sum(F.col("o_totalprice")
+                                       .cast("decimal(18,6)")), 2)
+                         .alias("monetary"))
+                    .crossJoin(F.broadcast(anchor))
+                    .withColumn("recency_days",
+                                F.datediff("mx", "last_order")))
+        wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+        wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+        wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+        seg = per_cust.select(
+            "o_custkey",
+            F.ntile(4).over(wr).alias("r_q"),
+            F.ntile(4).over(wf).alias("f_q"),
+            F.ntile(4).over(wm).alias("m_q"))
+        return (seg.groupBy("r_q", "f_q", "m_q")
+                .agg(F.count(F.lit(1)).alias("customers")))
 
     def q5_local_supplier_volume(spark, sf):
         # TPC-H Q5 shape: 6-table join (customer⋈orders⋈lineitem⋈
@@ -1471,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": graph_kcore,
         "graph_bfs_distances": graph_bfs_distances,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "rfm_segments": rfm_segments,
         "asof_attribution_cogroup": asof_attribution_cogroup,
         "range_join_attribution": range_join_attribution,
         "sessionize_events": sessionize_events,
@@ -1749,6 +1778,28 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_kcore"] = ("WITH " + ",".join(_kc) + """
         SELECT src AS node, count(*) AS deg FROM e3 GROUP BY 1
     """)
+
+    sql["rfm_segments"] = """
+        WITH pc AS (
+          SELECT o_custkey,
+                 date_diff('day', max(o_orderdate),
+                           (SELECT max(o_orderdate) FROM orders))
+                   AS recency_days,
+                 count(*) AS frequency,
+                 round(sum(o_totalprice::DECIMAL(18,6)), 2) AS monetary
+          FROM orders GROUP BY 1),
+        seg AS (
+          SELECT o_custkey,
+                 ntile(4) OVER (ORDER BY recency_days ASC,
+                                o_custkey ASC) AS r_q,
+                 ntile(4) OVER (ORDER BY frequency DESC,
+                                o_custkey ASC) AS f_q,
+                 ntile(4) OVER (ORDER BY monetary DESC,
+                                o_custkey ASC) AS m_q
+          FROM pc)
+        SELECT r_q, f_q, m_q, count(*) AS customers
+        FROM seg GROUP BY 1, 2, 3
+    """
 
     sql["q5_local_supplier_volume"] = """
         SELECT n_name,
