@@ -88,7 +88,8 @@ def complete_the_look(edges: DataFrame, nodes: DataFrame,
 
 def two_hop_recommend(edges: DataFrame, seeds: DataFrame,
                       weight_threshold: int = 1,
-                      top_k: int = 10) -> DataFrame:
+                      top_k: int = 10,
+                      max_mid_degree: int | None = None) -> DataFrame:
     """2-hop expansion — "related to what you're related to" — the
     collaborative-filtering extension of the reference's 1-hop Cypher
     (src/database/graph_database.py:289-326, one `-[r]-` hop further):
@@ -101,25 +102,37 @@ def two_hop_recommend(edges: DataFrame, seeds: DataFrame,
     - top-k per seed, deterministic dst tie-break
 
     Scale shape: the seed set broadcasts (hop 1 never shuffles the
-    edge table); hop 2 is one equi-join shuffled on the mid key; the
-    anti-join reuses hop 1's output. Hub mids fan out quadratically —
-    at 100 TB cap them upstream (the edges table is already
-    weight-aggregated, and a degree cap like triangle counting's
-    O(√m) orientation bound applies if needed).
+    edge table); hop 2 is one equi-join shuffled on the mid key. Hub
+    mids fan out quadratically — ``max_mid_degree`` drops mids with
+    more than that many neighbors BEFORE hop 2 (one partial-agg'd
+    degree count + a semi-join). That is the same celebrity-item
+    mitigation every production co-visitation system applies, and it
+    is usually recall-NEUTRAL in spirit: a mid connected to half the
+    catalog carries almost no signal about any specific pair. Exact
+    semantics (no cap) remain the default and the oracle-checked
+    configuration.
 
     Output: (query_id, product_id, score, n_paths).
     """
     sym = symmetrize_edges(edges).filter(
         F.col("weight") >= weight_threshold) \
         .select("src", "dst", "weight")
+    if max_mid_degree is not None:
+        ok_mid = sym.groupBy("src").agg(
+            F.count(F.lit(1)).alias("deg")) \
+            .filter(F.col("deg") <= max_mid_degree) \
+            .select("src")
+        sym_mid = sym.join(ok_mid, "src", "left_semi")
+    else:
+        sym_mid = sym
     sel = F.broadcast(seeds.select(F.col("product_id").alias("sel_id")))
     h1 = sym.join(sel, sym.src == F.col("sel_id")) \
         .select("sel_id", F.col("dst").alias("mid"),
                 F.col("weight").alias("w1"))
     h2 = h1.join(
-        sym.select(F.col("src").alias("mid"),
-                   F.col("dst").alias("dst2"),
-                   F.col("weight").alias("w2")), "mid")
+        sym_mid.select(F.col("src").alias("mid"),
+                       F.col("dst").alias("dst2"),
+                       F.col("weight").alias("w2")), "mid")
     neigh = h1.select("sel_id", F.col("mid").alias("dst2")).distinct()
     cand = h2.filter(F.col("dst2") != F.col("sel_id")) \
         .join(neigh, ["sel_id", "dst2"], "left_anti")

@@ -161,3 +161,20 @@ def test_two_hop_recommend_weight_threshold_and_topk(spark):
                               top_k=10).collect()
     # a--c dropped (w=1) so e unreachable; only a->b->d remains
     assert [(r["product_id"], r["score"]) for r in out] == [("d", 2)]
+
+
+def test_two_hop_mid_degree_cap(spark):
+    # hub node h connects to everything: capped out as a mid, but
+    # paths through normal mids survive, and h can still be a DST
+    edges = [("a", "h", 1), ("h", "c", 1), ("h", "d", 1), ("h", "e", 1),
+             ("a", "b", 1), ("b", "c", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight int")
+    seeds = spark.createDataFrame([("a",)], "product_id string")
+    uncapped = {r["product_id"] for r in
+                Q.two_hop_recommend(df, seeds, top_k=10).collect()}
+    assert uncapped == {"c", "d", "e"}
+    capped = {r["product_id"] for r in
+              Q.two_hop_recommend(df, seeds, top_k=10,
+                                  max_mid_degree=3).collect()}
+    # h has degree 4 → its fan-out is dropped; only a->b->c remains
+    assert capped == {"c"}
