@@ -1001,6 +1001,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id_a", "id_b",
                           F.round("jaccard", 6).alias("jaccard"))
 
+    def dedup_jaccard_prefix(spark, sf):
+        # PPJoin-style prefix filtering: identical output to
+        # dedup_ngram_jaccard (same brute-force oracle) from a
+        # candidate set pruned by indexing only each doc's rarest
+        # |d|-ceil(t|d|)+1 shingles (operators/dedup.py)
+        out = dd.jaccard_pairs_prefix(_docs_split(spark, sf),
+                                      threshold=0.35)
+        return out.select("id_a", "id_b",
+                          F.round("jaccard", 6).alias("jaccard"))
+
     def dedup_minhash_lsh(spark, sf):
         out = dd.minhash_lsh_pairs(_docs_split(spark, sf),
                                    threshold=0.35, num_hashes=128, bands=32)
@@ -1513,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "decontam_overlap": decontam_overlap,
         "domain_mix_split": domain_mix_split,
         "text_quality_gate": text_quality_gate,
@@ -2584,6 +2595,8 @@ def oracle_sql() -> dict[str, str]:
                  AS contamination_frac
         FROM hits JOIN sizes4 ON hits.id = sizes4.id
     """
+
+    sql["dedup_jaccard_prefix"] = sql["dedup_ngram_jaccard"]
 
     # MinHash+LSH, fully replayed in DuckDB: the portable lane family
     # (universal hash mod 2^31-1 over the 30-bit halves of the md5-

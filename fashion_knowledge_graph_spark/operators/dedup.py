@@ -33,7 +33,7 @@ turns any pair set into a keep/drop decision via connected components
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
@@ -885,3 +885,77 @@ def decontaminate(train: DataFrame, bench: DataFrame,
         "contamination_frac",
         F.round(F.col("n_hit_shingles")
                 / F.col("train_shingles").cast("double"), 6))
+
+
+def jaccard_pairs_prefix(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3,
+                         threshold: float = 0.5) -> DataFrame:
+    """EXACT Jaccard-join with PPJoin-style prefix filtering — the
+    classic set-similarity-join optimization over the plain inverted
+    index (``jaccard_pairs_exact``):
+
+    order each doc's shingles by GLOBAL rarity (document frequency
+    asc) and index only the first ``|d| - ceil(t*|d|) + 1`` of them.
+    Pigeonhole: two sets with J ≥ t overlap in ≥ ceil(t*|d|) elements,
+    so they cannot avoid sharing at least one indexed prefix token —
+    candidates from the prefix index are a SUPERSET of the true pairs
+    (exactness preserved), while the head shingles everyone shares
+    (the quadratic cost of a full index) mostly sit OUTSIDE prefixes.
+
+    Verify: per-doc shingle sets (one collect_set agg) joined onto the
+    candidate pairs, intersection via ``array_intersect`` (JVM
+    collection op, not a per-element lambda). Candidate rows carry two
+    doc-sized hash arrays — bounded by the (filtered) candidate count,
+    not by posting-list blowup.
+    """
+    import math  # noqa: F401 (ceil done in-plan for portability)
+
+    post = _shingle_posting(df, id_col, text_col, n) \
+        .localCheckpoint(eager=True)
+    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = post.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
+    w = Window.partitionBy("id").orderBy(F.asc("df_sh"), F.asc("sh"))
+    prefix = (post.join(dfreq, "sh").join(sizes, "id")
+              .withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= F.col("sz")
+                      - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+              .select("id", "sh"))
+    a = prefix.select(F.col("id").alias("id_a"), "sh")
+    b = prefix.select(F.col("id").alias("id_b"), "sh")
+    cand = a.join(b, "sh").filter(F.col("id_a") < F.col("id_b")) \
+        .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    sets = post.groupBy("id").agg(F.collect_set("sh").alias("shs"))
+    paired = cand \
+        .join(sets.select(F.col("id").alias("id_a"),
+                          F.col("shs").alias("shs_a")), "id_a") \
+        .join(sets.select(F.col("id").alias("id_b"),
+                          F.col("shs").alias("shs_b")), "id_b")
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = inter / (F.size("shs_a") + F.size("shs_b") - inter)
+    return paired.select(
+        "id_a", "id_b", jac.alias("jaccard")) \
+        .filter(F.col("jaccard") >= threshold)
+
+
+def _prefix_candidate_count(df: DataFrame, id_col: str, text_col: str,
+                            n: int, threshold: float) -> tuple[int, int]:
+    """(prefix-filtered candidates, full-index candidates) — test/
+    diagnostics helper quantifying the prefix filter's pruning."""
+    post = _shingle_posting(df, id_col, text_col, n) \
+        .localCheckpoint(eager=True)
+    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = post.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
+    w = Window.partitionBy("id").orderBy(F.asc("df_sh"), F.asc("sh"))
+    prefix = (post.join(dfreq, "sh").join(sizes, "id")
+              .withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= F.col("sz")
+                      - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+              .select("id", "sh"))
+
+    def pairs(p):
+        a = p.select(F.col("id").alias("id_a"), "sh")
+        b = p.select(F.col("id").alias("id_b"), "sh")
+        return a.join(b, "sh").filter(F.col("id_a") < F.col("id_b")) \
+            .select("id_a", "id_b").distinct().count()
+
+    return pairs(prefix), pairs(post)

@@ -329,3 +329,17 @@ def test_decontaminate_no_overlap_is_empty(spark):
     bench = spark.createDataFrame(
         [(2, "zulu yankee xray whiskey victor")], "doc_id int, text string")
     assert dd.decontaminate(train, bench, n=3).count() == 0
+
+
+def test_jaccard_prefix_equals_exact_and_prunes(spark, corpus):
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+           for r in dd.jaccard_pairs_prefix(
+               corpus, threshold=0.5).collect()}
+    want = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+            for r in dd.jaccard_pairs_exact(
+                corpus, threshold=0.5).collect()}
+    assert got == want and want
+
+    pruned, full = dd._prefix_candidate_count(
+        corpus, "doc_id", "text", 3, 0.5)
+    assert pruned < full, (pruned, full)
