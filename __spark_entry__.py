@@ -1175,6 +1175,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  by=["lang"]) \
             .select("doc_id", "lang", "n_chars")
 
+    def text_lm_score(spark, sf):
+        # CCNet-style LM quality stand-in: per-doc mean unigram
+        # log-likelihood under the corpus's own (add-one-smoothed)
+        # unigram model — two partial-agg'd passes (vocab counts,
+        # per-doc sum) joined on the token; high-perplexity docs rank
+        # last. ln arithmetic identical in both engines, rounded.
+        from fashion_knowledge_graph_spark.functions import text as txf
+        docs = _load(spark, sf, "documents") \
+            .filter(F.col("text").isNotNull())
+        tok = docs.select("doc_id",
+                          F.explode(txf.tokens(F.col("text")))
+                          .alias("w"))
+        uc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+        totals = uc.agg(F.sum("c_w").alias("n_tok"),
+                        F.count(F.lit(1)).alias("vocab"))
+        logp = F.log((F.col("c_w") + 1).cast("double")
+                     / (F.col("n_tok") + F.col("vocab")).cast("double"))
+        return (tok.join(uc, "w").crossJoin(F.broadcast(totals))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                     F.round(F.sum(logp)
+                             / F.count(F.lit(1)), 6).alias("mean_logp")))
+
+    def events_daily_anomaly(spark, sf):
+        # ops-analytics anomaly scoring: per event_type daily counts
+        # vs that type's own mean/stddev → z-score (population stddev
+        # for portability); |z| flags volume anomalies
+        ev = _load(spark, sf, "events")
+        daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type") \
+            .agg(F.count(F.lit(1)).alias("n"))
+        wt = Window.partitionBy("event_type")
+        return daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type", "n",
+            F.round((F.col("n") - F.avg("n").over(wt))
+                    / F.stddev_pop("n").over(wt), 6).alias("z"))
+
     def text_quality_gate(spark, sf):
         # Dolma-style declarative mixer: fixed rule set, one verdict
         # per doc (first failing rule). PII injected deterministically
@@ -1528,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_split": domain_mix_split,
         "text_quality_gate": text_quality_gate,
         "text_pmi_collocations": text_pmi_collocations,
+        "text_lm_score": text_lm_score,
+        "events_daily_anomaly": events_daily_anomaly,
         "weighted_doc_sample": weighted_doc_sample,
         "events_cohort_retention": events_cohort_retention,
         "emb_quantize_int8": emb_quantize_int8,
@@ -2068,6 +2107,33 @@ def oracle_sql() -> dict[str, str]:
                     WHEN s.pii_total > 0 THEN 'pii'
                     ELSE 'pass' END AS verdict
         FROM sig s JOIN langq l ON s.doc_id = l.doc_id
+    """
+
+    sql["text_lm_score"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({toks}) AS w
+          FROM documents WHERE text IS NOT NULL),
+        uc AS (SELECT w, count(*) AS c_w FROM tok GROUP BY 1),
+        tot AS (SELECT sum(c_w)::BIGINT AS n_tok,
+                       count(*)::BIGINT AS vocab FROM uc)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(sum(ln((c_w + 1)::DOUBLE
+                            / (n_tok + vocab)::DOUBLE))
+                     / count(*), 6) AS mean_logp
+        FROM tok JOIN uc USING (w), tot
+        GROUP BY doc_id
+    """
+
+    sql["events_daily_anomaly"] = """
+        WITH daily AS (
+          SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, event_type,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT day, event_type, n,
+               round((n - avg(n) OVER (PARTITION BY event_type))
+                     / stddev_pop(n) OVER (PARTITION BY event_type),
+                     6) AS z
+        FROM daily
     """
 
     sql["text_pmi_collocations"] = f"""
