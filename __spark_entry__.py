@@ -1175,6 +1175,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  by=["lang"]) \
             .select("doc_id", "lang", "n_chars")
 
+    def text_bm25_topk(spark, sf):
+        # BM25 ranked retrieval (Lucene idf) for a fixed 3-term query
+        # — the lexical twin of the embedding searches; the token
+        # explode is filtered to the query terms before any shuffle
+        from fashion_knowledge_graph_spark.functions.text import (
+            bm25_topk,
+        )
+        docs = _load(spark, sf, "documents") \
+            .filter(F.col("text").isNotNull())
+        return bm25_topk(docs, ["spark", "join", "fast"], k=20)
+
     def text_lm_score(spark, sf):
         # CCNet-style LM quality stand-in: per-doc mean unigram
         # log-likelihood under the corpus's own (add-one-smoothed)
@@ -1566,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_gate": text_quality_gate,
         "text_pmi_collocations": text_pmi_collocations,
         "text_lm_score": text_lm_score,
+        "text_bm25_topk": text_bm25_topk,
         "events_daily_anomaly": events_daily_anomaly,
         "weighted_doc_sample": weighted_doc_sample,
         "events_cohort_retention": events_cohort_retention,
@@ -2107,6 +2119,32 @@ def oracle_sql() -> dict[str, str]:
                     WHEN s.pii_total > 0 THEN 'pii'
                     ELSE 'pass' END AS verdict
         FROM sig s JOIN langq l ON s.doc_id = l.doc_id
+    """
+
+    sql["text_bm25_topk"] = f"""
+        WITH tkb AS (SELECT doc_id AS id, {toks} AS tk
+                     FROM documents WHERE text IS NOT NULL),
+        dlb AS (SELECT id, coalesce(len(tk), 0) AS dl FROM tkb),
+        totb AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+                 FROM dlb),
+        hitsb AS (SELECT id, unnest(tk) AS w FROM tkb),
+        tfb AS (SELECT id, w, count(*) AS tf FROM hitsb
+                WHERE w IN ('spark', 'join', 'fast') GROUP BY 1, 2),
+        dfb AS (SELECT w, count(*) AS df_t FROM tfb GROUP BY 1),
+        per AS (
+          SELECT tfb.id,
+                 round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+                   AS score
+          FROM tfb JOIN dfb USING (w) JOIN dlb ON dlb.id = tfb.id,
+               totb
+          GROUP BY 1)
+        SELECT id AS doc_id, score, rank
+        FROM (SELECT *, row_number() OVER (
+                ORDER BY score DESC, id ASC) AS rank FROM per) z
+        WHERE rank <= 20
     """
 
     sql["text_lm_score"] = f"""

@@ -261,3 +261,42 @@ def minhash_sketch_col(col, k: int = 16, n: int = 3) -> Column:
     Catalyst: transform → array_sort → slice."""
     hashes = F.transform(shingles(col, n), lambda s: shingle_hash(s))
     return F.slice(F.array_sort(hashes), 1, k)
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 20,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 ranked retrieval (Lucene's idf form) — the lexical
+    complement to the embedding searches: score(d) = Σ_t idf(t) ·
+    tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)), idf = ln((N-df+0.5)/
+    (df+0.5)+1). Deterministic and SQL-replayable: every statistic is
+    a count, the per-(doc,term) math is pure arithmetic.
+
+    Shape: one token explode filtered to the query's terms BEFORE any
+    aggregation (the posting list never materializes for non-query
+    terms — at 100 TB the filter rides the scan), tf/df/doc-length
+    partial-aggregated, corpus totals broadcast, one top-k window.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(F.col(id_col).alias("id"),
+                     tokens(F.col(text_col)).alias("tk"))
+    dl = toks.select("id", F.size("tk").alias("dl"))
+    totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("dl").alias("avgdl"))
+    hits = toks.select("id", F.explode("tk").alias("w")) \
+        .filter(F.col("w").isin(terms))
+    tf = hits.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (tf.join(dfreq, "w").join(dl, "id")
+              .crossJoin(F.broadcast(totals)))
+    idf = F.log((F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5) + 1.0)
+    part = idf * (F.col("tf") * (k1 + 1)) \
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    per_doc = scored.groupBy("id").agg(
+        F.round(F.sum(part), 6).alias("score"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (per_doc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("id").alias(id_col), "score", "rank"))

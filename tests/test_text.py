@@ -221,3 +221,39 @@ def test_tfidf_top_terms_matches_reference(spark):
         for rnk, (term, c, d, s) in enumerate(scored, 1):
             want.append((i, term, c, d, round(s, 6), rnk))
     assert sorted(got) == sorted(want)
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+    import re
+
+    from fashion_knowledge_graph_spark.functions.text import bm25_topk
+
+    docs = [(1, "spark join fast spark"), (2, "slow table scan"),
+            (3, "join join join fast"), (4, "spark"),
+            (5, "nothing relevant here at all")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["doc_id"], r["score"], r["rank"])
+           for r in bm25_topk(df, ["spark", "join", "fast"], k=10)
+           .orderBy("rank").collect()]
+
+    tok = {i: re.sub(r"[^a-z0-9]+", " ", t.lower()).split()
+           for i, t in docs}
+    n = len(tok)
+    avgdl = sum(len(v) for v in tok.values()) / n
+    terms = ["spark", "join", "fast"]
+    dfreq = {t: sum(1 for v in tok.values() if t in v) for t in terms}
+    scores = {}
+    for i, v in tok.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+        if s > 0:
+            scores[i] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == [(i, s, r + 1) for r, (i, s) in enumerate(want)]
+    assert 5 not in {g[0] for g in got}     # no query term, no row
