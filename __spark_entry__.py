@@ -1186,6 +1186,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("text").isNotNull())
         return bm25_topk(docs, ["spark", "join", "fast"], k=20)
 
+    def hybrid_search_rrf(spark, sf):
+        # hybrid retrieval, the production search shape: lexical BM25
+        # list + semantic cosine list (doc 0's embedding as the query)
+        # fused with RRF k=60, top-20 — both lists and the fusion are
+        # existing operators; every stage already oracle-replayable
+        from fashion_knowledge_graph_spark.functions.text import (
+            bm25_topk,
+        )
+        docs = _load(spark, sf, "documents") \
+            .filter(F.col("text").isNotNull())
+        emb = _load(spark, sf, "embeddings")
+        lex = bm25_topk(docs, ["spark", "join", "fast"], k=50) \
+            .select("doc_id", "rank")
+        sem = sim.cosine_topk(emb.filter(F.col("vec_id") == 0),
+                              emb, k=50) \
+            .select(F.col("corpus_id").alias("doc_id"), "rank")
+        fused = rrf_fuse([lex, sem], keys=[], id_col="doc_id", k=60) \
+            .withColumn("rrf_score", F.round("rrf_score", 6))
+        # rank on the ROUNDED score (exactly what the oracle ranks on)
+        # so sub-1e-6 score differences can't reorder across engines
+        return add_rank(fused, [],
+                        [F.desc("rrf_score"), F.asc("doc_id")]) \
+            .filter(F.col("rank") <= 20) \
+            .select("doc_id", "rrf_score", "rank")
+
     def text_lm_score(spark, sf):
         # CCNet-style LM quality stand-in: per-doc mean unigram
         # log-likelihood under the corpus's own (add-one-smoothed)
@@ -1578,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_collocations": text_pmi_collocations,
         "text_lm_score": text_lm_score,
         "text_bm25_topk": text_bm25_topk,
+        "hybrid_search_rrf": hybrid_search_rrf,
         "events_daily_anomaly": events_daily_anomaly,
         "weighted_doc_sample": weighted_doc_sample,
         "events_cohort_retention": events_cohort_retention,
@@ -2144,6 +2170,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, score, rank
         FROM (SELECT *, row_number() OVER (
                 ORDER BY score DESC, id ASC) AS rank FROM per) z
+        WHERE rank <= 20
+    """
+
+    sql["hybrid_search_rrf"] = f"""
+        WITH tkb AS (SELECT doc_id AS id, {toks} AS tk
+                     FROM documents WHERE text IS NOT NULL),
+        dlb AS (SELECT id, coalesce(len(tk), 0) AS dl FROM tkb),
+        totb AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+                 FROM dlb),
+        hitsb AS (SELECT id, unnest(tk) AS w FROM tkb),
+        tfb AS (SELECT id, w, count(*) AS tf FROM hitsb
+                WHERE w IN ('spark', 'join', 'fast') GROUP BY 1, 2),
+        dfb AS (SELECT w, count(*) AS df_t FROM tfb GROUP BY 1),
+        lex AS (
+          SELECT id AS doc_id, row_number() OVER (
+                   ORDER BY score DESC, id ASC) AS rank
+          FROM (SELECT tfb.id,
+                       round(sum(
+                         ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (1 - 0.75
+                                        + 0.75 * dl / avgdl))), 6)
+                         AS score
+                FROM tfb JOIN dfb USING (w)
+                     JOIN dlb ON dlb.id = tfb.id, totb
+                GROUP BY 1) s
+          QUALIFY rank <= 50),
+        sem AS (
+          SELECT c.vec_id AS doc_id, row_number() OVER (
+                   ORDER BY list_cosine_similarity(
+                     q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                     DESC, c.vec_id ASC) AS rank
+          FROM embeddings q JOIN embeddings c ON c.vec_id <> 0
+          WHERE q.vec_id = 0
+          QUALIFY rank <= 50),
+        u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+        fused AS (
+          SELECT doc_id,
+                 round(sum(1.0 / (60.0 + rank)), 6) AS rrf_score
+          FROM u GROUP BY 1)
+        SELECT doc_id, rrf_score, rank
+        FROM (SELECT *, row_number() OVER (
+                ORDER BY rrf_score DESC, doc_id ASC) AS rank
+              FROM fused) z
         WHERE rank <= 20
     """
 
