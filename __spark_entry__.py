@@ -1248,6 +1248,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round((F.col("n") - F.avg("n").over(wt))
                     / F.stddev_pop("n").over(wt), 6).alias("z"))
 
+    def corpus_stats_card(spark, sf):
+        # the "datasheet" rollup every corpus release ships: per
+        # (lang, source) doc counts, token totals, char totals, mean
+        # quality — one partial-agg'd pass, all signals codegen
+        from fashion_knowledge_graph_spark.functions import text as txf
+        docs = _load(spark, sf, "documents")
+        nt = F.coalesce(txf.token_count(F.col("text")), F.lit(0))
+        return (docs.groupBy("lang", "source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(nt).alias("total_tokens"),
+                     F.sum(F.coalesce(F.length("text"), F.lit(0)))
+                     .alias("total_chars"),
+                     F.round(F.avg(txf.quality_score(F.col("text"))), 6)
+                     .alias("mean_quality")))
+
+    def funnel_conversion_rates(spark, sf):
+        # step-to-step conversion percentages over the funnel output —
+        # the number a growth team actually reads
+        from fashion_knowledge_graph_spark.operators.temporal import (
+            funnel,
+        )
+        ev = _load(spark, sf, "events")
+        f = funnel(ev, ["view", "click", "purchase"])
+        return f.agg(
+            F.count(F.lit(1)).alias("entered"),
+            F.count("t2").alias("clicked"),
+            F.count("t3").alias("purchased"),
+            F.round(F.count("t2") / F.count(F.lit(1)).cast("double"), 6)
+            .alias("click_rate"),
+            F.round(F.count("t3") / F.count("t2").cast("double"), 6)
+            .alias("purchase_rate"))
+
     def text_quality_gate(spark, sf):
         # Dolma-style declarative mixer: fixed rule set, one verdict
         # per doc (first failing rule). PII injected deterministically
@@ -1604,6 +1636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": text_lm_score,
         "text_bm25_topk": text_bm25_topk,
         "hybrid_search_rrf": hybrid_search_rrf,
+        "corpus_stats_card": corpus_stats_card,
+        "funnel_conversion_rates": funnel_conversion_rates,
         "events_daily_anomaly": events_daily_anomaly,
         "weighted_doc_sample": weighted_doc_sample,
         "events_cohort_retention": events_cohort_retention,
@@ -2050,6 +2084,48 @@ def oracle_sql() -> dict[str, str]:
           round(len(list_filter({toks}, t -> list_contains({en_sw}, t)))
                 / greatest(len({toks}), 1)::DOUBLE, 6) AS stopword_ratio
         FROM documents
+    """
+
+    _q_expr = f"""(
+          0.25 * (CASE WHEN length(text) BETWEEN 20 AND 10000
+                       THEN 1.0 ELSE 0.0 END)
+        + 0.25 * (CASE WHEN len({toks}) BETWEEN 5 AND 2000
+                       THEN 1.0 ELSE 0.0 END)
+        + 0.25 * (CASE WHEN (length(text)
+                    - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    / greatest(length(text), 1)::DOUBLE <= 0.3
+                       THEN 1.0 ELSE 0.0 END)
+        + 0.25 * (CASE WHEN
+                    list_sum(list_transform({toks}, t -> length(t)))
+                      / greatest(len({toks}), 1)::DOUBLE
+                    BETWEEN 2.0 AND 12.0
+                       THEN 1.0 ELSE 0.0 END))"""
+    sql["corpus_stats_card"] = f"""
+        SELECT lang, source, count(*) AS n_docs,
+               sum(coalesce(len({toks}), 0))::BIGINT AS total_tokens,
+               sum(coalesce(length(text), 0))::BIGINT AS total_chars,
+               round(avg({_q_expr}), 6) AS mean_quality
+        FROM documents GROUP BY 1, 2
+    """
+
+    sql["funnel_conversion_rates"] = """
+        WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+               FROM s1 LEFT JOIN events e
+                 ON e.user_id = s1.user_id
+                AND e.event_type = 'click' AND e.ts > s1.t1
+               GROUP BY 1, 2),
+        s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+               FROM s2 LEFT JOIN events e
+                 ON e.user_id = s2.user_id
+                AND e.event_type = 'purchase' AND e.ts > s2.t2
+               GROUP BY 1, 2, 3)
+        SELECT count(*) AS entered, count(t2) AS clicked,
+               count(t3) AS purchased,
+               round(count(t2) / count(*)::DOUBLE, 6) AS click_rate,
+               round(count(t3) / count(t2)::DOUBLE, 6) AS purchase_rate
+        FROM s3
     """
 
     sql["text_lang_id"] = f"""

@@ -61,6 +61,9 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "text_quality_gate",
     "ann_hard_negatives",
+    "text_bm25_topk",
+    "hybrid_search_rrf",
+    "dedup_jaccard_prefix",
 ]
 
 
