@@ -747,6 +747,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.col("src").alias("dst")))
         return kcore_peel(e, k=3, rounds=3)
 
+    def part_brand_margin(spark, sf):
+        # brand-level sales rollup: lineitem ⋈ part (fact⋈dim,
+        # broadcast), exact decimal revenue/discount totals
+        li = _load(spark, sf, "lineitem")
+        part = _load(spark, sf, "part")
+        return (li.join(F.broadcast(part),
+                        li.l_partkey == part.p_partkey)
+                .groupBy("p_brand")
+                .agg(F.count(F.lit(1)).alias("n_items"),
+                     F.round(F.sum(F.col("l_extendedprice")
+                                   .cast("decimal(18,6)")), 2)
+                     .cast("double").alias("gross"),
+                     F.round(F.sum((F.col("l_extendedprice")
+                                    * F.col("l_discount"))
+                                   .cast("decimal(18,6)")), 2)
+                     .cast("double").alias("discounted")))
+
+    def supplier_balance_deciles(spark, sf):
+        # decile profile of supplier account balances: ntile(10) with
+        # a deterministic key tie-break, per-decile count/min/max
+        supp = _load(spark, sf, "supplier")
+        w = Window.orderBy(F.asc("bal"), F.asc("s_suppkey"))
+        return (supp.select("s_suppkey",
+                            F.round("s_acctbal", 2).alias("bal"))
+                .withColumn("decile", F.ntile(10).over(w))
+                .groupBy("decile")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.min("bal").alias("lo"),
+                     F.max("bal").alias("hi")))
+
     def rfm_segments(spark, sf):
         # RFM customer segmentation: recency (days since last order),
         # frequency (orders), monetary (total spend) → quartile
@@ -1615,6 +1645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_distances": graph_bfs_distances,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "rfm_segments": rfm_segments,
+        "part_brand_margin": part_brand_margin,
+        "supplier_balance_deciles": supplier_balance_deciles,
         "asof_attribution_cogroup": asof_attribution_cogroup,
         "range_join_attribution": range_join_attribution,
         "sessionize_events": sessionize_events,
@@ -1900,6 +1932,26 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_kcore"] = ("WITH " + ",".join(_kc) + """
         SELECT src AS node, count(*) AS deg FROM e3 GROUP BY 1
     """)
+
+    sql["part_brand_margin"] = """
+        SELECT p_brand, count(*) AS n_items,
+               round(sum(l_extendedprice::DECIMAL(18,6)), 2)::DOUBLE
+                 AS gross,
+               round(sum((l_extendedprice * l_discount)
+                         ::DECIMAL(18,6)), 2)::DOUBLE AS discounted
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    """
+
+    sql["supplier_balance_deciles"] = """
+        WITH d AS (
+          SELECT round(s_acctbal, 2) AS bal,
+                 ntile(10) OVER (ORDER BY round(s_acctbal, 2) ASC,
+                                 s_suppkey ASC) AS decile
+          FROM supplier)
+        SELECT decile, count(*) AS n, min(bal) AS lo, max(bal) AS hi
+        FROM d GROUP BY 1
+    """
 
     sql["rfm_segments"] = """
         WITH pc AS (
