@@ -747,6 +747,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.col("src").alias("dst")))
         return kcore_peel(e, k=3, rounds=3)
 
+    def q3_shipping_priority(spark, sf):
+        # TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈
+        # lineitem, revenue per order, top 10 (date predicates pushed
+        # to both scans; deterministic orderkey tie-break)
+        cust = _load(spark, sf, "customer") \
+            .filter(F.col("c_mktsegment") == "BUILDING")
+        orders = _load(spark, sf, "orders") \
+            .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        li = _load(spark, sf, "lineitem") \
+            .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        rev = (cust.join(orders, cust.c_custkey == orders.o_custkey)
+               .join(li, orders.o_orderkey == li.l_orderkey)
+               .groupBy("o_orderkey", "o_orderdate")
+               .agg(F.round(F.sum((F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount")))
+                                  .cast("decimal(18,6)")), 2)
+                    .cast("double").alias("revenue")))
+        return add_rank(rev, [], [F.desc("revenue"),
+                                  F.asc("o_orderkey")]) \
+            .filter(F.col("rank") <= 10) \
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"), "revenue", "rank")
+
+    def q4_order_priority(spark, sf):
+        # TPC-H Q4 shape: per-priority order counts where EXISTS a
+        # line shipped >30 days after the order date — a left-semi
+        # join (never a row-multiplying inner join + distinct)
+        orders = _load(spark, sf, "orders")
+        li = _load(spark, sf, "lineitem") \
+            .select("l_orderkey", "l_shipdate")
+        late = orders.join(
+            li, (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+            "left_semi")
+        return late.groupBy("o_orderpriority") \
+            .agg(F.count(F.lit(1)).alias("order_count"))
+
+    def q10_returned_items(spark, sf):
+        # TPC-H Q10 shape: revenue lost to returns per customer,
+        # top 20 (returnflag filter pushed to the lineitem scan)
+        cust = _load(spark, sf, "customer")
+        orders = _load(spark, sf, "orders")
+        li = _load(spark, sf, "lineitem") \
+            .filter(F.col("l_returnflag") == "R")
+        rev = (cust.join(orders, cust.c_custkey == orders.o_custkey)
+               .join(li, orders.o_orderkey == li.l_orderkey)
+               .groupBy("c_custkey", "c_name")
+               .agg(F.round(F.sum((F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount")))
+                                  .cast("decimal(18,6)")), 2)
+                    .cast("double").alias("revenue")))
+        return add_rank(rev, [], [F.desc("revenue"),
+                                  F.asc("c_custkey")]) \
+            .filter(F.col("rank") <= 20)
+
     def part_brand_margin(spark, sf):
         # brand-level sales rollup: lineitem ⋈ part (fact⋈dim,
         # broadcast), exact decimal revenue/discount totals
@@ -1646,6 +1702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "rfm_segments": rfm_segments,
         "part_brand_margin": part_brand_margin,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
+        "q10_returned_items": q10_returned_items,
         "supplier_balance_deciles": supplier_balance_deciles,
         "asof_attribution_cogroup": asof_attribution_cogroup,
         "range_join_attribution": range_join_attribution,
@@ -1932,6 +1991,53 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_kcore"] = ("WITH " + ",".join(_kc) + """
         SELECT src AS node, count(*) AS deg FROM e3 GROUP BY 1
     """)
+
+    sql["q3_shipping_priority"] = """
+        WITH rev AS (
+          SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+                   AS o_orderdate,
+                 round(sum((l_extendedprice * (1 - l_discount))
+                           ::DECIMAL(18,6)), 2)::DOUBLE AS revenue
+          FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < DATE '1995-03-15'
+            AND l_shipdate > DATE '1995-03-15'
+          GROUP BY 1, 2)
+        SELECT o_orderkey, o_orderdate, revenue, rank
+        FROM (SELECT *, row_number() OVER (
+                ORDER BY revenue DESC, o_orderkey ASC) AS rank
+              FROM rev) z
+        WHERE rank <= 10
+    """
+
+    sql["q4_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate
+                                         + INTERVAL 30 DAY)
+        GROUP BY 1
+    """
+
+    sql["q10_returned_items"] = """
+        WITH rev AS (
+          SELECT c_custkey, c_name,
+                 round(sum((l_extendedprice * (1 - l_discount))
+                           ::DECIMAL(18,6)), 2)::DOUBLE AS revenue
+          FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_returnflag = 'R'
+          GROUP BY 1, 2)
+        SELECT c_custkey, c_name, revenue, rank
+        FROM (SELECT *, row_number() OVER (
+                ORDER BY revenue DESC, c_custkey ASC) AS rank
+              FROM rev) z
+        WHERE rank <= 20
+    """
 
     sql["part_brand_margin"] = """
         SELECT p_brand, count(*) AS n_items,
