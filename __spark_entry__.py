@@ -803,6 +803,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   F.asc("c_custkey")]) \
             .filter(F.col("rank") <= 20)
 
+    def q6_forecast_revenue(spark, sf):
+        # TPC-H Q6 shape: pure filter-aggregate — the plan should be
+        # scan (all three predicates pushed) → partial agg → one row
+        li = _load(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24))
+        return li.agg(
+            F.round(F.sum((F.col("l_extendedprice")
+                           * F.col("l_discount"))
+                          .cast("decimal(18,6)")), 2)
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"))
+
+    def q14_promo_share(spark, sf):
+        # TPC-H Q14 shape: conditional aggregation over a broadcast
+        # dim join — share of revenue from 'PROMO%' part types
+        li = _load(spark, sf, "lineitem")
+        part = _load(spark, sf, "part")
+        j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        rev = (F.col("l_extendedprice")
+               * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        return j.agg(
+            F.round(100.0 * F.sum(F.when(
+                F.col("p_type").startswith("PROMO"), rev)
+                .otherwise(F.lit(0).cast("decimal(18,6)")))
+                .cast("double")
+                / F.sum(rev).cast("double"), 6).alias("promo_pct"))
+
     def part_brand_margin(spark, sf):
         # brand-level sales rollup: lineitem ⋈ part (fact⋈dim,
         # broadcast), exact decimal revenue/discount totals
@@ -1703,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": rfm_segments,
         "part_brand_margin": part_brand_margin,
         "q3_shipping_priority": q3_shipping_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q14_promo_share": q14_promo_share,
         "q4_order_priority": q4_order_priority,
         "q10_returned_items": q10_returned_items,
         "supplier_balance_deciles": supplier_balance_deciles,
@@ -1991,6 +2023,27 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_kcore"] = ("WITH " + ",".join(_kc) + """
         SELECT src AS node, count(*) AS deg FROM e3 GROUP BY 1
     """)
+
+    sql["q6_forecast_revenue"] = """
+        SELECT round(sum((l_extendedprice * l_discount)
+                         ::DECIMAL(18,6)), 2)::DOUBLE AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate <  DATE '1996-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+    """
+
+    sql["q14_promo_share"] = """
+        SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN (l_extendedprice * (1 - l_discount))
+                      ::DECIMAL(18,6)
+                 ELSE 0::DECIMAL(18,6) END)::DOUBLE
+               / sum((l_extendedprice * (1 - l_discount))
+                     ::DECIMAL(18,6))::DOUBLE, 6) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """
 
     sql["q3_shipping_priority"] = """
         WITH rev AS (
