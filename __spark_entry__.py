@@ -1422,6 +1422,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_tokens=30, max_rep_frac=0.2,
             allowed_langs=("en", "de", "es", "fr"), max_pii=0)
 
+    def dedup_dup_spans(spark, sf):
+        # window-granular substring-duplication stats: 10-token
+        # windows appearing in >=2 docs flagged per doc
+        # (operators/dedup.py::duplicated_span_stats)
+        return dd.duplicated_span_stats(_docs_split(spark, sf),
+                                        n=10, min_docs=2)
+
     def decontam_overlap(spark, sf):
         # Benchmark decontamination (LLM pretraining hygiene): docs
         # with doc_id % 41 == 0 stand in for a held-out eval set;
@@ -1752,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
+        "dedup_dup_spans": dedup_dup_spans,
         "decontam_overlap": decontam_overlap,
         "domain_mix_split": domain_mix_split,
         "text_quality_gate": text_quality_gate,
@@ -3022,6 +3030,28 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY lang
                 ORDER BY es_key DESC, doc_id ASC) AS rn FROM es) z
         WHERE rn <= 10
+    """
+
+    _g10 = " || ' ' || ".join(f"tk[i+{j}]" for j in range(10))
+    sql["dedup_dup_spans"] = f"""
+        WITH tk10 AS (SELECT doc_id AS id, {toks} AS tk
+                      FROM documents),
+        sh10 AS (
+          SELECT id, CASE
+            WHEN len(tk) >= 10 THEN list_distinct(list_transform(
+                   range(1, len(tk) - 8), i -> {_g10}))
+            WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+            ELSE []::VARCHAR[] END AS shs
+          FROM tk10),
+        p10 AS (SELECT id, unnest(shs) AS s FROM sh10),
+        wdf AS (SELECT s, count(DISTINCT id) AS w_docs
+                FROM p10 GROUP BY 1)
+        SELECT id, count(*) AS n_windows,
+               sum(CASE WHEN w_docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_dup_windows,
+               round(sum(CASE WHEN w_docs >= 2 THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 6) AS dup_frac
+        FROM p10 JOIN wdf USING (s) GROUP BY 1
     """
 
     # decontamination: word-4-gram overlap between the doc_id%41 bench

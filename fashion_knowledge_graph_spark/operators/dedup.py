@@ -959,3 +959,37 @@ def _prefix_candidate_count(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b").distinct().count()
 
     return pairs(prefix), pairs(post)
+
+
+def duplicated_span_stats(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 10,
+                          min_docs: int = 2) -> DataFrame:
+    """Window-granular exact substring-duplication analysis — the
+    distributed practical form of suffix-array substring dedup
+    ("dedup training data" family): a document's ``n``-token window
+    is DUPLICATED if the identical window appears in ≥ ``min_docs``
+    distinct documents. Emits per-doc counts so callers can trim or
+    drop high-overlap documents.
+
+    Shape: the shared shingle posting kernel (distinct windows per
+    doc) → window document-frequency (partial-agg'd) → per-doc rollup.
+    Never pairwise: cost is O(postings), the df aggregation absorbs
+    head windows.
+
+    Output: (id, n_windows, n_dup_windows, dup_frac) — docs with
+    fewer than ``n`` tokens have one whole-doc window by the shared
+    shingle spec; 0-token docs emit nothing.
+    """
+    post = _shingle_posting(df, id_col, text_col, n) \
+        .localCheckpoint(eager=True)
+    wdf = post.groupBy("sh").agg(
+        F.countDistinct("id").alias("w_docs"))
+    flagged = post.join(wdf, "sh") \
+        .groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("w_docs") >= min_docs, 1)
+                  .otherwise(0)).alias("n_dup_windows"))
+    return flagged.withColumn(
+        "dup_frac",
+        F.round(F.col("n_dup_windows")
+                / F.col("n_windows").cast("double"), 6))

@@ -343,3 +343,25 @@ def test_jaccard_prefix_equals_exact_and_prunes(spark, corpus):
     pruned, full = dd._prefix_candidate_count(
         corpus, "doc_id", "text", 3, 0.5)
     assert pruned < full, (pruned, full)
+
+
+def test_duplicated_span_stats(spark):
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, shared + " iota kappa lambda mu nu xi omicron pi rho"),
+        (3, "totally different words that appear nowhere else at all "
+            "more unique filler tokens here"),
+        (4, "tiny doc"),                      # <10 tokens → 1 window
+        (5, "tiny doc"),                      # whole-doc dup of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           dd.duplicated_span_stats(df, n=10, min_docs=2).collect()}
+    # docs 1/2 share exactly the one window starting at token 1
+    # (windows shifted by ≥1 include doc-specific words)
+    assert out[1]["n_dup_windows"] == 1 and out[2]["n_dup_windows"] == 1
+    assert out[1]["n_windows"] == 9          # 18 tokens → 9 windows
+    assert out[3]["n_dup_windows"] == 0
+    assert out[4]["n_windows"] == 1 and out[4]["dup_frac"] == 1.0
+    assert out[5]["dup_frac"] == 1.0
