@@ -818,6 +818,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"))
 
+    def q18_large_orders(spark, sf):
+        # TPC-H Q18 shape: orders whose total quantity exceeds a
+        # threshold (groupBy-HAVING as a semi-filter), enriched with
+        # the customer — aggregate first, join the survivors after
+        orders = _load(spark, sf, "orders")
+        li = _load(spark, sf, "lineitem")
+        cust = _load(spark, sf, "customer")
+        big = (li.groupBy("l_orderkey")
+               .agg(F.round(F.sum(F.col("l_quantity")
+                                  .cast("decimal(18,2)")), 2)
+                    .cast("double").alias("total_qty"))
+               .filter(F.col("total_qty") > 150))
+        return (big.join(orders,
+                         big.l_orderkey == orders.o_orderkey)
+                .join(cust, orders.o_custkey == cust.c_custkey)
+                .select("c_custkey", "c_name", "o_orderkey",
+                        F.round("o_totalprice", 2).alias("o_totalprice"),
+                        "total_qty"))
+
+    def q7_nation_volume(spark, sf):
+        # TPC-H Q7 shape: shipping volume between supplier and
+        # customer nations by year — two broadcast nation lookups on
+        # one fact-chain join, exact decimal revenue
+        li = _load(spark, sf, "lineitem")
+        orders = _load(spark, sf, "orders")
+        cust = _load(spark, sf, "customer")
+        supp = _load(spark, sf, "supplier")
+        nat = _load(spark, sf, "nation")
+        n1 = F.broadcast(nat.select(
+            F.col("n_nationkey").alias("sk"),
+            F.col("n_name").alias("supp_nation")))
+        n2 = F.broadcast(nat.select(
+            F.col("n_nationkey").alias("ck"),
+            F.col("n_name").alias("cust_nation")))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(cust, orders.o_custkey == cust.c_custkey)
+             .join(supp, li.l_suppkey == supp.s_suppkey)
+             .join(n1, supp.s_nationkey == F.col("sk"))
+             .join(n2, cust.c_nationkey == F.col("ck"))
+             .filter(F.col("supp_nation") != F.col("cust_nation")))
+        return (j.groupBy("supp_nation", "cust_nation",
+                          F.year("l_shipdate").alias("yr"))
+                .agg(F.round(F.sum((F.col("l_extendedprice")
+                                    * (1 - F.col("l_discount")))
+                                   .cast("decimal(18,6)")), 2)
+                     .cast("double").alias("revenue")))
+
     def q14_promo_share(spark, sf):
         # TPC-H Q14 shape: conditional aggregation over a broadcast
         # dim join — share of revenue from 'PROMO%' part types
@@ -1742,6 +1789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q14_promo_share": q14_promo_share,
+        "q18_large_orders": q18_large_orders,
+        "q7_nation_volume": q7_nation_volume,
         "q4_order_priority": q4_order_priority,
         "q10_returned_items": q10_returned_items,
         "supplier_balance_deciles": supplier_balance_deciles,
@@ -2031,6 +2080,35 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_kcore"] = ("WITH " + ",".join(_kc) + """
         SELECT src AS node, count(*) AS deg FROM e3 GROUP BY 1
     """)
+
+    sql["q18_large_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey,
+                 round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE
+                   AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING round(sum(l_quantity::DECIMAL(18,2)), 2) > 150)
+        SELECT c_custkey, c_name, o_orderkey,
+               round(o_totalprice, 2) AS o_totalprice, total_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """
+
+    sql["q7_nation_volume"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS yr,
+               round(sum((l_extendedprice * (1 - l_discount))
+                         ::DECIMAL(18,6)), 2)::DOUBLE AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """
 
     sql["q6_forecast_revenue"] = """
         SELECT round(sum((l_extendedprice * l_discount)
