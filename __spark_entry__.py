@@ -1426,6 +1426,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.avg(txf.quality_score(F.col("text"))), 6)
                      .alias("mean_quality")))
 
+    def ab_experiment_lift(spark, sf):
+        # growth-analytics composition of the deterministic splitter:
+        # users hash-assigned 50/50 to control/treatment (same
+        # portable thresholds as domain_mix_split), per-variant
+        # purchase-value mean + a pooled two-sample z statistic —
+        # reproducible assignment is the entire point (rand() would
+        # reassign users every run)
+        from fashion_knowledge_graph_spark.operators.sampling import (
+            hash_split,
+        )
+        ev = _load(spark, sf, "events") \
+            .filter(F.col("event_type") == "purchase") \
+            .select("user_id", "value")
+        asg = hash_split(ev, "user_id", {"control": 0.5,
+                                         "treatment": 0.5},
+                         salt="ab1", split_col="variant")
+        per = asg.groupBy("variant").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"))
+        c = per.filter(F.col("variant") == "control") \
+            .select(F.col("n").alias("n_c"), F.col("mean").alias("m_c"),
+                    F.col("var").alias("v_c"))
+        t = per.filter(F.col("variant") == "treatment") \
+            .select(F.col("n").alias("n_t"), F.col("mean").alias("m_t"),
+                    F.col("var").alias("v_t"))
+        j = c.crossJoin(t)
+        z = (F.col("m_t") - F.col("m_c")) / F.sqrt(
+            F.col("v_t") / F.col("n_t") + F.col("v_c") / F.col("n_c"))
+        return j.select(
+            "n_c", "n_t",
+            F.round("m_c", 6).alias("mean_control"),
+            F.round("m_t", 6).alias("mean_treatment"),
+            F.round(F.col("m_t") - F.col("m_c"), 6).alias("lift"),
+            F.round(z, 6).alias("z_stat"))
+
     def funnel_conversion_rates(spark, sf):
         # step-to-step conversion percentages over the funnel output —
         # the number a growth team actually reads
@@ -1818,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": hybrid_search_rrf,
         "corpus_stats_card": corpus_stats_card,
         "funnel_conversion_rates": funnel_conversion_rates,
+        "ab_experiment_lift": ab_experiment_lift,
         "events_daily_anomaly": events_daily_anomaly,
         "weighted_doc_sample": weighted_doc_sample,
         "events_cohort_retention": events_cohort_retention,
@@ -2403,6 +2440,31 @@ def oracle_sql() -> dict[str, str]:
                sum(coalesce(length(text), 0))::BIGINT AS total_chars,
                round(avg({_q_expr}), 6) AS mean_quality
         FROM documents GROUP BY 1, 2
+    """
+
+    sql["ab_experiment_lift"] = """
+        WITH asg AS (
+          SELECT value,
+                 CASE WHEN ('0x' || substr(md5('ab1:'
+                        || user_id::VARCHAR), 1, 15))::BIGINT
+                        < 576460752303423488
+                      THEN 'control' ELSE 'treatment' END AS variant
+          FROM events WHERE event_type = 'purchase'),
+        per AS (
+          SELECT variant, count(*) AS n, avg(value) AS mean,
+                 var_samp(value) AS var
+          FROM asg GROUP BY 1),
+        c AS (SELECT n AS n_c, mean AS m_c, var AS v_c FROM per
+              WHERE variant = 'control'),
+        t AS (SELECT n AS n_t, mean AS m_t, var AS v_t FROM per
+              WHERE variant = 'treatment')
+        SELECT n_c, n_t,
+               round(m_c, 6) AS mean_control,
+               round(m_t, 6) AS mean_treatment,
+               round(m_t - m_c, 6) AS lift,
+               round((m_t - m_c) / sqrt(v_t / n_t + v_c / n_c), 6)
+                 AS z_stat
+        FROM c, t
     """
 
     sql["funnel_conversion_rates"] = """
