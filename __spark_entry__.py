@@ -1405,11 +1405,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type") \
             .agg(F.count(F.lit(1)).alias("n"))
         wt = Window.partitionBy("event_type")
+        sd = F.stddev_pop("n").over(wt)
+        # constant daily counts ⇒ stddev 0: z is undefined (NULL), not
+        # a DIVIDE_BY_ZERO crash under Spark's ANSI default
         return daily.select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "event_type", "n",
-            F.round((F.col("n") - F.avg("n").over(wt))
-                    / F.stddev_pop("n").over(wt), 6).alias("z"))
+            F.when(sd != 0,
+                   F.round((F.col("n") - F.avg("n").over(wt)) / sd, 6))
+            .alias("z"))
 
     def corpus_stats_card(spark, sf):
         # the "datasheet" rollup every corpus release ships: per
@@ -1453,8 +1457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("n").alias("n_t"), F.col("mean").alias("m_t"),
                     F.col("var").alias("v_t"))
         j = c.crossJoin(t)
-        z = (F.col("m_t") - F.col("m_c")) / F.sqrt(
-            F.col("v_t") / F.col("n_t") + F.col("v_c") / F.col("n_c"))
+        se = F.sqrt(F.col("v_t") / F.col("n_t")
+                    + F.col("v_c") / F.col("n_c"))
+        # degenerate slices (constant values) ⇒ se 0: z undefined
+        # (NULL), not an ANSI DIVIDE_BY_ZERO crash
+        z = F.when(se != 0, (F.col("m_t") - F.col("m_c")) / se)
         return j.select(
             "n_c", "n_t",
             F.round("m_c", 6).alias("mean_control"),
@@ -1476,8 +1483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("t3").alias("purchased"),
             F.round(F.count("t2") / F.count(F.lit(1)).cast("double"), 6)
             .alias("click_rate"),
-            F.round(F.count("t3") / F.count("t2").cast("double"), 6)
-            .alias("purchase_rate"))
+            # nobody clicked ⇒ rate undefined (NULL), not an ANSI
+            # DIVIDE_BY_ZERO crash
+            F.round(F.when(F.count("t2") > 0,
+                           F.count("t3") / F.count("t2").cast("double")),
+                    6).alias("purchase_rate"))
 
     def text_quality_gate(spark, sf):
         # Dolma-style declarative mixer: fixed rule set, one verdict
@@ -2462,8 +2472,10 @@ def oracle_sql() -> dict[str, str]:
                round(m_c, 6) AS mean_control,
                round(m_t, 6) AS mean_treatment,
                round(m_t - m_c, 6) AS lift,
-               round((m_t - m_c) / sqrt(v_t / n_t + v_c / n_c), 6)
-                 AS z_stat
+               CASE WHEN sqrt(v_t / n_t + v_c / n_c) <> 0
+                    THEN round((m_t - m_c)
+                               / sqrt(v_t / n_t + v_c / n_c), 6)
+               END AS z_stat
         FROM c, t
     """
 
@@ -2483,7 +2495,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT count(*) AS entered, count(t2) AS clicked,
                count(t3) AS purchased,
                round(count(t2) / count(*)::DOUBLE, 6) AS click_rate,
-               round(count(t3) / count(t2)::DOUBLE, 6) AS purchase_rate
+               CASE WHEN count(t2) > 0
+                    THEN round(count(t3) / count(t2)::DOUBLE, 6)
+               END AS purchase_rate
         FROM s3
     """
 
@@ -2582,9 +2596,11 @@ def oracle_sql() -> dict[str, str]:
         FROM sig s JOIN langq l ON s.doc_id = l.doc_id
     """
 
-    sql["text_bm25_topk"] = f"""
-        WITH tkb AS (SELECT doc_id AS id, {toks} AS tk
-                     FROM documents WHERE text IS NOT NULL),
+    # ONE definition of the BM25 CTE chain — text_bm25_topk and the
+    # hybrid query's lexical leg must never diverge
+    _bm25_ctes = f"""
+        tkb AS (SELECT doc_id AS id, {toks} AS tk
+                FROM documents WHERE text IS NOT NULL),
         dlb AS (SELECT id, coalesce(len(tk), 0) AS dl FROM tkb),
         totb AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
                  FROM dlb),
@@ -2592,7 +2608,7 @@ def oracle_sql() -> dict[str, str]:
         tfb AS (SELECT id, w, count(*) AS tf FROM hitsb
                 WHERE w IN ('spark', 'join', 'fast') GROUP BY 1, 2),
         dfb AS (SELECT w, count(*) AS df_t FROM tfb GROUP BY 1),
-        per AS (
+        bm25 AS (
           SELECT tfb.id,
                  round(sum(
                    ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
@@ -2601,36 +2617,21 @@ def oracle_sql() -> dict[str, str]:
                    AS score
           FROM tfb JOIN dfb USING (w) JOIN dlb ON dlb.id = tfb.id,
                totb
-          GROUP BY 1)
+          GROUP BY 1)"""
+    sql["text_bm25_topk"] = f"""
+        WITH {_bm25_ctes}
         SELECT id AS doc_id, score, rank
         FROM (SELECT *, row_number() OVER (
-                ORDER BY score DESC, id ASC) AS rank FROM per) z
+                ORDER BY score DESC, id ASC) AS rank FROM bm25) z
         WHERE rank <= 20
     """
 
     sql["hybrid_search_rrf"] = f"""
-        WITH tkb AS (SELECT doc_id AS id, {toks} AS tk
-                     FROM documents WHERE text IS NOT NULL),
-        dlb AS (SELECT id, coalesce(len(tk), 0) AS dl FROM tkb),
-        totb AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
-                 FROM dlb),
-        hitsb AS (SELECT id, unnest(tk) AS w FROM tkb),
-        tfb AS (SELECT id, w, count(*) AS tf FROM hitsb
-                WHERE w IN ('spark', 'join', 'fast') GROUP BY 1, 2),
-        dfb AS (SELECT w, count(*) AS df_t FROM tfb GROUP BY 1),
+        WITH {_bm25_ctes},
         lex AS (
           SELECT id AS doc_id, row_number() OVER (
                    ORDER BY score DESC, id ASC) AS rank
-          FROM (SELECT tfb.id,
-                       round(sum(
-                         ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
-                         * (tf * 2.2)
-                         / (tf + 1.2 * (1 - 0.75
-                                        + 0.75 * dl / avgdl))), 6)
-                         AS score
-                FROM tfb JOIN dfb USING (w)
-                     JOIN dlb ON dlb.id = tfb.id, totb
-                GROUP BY 1) s
+          FROM bm25
           QUALIFY rank <= 50),
         sem AS (
           SELECT c.vec_id AS doc_id, row_number() OVER (
@@ -2673,9 +2674,13 @@ def oracle_sql() -> dict[str, str]:
                  count(*) AS n
           FROM events GROUP BY 1, 2)
         SELECT day, event_type, n,
-               round((n - avg(n) OVER (PARTITION BY event_type))
-                     / stddev_pop(n) OVER (PARTITION BY event_type),
-                     6) AS z
+               CASE WHEN stddev_pop(n) OVER (PARTITION BY event_type)
+                         <> 0
+                    THEN round((n - avg(n)
+                                OVER (PARTITION BY event_type))
+                         / stddev_pop(n)
+                           OVER (PARTITION BY event_type), 6)
+               END AS z
         FROM daily
     """
 

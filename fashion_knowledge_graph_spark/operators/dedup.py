@@ -908,18 +908,7 @@ def jaccard_pairs_prefix(df: DataFrame, id_col: str = "doc_id",
     doc-sized hash arrays — bounded by the (filtered) candidate count,
     not by posting-list blowup.
     """
-    import math  # noqa: F401 (ceil done in-plan for portability)
-
-    post = _shingle_posting(df, id_col, text_col, n) \
-        .localCheckpoint(eager=True)
-    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = post.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
-    w = Window.partitionBy("id").orderBy(F.asc("df_sh"), F.asc("sh"))
-    prefix = (post.join(dfreq, "sh").join(sizes, "id")
-              .withColumn("r", F.row_number().over(w))
-              .filter(F.col("r") <= F.col("sz")
-                      - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-              .select("id", "sh"))
+    post, prefix = _prefix_index(df, id_col, text_col, n, threshold)
     a = prefix.select(F.col("id").alias("id_a"), "sh")
     b = prefix.select(F.col("id").alias("id_b"), "sh")
     cand = a.join(b, "sh").filter(F.col("id_a") < F.col("id_b")) \
@@ -937,20 +926,35 @@ def jaccard_pairs_prefix(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
 
 
-def _prefix_candidate_count(df: DataFrame, id_col: str, text_col: str,
-                            n: int, threshold: float) -> tuple[int, int]:
-    """(prefix-filtered candidates, full-index candidates) — test/
-    diagnostics helper quantifying the prefix filter's pruning."""
+def _prefix_index(df: DataFrame, id_col: str, text_col: str,
+                  n: int, threshold: float):
+    """(checkpointed posting list, prefix posting list) — the SINGLE
+    definition of the PPJoin prefix both the operator and the
+    diagnostics helper use.
+
+    The required-overlap ceiling must never round UP past the true
+    value: IEEE ``0.07 * 100 == 7.000000000000001`` would ceil to 8
+    and shorten the prefix by one, dropping true pairs. Subtracting an
+    epsilon before ``ceil`` makes the error direction safe — at worst
+    the prefix is one LONGER (less pruning, still exact)."""
     post = _shingle_posting(df, id_col, text_col, n) \
         .localCheckpoint(eager=True)
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = post.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
     w = Window.partitionBy("id").orderBy(F.asc("df_sh"), F.asc("sh"))
+    need = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
     prefix = (post.join(dfreq, "sh").join(sizes, "id")
               .withColumn("r", F.row_number().over(w))
-              .filter(F.col("r") <= F.col("sz")
-                      - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+              .filter(F.col("r") <= F.col("sz") - need + 1)
               .select("id", "sh"))
+    return post, prefix
+
+
+def _prefix_candidate_count(df: DataFrame, id_col: str, text_col: str,
+                            n: int, threshold: float) -> tuple[int, int]:
+    """(prefix-filtered candidates, full-index candidates) — test/
+    diagnostics helper quantifying the prefix filter's pruning."""
+    post, prefix = _prefix_index(df, id_col, text_col, n, threshold)
 
     def pairs(p):
         a = p.select(F.col("id").alias("id_a"), "sh")

@@ -380,6 +380,14 @@ def stream_merge_into(stream_df: DataFrame, table, key_cols: list[str],
     (transactional exactly-once across restarts, the same batchId
     fencing Delta sinks use).
 
+    Fencing is keyed on (checkpoint identity, batch id) — Delta's
+    (txnAppId, txnVersion) — NOT the bare batch id: a NEW checkpoint
+    restarts batch numbering with possibly different batch contents
+    (late files reorder), so bare-id fencing would silently drop
+    never-applied data. A fresh checkpoint therefore re-applies its
+    batches; that is safe because re-merging identical reduced rows is
+    idempotent by MERGE semantics.
+
     Returns the started query (availableNow trigger is the caller's
     choice via the stream's writeStream options)."""
     import json
@@ -388,12 +396,16 @@ def stream_merge_into(stream_df: DataFrame, table, key_cols: list[str],
     from ..operators.topk import grouped_top_k
 
     state_path = os.path.join(table.root, "_sink_state.json")
+    app_id = os.path.abspath(checkpoint)
 
     def _last_applied() -> int:
         if not os.path.exists(state_path):
             return -1
         with open(state_path) as f:
-            return json.load(f)["last_batch"]
+            st = json.load(f)
+        # a different checkpoint = a different stream identity: its
+        # batch ids say nothing about THIS stream's progress
+        return st["last_batch"] if st.get("app") == app_id else -1
 
     def sink(batch_df, batch_id: int):
         if batch_id <= _last_applied():
@@ -410,7 +422,7 @@ def stream_merge_into(stream_df: DataFrame, table, key_cols: list[str],
                         stage=f"stream_merge_{batch_id}")
         tmp = state_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"last_batch": int(batch_id)}, f)
+            json.dump({"app": app_id, "last_batch": int(batch_id)}, f)
         os.replace(tmp, state_path)
 
     return (stream_df.writeStream.foreachBatch(sink)

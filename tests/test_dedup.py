@@ -365,3 +365,29 @@ def test_duplicated_span_stats(spark):
     assert out[3]["n_dup_windows"] == 0
     assert out[4]["n_windows"] == 1 and out[4]["dup_frac"] == 1.0
     assert out[5]["dup_frac"] == 1.0
+
+
+def test_prefix_overlap_ceiling_is_fp_safe(spark):
+    # IEEE 0.07*100 = 7.000000000000001 → a bare ceil gives 8 and
+    # would shorten the prefix, silently dropping true pairs; the
+    # epsilon-guarded form must give exactly 7 (and stay correct for
+    # genuine non-integers)
+    row = spark.range(1).select(
+        F.ceil(F.lit(0.07) * F.lit(100) - F.lit(1e-9)).alias("guarded"),
+        F.ceil(F.lit(0.07) * F.lit(100)).alias("naive"),
+        F.ceil(F.lit(0.073) * F.lit(100) - F.lit(1e-9)).alias("frac"),
+    ).collect()[0]
+    assert row["naive"] == 8          # documents the hazard
+    assert row["guarded"] == 7
+    assert row["frac"] == 8
+
+    # end-to-end: prefix join stays exact at the hazardous threshold
+    got = {(r["id_a"], r["id_b"]) for r in dd.jaccard_pairs_prefix(
+        _corpus_df(spark), threshold=0.07).collect()}
+    want = {(r["id_a"], r["id_b"]) for r in dd.jaccard_pairs_exact(
+        _corpus_df(spark), threshold=0.07).collect()}
+    assert got == want and want
+
+
+def _corpus_df(spark):
+    return spark.createDataFrame(_mk_corpus(), "doc_id int, text string")

@@ -331,20 +331,37 @@ def test_stream_merge_into_upserts_and_fences_replays(spark,
              for r in got.collect()}
     assert state == {(1, "view"): (4, 40.0), (2, "view"): (2, 2.0)}
 
-    # replay fencing: re-applying an already-applied batch id is a
-    # no-op — the table's snapshot count must not move
+    # a FRESH checkpoint is a new stream identity: its batches
+    # re-apply (identical reduced rows ⇒ idempotent content), they are
+    # NOT fenced by the old stream's batch ids — bare-id fencing would
+    # silently drop a late file that shifts batch numbering
     t = SnapshotTable(troot)
-    n_before = len(t.snapshots())
-    q = sti.stream_merge_into(
-        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
-        .parquet(src + "/*")
-        .select("event_id", "user_id", "event_type", "value"),
-        t, ["user_id", "event_type"], "event_id",
-        str(tmp_path_factory.mktemp("smerge_ck2")))
-    q.awaitTermination(300)
-    # fresh checkpoint ⇒ batches replay with the SAME ids (0, 1) —
-    # the sink state file fences both
-    assert len(t.snapshots()) == n_before
+
+    def rerun():
+        q = sti.stream_merge_into(
+            spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+            .select("event_id", "user_id", "event_type", "value"),
+            t, ["user_id", "event_type"], "event_id",
+            str(tmp_path_factory.mktemp("smerge_ck")))
+        q.awaitTermination(300)
+
+    rerun()
     got2 = {(r["user_id"], r["event_type"]): (r["event_id"], r["value"])
             for r in t.read(spark).collect()}
-    assert got2 == state
+    assert got2 == state                       # content idempotent
+
+    # late file with an mtime BETWEEN the originals shifts the fresh
+    # run's batch numbering — its data must still be applied
+    late = os.path.join(src, "b_late")
+    spark.createDataFrame(
+        [(9, pd.Timestamp("2026-04-01").to_pydatetime(), 3, "view",
+          9.0, "{}")], sch).coalesce(1) \
+        .write.mode("overwrite").parquet(late)
+    for root_, _, files_ in os.walk(late):
+        for fl in files_:
+            os.utime(os.path.join(root_, fl), (1e9 + 0.5, 1e9 + 0.5))
+    rerun()
+    got3 = {(r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+            for r in t.read(spark).collect()}
+    assert got3 == {**state, (3, "view"): (9, 9.0)}
