@@ -964,6 +964,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .cast("double").alias("revenue"),
                     F.count(F.lit(1)).alias("n_items")))
 
+    def q13_order_count_distribution(spark, sf):
+        # TPC-H Q13 shape: distribution of orders-per-customer
+        # INCLUDING zero-order customers — the left outer join is the
+        # point (an inner join would silently drop the c_count=0 bin);
+        # two aggregations, the second over customer-sized rows
+        cust = _load(spark, sf, "customer").select("c_custkey")
+        orders = _load(spark, sf, "orders") \
+            .select("o_custkey", "o_orderkey")
+        per_cust = (cust.join(orders,
+                              cust.c_custkey == orders.o_custkey,
+                              "left")
+                    .groupBy("c_custkey")
+                    .agg(F.count("o_orderkey").alias("c_count")))
+        return per_cust.groupBy("c_count") \
+            .agg(F.count(F.lit(1)).alias("custdist"))
+
+    def q17_small_quantity_revenue(spark, sf):
+        # TPC-H Q17 shape: revenue from below-avg-quantity line items
+        # of one brand — the per-part AVG subquery is a broadcast-able
+        # partkey aggregate joined back to the (brand-filtered) fact.
+        # The 0.2·avg threshold is evaluated in EXACT integer/decimal
+        # arithmetic (qty·5·cnt < sum_qty), never a float divide, so
+        # the DuckDB replay is bit-identical at the boundary.
+        li = _load(spark, sf, "lineitem")
+        part = _load(spark, sf, "part") \
+            .filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+        thr = li.groupBy("l_partkey").agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"))
+        j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+             .join(thr, "l_partkey")
+             .filter(F.col("l_quantity").cast("decimal(18,2)")
+                     * 5 * F.col("cnt") < F.col("sum_qty")))
+        return j.agg(
+            F.round((F.sum(F.col("l_extendedprice")
+                           .cast("decimal(18,6)")) / 7).cast("double"),
+                    2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"))
+
+    def q19_disjunct_revenue(spark, sf):
+        # TPC-H Q19 shape: disjunction of three conjunctive
+        # brand/size/quantity clauses over a part⋈lineitem join — the
+        # OR-of-ANDs predicate the optimizer must keep joinable (the
+        # common l_partkey = p_partkey conjunct stays an equi-join key;
+        # the disjunction filters after the broadcast join)
+        li = _load(spark, sf, "lineitem")
+        part = _load(spark, sf, "part")
+        j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        q = F.col("l_quantity")
+        clause = (
+            ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5)
+             & q.between(1, 11))
+            | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+               & q.between(10, 20))
+            | ((F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 15)
+               & q.between(20, 30)))
+        return (j.filter(clause)
+                .groupBy("p_brand")
+                .agg(F.round(F.sum((F.col("l_extendedprice")
+                                    * (1 - F.col("l_discount")))
+                                   .cast("decimal(18,6)")), 2)
+                     .cast("double").alias("revenue"),
+                     F.count(F.lit(1)).alias("n_items")))
+
+    def q22_idle_rich_customers(spark, sf):
+        # TPC-H Q22 shape: customers with above-average positive
+        # balance and NO urgent orders — a global scalar aggregate
+        # broadcast as the filter bound, then an anti-join; both
+        # engines compute the threshold as one IEEE divide of the
+        # exact decimal sum by the count, so the > comparison is
+        # bit-identical. (TPC-H proper anti-joins ALL orders; every
+        # fixture customer has orders, so the urgent subset keeps the
+        # shape non-vacuous.)
+        cust = _load(spark, sf, "customer")
+        orders = _load(spark, sf, "orders") \
+            .filter(F.col("o_orderpriority") == "1-URGENT") \
+            .select("o_custkey")
+        avg_pos = cust.filter(F.col("c_acctbal") > 0).agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+             .cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+        rich = cust.crossJoin(F.broadcast(avg_pos)) \
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        idle = rich.join(orders, rich.c_custkey == orders.o_custkey,
+                         "left_anti")
+        return (idle.groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("numcust"),
+                     F.round(F.sum(F.col("c_acctbal")
+                                   .cast("decimal(18,2)")), 2)
+                     .cast("double").alias("totacctbal")))
+
     def graph_bfs_distances(spark, sf):
         # multi-source BFS (3 hops) from the 5 smallest product keys
         # over the symmetrized co-purchase graph — unrolled frontier
@@ -1839,6 +1930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q7_nation_volume,
         "q4_order_priority": q4_order_priority,
         "q10_returned_items": q10_returned_items,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunct_revenue": q19_disjunct_revenue,
+        "q22_idle_rich_customers": q22_idle_rich_customers,
         "supplier_balance_deciles": supplier_balance_deciles,
         "asof_attribution_cogroup": asof_attribution_cogroup,
         "range_join_attribution": range_join_attribution,
@@ -2279,6 +2374,63 @@ def oracle_sql() -> dict[str, str]:
                      AND c_nationkey = s_nationkey
         JOIN nation   ON s_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1
+    """
+
+    sql["q13_order_count_distribution"] = """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey
+              GROUP BY 1)
+        GROUP BY 1
+    """
+
+    sql["q17_small_quantity_revenue"] = """
+        WITH thr AS (
+          SELECT l_partkey,
+                 sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+                 count(*) AS cnt
+          FROM lineitem GROUP BY 1)
+        SELECT round((sum(l_extendedprice::DECIMAL(18,6)) / 7)::DOUBLE,
+                     2) AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN thr USING (l_partkey)
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity::DECIMAL(18,2) * 5 * cnt < sum_qty
+    """
+
+    sql["q19_disjunct_revenue"] = """
+        SELECT p_brand,
+               round(sum((l_extendedprice * (1 - l_discount))
+                         ::DECIMAL(18,6)), 2)::DOUBLE AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size <= 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size <= 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size <= 15
+               AND l_quantity BETWEEN 20 AND 30)
+        GROUP BY 1
+    """
+
+    sql["q22_idle_rich_customers"] = """
+        WITH avg_pos AS (
+          SELECT sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*)
+                   AS avg_bal
+          FROM customer WHERE c_acctbal > 0)
+        SELECT c_mktsegment,
+               count(*) AS numcust,
+               round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE
+                 AS totacctbal
+        FROM customer, avg_pos
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
         GROUP BY 1
     """
 
