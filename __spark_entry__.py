@@ -1634,6 +1634,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          threshold=0.3)
         return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
+    def semdedup_pairs(spark, sf):
+        # SemDeDup: k-means-blocked semantic near-dup — the oracle
+        # replays the 2-iteration Lloyd assignment (same CTEs as
+        # kmeans_clusters) and brute-forces pairs within clusters
+        out = dd.semantic_dedup(_load(spark, sf, "embeddings"),
+                                k=8, iterations=2, threshold=0.3)
+        return out.select("id_a", "id_b",
+                          F.round("cosine", 6).alias("cosine"))
+
     def ann_cosine_topk(spark, sf):
         emb = _load(spark, sf, "embeddings")
         q = emb.filter(F.col("vec_id") < 20)
@@ -1971,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_clusters": dedup_clusters,
         "embedding_near_dup": embedding_near_dup,
+        "semdedup_pairs": semdedup_pairs,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -3122,6 +3132,32 @@ def oracle_sql() -> dict[str, str]:
         FROM e CROSS JOIN c2 c
         QUALIFY row_number() OVER (PARTITION BY e.vec_id
           ORDER BY list_distance(e.v, c.v) ASC, c.cid ASC) = 1
+    """)
+
+    # SemDeDup: the SAME 2-iteration Lloyd replay as kmeans_clusters
+    # yields the blocking assignment; pairs are brute-forced within
+    # clusters only (cosine math identical to embedding_near_dup)
+    sql["semdedup_pairs"] = ("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v
+               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),"""
+        + km_assign.format(K=0, P=0) + ","
+        + km_update.format(K=1, P=0) + ","
+        + km_assign.format(K=1, P=1) + ","
+        + km_update.format(K=2, P=1) + """,
+        asg AS (
+          SELECT e.vec_id, c.cid AS cluster
+          FROM e CROSS JOIN c2 c
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_distance(e.v, c.v) ASC, c.cid ASC) = 1)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+        FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
     """)
 
     # PageRank: 3 unrolled iterations, damping 0.85, over the

@@ -240,6 +240,42 @@ def test_embedding_near_dup_matmul_equals_relational(spark):
         assert rel[k] == pytest.approx(mat[k], abs=1e-12)
 
 
+def test_semantic_dedup_is_cluster_blocked_subset(spark):
+    """SemDeDup pairs = exact pair set restricted to same-cluster pairs
+    (the paper's trade: within-cluster recall is 1.0, cross-cluster
+    recall is 0 by construction)."""
+    from fashion_knowledge_graph_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    rng = np.random.default_rng(13)
+    # 3 well-separated blobs + planted near-dups inside blobs
+    centers = rng.normal(size=(3, 16)) * 8
+    vecs = []
+    for i in range(36):
+        vecs.append(centers[i % 3] + rng.normal(scale=0.3, size=16))
+    for i in range(6):
+        vecs.append(vecs[i] + rng.normal(scale=0.002, size=16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {(r["id_a"], r["id_b"]) for r in
+           dd.semantic_dedup(df, k=3, iterations=2,
+                             threshold=0.999).collect()}
+    # exact ground truth
+    m = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    exact = {(i, j) for i in range(len(rows))
+             for j in range(i + 1, len(rows)) if sims[i, j] >= 0.999}
+    cl = {r["vec_id"]: r["cluster"] for r in
+          kmeans_assign(df, k=3, iterations=2).collect()}
+    expected = {(a, b) for a, b in exact if cl[a] == cl[b]}
+    assert got == expected
+    assert len(got) >= 6          # the planted dups are found
+    assert got.issubset(exact)
+
+
 def test_embedding_near_dup_auto_dispatch_and_string_ids(spark):
     """Over-budget corpora must take the LSH path (no driver collect),
     and string id columns must work on every path."""
