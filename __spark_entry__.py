@@ -1892,6 +1892,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kmeans_assign(_load(spark, sf, "embeddings"),
                              k=8, iterations=2)
 
+    def graph_lpa_communities(spark, sf):
+        # synchronous weighted label propagation (3 rounds) over the
+        # co-purchase graph — deterministic max-weight/min-label
+        # adoption, unrolled-CTE oracle (communities, not components)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            label_propagation,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        e = und.select("src", "dst", "weight").unionByName(
+            und.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"), "weight"))
+        return label_propagation(e, weight="weight", rounds=3)
+
     def graph_pagerank(spark, sf):
         from fashion_knowledge_graph_spark.operators.graph import pagerank
         und = j6_cooccurrence_edges(spark, sf)
@@ -1998,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "tfidf_top_terms": tfidf_top_terms,
         "graph_pagerank": graph_pagerank,
+        "graph_lpa_communities": graph_lpa_communities,
         "kmeans_clusters": kmeans_clusters,
         "a_percentiles": a_percentiles,
         "j_salted_skew_join": j_salted_skew_join,
@@ -3193,6 +3207,33 @@ def oracle_sql() -> dict[str, str]:
         + pr_iter.format(K=2, P=1) + ","
         + pr_iter.format(K=3, P=2) + """
         SELECT node, round(rank, 6) AS rank FROM it3
+    """)
+
+    # LPA: 3 unrolled synchronous rounds, exact BIGINT weight tallies,
+    # max-weight/min-label adoption — over the same co-purchase graph
+    lpa_round = """
+        t{K} AS (SELECT e.dst AS node, l.label, sum(e.w) AS wt
+                 FROM e JOIN l{P} l ON e.src = l.node
+                 GROUP BY 1, 2),
+        l{K} AS (SELECT node, label FROM t{K}
+                 QUALIFY row_number() OVER (PARTITION BY node
+                   ORDER BY wt DESC, label ASC) = 1)"""
+    sql["graph_lpa_communities"] = ("""
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT src, dst, w FROM pairs
+              UNION ALL SELECT dst, src, w FROM pairs),
+        nodes AS (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        l0 AS (SELECT node, node AS label FROM nodes),"""
+        + lpa_round.format(K=1, P=0) + ","
+        + lpa_round.format(K=2, P=1) + ","
+        + lpa_round.format(K=3, P=2) + """
+        SELECT node, label AS community FROM l3
     """)
 
     sql["dedup_exact"] = f"""

@@ -178,6 +178,60 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int,
         .select(F.col("src").alias("node"), "deg")
 
 
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", weight: str | None = None,
+                      rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    UNDIRECTED (symmetrized) edge list → ``(node, community)``.
+
+    labels₀(v) = v; each round every node adopts the label with the
+    largest total incident edge weight among its neighbours' CURRENT
+    labels, ties broken by the SMALLEST label — fully deterministic,
+    no randomized node order (the async classic), so a fixed round
+    count is ANSI-SQL-replayable as unrolled CTEs (the contract shared
+    with ``pagerank``/``kcore_peel``/``bfs_distances``). This is the
+    GraphFrames/GraphX LPA formulation expressed as DataFrame
+    join-aggregates. Distinct from connected components: CC merges
+    everything reachable; LPA splits a connected graph into densely
+    linked communities.
+
+    Integer weights (co-occurrence counts) keep the tally an exact
+    BIGINT sum — no float summation-order hazard between engines.
+
+    Scale shape per round: edges ⋈ labels on src (narrow (node,
+    label) rows broadcast when small), partial-agg'd groupBy
+    (node, label), one max-by window per node — |E| rows shuffled
+    per round, labels checkpointed so round R never replays 1..R-1.
+    Synchronous LPA can oscillate 2-cycles on bipartite-ish regions;
+    a fixed even/odd round count pins which phase is reported (at
+    real scale run to a stability fraction instead).
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(F.col(src).alias("e_src"),
+                     F.col(dst).alias("e_dst"), w.alias("w")) \
+        .localCheckpoint(eager=True)
+    labels = (e.select(F.col("e_src").alias("node"))
+              .unionByName(e.select(F.col("e_dst").alias("node")))
+              .distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=True))
+    pick = Window.partitionBy("node").orderBy(
+        F.desc("wt"), F.asc("label"))
+    for _ in range(rounds):
+        tallies = (e.join(labels.withColumnRenamed("node", "e_src"),
+                          "e_src")
+                   .groupBy(F.col("e_dst").alias("node"), "label")
+                   .agg(F.sum("w").alias("wt")))
+        labels = (tallies
+                  .withColumn("rn", F.row_number().over(pick))
+                  .filter(F.col("rn") == 1)
+                  .select("node", "label")
+                  .localCheckpoint(eager=True))
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def bfs_distances(edges: DataFrame, seeds: DataFrame, max_depth: int,
                   src: str = "src", dst: str = "dst") -> DataFrame:
     """Fixed-depth multi-source BFS over an UNDIRECTED (symmetrized)

@@ -167,3 +167,59 @@ def test_bfs_distances_matches_python(spark):
     got2 = {r["node"]: r["dist"]
             for r in bfs_distances(e2, seeds2, max_depth=2).collect()}
     assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2, 10: 2}
+
+
+def _lpa_py(edge_list, rounds=4):
+    """Reference synchronous LPA: adopt the max-weight neighbour
+    label, ties to the smallest label."""
+    nodes = sorted({u for u, _, _ in edge_list}
+                   | {v for _, v, _ in edge_list})
+    lab = {v: v for v in nodes}
+    for _ in range(rounds):
+        tally = {}
+        for u, v, w in edge_list:
+            tally.setdefault(v, {})
+            tally[v][lab[u]] = tally[v].get(lab[u], 0) + w
+        lab = {v: min(d, key=lambda l: (-d[l], l))
+               for v, d in tally.items()}
+    return lab
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge must resolve to
+    two communities (the bridge is outweighed by clique-internal
+    votes); result equals the python reference exactly."""
+    from fashion_knowledge_graph_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(members):
+        return [(a, b, 1) for a in members for b in members if a != b]
+
+    und = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) \
+        + [(4, 10, 1), (10, 4, 1)]
+    df = spark.createDataFrame(und, "src long, dst long, w long")
+    got = {r["node"]: r["community"] for r in
+           label_propagation(df, weight="w", rounds=4).collect()}
+    assert got == _lpa_py(und, rounds=4)
+    # communities are the two cliques (bridge endpoints stay home)
+    assert len({got[v] for v in (1, 2, 3, 4)}) == 1
+    assert len({got[v] for v in (10, 11, 12, 13)}) == 1
+    assert got[1] != got[10]
+
+
+def test_label_propagation_weight_dominates(spark):
+    """A single heavy edge outvotes many unit edges — weighted LPA,
+    not just degree counting."""
+    from fashion_knowledge_graph_spark.operators.graph import (
+        label_propagation,
+    )
+    # node 5: three unit edges from {1,2,3} (labels 1,2,3 — all
+    # different, each weight 1) vs one weight-5 edge from 9
+    und = [(1, 5, 1), (2, 5, 1), (3, 5, 1), (9, 5, 5),
+           (5, 1, 1), (5, 2, 1), (5, 3, 1), (5, 9, 5)]
+    df = spark.createDataFrame(und, "src long, dst long, w long")
+    got = {r["node"]: r["community"] for r in
+           label_propagation(df, weight="w", rounds=1).collect()}
+    assert got[5] == 9
+    assert got == _lpa_py(und, rounds=1)
