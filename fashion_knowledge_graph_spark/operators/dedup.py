@@ -444,9 +444,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b").distinct()
     if not verify:
         return cand
-    post = post_all if post_all is not None else \
-        _shingle_posting(df, id_col, text_col, n) \
-        .localCheckpoint(eager=True)   # three subtrees below
+    if post_all is None:
+        # verification only needs posting lists for CANDIDATE ids —
+        # semi-join the corpus down before the second shingle pass
+        # instead of re-tokenizing everything. At 100 TB duplicates
+        # are sparse, so this turns the verify pass from O(corpus)
+        # into O(candidates); semantics are identical (inter and
+        # sizes are only ever read for candidate pairs). cand is
+        # checkpointed because it now feeds three subtrees (the two
+        # id projections + the verify join) — without it the banded
+        # self-join re-executes per consumer.
+        cand = cand.localCheckpoint(eager=True)
+        cand_ids = cand.select(F.col("id_a").alias(id_col)).unionByName(
+            cand.select(F.col("id_b").alias(id_col))).distinct()
+        post = _shingle_posting(df.join(cand_ids, id_col, "left_semi"),
+                                id_col, text_col, n) \
+            .localCheckpoint(eager=True)   # three subtrees below
+    else:
+        post = post_all
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pa = post.select(F.col("id").alias("id_a"), "sh")
     pb = post.select(F.col("id").alias("id_b"), "sh")
