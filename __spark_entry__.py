@@ -1488,6 +1488,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.sum(logp)
                              / F.count(F.lit(1)), 6).alias("mean_logp")))
 
+    def text_bigram_lm(spark, sf):
+        # CCNet/KenLM-shaped quality filter: score EVERY doc under a
+        # stupid-backoff bigram LM built from the deterministic
+        # hash_split train split — held-out docs hit real OOV
+        # bigrams, so both scoring branches are live; the oracle
+        # replays the split threshold, the counts, and the backoff
+        from fashion_knowledge_graph_spark.operators.quality import (
+            bigram_lm_score,
+        )
+        from fashion_knowledge_graph_spark.operators.sampling import (
+            hash_split,
+        )
+        docs = _load(spark, sf, "documents") \
+            .filter(F.col("text").isNotNull())
+        split = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt="split")
+        model = split.filter(F.col("split") == "train")
+        return bigram_lm_score(docs, model)
+
     def events_daily_anomaly(spark, sf):
         # ops-analytics anomaly scoring: per event_type daily counts
         # vs that type's own mean/stddev → z-score (population stddev
@@ -1977,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_gate": text_quality_gate,
         "text_pmi_collocations": text_pmi_collocations,
         "text_lm_score": text_lm_score,
+        "text_bigram_lm": text_bigram_lm,
         "text_bm25_topk": text_bm25_topk,
         "hybrid_search_rrf": hybrid_search_rrf,
         "corpus_stats_card": corpus_stats_card,
@@ -3388,6 +3407,40 @@ def oracle_sql() -> dict[str, str]:
           FROM documents)
         SELECT doc_id, lang, source, {_split_case} AS split
         FROM h WHERE hm < {_mix_case}
+    """
+
+    # bigram LM with stupid backoff: model = the hash_split train
+    # band (same integer threshold as domain_mix_split); seen bigrams
+    # score ln(c_ab/c_w1), unseen back off to the smoothed unigram —
+    # all exact integer ratios inside ln
+    _train_cut = rate_threshold(_SPLIT_WEIGHTS[_names[0]])
+    sql["text_bigram_lm"] = f"""
+        WITH d AS (SELECT doc_id, {toks} AS tk
+                   FROM documents WHERE text IS NOT NULL),
+        model AS (
+          SELECT tk FROM d
+          WHERE ('0x' || substr(md5('split:' || doc_id::VARCHAR),
+                                1, 15))::BIGINT < {_train_cut}),
+        munn AS (SELECT unnest(tk) AS w FROM model),
+        mu AS (SELECT w, count(*) AS c_w FROM munn GROUP BY 1),
+        mb AS (SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS c_ab
+               FROM model, LATERAL unnest(range(1, len(tk))) AS t(i)
+               GROUP BY 1, 2),
+        tot AS (SELECT sum(c_w)::BIGINT AS n_tok,
+                       count(*)::BIGINT AS vocab FROM mu),
+        db AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+               FROM d, LATERAL unnest(range(1, len(tk))) AS t(i))
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(sum(CASE WHEN c_ab IS NOT NULL
+                         THEN ln(c_ab::DOUBLE / u1.c_w)
+                         ELSE ln(0.4 * (coalesce(u2.c_w, 0) + 1)::DOUBLE
+                                 / (n_tok + vocab)) END)
+                     / count(*), 6) AS mean_logp
+        FROM db
+        LEFT JOIN mb ON mb.w1 = db.w1 AND mb.w2 = db.w2
+        LEFT JOIN mu u1 ON u1.w = db.w1
+        LEFT JOIN mu u2 ON u2.w = db.w2, tot
+        GROUP BY 1
     """
 
     sql["weighted_doc_sample"] = """
