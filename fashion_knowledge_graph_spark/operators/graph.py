@@ -180,7 +180,8 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int,
 
 def label_propagation(edges: DataFrame, src: str = "src",
                       dst: str = "dst", weight: str | None = None,
-                      rounds: int = 4) -> DataFrame:
+                      rounds: int = 4,
+                      plan_audit: list | None = None) -> DataFrame:
     """Synchronous label-propagation community detection over an
     UNDIRECTED (symmetrized) edge list → ``(node, community)``.
 
@@ -224,11 +225,15 @@ def label_propagation(edges: DataFrame, src: str = "src",
                           "e_src")
                    .groupBy(F.col("e_dst").alias("node"), "label")
                    .agg(F.sum("w").alias("wt")))
-        labels = (tallies
+        picked = (tallies
                   .withColumn("rn", F.row_number().over(pick))
                   .filter(F.col("rn") == 1)
-                  .select("node", "label")
-                  .localCheckpoint(eager=True))
+                  .select("node", "label"))
+        if plan_audit is not None:
+            # expose the pre-checkpoint round plan for executable
+            # plan-audit tests (the checkpoint erases it otherwise)
+            plan_audit.append(picked)
+        labels = picked.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
 
 

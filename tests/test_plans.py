@@ -392,3 +392,46 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lpa_round_has_partial_aggregate_and_narrow_shuffle(spark):
+    """One LPA round = edges ⋈ labels → tally groupBy: the tally
+    aggregation must be partial (map-side combine before the
+    exchange), and no shuffle may carry more than the narrow
+    (node, label, weight) columns."""
+    from fashion_knowledge_graph_spark.operators.graph import (
+        label_propagation,
+    )
+
+    e = spark.createDataFrame(
+        [(i, (i * 7) % 50, 1 + i % 3) for i in range(300)],
+        "src long, dst long, w long")
+    audit = []
+    label_propagation(e, weight="w", rounds=1, plan_audit=audit)
+    plan = _plan(audit[0])
+    # partial agg: HashAggregate appears both before and after the
+    # exchange of the tally groupBy
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan
+    # per round (final adaptive plan only — the checkpoint executed
+    # it, so explain lists final + initial): at most the label join,
+    # the tally hash exchange, and the label-pick window — more would
+    # mean the round re-shuffles something it already co-located
+    final = plan.split("+- == Initial Plan ==")[0]
+    n_shuffles = final.count("- Exchange (")
+    assert 1 <= n_shuffles <= 4, final
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bigram_lm_model_counts_are_partial_aggregated(spark):
+    """The bigram model groupBy must map-side combine (head bigrams
+    are the skew risk at corpus scale), and the scan feeding it must
+    be pruned to (doc_id, text)."""
+    from fashion_knowledge_graph_spark.operators.quality import (
+        bigram_lm_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "red cotton dress with trim " * (1 + i % 3))
+         for i in range(50)], "doc_id long, text string")
+    plan = _plan(bigram_lm_score(docs, docs))
+    assert "partial_count" in plan, plan
