@@ -1932,6 +1932,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pagerank(e, weight="weight", iterations=3, damping=0.85)
         return pr.select("node", F.round("rank", 6).alias("rank"))
 
+    def graph_ppr_recs(spark, sf):
+        # personalized PageRank (random-walk-with-restart) from the 5
+        # smallest co-purchased products — rank = proximity to the
+        # seed basket, the classic graph recommender; same unrolled
+        # 3-iteration contract as graph_pagerank, teleport CASE oracle
+        from fashion_knowledge_graph_spark.operators.graph import pagerank
+        und = j6_cooccurrence_edges(spark, sf)
+        e = und.select("src", "dst", "weight").unionByName(
+            und.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"), "weight"))
+        seeds = und.select(F.col("src").alias("node")).distinct() \
+            .orderBy("node").limit(5)
+        pr = pagerank(e, weight="weight", iterations=3, damping=0.85,
+                      seeds=seeds)
+        return pr.select("node", F.round("rank", 9).alias("rank"))
+
     return {
         "p2_anti_join": p2_anti_join,
         "j1_broadcast_enrich": j1_broadcast_enrich,
@@ -2031,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms,
         "graph_pagerank": graph_pagerank,
         "graph_lpa_communities": graph_lpa_communities,
+        "graph_ppr_recs": graph_ppr_recs,
         "kmeans_clusters": kmeans_clusters,
         "a_percentiles": a_percentiles,
         "j_salted_skew_join": j_salted_skew_join,
@@ -3226,6 +3243,46 @@ def oracle_sql() -> dict[str, str]:
         + pr_iter.format(K=2, P=1) + ","
         + pr_iter.format(K=3, P=2) + """
         SELECT node, round(rank, 6) AS rank FROM it3
+    """)
+
+    # personalized PageRank: same unrolled loop, teleport vector
+    # 1/5 on the 5 smallest co-purchase nodes (no dangling nodes on
+    # the symmetrized graph, so the dangling term vanishes)
+    ppr_iter = """
+        it{K} AS (
+          SELECT t.node,
+                 (1.0 - 0.85) * t.tele
+                   + 0.85 * coalesce(s.m, 0.0) AS rank
+          FROM tele t
+          LEFT JOIN (SELECT e.dst AS node,
+                            sum(r.rank * (e.w / o.outw)) AS m
+                     FROM e JOIN it{P} r ON e.src = r.node
+                     JOIN outw o ON e.src = o.src
+                     GROUP BY 1) s ON s.node = t.node)"""
+    sql["graph_ppr_recs"] = ("""
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT src, dst, w::DOUBLE AS w FROM pairs
+              UNION ALL SELECT dst, src, w::DOUBLE FROM pairs),
+        nodes AS (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        outw AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+        seeds AS (SELECT node FROM (
+          SELECT DISTINCT src AS node FROM pairs
+          ORDER BY node LIMIT 5)),
+        tele AS (SELECT n.node,
+                        CASE WHEN s.node IS NOT NULL
+                             THEN 1.0 / 5 ELSE 0.0 END AS tele
+                 FROM nodes n LEFT JOIN seeds s USING (node)),
+        it0 AS (SELECT node, tele AS rank FROM tele),"""
+        + ppr_iter.format(K=1, P=0) + ","
+        + ppr_iter.format(K=2, P=1) + ","
+        + ppr_iter.format(K=3, P=2) + """
+        SELECT node, round(rank, 9) AS rank FROM it3
     """)
 
     # LPA: 3 unrolled synchronous rounds, exact BIGINT weight tallies,

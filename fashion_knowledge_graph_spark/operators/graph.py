@@ -20,18 +20,27 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight: str | None = None, iterations: int = 3,
-             damping: float = 0.85) -> DataFrame:
-    """Weighted PageRank with a fixed iteration count.
+             damping: float = 0.85,
+             seeds: DataFrame | None = None) -> DataFrame:
+    """Weighted (optionally personalized) PageRank, fixed iterations.
 
-    r₀(v) = 1/N;  rₖ₊₁(v) = (1-d)/N + d·( Σ_{u→v} rₖ(u)·w(u,v)/outw(u)
-                                          + dangling_massₖ/N )
+    r₀(v) = t(v);  rₖ₊₁(v) = (1-d)·t(v) + d·( Σ_{u→v} rₖ(u)·w(u,v)/outw(u)
+                                              + dangling_massₖ·t(v) )
+
+    ``t`` is the teleport vector: uniform 1/N by default, or — with
+    ``seeds`` (a one-column node DataFrame) — 1/|seeds| on the seed
+    set and 0 elsewhere, i.e. personalized PageRank (the
+    random-walk-with-restart recommender primitive: rank is
+    proximity TO THE SEEDS, not global importance). With the uniform
+    vector the formula reduces exactly to classic PageRank, so the
+    personalization is a pure generalization.
 
     Dangling mass (rank parked on nodes with no out-edges) is
-    redistributed uniformly — one scalar aggregation per iteration,
-    the same single-number driver round-trip GraphX performs. A fixed
-    ``iterations`` (vs convergence test) keeps the result
-    deterministic and ANSI-SQL-replayable (the oracle unrolls the
-    loop as CTEs).
+    redistributed along the teleport vector — one scalar aggregation
+    per iteration, the same single-number driver round-trip GraphX
+    performs. A fixed ``iterations`` (vs convergence test) keeps the
+    result deterministic and ANSI-SQL-replayable (the oracle unrolls
+    the loop as CTEs).
 
     Scale: each iteration shuffles |edges| contribution rows into a
     partial-agg groupBy on dst — the same profile as one
@@ -67,7 +76,28 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         "node", "left_anti").localCheckpoint(eager=True)
     n_dang = dang_nodes.count()
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    if seeds is None:
+        # uniform teleport: keep the literal form — the per-node tele
+        # join below would only add a column of one constant
+        tele_df = None
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    else:
+        seed_col = seeds.columns[0]
+        s = seeds.select(F.col(seed_col).alias("node")).distinct() \
+            .localCheckpoint(eager=True)
+        n_seeds = s.count()
+        if n_seeds == 0:
+            raise ValueError("personalized PageRank needs ≥1 seed")
+        # teleport vector is node-sized and static: compute once,
+        # checkpoint, reuse every iteration (seed membership is a
+        # broadcastable semi-join at scale)
+        tele_df = (nodes.join(s.withColumn("__s", F.lit(1)),
+                              "node", "left")
+                   .select("node",
+                           (F.coalesce(F.col("__s"), F.lit(0))
+                            / F.lit(float(n_seeds))).alias("tele"))
+                   .localCheckpoint(eager=True))
+        ranks = tele_df.select("node", F.col("tele").alias("rank"))
     for _ in range(iterations):
         dangling = 0.0 if n_dang == 0 else (
             ranks.join(dang_nodes, "node")
@@ -76,13 +106,20 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                   .select(e_norm["node"],
                           (F.col("rank") * F.col("share")).alias("contrib"))
                   .groupBy("node").agg(F.sum("contrib").alias("in_mass")))
-        ranks = (nodes.join(summed, "node", "left")
-                 .select(
-                     "node",
-                     (F.lit((1.0 - damping) / n)
-                      + F.lit(damping)
-                      * (F.coalesce(F.col("in_mass"), F.lit(0.0))
-                         + F.lit(dangling / n))).alias("rank"))
+        if tele_df is None:
+            new_rank = (F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("in_mass"), F.lit(0.0))
+                           + F.lit(dangling / n)))
+            base = nodes
+        else:
+            new_rank = (F.lit(1.0 - damping) * F.col("tele")
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("in_mass"), F.lit(0.0))
+                           + F.lit(dangling) * F.col("tele")))
+            base = tele_df
+        ranks = (base.join(summed, "node", "left")
+                 .select("node", new_rank.alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks
 

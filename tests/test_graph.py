@@ -223,3 +223,53 @@ def test_label_propagation_weight_dominates(spark):
            label_propagation(df, weight="w", rounds=1).collect()}
     assert got[5] == 9
     assert got == _lpa_py(und, rounds=1)
+
+
+def _ppr_py(edge_list, seed_set, iterations=3, damping=0.85):
+    """Reference personalized PageRank: teleport uniform over seeds,
+    init = teleport, dangling mass along the teleport vector."""
+    nodes = sorted({u for u, _, _ in edge_list}
+                   | {v for _, v, _ in edge_list})
+    outw = {}
+    for u, _, w in edge_list:
+        outw[u] = outw.get(u, 0.0) + w
+    tele = {v: (1.0 / len(seed_set) if v in seed_set else 0.0)
+            for v in nodes}
+    r = dict(tele)
+    for _ in range(iterations):
+        dangling = sum(r[v] for v in nodes if v not in outw)
+        mass = {v: 0.0 for v in nodes}
+        for u, v, w in edge_list:
+            mass[v] += r[u] * w / outw[u]
+        r = {v: (1 - damping) * tele[v]
+             + damping * (mass[v] + dangling * tele[v]) for v in nodes}
+    return r
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    """PPR vs the python reference on a graph WITH a dangling node
+    (4 has no out-edges), seeds {1, 2}."""
+    edges = [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0), (3, 4, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    got = {r["node"]: r["rank"] for r in
+           pagerank(df, weight="w", iterations=3, seeds=seeds).collect()}
+    exp = _ppr_py(edges, {1, 2}, iterations=3)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+    # proximity property: the seed neighborhood outranks the far node
+    assert got[2] > got[4]
+
+
+def test_personalized_pagerank_uniform_seeds_equals_classic(spark):
+    """Seeding EVERY node reduces PPR to classic PageRank exactly."""
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    classic = {r["node"]: r["rank"] for r in
+               pagerank(df, weight="w", iterations=3).collect()}
+    ppr = {r["node"]: r["rank"] for r in
+           pagerank(df, weight="w", iterations=3, seeds=seeds).collect()}
+    for v in classic:
+        assert ppr[v] == pytest.approx(classic[v], abs=1e-12)
