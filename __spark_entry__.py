@@ -1932,6 +1932,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pagerank(e, weight="weight", iterations=3, damping=0.85)
         return pr.select("node", F.round("rank", 6).alias("rank"))
 
+    def graph_link_prediction(spark, sf):
+        # Adamic-Adar link prediction over the co-purchase graph:
+        # predicted (not-yet-connected) pairs scored by degree-damped
+        # common neighbors — one wedge join + anti-join vs edges
+        from fashion_knowledge_graph_spark.operators.graph import (
+            link_prediction,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        return link_prediction(und)
+
     def graph_ppr_recs(spark, sf):
         # personalized PageRank (random-walk-with-restart) from the 5
         # smallest co-purchased products — rank = proximity to the
@@ -2048,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "graph_lpa_communities": graph_lpa_communities,
         "graph_ppr_recs": graph_ppr_recs,
+        "graph_link_prediction": graph_link_prediction,
         "kmeans_clusters": kmeans_clusters,
         "a_percentiles": a_percentiles,
         "j_salted_skew_join": j_salted_skew_join,
@@ -3244,6 +3255,33 @@ def oracle_sql() -> dict[str, str]:
         + pr_iter.format(K=3, P=2) + """
         SELECT node, round(rank, 6) AS rank FROM it3
     """)
+
+    # Adamic-Adar link prediction: wedge join through shared
+    # neighbors, anti-join vs existing edges, degree-damped score
+    sql["graph_link_prediction"] = """
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT src AS a, dst AS b FROM pairs),
+        adj AS (SELECT a AS z, b AS x FROM und
+                UNION ALL SELECT b AS z, a AS x FROM und),
+        deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1),
+        piv AS (SELECT adj.z, adj.x, deg.deg
+                FROM adj JOIN deg USING (z)),
+        wed AS (SELECT w1.x AS node_a, w2.x AS node_b, w1.deg
+                FROM piv w1 JOIN piv w2
+                  ON w1.z = w2.z AND w1.x < w2.x),
+        newp AS (SELECT * FROM wed
+                 WHERE NOT EXISTS (SELECT 1 FROM und
+                                   WHERE a = node_a AND b = node_b))
+        SELECT node_a, node_b,
+               count(*) AS common_neighbors,
+               round(sum(1.0 / ln(deg)), 6) AS adamic_adar
+        FROM newp GROUP BY 1, 2
+    """
 
     # personalized PageRank: same unrolled loop, teleport vector
     # 1/5 on the 5 smallest co-purchase nodes (no dangling nodes on

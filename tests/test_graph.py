@@ -273,3 +273,57 @@ def test_personalized_pagerank_uniform_seeds_equals_classic(spark):
            pagerank(df, weight="w", iterations=3, seeds=seeds).collect()}
     for v in classic:
         assert ppr[v] == pytest.approx(classic[v], abs=1e-12)
+
+
+def test_link_prediction_matches_python(spark):
+    """Adamic-Adar vs a direct python replay on a small graph; pairs
+    already connected must be absent."""
+    import math
+
+    from fashion_knowledge_graph_spark.operators.graph import (
+        link_prediction,
+    )
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5), (5, 1)]
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = {(r["node_a"], r["node_b"]):
+           (r["common_neighbors"], r["adamic_adar"])
+           for r in link_prediction(df).collect()}
+
+    nbr = {}
+    for u, v in und:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    exist = {tuple(sorted(e)) for e in und}
+    exp = {}
+    nodes = sorted(nbr)
+    for i in nodes:
+        for j in nodes:
+            if i >= j or (i, j) in exist:
+                continue
+            common = nbr[i] & nbr[j]
+            if common:
+                exp[(i, j)] = (len(common), round(
+                    sum(1.0 / math.log(len(nbr[z])) for z in common), 6))
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert got[k][1] == pytest.approx(exp[k][1], abs=1e-6)
+    assert exp, "fixture must predict at least one link"
+
+
+def test_link_prediction_max_degree_drops_hub_pivots(spark):
+    """With max_degree=2 the star hub stops contributing wedges —
+    only chain pivots predict links."""
+    from fashion_knowledge_graph_spark.operators.graph import (
+        link_prediction,
+    )
+    # star: hub 0 connects 1..4 (deg 4); chain 1-2 gives pivot deg 2
+    und = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
+    df = spark.createDataFrame(und, "src long, dst long")
+    full = {(r["node_a"], r["node_b"])
+            for r in link_prediction(df).collect()}
+    capped = {(r["node_a"], r["node_b"])
+              for r in link_prediction(df, max_degree=2).collect()}
+    # hub-pivot pairs like (3,4) vanish; pairs via deg-2 pivots stay
+    assert (3, 4) in full and (3, 4) not in capped
+    assert capped.issubset(full)
