@@ -1055,6 +1055,224 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    .cast("decimal(18,2)")), 2)
                      .cast("double").alias("totacctbal")))
 
+    def q8_market_share(spark, sf):
+        # TPC-H Q8 shape: one supplier nation's share of ECONOMY-part
+        # order volume delivered into ASIA, per order year — the
+        # nation table plays TWO roles (customer side and supplier
+        # side), both broadcast; share = conditional decimal sum over
+        # total decimal sum, divided once as doubles so the DuckDB
+        # replay is bit-identical
+        nation = _load(spark, sf, "nation")
+        region = _load(spark, sf, "region") \
+            .filter(F.col("r_name") == "ASIA")
+        cust = _load(spark, sf, "customer")
+        orders = _load(spark, sf, "orders")
+        li = _load(spark, sf, "lineitem")
+        supp = _load(spark, sf, "supplier")
+        part = _load(spark, sf, "part") \
+            .filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+        cn = nation.join(F.broadcast(region),
+                         nation.n_regionkey == region.r_regionkey) \
+            .select(F.col("n_nationkey").alias("cn_key"))
+        sn = nation.select(F.col("n_nationkey").alias("sn_key"),
+                           F.col("n_name").alias("supp_nation"))
+        vol = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+               .join(orders, li.l_orderkey == orders.o_orderkey)
+               .join(cust, orders.o_custkey == cust.c_custkey)
+               .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+               .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+               .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+               .select(F.year("o_orderdate").alias("o_year"),
+                       (F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")))
+                       .cast("decimal(18,6)").alias("volume"),
+                       "supp_nation"))
+        return (vol.groupBy("o_year")
+                .agg((F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                                   F.col("volume"))
+                            .otherwise(F.lit(0).cast("decimal(18,6)")))
+                      .cast("double")
+                      / F.sum("volume").cast("double"))
+                     .alias("mkt_share"),
+                     F.round(F.sum("volume"), 4).cast("double")
+                     .alias("total_volume")))
+
+    def q9_profit_by_nation_year(spark, sf):
+        # TPC-H Q9 shape: product-line profit per supplier nation per
+        # order year (no partsupp table in the fixture schema, so
+        # supply cost is the 0.6·p_retailprice·qty proxy — the join
+        # DAG is the point: fact ⋈ filtered part ⋈ supplier ⋈ nation
+        # ⋈ orders, dims broadcast, one shuffle for the final rollup)
+        li = _load(spark, sf, "lineitem")
+        part = _load(spark, sf, "part") \
+            .filter(F.col("p_name").like("%red%")) \
+            .select("p_partkey", "p_retailprice")
+        supp = _load(spark, sf, "supplier") \
+            .select("s_suppkey", "s_nationkey")
+        nation = _load(spark, sf, "nation") \
+            .select("n_nationkey", "n_name")
+        orders = _load(spark, sf, "orders") \
+            .select("o_orderkey", "o_orderdate")
+        profit = (li.join(F.broadcast(part),
+                          li.l_partkey == part.p_partkey)
+                  .join(F.broadcast(supp),
+                        li.l_suppkey == supp.s_suppkey)
+                  .join(F.broadcast(nation),
+                        supp.s_nationkey == nation.n_nationkey)
+                  .join(orders, li.l_orderkey == orders.o_orderkey)
+                  .select(F.col("n_name").alias("nation"),
+                          F.year("o_orderdate").alias("o_year"),
+                          (F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))
+                           - F.lit(0.6) * F.col("p_retailprice")
+                           * F.col("l_quantity"))
+                          .cast("decimal(18,6)").alias("amount")))
+        return (profit.groupBy("nation", "o_year")
+                .agg(F.round(F.sum("amount"), 2).cast("double")
+                     .alias("sum_profit")))
+
+    def q15_top_supplier(spark, sf):
+        # TPC-H Q15 shape: revenue view over one quarter, then the
+        # supplier(s) whose revenue EQUALS the global max — the scalar
+        # max is a one-row broadcast joined back on double equality
+        # (safe: both sides are the same rounded decimal-sum cast)
+        li = _load(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01")))
+        supp = _load(spark, sf, "supplier")
+        rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(F.round(F.sum((F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount")))
+                                  .cast("decimal(18,6)")), 4)
+                    .cast("double").alias("total_revenue")))
+        mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+        return (rev.crossJoin(F.broadcast(mx))
+                .filter(F.col("total_revenue") == F.col("max_rev"))
+                .join(F.broadcast(supp),
+                      F.col("supplier_no") == supp.s_suppkey)
+                .select("s_suppkey", "s_name", "total_revenue"))
+
+    def q16_supplier_part_counts(spark, sf):
+        # TPC-H Q16 shape: distinct-supplier counts per part
+        # (brand, type, size) bucket, excluding one brand and every
+        # negative-balance supplier via NOT IN (the fixture has no
+        # partsupp table — the part↔supplier relation is the distinct
+        # (l_partkey, l_suppkey) projection of the fact, which is the
+        # same anti-join + two-phase distinct-agg plan)
+        li = _load(spark, sf, "lineitem") \
+            .select("l_partkey", "l_suppkey").distinct()
+        part = _load(spark, sf, "part").filter(
+            (F.col("p_brand") != "Brand#2")
+            & (F.col("p_size") <= 20))
+        bad = _load(spark, sf, "supplier") \
+            .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+        kept = li.join(F.broadcast(bad),
+                       li.l_suppkey == bad.s_suppkey, "left_anti")
+        return (kept.join(F.broadcast(part),
+                          kept.l_partkey == part.p_partkey)
+                .groupBy("p_brand", "p_type", "p_size")
+                .agg(F.countDistinct("l_suppkey")
+                     .alias("supplier_cnt")))
+
+    def q20_dominant_suppliers(spark, sf):
+        # TPC-H Q20 shape: suppliers who shipped MORE THAN HALF of a
+        # small part's 1995 volume (availqty has no fixture column, so
+        # the >½·sum(qty) threshold compares the supplier's own
+        # shipped quantity against the part total — same correlated
+        # aggregate-vs-aggregate structure, exact decimal compare)
+        li = _load(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01")))
+        part = _load(spark, sf, "part") \
+            .filter(F.col("p_name").like("small%")).select("p_partkey")
+        supp = _load(spark, sf, "supplier")
+        qty = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+               .groupBy("l_partkey", "l_suppkey")
+               .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                    .alias("supp_qty")))
+        tot = qty.groupBy("l_partkey") \
+            .agg(F.sum("supp_qty").alias("part_qty"))
+        dom = (qty.join(tot, "l_partkey")
+               .filter(F.col("supp_qty") * 2 > F.col("part_qty")))
+        return (dom.groupBy("l_suppkey")
+                .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+                .join(F.broadcast(supp),
+                      F.col("l_suppkey") == supp.s_suppkey)
+                .select("s_suppkey", "s_name", "n_parts_dominated"))
+
+    def q21_late_sole_shippers(spark, sf):
+        # TPC-H Q21 shape: suppliers who were the ONLY late shipper
+        # on a multi-supplier finished order — EXISTS(other supplier on
+        # the order) as a left-semi join, NOT EXISTS(other LATE
+        # supplier) as a left-anti join, both over deduplicated
+        # (order, supplier) pairs so no row multiplication survives
+        # the quadratic self-joins ("late" = shipped >90 days after
+        # the order date; the fixture has no receipt/commit dates)
+        orders = _load(spark, sf, "orders") \
+            .filter(F.col("o_orderstatus") == "F") \
+            .select("o_orderkey", "o_orderdate")
+        li = _load(spark, sf, "lineitem") \
+            .select("l_orderkey", "l_suppkey", "l_shipdate")
+        supp = _load(spark, sf, "supplier")
+        pairs = li.select("l_orderkey", "l_suppkey").distinct()
+        late = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .filter(F.col("l_shipdate")
+                        > F.col("o_orderdate")
+                        + F.expr("INTERVAL 90 DAY"))
+                .select("l_orderkey", "l_suppkey").distinct())
+        o2 = pairs.select(F.col("l_orderkey").alias("ok"),
+                          F.col("l_suppkey").alias("sk"))
+        l2 = late.select(F.col("l_orderkey").alias("ok"),
+                         F.col("l_suppkey").alias("sk"))
+        sole = (late
+                .join(o2, (late.l_orderkey == o2.ok)
+                      & (late.l_suppkey != o2.sk), "left_semi")
+                .join(l2, (late.l_orderkey == l2.ok)
+                      & (late.l_suppkey != l2.sk), "left_anti"))
+        return (sole.groupBy("l_suppkey")
+                .agg(F.count(F.lit(1)).alias("numwait"))
+                .join(F.broadcast(supp),
+                      F.col("l_suppkey") == supp.s_suppkey)
+                .select("s_suppkey", "s_name", "numwait"))
+
+    def market_basket_lift(spark, sf):
+        # association-rule mining over co-purchase baskets: pair
+        # support / confidence / lift from ONE distinct
+        # (order, part) projection — the pair self-join reuses the
+        # j6 co-occurrence plan (sorted-pair canonical form, shuffle
+        # on orderkey only), the per-part counts broadcast back, and
+        # both engines compute lift with the same two integer
+        # products divided once as doubles
+        li = _load(spark, sf, "lineitem") \
+            .select("l_orderkey", "l_partkey").distinct()
+        n_orders = li.select("l_orderkey").distinct() \
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        item_cnt = li.groupBy("l_partkey") \
+            .agg(F.count(F.lit(1)).alias("item_cnt"))
+        a = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("item_a"))
+        b = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("item_b"))
+        pairs = (a.join(b, "ok")
+                 .filter(F.col("item_a") < F.col("item_b"))
+                 .groupBy("item_a", "item_b")
+                 .agg(F.count(F.lit(1)).alias("pair_cnt"))
+                 .filter(F.col("pair_cnt") >= 3))
+        ca = item_cnt.select(F.col("l_partkey").alias("item_a"),
+                             F.col("item_cnt").alias("cnt_a"))
+        cb = item_cnt.select(F.col("l_partkey").alias("item_b"),
+                             F.col("item_cnt").alias("cnt_b"))
+        return (pairs.join(F.broadcast(ca), "item_a")
+                .join(F.broadcast(cb), "item_b")
+                .crossJoin(F.broadcast(n_orders))
+                .select("item_a", "item_b", "pair_cnt",
+                        (F.col("pair_cnt").cast("double")
+                         / F.col("cnt_a")).alias("confidence"),
+                        ((F.col("pair_cnt") * F.col("n_orders"))
+                         .cast("double")
+                         / (F.col("cnt_a") * F.col("cnt_b")))
+                        .alias("lift")))
+
     def graph_bfs_distances(spark, sf):
         # multi-source BFS (3 hops) from the 5 smallest product keys
         # over the symmetrized co-purchase graph — unrolled frontier
@@ -2000,6 +2218,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunct_revenue": q19_disjunct_revenue,
         "q22_idle_rich_customers": q22_idle_rich_customers,
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
+        "q21_late_sole_shippers": q21_late_sole_shippers,
+        "market_basket_lift": market_basket_lift,
         "supplier_balance_deciles": supplier_balance_deciles,
         "asof_attribution_cogroup": asof_attribution_cogroup,
         "range_join_attribution": range_join_attribution,
@@ -2505,6 +2730,133 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
     """
 
+    sql["q8_market_share"] = """
+        WITH vol AS (
+          SELECT year(o_orderdate) AS o_year,
+                 (l_extendedprice * (1 - l_discount))::DECIMAL(18,6)
+                   AS volume,
+                 sn.n_name AS supp_nation
+          FROM lineitem
+          JOIN part     ON l_partkey = p_partkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region   ON cn.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE p_type = 'ECONOMY' AND r_name = 'ASIA')
+        SELECT o_year,
+               sum(CASE WHEN supp_nation = 'NATION_3'
+                        THEN volume
+                        ELSE 0::DECIMAL(18,6) END)::DOUBLE
+                 / sum(volume)::DOUBLE AS mkt_share,
+               round(sum(volume), 4)::DOUBLE AS total_volume
+        FROM vol GROUP BY 1
+    """
+
+    sql["q9_profit_by_nation_year"] = """
+        SELECT n_name AS nation,
+               year(o_orderdate) AS o_year,
+               round(sum((l_extendedprice * (1 - l_discount)
+                          - 0.6 * p_retailprice * l_quantity)
+                         ::DECIMAL(18,6)), 2)::DOUBLE AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """
+
+    sql["q15_top_supplier"] = """
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum((l_extendedprice * (1 - l_discount))
+                           ::DECIMAL(18,6)), 4)::DOUBLE
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON supplier_no = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """
+
+    sql["q16_supplier_part_counts"] = """
+        WITH ps AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM ps JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#2' AND p_size <= 20
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """
+
+    sql["q20_dominant_suppliers"] = """
+        WITH qty AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(l_quantity::DECIMAL(18,2)) AS supp_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small%'
+            AND l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-01-01'
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT l_partkey, sum(supp_qty) AS part_qty
+          FROM qty GROUP BY 1)
+        SELECT s_suppkey, s_name, count(*) AS n_parts_dominated
+        FROM qty JOIN tot USING (l_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE supp_qty * 2 > part_qty
+        GROUP BY 1, 2
+    """
+
+    sql["q21_late_sole_shippers"] = """
+        WITH pairs AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        late AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM late t1 JOIN supplier ON t1.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM pairs t2
+                      WHERE t2.l_orderkey = t1.l_orderkey
+                        AND t2.l_suppkey <> t1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late t3
+                          WHERE t3.l_orderkey = t1.l_orderkey
+                            AND t3.l_suppkey <> t1.l_suppkey)
+        GROUP BY 1, 2
+    """
+
+    sql["market_basket_lift"] = """
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        item_cnt AS (
+          SELECT l_partkey, count(*) AS item_cnt FROM li GROUP BY 1),
+        pairs AS (
+          SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                 count(*) AS pair_cnt
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 3)
+        SELECT item_a, item_b, pair_cnt,
+               pair_cnt::DOUBLE / ca.item_cnt AS confidence,
+               (pair_cnt * n_orders)::DOUBLE
+                 / (ca.item_cnt * cb.item_cnt) AS lift
+        FROM pairs
+        JOIN item_cnt ca ON pairs.item_a = ca.l_partkey
+        JOIN item_cnt cb ON pairs.item_b = cb.l_partkey
+        CROSS JOIN n
+    """
+
     # BFS: 3 unrolled frontier expansions over the symmetrized
     # co-purchase graph (same CTE base as k-core)
     _bfs = ["""
@@ -2915,7 +3267,7 @@ def oracle_sql() -> dict[str, str]:
         bigp AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
                  FROM tkp, LATERAL unnest(range(1, len(tk))) AS t(i)),
         bc AS (SELECT w1, w2, count(*) AS c_ab FROM bigp
-               GROUP BY 1, 2 HAVING count(*) >= 5),
+               GROUP BY 1, 2 HAVING count(*) >= 3),
         nb AS (SELECT count(*) AS n_b FROM bigp)
         SELECT w1, w2, c_ab,
                round(ln((c_ab / n_b)
