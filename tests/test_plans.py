@@ -435,3 +435,61 @@ def test_bigram_lm_model_counts_are_partial_aggregated(spark):
          for i in range(50)], "doc_id long, text string")
     plan = _plan(bigram_lm_score(docs, docs))
     assert "partial_count" in plan, plan
+
+
+def test_q21_is_semi_anti_over_dedup_pairs(spark):
+    """Q21's EXISTS/NOT EXISTS must compile to left-semi + left-anti
+    joins over deduplicated (order, supplier) pairs — an inner join
+    re-expansion would multiply rows quadratically on big orders at
+    scale."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q21_late_sole_shippers"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q9_broadcasts_dims_and_pushes_part_filter(spark):
+    """Q9's star join: every dimension (part, supplier, nation) must
+    broadcast — a shuffle join against a 100-row dim would shuffle
+    the 100 TB fact — and the %red% name filter must reach the part
+    scan as a pushed StringContains."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q9_profit_by_nation_year"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "Contains(p_name,red)" in plan.replace(" ", ""), plan
+
+
+def test_q15_quarter_predicate_reaches_lineitem_scan(spark):
+    """Q15's ship-date quarter window must be pushed into the parquet
+    scan (PushedFilters), not evaluated post-scan — at 100 TB the
+    min/max footer stats skip ~96% of row groups for a one-quarter
+    predicate."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q15_top_supplier"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), " \
+           "GreaterThanOrEqual(l_shipdate," in plan, plan
+
+
+def test_market_basket_broadcasts_counts_not_pairs(spark):
+    """The basket pair self-join shuffles on orderkey only; the
+    per-item count joins back onto the (already small) pair aggregate
+    must broadcast, and the global order count is a broadcast scalar
+    — none of them may reshuffle the pair table."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["market_basket_lift"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
