@@ -1235,6 +1235,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       F.col("l_suppkey") == supp.s_suppkey)
                 .select("s_suppkey", "s_name", "numwait"))
 
+    def q2_min_price_supplier(spark, sf):
+        # TPC-H Q2 shape: for each small STANDARD part, the
+        # supplier(s) selling it at the MINIMUM observed unit price —
+        # the correlated scalar-min subquery becomes a per-part min
+        # aggregate joined back on double equality (both engines
+        # derive the unit price from the same exact decimal sums with
+        # one IEEE divide, so the equality is bit-identical)
+        li = _load(spark, sf, "lineitem")
+        part = _load(spark, sf, "part").filter(
+            (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        supp = _load(spark, sf, "supplier")
+        nation = _load(spark, sf, "nation") \
+            .select("n_nationkey", "n_name")
+        unit = (li.join(F.broadcast(part.select("p_partkey")),
+                        li.l_partkey == F.col("p_partkey"))
+                .groupBy("l_partkey", "l_suppkey")
+                .agg((F.sum(F.col("l_extendedprice")
+                            .cast("decimal(18,6)")).cast("double")
+                      / F.sum(F.col("l_quantity")
+                              .cast("decimal(18,2)")).cast("double"))
+                     .alias("unit_price")))
+        best = unit.groupBy("l_partkey") \
+            .agg(F.min("unit_price").alias("min_price"))
+        return (unit.join(best, "l_partkey")
+                .filter(F.col("unit_price") == F.col("min_price"))
+                .join(F.broadcast(supp),
+                      F.col("l_suppkey") == supp.s_suppkey)
+                .join(F.broadcast(nation),
+                      supp.s_nationkey == nation.n_nationkey)
+                .select(F.col("l_partkey").alias("p_partkey"),
+                        "s_suppkey", "s_name",
+                        F.col("n_name").alias("supp_nation"),
+                        F.round("unit_price", 6).alias("unit_price")))
+
+    def q11_value_concentration(spark, sf):
+        # TPC-H Q11 shape: parts whose revenue through one nation's
+        # suppliers exceeds a fraction of that nation's total — the
+        # global scalar aggregate broadcasts back as a HAVING bound
+        # (same regime as q22; the 0.001 threshold is a double
+        # multiply of the exact decimal total on both engines)
+        li = _load(spark, sf, "lineitem")
+        supp = _load(spark, sf, "supplier")
+        nation = _load(spark, sf, "nation") \
+            .filter(F.col("n_name") == "NATION_5")
+        ns = supp.join(F.broadcast(nation),
+                       supp.s_nationkey == nation.n_nationkey) \
+            .select("s_suppkey")
+        val = (li.join(F.broadcast(ns), li.l_suppkey == ns.s_suppkey)
+               .groupBy("l_partkey")
+               .agg(F.sum((F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))
+                          .cast("decimal(18,6)")).alias("value_dec")))
+        tot = val.agg(F.sum("value_dec").cast("double").alias("total"))
+        return (val.crossJoin(F.broadcast(tot))
+                .filter(F.col("value_dec").cast("double")
+                        > F.lit(0.001) * F.col("total"))
+                .select("l_partkey",
+                        F.round(F.col("value_dec"), 2).cast("double")
+                        .alias("part_value")))
+
+    def q12_priority_by_delay(spark, sf):
+        # TPC-H Q12 shape: conditional priority counts per shipping
+        # class — the fixture has no l_shipmode, so the class is the
+        # ship-delay bucket (>60 days = 'late'); the CASE-sum pair
+        # compiles to one partial-aggregated pass, no join
+        # re-expansion (orders⋈lineitem is the only shuffle)
+        orders = _load(spark, sf, "orders") \
+            .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        li = _load(spark, sf, "lineitem") \
+            .select("l_orderkey", "l_shipdate")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (j.select(
+                    F.when(F.datediff("l_shipdate", "o_orderdate") > 60,
+                           F.lit("late")).otherwise(F.lit("ontime"))
+                    .alias("ship_class"), hi.alias("hi"))
+                .groupBy("ship_class")
+                .agg(F.sum(F.when(F.col("hi"), 1).otherwise(0))
+                     .alias("high_line_count"),
+                     F.sum(F.when(F.col("hi"), 0).otherwise(1))
+                     .alias("low_line_count")))
+
     def market_basket_lift(spark, sf):
         # association-rule mining over co-purchase baskets: pair
         # support / confidence / lift from ONE distinct
@@ -2218,6 +2300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunct_revenue": q19_disjunct_revenue,
         "q22_idle_rich_customers": q22_idle_rich_customers,
+        "q2_min_price_supplier": q2_min_price_supplier,
+        "q11_value_concentration": q11_value_concentration,
+        "q12_priority_by_delay": q12_priority_by_delay,
         "q8_market_share": q8_market_share,
         "q9_profit_by_nation_year": q9_profit_by_nation_year,
         "q15_top_supplier": q15_top_supplier,
@@ -2727,6 +2812,53 @@ def oracle_sql() -> dict[str, str]:
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority = '1-URGENT')
+        GROUP BY 1
+    """
+
+    sql["q2_min_price_supplier"] = """
+        WITH unit AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(l_extendedprice::DECIMAL(18,6))::DOUBLE
+                   / sum(l_quantity::DECIMAL(18,2))::DOUBLE
+                   AS unit_price
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'STANDARD' AND p_size <= 10
+          GROUP BY 1, 2)
+        SELECT l_partkey AS p_partkey, s_suppkey, s_name,
+               n_name AS supp_nation,
+               round(unit_price, 6) AS unit_price
+        FROM unit u
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE unit_price = (SELECT min(unit_price) FROM unit
+                            WHERE l_partkey = u.l_partkey)
+    """
+
+    sql["q11_value_concentration"] = """
+        WITH val AS (
+          SELECT l_partkey,
+                 sum((l_extendedprice * (1 - l_discount))
+                     ::DECIMAL(18,6)) AS value_dec
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_5'
+          GROUP BY 1),
+        tot AS (SELECT sum(value_dec)::DOUBLE AS total FROM val)
+        SELECT l_partkey,
+               round(value_dec, 2)::DOUBLE AS part_value
+        FROM val CROSS JOIN tot
+        WHERE value_dec::DOUBLE > 0.001 * total
+    """
+
+    sql["q12_priority_by_delay"] = """
+        SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                    THEN 'late' ELSE 'ontime' END AS ship_class,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1
     """
 
