@@ -2242,6 +2242,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         und = j6_cooccurrence_edges(spark, sf)
         return link_prediction(und)
 
+    def graph_jaccard_similarity(spark, sf):
+        # item-item neighborhood Jaccard over the co-purchase graph
+        # (collaborative-filtering similarity, connected pairs
+        # included — the complement of graph_link_prediction's
+        # anti-join): one wedge join + two degree joins, union size
+        # derived as deg_a + deg_b − common (operators/graph.py)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            neighbor_jaccard,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        return neighbor_jaccard(und, min_common=2)
+
     def graph_ppr_recs(spark, sf):
         # personalized PageRank (random-walk-with-restart) from the 5
         # smallest co-purchased products — rank = proximity to the
@@ -2369,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa_communities": graph_lpa_communities,
         "graph_ppr_recs": graph_ppr_recs,
         "graph_link_prediction": graph_link_prediction,
+        "graph_jaccard_similarity": graph_jaccard_similarity,
         "kmeans_clusters": kmeans_clusters,
         "a_percentiles": a_percentiles,
         "j_salted_skew_join": j_salted_skew_join,
@@ -3765,6 +3778,30 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS common_neighbors,
                round(sum(1.0 / ln(deg)), 6) AS adamic_adar
         FROM newp GROUP BY 1, 2
+    """
+
+    sql["graph_jaccard_similarity"] = """
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT src AS a, dst AS b FROM pairs),
+        adj AS (SELECT a AS z, b AS x FROM und
+                UNION ALL SELECT b AS z, a AS x FROM und),
+        deg AS (SELECT z AS node, count(*) AS deg FROM adj GROUP BY 1),
+        com AS (SELECT w1.x AS node_a, w2.x AS node_b,
+                       count(*) AS common_neighbors
+                FROM adj w1 JOIN adj w2
+                  ON w1.z = w2.z AND w1.x < w2.x
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT node_a, node_b, common_neighbors,
+               common_neighbors::DOUBLE
+                 / (da.deg + db.deg - common_neighbors) AS jaccard
+        FROM com
+        JOIN deg da ON node_a = da.node
+        JOIN deg db ON node_b = db.node
     """
 
     # personalized PageRank: same unrolled loop, teleport vector

@@ -230,6 +230,62 @@ def link_prediction(edges: DataFrame, src: str = "src",
                  .alias("adamic_adar")))
 
 
+def neighbor_jaccard(edges: DataFrame, src: str = "src",
+                     dst: str = "dst",
+                     min_common: int = 1,
+                     max_degree: int | None = None) -> DataFrame:
+    """Neighborhood Jaccard similarity over an undirected edge list →
+    ``(node_a, node_b, common_neighbors, jaccard)`` for every pair
+    sharing ≥ ``min_common`` neighbors (connected or not — this is
+    the item-item collaborative-filtering score, not the
+    link-*prediction* exclusion of ``link_prediction``).
+
+    jaccard(a,b) = |N(a)∩N(b)| / (deg(a) + deg(b) − |N(a)∩N(b)|) —
+    the union is derived from the two degrees and the intersection,
+    so ONE wedge self-join through the shared neighbor plus two
+    broadcast-able degree lookups computes it; no set materialization
+    per pair. The divide is a single integer-derived double ratio, so
+    the DuckDB replay is bit-identical.
+
+    ``max_degree`` caps hub pivots exactly as in ``link_prediction``
+    (the deg² wedge explosion knob at 100 TB); capped pairs keep
+    their TRUE degrees in the denominator — only the wedge
+    *enumeration* is pruned, so surviving scores are exact.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("a"),
+                        F.greatest(a, b).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct()
+           .localCheckpoint(eager=True))
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("x")) \
+        .unionByName(und.select(F.col("b").alias("z"),
+                                F.col("a").alias("x")))
+    deg = adj.groupBy(F.col("z").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("deg"))
+    pivot = adj
+    if max_degree is not None:
+        cap = deg.select(F.col("node").alias("z"), "deg")
+        pivot = adj.join(cap, "z").filter(F.col("deg") <= max_degree) \
+            .select("z", "x")
+    w1 = pivot.select("z", F.col("x").alias("node_a"))
+    w2 = pivot.select("z", F.col("x").alias("node_b"))
+    common = (w1.join(w2, "z")
+              .filter(F.col("node_a") < F.col("node_b"))
+              .groupBy("node_a", "node_b")
+              .agg(F.count(F.lit(1)).alias("common_neighbors"))
+              .filter(F.col("common_neighbors") >= min_common))
+    da = deg.select(F.col("node").alias("node_a"),
+                    F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"),
+                    F.col("deg").alias("deg_b"))
+    return (common.join(da, "node_a").join(db, "node_b")
+            .select("node_a", "node_b", "common_neighbors",
+                    (F.col("common_neighbors").cast("double")
+                     / (F.col("deg_a") + F.col("deg_b")
+                        - F.col("common_neighbors")))
+                    .alias("jaccard")))
+
+
 def kcore_peel(edges: DataFrame, k: int, rounds: int,
                src: str = "src", dst: str = "dst") -> DataFrame:
     """Fixed-round k-core peeling over an UNDIRECTED (symmetrized)

@@ -327,3 +327,55 @@ def test_link_prediction_max_degree_drops_hub_pivots(spark):
     # hub-pivot pairs like (3,4) vanish; pairs via deg-2 pivots stay
     assert (3, 4) in full and (3, 4) not in capped
     assert capped.issubset(full)
+
+
+def test_neighbor_jaccard_matches_python(spark):
+    """Neighborhood Jaccard vs a direct python set replay; connected
+    pairs are INCLUDED (similarity, not prediction), and the
+    degree-derived union must equal the true set union."""
+    from fashion_knowledge_graph_spark.operators.graph import (
+        neighbor_jaccard,
+    )
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5), (5, 1)]
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = {(r["node_a"], r["node_b"]):
+           (r["common_neighbors"], r["jaccard"])
+           for r in neighbor_jaccard(df).collect()}
+
+    nbr = {}
+    for u, v in und:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    exp = {}
+    nodes = sorted(nbr)
+    for i in nodes:
+        for j in nodes:
+            if i >= j:
+                continue
+            common = nbr[i] & nbr[j]
+            if common:
+                exp[(i, j)] = (len(common),
+                               len(common) / len(nbr[i] | nbr[j]))
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) < 1e-12
+
+
+def test_neighbor_jaccard_capped_pairs_keep_true_degrees(spark):
+    """max_degree prunes wedge ENUMERATION through hubs but the
+    denominator keeps true degrees — surviving scores stay exact."""
+    from fashion_knowledge_graph_spark.operators.graph import (
+        neighbor_jaccard,
+    )
+    # hub 0 connects 1..4; chain 1-2 exists; pivot 1 and 2 have deg 2
+    und = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
+    df = spark.createDataFrame(und, "src long, dst long")
+    capped = {(r["node_a"], r["node_b"]):
+              (r["common_neighbors"], r["jaccard"])
+              for r in neighbor_jaccard(df, max_degree=2).collect()}
+    # only wedges through deg≤2 pivots survive: pivot 1 → (0,2),
+    # pivot 2 → (0,1); their jaccard uses TRUE degrees
+    # deg(0)=4, deg(1)=deg(2)=2
+    assert capped == {(0, 1): (1, 1 / (4 + 2 - 1)),
+                      (0, 2): (1, 1 / (4 + 2 - 1))}
