@@ -2254,6 +2254,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         und = j6_cooccurrence_edges(spark, sf)
         return neighbor_jaccard(und, min_common=2)
 
+    def graph_walk_corpus(spark, sf):
+        # DeepWalk-style training-corpus generation: 1 deterministic
+        # (md5 arg-min) 3-hop walk per node over the co-purchase
+        # graph — reproducible skip-gram input, unrolled arg-min CTE
+        # oracle (operators/graph.py::deterministic_walks)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            deterministic_walks,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        return deterministic_walks(und, steps=3, walks_per_node=1)
+
     def graph_ppr_recs(spark, sf):
         # personalized PageRank (random-walk-with-restart) from the 5
         # smallest co-purchased products — rank = proximity to the
@@ -2382,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr_recs": graph_ppr_recs,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
+        "graph_walk_corpus": graph_walk_corpus,
         "kmeans_clusters": kmeans_clusters,
         "a_percentiles": a_percentiles,
         "j_salted_skew_join": j_salted_skew_join,
@@ -3802,6 +3814,37 @@ def oracle_sql() -> dict[str, str]:
         FROM com
         JOIN deg da ON node_a = da.node
         JOIN deg db ON node_b = db.node
+    """
+
+    # deterministic walks: 3 unrolled md5 arg-min hops; with
+    # walks_per_node=1, walk_id = start node
+    sql["graph_walk_corpus"] = """
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT src AS a, dst AS b FROM pairs),
+        adj AS (SELECT a AS cur, b AS nxt FROM und
+                UNION ALL SELECT b AS cur, a AS nxt FROM und),
+        w0 AS (SELECT DISTINCT cur AS walk_id, cur AS node FROM adj),
+        s1 AS (SELECT walk_id,
+                      min_by(nxt, md5(concat_ws(':', walk_id, 1,
+                                                node, nxt))) AS node
+               FROM w0 JOIN adj ON w0.node = adj.cur GROUP BY 1),
+        s2 AS (SELECT walk_id,
+                      min_by(nxt, md5(concat_ws(':', walk_id, 2,
+                                                node, nxt))) AS node
+               FROM s1 JOIN adj ON s1.node = adj.cur GROUP BY 1),
+        s3 AS (SELECT walk_id,
+                      min_by(nxt, md5(concat_ws(':', walk_id, 3,
+                                                node, nxt))) AS node
+               FROM s2 JOIN adj ON s2.node = adj.cur GROUP BY 1)
+        SELECT walk_id, 0 AS step, node FROM w0
+        UNION ALL SELECT walk_id, 1 AS step, node FROM s1
+        UNION ALL SELECT walk_id, 2 AS step, node FROM s2
+        UNION ALL SELECT walk_id, 3 AS step, node FROM s3
     """
 
     # personalized PageRank: same unrolled loop, teleport vector

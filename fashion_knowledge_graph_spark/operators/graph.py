@@ -409,3 +409,64 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_depth: int,
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def deterministic_walks(edges: DataFrame, steps: int,
+                        walks_per_node: int = 1,
+                        src: str = "src", dst: str = "dst") -> DataFrame:
+    """DeepWalk/node2vec-style random-walk corpus generation over an
+    UNDIRECTED (symmetrized) edge list → ``(walk_id, step, node)``
+    rows, ``walks_per_node`` walks of ``steps`` hops from every node
+    (step 0 is the start; a walk stops early only if its node is
+    isolated, which a symmetrized edge list precludes).
+
+    "Random" is a DETERMINISTIC hash choice: from node c at step t of
+    walk w, the next hop is the neighbor x minimizing
+    md5(w ':' t ':' c ':' x) — i.i.d.-uniform per (walk, step, node)
+    for hash purposes but fully reproducible, so (a) a re-run after a
+    failure regenerates byte-identical training corpora (the property
+    RNG-per-executor walks lose the moment partitioning changes), and
+    (b) a fixed step count is ANSI-SQL-replayable via arg-min CTEs —
+    the unrolled-iteration contract shared with ``pagerank``. md5
+    ties are impossible on distinct strings.
+
+    Scale shape per step: frontier ⋈ adjacency on the current node
+    (one narrow shuffle of (walk_id, cur) rows), min_by aggregate per
+    walk — |walks| rows carried, checkpointed so step t never replays
+    1..t-1. Corpus size is walks·steps rows ≫ |V|: at 100 TB the walk
+    table, not the graph, is the big output, and it streams to the
+    sink partitioned by walk_id with no global sort.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("a"),
+                        F.greatest(a, b).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    adj = und.select(F.col("a").alias("cur"), F.col("b").alias("nxt")) \
+        .unionByName(und.select(F.col("b").alias("cur"),
+                                F.col("a").alias("nxt"))) \
+        .localCheckpoint(eager=True)
+    nodes = adj.select(F.col("cur").alias("node")).distinct()
+    reps = nodes.sparkSession.range(walks_per_node) \
+        .select(F.col("id").alias("r"))
+    walks = nodes.crossJoin(F.broadcast(reps)) \
+        .select((F.col("node") * walks_per_node + F.col("r"))
+                .alias("walk_id"),
+                F.col("node").alias("cur"))
+    out = walks.select("walk_id", F.lit(0).alias("step"),
+                       F.col("cur").alias("node"))
+    frontier = walks.localCheckpoint(eager=True)
+    for t in range(1, steps + 1):
+        nxt = (frontier.join(adj, "cur")
+               .groupBy("walk_id")
+               .agg(F.min_by(
+                   "nxt",
+                   F.md5(F.concat_ws(
+                       ":", F.col("walk_id"), F.lit(t),
+                       F.col("cur"), F.col("nxt"))))
+                   .alias("cur"))
+               .localCheckpoint(eager=True))
+        out = out.unionByName(
+            nxt.select("walk_id", F.lit(t).alias("step"),
+                       F.col("cur").alias("node")))
+        frontier = nxt
+    return out

@@ -379,3 +379,48 @@ def test_neighbor_jaccard_capped_pairs_keep_true_degrees(spark):
     # deg(0)=4, deg(1)=deg(2)=2
     assert capped == {(0, 1): (1, 1 / (4 + 2 - 1)),
                       (0, 2): (1, 1 / (4 + 2 - 1))}
+
+
+def test_deterministic_walks_match_python(spark):
+    """Walk corpus vs a direct python replay of the md5 arg-min hop
+    rule — byte-identical reproducibility is the operator's whole
+    point, so the test IS the spec."""
+    import hashlib
+
+    from fashion_knowledge_graph_spark.operators.graph import (
+        deterministic_walks,
+    )
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = {(r["walk_id"], r["step"]): r["node"]
+           for r in deterministic_walks(df, steps=3,
+                                        walks_per_node=2).collect()}
+
+    nbr = {}
+    for u, v in und:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    exp = {}
+    for node in nbr:
+        for r in range(2):
+            w = node * 2 + r
+            cur = node
+            exp[(w, 0)] = cur
+            for t in range(1, 4):
+                cur = min(nbr[cur], key=lambda x: hashlib.md5(
+                    f"{w}:{t}:{cur}:{x}".encode()).hexdigest())
+                exp[(w, t)] = cur
+    assert got == exp
+
+
+def test_deterministic_walks_rerun_identical(spark):
+    """Two independent builds of the same corpus are row-identical
+    (the resumability property RNG-based walkers lose)."""
+    from fashion_knowledge_graph_spark.operators.graph import (
+        deterministic_walks,
+    )
+    und = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    df = spark.createDataFrame(und, "src long, dst long")
+    r1 = sorted(map(tuple, deterministic_walks(df, 2, 1).collect()))
+    r2 = sorted(map(tuple, deterministic_walks(df, 2, 1).collect()))
+    assert r1 == r2 and len(r1) == 4 * 3
