@@ -2265,6 +2265,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         und = j6_cooccurrence_edges(spark, sf)
         return deterministic_walks(und, steps=3, walks_per_node=1)
 
+    def graph_skipgram_pairs(spark, sf):
+        # skip-gram (center, context) training pairs from the walk
+        # corpus, window ±2 — the word2vec-over-walks input table
+        # (DeepWalk's second half). One self-join per walk_id (walks
+        # are 4 rows each: bounded fan-out, no skew), aggregated to
+        # (center, context, pair_count)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            deterministic_walks,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        w = deterministic_walks(und, steps=3, walks_per_node=1) \
+            .localCheckpoint(eager=True)
+        c = w.select("walk_id", F.col("step").alias("c_step"),
+                     F.col("node").alias("center"))
+        x = w.select("walk_id", F.col("step").alias("x_step"),
+                     F.col("node").alias("context"))
+        d = F.abs(F.col("c_step") - F.col("x_step"))
+        return (c.join(x, "walk_id")
+                .filter((d >= 1) & (d <= 2))
+                .groupBy("center", "context")
+                .agg(F.count(F.lit(1)).alias("pair_count")))
+
     def graph_ppr_recs(spark, sf):
         # personalized PageRank (random-walk-with-restart) from the 5
         # smallest co-purchased products — rank = proximity to the
@@ -2394,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
+        "graph_skipgram_pairs": graph_skipgram_pairs,
         "kmeans_clusters": kmeans_clusters,
         "a_percentiles": a_percentiles,
         "j_salted_skew_join": j_salted_skew_join,
@@ -3424,7 +3447,7 @@ def oracle_sql() -> dict[str, str]:
         bigp AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
                  FROM tkp, LATERAL unnest(range(1, len(tk))) AS t(i)),
         bc AS (SELECT w1, w2, count(*) AS c_ab FROM bigp
-               GROUP BY 1, 2 HAVING count(*) >= 3),
+               GROUP BY 1, 2 HAVING count(*) >= 5),
         nb AS (SELECT count(*) AS n_b FROM bigp)
         SELECT w1, w2, c_ab,
                round(ln((c_ab / n_b)
@@ -3845,6 +3868,43 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT walk_id, 1 AS step, node FROM s1
         UNION ALL SELECT walk_id, 2 AS step, node FROM s2
         UNION ALL SELECT walk_id, 3 AS step, node FROM s3
+    """
+
+    # skip-gram pairs: the walk CTEs above + one windowed self-join
+    sql["graph_skipgram_pairs"] = """
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT src AS a, dst AS b FROM pairs),
+        adj AS (SELECT a AS cur, b AS nxt FROM und
+                UNION ALL SELECT b AS cur, a AS nxt FROM und),
+        w0 AS (SELECT DISTINCT cur AS walk_id, cur AS node FROM adj),
+        s1 AS (SELECT walk_id,
+                      min_by(nxt, md5(concat_ws(':', walk_id, 1,
+                                                node, nxt))) AS node
+               FROM w0 JOIN adj ON w0.node = adj.cur GROUP BY 1),
+        s2 AS (SELECT walk_id,
+                      min_by(nxt, md5(concat_ws(':', walk_id, 2,
+                                                node, nxt))) AS node
+               FROM s1 JOIN adj ON s1.node = adj.cur GROUP BY 1),
+        s3 AS (SELECT walk_id,
+                      min_by(nxt, md5(concat_ws(':', walk_id, 3,
+                                                node, nxt))) AS node
+               FROM s2 JOIN adj ON s2.node = adj.cur GROUP BY 1),
+        corpus AS (
+          SELECT walk_id, 0 AS step, node FROM w0
+          UNION ALL SELECT walk_id, 1 AS step, node FROM s1
+          UNION ALL SELECT walk_id, 2 AS step, node FROM s2
+          UNION ALL SELECT walk_id, 3 AS step, node FROM s3)
+        SELECT c.node AS center, x.node AS context,
+               count(*) AS pair_count
+        FROM corpus c JOIN corpus x
+          ON c.walk_id = x.walk_id
+         AND abs(c.step - x.step) BETWEEN 1 AND 2
+        GROUP BY 1, 2
     """
 
     # personalized PageRank: same unrolled loop, teleport vector
