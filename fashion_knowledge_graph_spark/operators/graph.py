@@ -83,11 +83,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     else:
         seed_col = seeds.columns[0]
-        s = seeds.select(F.col(seed_col).alias("node")).distinct() \
-            .localCheckpoint(eager=True)
+        # intersect with the graph's node set BEFORE counting: a seed
+        # absent from the graph would otherwise inflate n_seeds while
+        # the left join below silently drops it from tele, leaving a
+        # teleport vector summing to <1 (rank mass leaks every
+        # iteration with no error)
+        s = (seeds.select(F.col(seed_col).alias("node")).distinct()
+             .join(nodes, "node", "left_semi")
+             .localCheckpoint(eager=True))
         n_seeds = s.count()
         if n_seeds == 0:
-            raise ValueError("personalized PageRank needs ≥1 seed")
+            raise ValueError(
+                "personalized PageRank needs ≥1 seed present in the graph")
         # teleport vector is node-sized and static: compute once,
         # checkpoint, reuse every iteration (seed membership is a
         # broadcastable semi-join at scale)
@@ -248,9 +255,16 @@ def neighbor_jaccard(edges: DataFrame, src: str = "src",
     the DuckDB replay is bit-identical.
 
     ``max_degree`` caps hub pivots exactly as in ``link_prediction``
-    (the deg² wedge explosion knob at 100 TB); capped pairs keep
-    their TRUE degrees in the denominator — only the wedge
-    *enumeration* is pruned, so surviving scores are exact.
+    (the deg² wedge explosion knob at 100 TB). Degrees in the
+    denominator stay TRUE degrees, but ``common_neighbors`` counts
+    only wedges through un-capped pivots — so for a pair that shares
+    BOTH a capped hub and a below-cap neighbor the intersection is
+    undercounted while the union is not, and the capped score is a
+    LOWER BOUND on the true Jaccard (exact only for pairs whose
+    common neighbors are all below the cap; pairs whose every common
+    neighbor is capped disappear entirely). That is the intended
+    trade: hub-mediated similarity ('both are black') is the
+    near-zero-signal term at 100 TB.
     """
     a, b = F.col(src), F.col(dst)
     und = (edges.select(F.least(a, b).alias("a"),

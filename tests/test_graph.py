@@ -362,13 +362,18 @@ def test_neighbor_jaccard_matches_python(spark):
         assert abs(got[k][1] - exp[k][1]) < 1e-12
 
 
-def test_neighbor_jaccard_capped_pairs_keep_true_degrees(spark):
-    """max_degree prunes wedge ENUMERATION through hubs but the
-    denominator keeps true degrees — surviving scores stay exact."""
+def test_neighbor_jaccard_capped_scores_are_lower_bounds(spark):
+    """max_degree prunes wedge ENUMERATION through hubs while the
+    denominator keeps TRUE degrees, so capped scores are a LOWER
+    BOUND on the true Jaccard: exact when every common neighbor of a
+    pair is below the cap, undercounted when the pair also shares a
+    capped hub (the hub wedge leaves the numerator, not the union)."""
     from fashion_knowledge_graph_spark.operators.graph import (
         neighbor_jaccard,
     )
-    # hub 0 connects 1..4; chain 1-2 exists; pivot 1 and 2 have deg 2
+    # pure-hub fixture: hub 0 connects 1..4; chain 1-2 exists;
+    # pivots 1 and 2 have deg 2 → surviving pairs share NO capped
+    # neighbor, scores exact
     und = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
     df = spark.createDataFrame(und, "src long, dst long")
     capped = {(r["node_a"], r["node_b"]):
@@ -379,6 +384,47 @@ def test_neighbor_jaccard_capped_pairs_keep_true_degrees(spark):
     # deg(0)=4, deg(1)=deg(2)=2
     assert capped == {(0, 1): (1, 1 / (4 + 2 - 1)),
                       (0, 2): (1, 1 / (4 + 2 - 1))}
+
+    # mixed fixture (the ADVICE counterexample): pair (1,2) shares
+    # capped hub 0 (deg 4) AND below-cap neighbor 5 (deg 2). True
+    # common=2, jaccard=2/(2+2-2)=1.0; capped drops the hub wedge →
+    # common=1, jaccard=1/(2+2-1)=1/3 — a strict lower bound, never
+    # reported as exact.
+    und2 = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 5), (2, 5)]
+    df2 = spark.createDataFrame(und2, "src long, dst long")
+    full2 = {(r["node_a"], r["node_b"]):
+             (r["common_neighbors"], r["jaccard"])
+             for r in neighbor_jaccard(df2).collect()}
+    cap2 = {(r["node_a"], r["node_b"]):
+            (r["common_neighbors"], r["jaccard"])
+            for r in neighbor_jaccard(df2, max_degree=2).collect()}
+    assert full2[(1, 2)] == (2, pytest.approx(1.0))
+    assert cap2[(1, 2)] == (1, pytest.approx(1 / 3))
+    # lower-bound property holds for every surviving pair
+    for k, (c, j) in cap2.items():
+        assert c <= full2[k][0] and j <= full2[k][1] + 1e-12
+
+
+def test_pagerank_seeds_outside_graph_do_not_leak_mass(spark):
+    """Seeds absent from the graph are intersected away BEFORE the
+    teleport vector is normalized — rank mass stays 1.0 instead of
+    leaking every iteration; an all-foreign seed set raises."""
+    from fashion_knowledge_graph_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    in_graph = spark.createDataFrame([(1,)], "node long")
+    mixed = spark.createDataFrame([(1,), (99,), (100,)], "node long")
+    r_in = {r["node"]: r["rank"]
+            for r in pagerank(df, seeds=in_graph, iterations=3).collect()}
+    r_mixed = {r["node"]: r["rank"]
+               for r in pagerank(df, seeds=mixed, iterations=3).collect()}
+    # foreign seeds 99/100 are dropped → identical result to seed {1}
+    assert r_mixed == pytest.approx(r_in)
+    assert sum(r_mixed.values()) == pytest.approx(1.0)
+    foreign = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="present in the graph"):
+        pagerank(df, seeds=foreign, iterations=1)
 
 
 def test_deterministic_walks_match_python(spark):
