@@ -2303,6 +2303,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       seeds=seeds)
         return pr.select("node", F.round("rank", 9).alias("rank"))
 
+    def graph_clustering_coeff(spark, sf):
+        # local clustering coefficient over the co-purchase graph:
+        # triangle counts (degree-ordered orientation, O(m^1.5) wedge
+        # bound) joined to true degrees; deg≥2 nodes with zero
+        # triangles kept at coeff 0 via left join — the integer-
+        # derived divide replays bit-exactly
+        # (operators/graph.py::clustering_coefficient)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            clustering_coefficient,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        return clustering_coefficient(und)
+
+    def graph_sssp_weighted(spark, sf):
+        # fixed-round multi-source Bellman-Ford (min-plus relaxation)
+        # from the 5 smallest products over the symmetrized
+        # co-purchase graph; INTEGER weights keep every path total an
+        # exact BIGINT, unrolled-CTE oracle
+        # (operators/graph.py::shortest_paths)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            shortest_paths,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        e = und.select("src", "dst", "weight").unionByName(
+            und.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"), "weight"))
+        seeds = und.select(F.col("src").alias("node")).distinct() \
+            .orderBy("node").limit(5)
+        return shortest_paths(e, seeds, rounds=3, weight="weight")
+
+    def graph_hits_bipartite(spark, sf):
+        # HITS hubs/authorities (Kleinberg) over the DIRECTED
+        # supplier→part supply graph — ids prefixed ('s…'/'p…') to
+        # keep the two key spaces disjoint; 2 L1-normalized
+        # iterations, unrolled-CTE oracle (operators/graph.py::hits)
+        from fashion_knowledge_graph_spark.operators.graph import hits
+        li = _load(spark, sf, "lineitem")
+        e = li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst")) \
+            .distinct()
+        h = hits(e, iterations=2)
+        return h.select("node", F.round("hub", 6).alias("hub"),
+                        F.round("authority", 6).alias("authority"))
+
+    def sketch_kmv_distinct(spark, sf):
+        # KMV (k-minimum-values) distinct-cardinality sketch per
+        # (returnflag, status): estimate (k−1)·2^60/h_(k) on the
+        # portable 60-bit md5 lane, exact count alongside so the
+        # estimation error is visible; groups under k distinct stay
+        # exact (operators/sketches.py::kmv_distinct)
+        from fashion_knowledge_graph_spark.operators.sketches import (
+            kmv_distinct,
+        )
+        return kmv_distinct(_load(spark, sf, "lineitem"),
+                            ["l_returnflag", "l_linestatus"],
+                            "l_partkey", k=64)
+
+    def sketch_cms_bigrams(spark, sf):
+        # count-min frequency sketch over token BIGRAMS (≈vocab²
+        # terms vs width 256 → real collisions): the d×w bucket
+        # table is the ENTIRE shuffle — constant-size regardless of
+        # vocabulary; exact counts ride along to expose the
+        # overestimate (operators/sketches.py::cms_term_counts)
+        from fashion_knowledge_graph_spark.operators.sketches import (
+            cms_term_counts,
+        )
+        from pyspark.sql import Window
+        docs = _load(spark, sf, "documents") \
+            .filter(F.col("text").isNotNull())
+        toks = docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok")) \
+            .filter(F.col("tok") != "")
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        bigrams = (toks
+                   .select("tok", F.lead("tok", 1).over(w).alias("nxt"))
+                   .filter(F.col("nxt").isNotNull())
+                   .select(F.concat_ws(" ", "tok", "nxt").alias("term")))
+        return cms_term_counts(bigrams, depth=4, width=256)
+
+    def domain_mix_temperature(spark, sf):
+        # α=0.7 temperature-scaled sampling weights per source (the
+        # mBERT/XLM-R tail-upsampling recipe) + expected draws for a
+        # 10k budget — one partial-agg pass over the corpus, then
+        # dim-sized arithmetic (operators/sampling.py::
+        # temperature_weights)
+        from fashion_knowledge_graph_spark.operators.sampling import (
+            temperature_weights,
+        )
+        docs = _load(spark, sf, "documents")
+        t = temperature_weights(docs, "source", alpha=0.7, budget=10000)
+        return t.select("source", "n_docs",
+                        F.round("weight", 6).alias("weight"),
+                        "expected_docs")
+
+    def emb_pca_project(spark, sf):
+        # distributed PCA: covariance from ONE mapInArrow moment
+        # pass (d²+d+1 doubles per partition — treeAggregate shape,
+        # no vector ever shuffles), driver-side power iteration on
+        # the d×d matrix, second map pass projects (x−μ)·v; the
+        # oracle replays covariance + 3 normalize-multiply rounds
+        # relationally (operators/clustering.py::pca_project)
+        from fashion_knowledge_graph_spark.operators.clustering import (
+            pca_project,
+        )
+        return pca_project(_load(spark, sf, "embeddings"),
+                           "vec_id", "embedding", iterations=3)
+
+    def events_markov_transitions(spark, sf):
+        # first-order Markov transition matrix over per-user event
+        # sequences: one lead window on the engine-wide (ts,
+        # event_id) total order + row-normalized counts — the
+        # next-action sequence-model feature
+        # (operators/temporal.py::markov_transitions)
+        from fashion_knowledge_graph_spark.operators.temporal import (
+            markov_transitions,
+        )
+        t = markov_transitions(_load(spark, sf, "events"))
+        return t.select("from_state", "to_state", "n",
+                        F.round("p", 6).alias("p"))
+
+    def text_char_entropy(spark, sf):
+        # per-doc character Shannon entropy (bits) — the degenerate-
+        # text detector (padding/base64/mojibake) complementing the
+        # ratio-rule quality gate; explode + two partial-agg'd
+        # groupBys, pure codegen (functions/text.py::char_entropy)
+        from fashion_knowledge_graph_spark.functions.text import (
+            char_entropy,
+        )
+        docs = _load(spark, sf, "documents") \
+            .filter(F.col("text").isNotNull())
+        return char_entropy(docs)
+
     return {
         "p2_anti_join": p2_anti_join,
         "j1_broadcast_enrich": j1_broadcast_enrich,
@@ -2413,6 +2547,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "graph_lpa_communities": graph_lpa_communities,
         "graph_ppr_recs": graph_ppr_recs,
+        "graph_clustering_coeff": graph_clustering_coeff,
+        "graph_sssp_weighted": graph_sssp_weighted,
+        "graph_hits_bipartite": graph_hits_bipartite,
+        "sketch_kmv_distinct": sketch_kmv_distinct,
+        "sketch_cms_bigrams": sketch_cms_bigrams,
+        "domain_mix_temperature": domain_mix_temperature,
+        "emb_pca_project": emb_pca_project,
+        "events_markov_transitions": events_markov_transitions,
+        "text_char_entropy": text_char_entropy,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -3946,6 +4089,245 @@ def oracle_sql() -> dict[str, str]:
         + ppr_iter.format(K=3, P=2) + """
         SELECT node, round(rank, 9) AS rank FROM it3
     """)
+
+    # local clustering coefficient: canonical-order triangle replay
+    # (each x<y<z triangle found once) + true degrees, deg≥2 nodes
+    # with zero triangles kept via LEFT JOIN
+    sql["graph_clustering_coeff"] = """
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT src AS a, dst AS b FROM pairs),
+        adj AS (SELECT a AS z, b AS x FROM und
+                UNION ALL SELECT b AS z, a AS x FROM und),
+        deg AS (SELECT z AS node, count(*) AS deg FROM adj GROUP BY 1),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1 JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        tcnt AS (
+          SELECT node, count(*) AS triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) GROUP BY 1)
+        SELECT d.node, d.deg,
+               coalesce(t.triangles, 0) AS triangles,
+               coalesce(t.triangles, 0)::DOUBLE * 2.0
+                 / (d.deg::DOUBLE * (d.deg - 1)::DOUBLE) AS coeff
+        FROM deg d LEFT JOIN tcnt t USING (node)
+        WHERE d.deg >= 2
+    """
+
+    # Bellman-Ford min-plus relaxation, 3 unrolled rounds; BIGINT
+    # path totals (integer weights — no float summation hazard)
+    ss_iter = """
+        it{K} AS (SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM it{P}
+            UNION ALL
+            SELECT e.dst AS node, p.dist + e.w AS dist
+            FROM it{P} p JOIN e ON e.src = p.node) GROUP BY 1)"""
+    sql["graph_sssp_weighted"] = ("""
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT src, dst, w FROM pairs
+              UNION ALL SELECT dst, src, w FROM pairs),
+        seeds AS (SELECT node FROM (
+          SELECT DISTINCT src AS node FROM pairs
+          ORDER BY node LIMIT 5)),
+        it0 AS (SELECT node, 0::BIGINT AS dist FROM seeds),"""
+        + ss_iter.format(K=1, P=0) + ","
+        + ss_iter.format(K=2, P=1) + ","
+        + ss_iter.format(K=3, P=2) + """
+        SELECT node, dist FROM it3
+    """)
+
+    # HITS: 2 unrolled iterations, L1 normalization each half-step,
+    # disjoint 's…'/'p…' id spaces on the supplier→part supply graph
+    hits_iter = """
+        a{K}r AS (SELECT e.dst AS node, sum(h{P}.hub) AS authority
+                  FROM e JOIN h{P} ON h{P}.node = e.src GROUP BY 1),
+        a{K}t AS (SELECT sum(authority) AS t FROM a{K}r),
+        a{K} AS (SELECT n.node,
+                        coalesce(r.authority, 0.0) / a{K}t.t
+                          AS authority
+                 FROM nodes n LEFT JOIN a{K}r r USING (node)
+                 CROSS JOIN a{K}t),
+        h{K}r AS (SELECT e.src AS node, sum(a{K}.authority) AS hub
+                  FROM e JOIN a{K} ON a{K}.node = e.dst GROUP BY 1),
+        h{K}t AS (SELECT sum(hub) AS t FROM h{K}r),
+        h{K} AS (SELECT n.node, coalesce(r.hub, 0.0) / h{K}t.t AS hub
+                 FROM nodes n LEFT JOIN h{K}r r USING (node)
+                 CROSS JOIN h{K}t)"""
+    sql["graph_hits_bipartite"] = ("""
+        WITH e AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                                   'p' || l_partkey AS dst
+                   FROM lineitem),
+        nodes AS (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        h0 AS (SELECT node, 1.0 / nn.n AS hub
+               FROM nodes CROSS JOIN nn),"""
+        + hits_iter.format(K=1, P=0) + ","
+        + hits_iter.format(K=2, P=1) + """
+        SELECT h2.node, round(h2.hub, 6) AS hub,
+               round(a2.authority, 6) AS authority
+        FROM h2 JOIN a2 USING (node)
+    """)
+
+    # KMV distinct sketch: identical 60-bit lane, window rank, and
+    # (k−1)·2^60/h_(k) estimate; 1152921504606846976 = 2^60
+    sql["sketch_kmv_distinct"] = """
+        WITH hashed AS (
+          SELECT DISTINCT l_returnflag, l_linestatus,
+                 ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                                 1, 15))::BIGINT AS h
+          FROM lineitem WHERE l_partkey IS NOT NULL),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY l_returnflag, l_linestatus
+            ORDER BY h) AS rn
+          FROM hashed),
+        per_group AS (
+          SELECT l_returnflag, l_linestatus,
+                 count(*) AS n_distinct_exact,
+                 max(CASE WHEN rn = 64 THEN h END) AS kth
+          FROM ranked GROUP BY 1, 2)
+        SELECT l_returnflag, l_linestatus, n_distinct_exact,
+               round(CASE WHEN kth IS NULL
+                     THEN CAST(n_distinct_exact AS DOUBLE)
+                     ELSE 63.0 * 1152921504606846976.0
+                          / CAST(kth AS DOUBLE) END, 4)
+                 AS n_distinct_kmv
+        FROM per_group
+    """
+
+    # count-min over token bigrams: same 60-bit lane mod 256, depth 4
+    sql["sketch_cms_bigrams"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1)
+                   AS pos
+          FROM documents WHERE text IS NOT NULL),
+        toks2 AS (SELECT doc_id, tok, pos FROM toks WHERE tok <> ''),
+        bigrams AS (
+          SELECT tok || ' ' || lead(tok) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS term,
+                 lead(tok) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS nxt
+          FROM toks2),
+        terms AS (SELECT term FROM bigrams WHERE nxt IS NOT NULL),
+        depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        cells AS (
+          SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                        || term), 1, 15))::BIGINT
+                      % 256 AS bucket
+          FROM terms, depths),
+        bucket_counts AS (
+          SELECT d, bucket, count(*) AS bucket_n
+          FROM cells GROUP BY 1, 2),
+        exact AS (SELECT term, count(*) AS n_exact
+                  FROM terms GROUP BY 1),
+        probes AS (
+          SELECT term, d,
+                 ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                     || term), 1, 15))::BIGINT
+                   % 256 AS bucket
+          FROM exact, depths),
+        est AS (SELECT term, min(bucket_n) AS n_cms
+                FROM probes JOIN bucket_counts USING (d, bucket)
+                GROUP BY term)
+        SELECT term, n_exact, n_cms FROM exact JOIN est USING (term)
+    """
+
+    # temperature mixing weights: n^0.7 normalized + 10k budget
+    sql["domain_mix_temperature"] = """
+        WITH counts AS (
+          SELECT source, count(*) AS n_docs
+          FROM documents GROUP BY 1),
+        p AS (SELECT source, n_docs,
+                     pow(CAST(n_docs AS DOUBLE), 0.7) AS pp
+              FROM counts),
+        t AS (SELECT sum(pp) AS tot FROM p)
+        SELECT source, n_docs,
+               round(pp / tot, 6) AS weight,
+               round(pp / tot * 10000.0, 6) AS expected_docs
+        FROM p CROSS JOIN t
+    """
+
+    # distributed PCA: double-unnest covariance, 3 unrolled
+    # power-iteration rounds (it0 = uniform 1/√64), per-row
+    # projection (x−μ)·v
+    pca_iter = """
+        it{K}r AS (SELECT cov.i, sum(cov.c * p.v) AS w
+                   FROM cov JOIN it{P} p ON p.i = cov.j GROUP BY 1),
+        it{K}n AS (SELECT sqrt(sum(w * w)) AS nrm FROM it{K}r),
+        it{K} AS (SELECT i, w / nrm AS v
+                  FROM it{K}r CROSS JOIN it{K}n)"""
+    sql["emb_pca_project"] = ("""
+        WITH el AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding)::DOUBLE AS x
+          FROM embeddings),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        mu AS (SELECT i, sum(x) / nn.n AS mu
+               FROM el CROSS JOIN nn GROUP BY i, nn.n),
+        cov AS (
+          SELECT a.i AS i, b.i AS j,
+                 sum(a.x * b.x) / nn.n - ma.mu * mb.mu AS c
+          FROM el a JOIN el b USING (vec_id) CROSS JOIN nn
+          JOIN mu ma ON ma.i = a.i JOIN mu mb ON mb.i = b.i
+          GROUP BY a.i, b.i, nn.n, ma.mu, mb.mu),
+        it0 AS (SELECT i, 1.0 / sqrt(64.0) AS v
+                FROM range(1, 65) t(i)),"""
+        + pca_iter.format(K=1, P=0) + ","
+        + pca_iter.format(K=2, P=1) + ","
+        + pca_iter.format(K=3, P=2) + """
+        SELECT el.vec_id,
+               round(sum((el.x - mu.mu) * it3.v), 6) AS pc1
+        FROM el JOIN mu USING (i) JOIN it3 USING (i)
+        GROUP BY el.vec_id
+    """)
+
+    # Markov transition matrix: lead window + row-normalized counts
+    sql["events_markov_transitions"] = """
+        WITH pairs AS (
+          SELECT event_type AS from_state,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_state
+          FROM events),
+        counts AS (SELECT from_state, to_state, count(*) AS n
+                   FROM pairs WHERE to_state IS NOT NULL
+                   GROUP BY 1, 2)
+        SELECT from_state, to_state, n,
+               round(n::DOUBLE / sum(n) OVER (
+                 PARTITION BY from_state), 6) AS p
+        FROM counts
+    """
+
+    # char entropy: H = −Σ n_c·log2(n_c)/n + log2(n) (same algebraic
+    # form as the Spark plan so the float path is identical)
+    sql["text_char_entropy"] = """
+        WITH chars AS (
+          SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text))) AS i
+                FROM documents WHERE text IS NOT NULL)),
+        freq AS (SELECT doc_id, ch, count(*) AS n_c
+                 FROM chars WHERE ch <> '' GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(n_c) AS BIGINT) AS n_chars,
+               round((-sum(n_c * log2(n_c::DOUBLE))) / sum(n_c)
+                     + log2(sum(n_c)::DOUBLE), 6) AS entropy
+        FROM freq GROUP BY doc_id
+    """
 
     # LPA: 3 unrolled synchronous rounds, exact BIGINT weight tallies,
     # max-weight/min-label adoption — over the same co-purchase graph

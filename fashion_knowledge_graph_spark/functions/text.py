@@ -300,3 +300,36 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 20,
     return (per_doc.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(F.col("id").alias(id_col), "score", "rank"))
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy →
+    ``(id_col, n_chars, entropy)`` in bits; NULL/empty text rows are
+    dropped (the engine-wide null-text contract).
+
+    H = −Σ_c (n_c/n)·log2(n_c/n) over the document's character
+    frequencies — the cheap degenerate-text signal (mojibake,
+    repeated-character padding, base64 blobs score far from prose's
+    ~4.1 bits) used alongside the Gopher-style ratio rules in
+    ``quality_score``.
+
+    Plan: explode to (doc, char) rows, two partial-agg'd groupBys —
+    all JVM codegen, no UDF; the per-doc sum spans ≤ |alphabet|
+    terms so the float drift is orders under the round-6 contract.
+    """
+    chars = (df.select(id_col, F.explode(F.split(text_col, ""))
+                       .alias("ch"))
+             .filter(F.col("ch") != ""))
+    freq = chars.groupBy(id_col, "ch").agg(
+        F.count(F.lit(1)).alias("n_c"))
+    return (freq.groupBy(id_col)
+            .agg(F.sum("n_c").alias("n_chars"),
+                 (-F.sum(F.col("n_c")
+                         * F.log2(F.col("n_c").cast("double"))))
+                 .alias("__s"))
+            .select(id_col, "n_chars",
+                    F.round(
+                        F.col("__s") / F.col("n_chars")
+                        + F.log2(F.col("n_chars").cast("double")), 6)
+                    .alias("entropy")))

@@ -96,3 +96,80 @@ def kmeans_assign(df: DataFrame, id_col: str = "vec_id",
     return src.mapInArrow(
         _dists_kernel(centroids, id_col, vec_col, "assign"), out_schema) \
         .select(id_col, "cluster", F.round("dist", 6).alias("dist"))
+
+
+def pca_project(df: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                iterations: int = 3) -> DataFrame:
+    """Distributed PCA: project every vector onto the top principal
+    component → ``(id_col, pc1)``.
+
+    Same treeAggregate shape as k-means — the corpus is touched by
+    exactly TWO map passes, no shuffle ever carries a vector:
+
+    1. one ``mapInArrow`` pass emits per-batch moment partials
+       (n, Σx, Σxxᵀ flattened — d²+d+1 doubles per PARTITION, scale-
+       independent) that combine on the driver into the covariance
+       C = Σxxᵀ/n − μμᵀ;
+    2. the top eigenvector comes from ``iterations`` driver-side
+       power-iteration steps on the d×d C (a few KB of numpy — the
+       same driver-resident-model economics as k-means centroids),
+       started from the uniform 1/√d vector so the sign and path are
+       deterministic;
+    3. a second map pass emits (x−μ)·v per row.
+
+    The SQL oracle replays the identical math relationally (double
+    unnest covariance + unrolled normalize-multiply CTEs); both
+    engines drift only by summation order (~1e-12 relative), far
+    under the round-6 output contract — the kmeans precedent.
+    """
+    src = df.select(id_col, vec_col)
+    import pyarrow as pa
+
+    def moments(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            x = np.asarray(rb.column(vec_col).to_pylist(),
+                           dtype=np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([len(x)], pa.int64()),
+                 pa.array([x.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+                 pa.array([(x.T @ x).ravel().tolist()],
+                          pa.list_(pa.float64()))],
+                names=["n", "sx", "sxx"])
+
+    parts = src.mapInArrow(
+        moments, "n long, sx array<double>, sxx array<double>").collect()
+    n = float(sum(r["n"] for r in parts))
+    d = len(parts[0]["sx"])
+    sx = np.zeros(d)
+    sxx = np.zeros((d, d))
+    for r in parts:
+        sx += np.asarray(r["sx"])
+        sxx += np.asarray(r["sxx"]).reshape(d, d)
+    mu = sx / n
+    cov = sxx / n - np.outer(mu, mu)
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iterations):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+
+    mu_l, v_l = mu.tolist(), v.tolist()
+
+    def project(batches):
+        m = np.asarray(mu_l)
+        vv = np.asarray(v_l)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            x = np.asarray(rb.column(vec_col).to_pylist(),
+                           dtype=np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(id_col),
+                 pa.array(((x - m) @ vv).tolist(), pa.float64())],
+                names=[id_col, "pc1"])
+
+    return src.mapInArrow(project, f"{id_col} long, pc1 double") \
+        .select(id_col, F.round("pc1", 6).alias("pc1"))

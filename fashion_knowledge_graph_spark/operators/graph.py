@@ -188,6 +188,136 @@ def triangle_counts(edges: DataFrame, src: str = "src",
         F.count(F.lit(1)).alias("triangles"))
 
 
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """Local clustering coefficient over an undirected edge list →
+    ``(node, deg, triangles, coeff)`` for every node with deg ≥ 2.
+
+    coeff(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — the fraction of a
+    node's neighbor pairs that are themselves connected (Watts &
+    Strogatz 1998); the graph-health metric that separates clique-ish
+    attribute communities from hub-and-spoke stars.
+
+    Composition, not re-derivation: triangle counts come from
+    ``triangle_counts`` (degree-ordered orientation, O(m^1.5) wedge
+    bound) and degrees from one partial-agg'd count; nodes with
+    deg ≥ 2 and zero triangles are kept with coeff 0 (a left join —
+    dropping them would bias the mean coefficient upward). The divide
+    is integer-derived, so the SQL replay is bit-identical.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    tri = triangle_counts(e, src="a", dst="b")
+    return (deg.filter(F.col("deg") >= 2)
+            .join(tri, "node", "left")
+            .select("node", "deg",
+                    F.coalesce(F.col("triangles"), F.lit(0))
+                    .alias("triangles"),
+                    (F.coalesce(F.col("triangles"), F.lit(0))
+                     .cast("double") * 2.0
+                     / (F.col("deg").cast("double")
+                        * (F.col("deg") - 1).cast("double")))
+                    .alias("coeff")))
+
+
+def shortest_paths(edges: DataFrame, seeds: DataFrame, rounds: int,
+                   src: str = "src", dst: str = "dst",
+                   weight: str | None = None) -> DataFrame:
+    """Fixed-round multi-source weighted shortest paths (Bellman-Ford
+    relaxation) over a DIRECTED edge list → ``(node, dist)`` =
+    minimum total edge weight from any seed, among paths of ≤
+    ``rounds`` hops (unreached nodes absent; symmetrize the input for
+    undirected semantics).
+
+    Each round is one min-plus relaxation:
+    dist_{t+1}(v) = min(dist_t(v), min_{u→v} dist_t(u) + w(u,v)) —
+    the iterative join-aggregate twin of ``pagerank``'s weighted-sum
+    round, and ``bfs_distances`` is exactly this with w ≡ 1. A fixed
+    round count keeps the result deterministic and replayable as
+    unrolled CTEs. INTEGER weights keep every path total an exact
+    BIGINT — no float summation hazard between engines; ties between
+    equal-cost paths are value-ties, so min() is unambiguous.
+
+    Scale shape per round: dists ⋈ edges on src (narrow (node, dist)
+    rows, broadcast when the reached set is small), partial-agg'd
+    min per dst, full-outer-ish merge via union + min groupBy —
+    |E| rows shuffled per round, dists checkpointed so round t never
+    replays 1..t-1.
+    """
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(F.col(src).alias("e_src"),
+                     F.col(dst).alias("e_dst"), w.alias("w")) \
+        .localCheckpoint(eager=True)
+    node_col = seeds.columns[0]
+    dists = seeds.select(F.col(node_col).alias("node"),
+                         F.lit(0).cast("long").alias("dist")) \
+        .distinct().localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = (dists.join(e, dists["node"] == e["e_src"])
+                   .select(F.col("e_dst").alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dists = (dists.unionByName(relaxed)
+                 .groupBy("node").agg(F.min("dist").alias("dist"))
+                 .localCheckpoint(eager=True))
+    return dists
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iterations: int = 3) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED
+    edge list → ``(node, hub, authority)``, L1-normalized each
+    half-step, fixed iterations.
+
+    a_{t+1}(v) = Σ_{u→v} h_t(u) then normalize;
+    h_{t+1}(u) = Σ_{u→v} a_{t+1}(v) then normalize.
+    L1 normalization (sum = 1) instead of the textbook L2 keeps the
+    per-iteration scalar a plain SUM — the same single-number driver
+    round-trip as ``pagerank``'s dangling mass — and the fixpoint
+    direction is identical (normalization only rescales). Fixed
+    iterations ⇒ deterministic, unrolled-CTE-replayable; callers
+    round before hashing (float sums reorder across engines).
+
+    Scale shape per half-step: scores ⋈ edges + partial-agg groupBy —
+    two |E|-row shuffles per iteration; score vectors are narrow
+    (node, double) rows, checkpointed per iteration. Nodes with no
+    in-edges (out-edges) keep authority (hub) = 0 via the left join
+    against the full node set.
+    """
+    e = edges.select(F.col(src).alias("e_src"),
+                     F.col(dst).alias("e_dst")) \
+        .localCheckpoint(eager=True)
+    nodes = (e.select(F.col("e_src").alias("node"))
+             .unionByName(e.select(F.col("e_dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    hubs = nodes.select("node", F.lit(1.0 / n).alias("hub"))
+    for _ in range(iterations):
+        auth_raw = (hubs.join(e, hubs["node"] == e["e_src"])
+                    .groupBy(F.col("e_dst").alias("node"))
+                    .agg(F.sum("hub").alias("authority")))
+        a_tot = auth_raw.agg(F.sum("authority")).first()[0]
+        auths = (nodes.join(auth_raw, "node", "left")
+                 .select("node",
+                         (F.coalesce(F.col("authority"), F.lit(0.0))
+                          / F.lit(a_tot)).alias("authority"))
+                 .localCheckpoint(eager=True))
+        hub_raw = (auths.join(e, auths["node"] == e["e_dst"])
+                   .groupBy(F.col("e_src").alias("node"))
+                   .agg(F.sum("authority").alias("hub")))
+        h_tot = hub_raw.agg(F.sum("hub")).first()[0]
+        hubs = (nodes.join(hub_raw, "node", "left")
+                .select("node",
+                        (F.coalesce(F.col("hub"), F.lit(0.0))
+                         / F.lit(h_tot)).alias("hub"))
+                .localCheckpoint(eager=True))
+    return hubs.join(auths, "node").select("node", "hub", "authority")
+
+
 def link_prediction(edges: DataFrame, src: str = "src",
                     dst: str = "dst",
                     max_degree: int | None = None) -> DataFrame:

@@ -112,3 +112,40 @@ def weighted_sample_k(df: DataFrame, key_col: str, weight_col: str,
     return (out.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .drop("__es_key", "__rn"))
+
+
+def temperature_weights(df: DataFrame, domain_col: str,
+                        alpha: float = 0.7,
+                        budget: int | None = None) -> DataFrame:
+    """Temperature-scaled domain mixing weights →
+    ``(domain_col, n_docs, weight[, expected_docs])``.
+
+    w_i = n_i^α / Σ_j n_j^α — the multilingual/multi-domain sampling
+    rule (α < 1 upsamples the tail, α = 1 is proportional, α = 0 is
+    uniform; the mBERT/XLM-R exponential-smoothing recipe, Conneau &
+    Lample 2019). With ``budget`` the expected per-domain draw
+    count ``budget · w_i`` rides along — the number a downstream
+    ``domain_sample`` pass would be configured with.
+
+    Plan: one partial-agg'd count per domain (the only pass over the
+    data), then a broadcast of the domain-sized count table against
+    its own scalar total — at 100 TB the big table is touched once;
+    everything after is dim-sized. pow() is libm-identical across
+    engines; callers round before hashing regardless.
+    """
+    # dim-sized after the agg — checkpoint so the scalar-total branch
+    # below doesn't re-scan the (100 TB) base table a second time
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs")).localCheckpoint(eager=True)
+    powed = counts.select(
+        domain_col, "n_docs",
+        F.pow(F.col("n_docs").cast("double"), F.lit(alpha)).alias("__p"))
+    tot = powed.agg(F.sum("__p").alias("__tot"))
+    out = powed.crossJoin(F.broadcast(tot)).select(
+        domain_col, "n_docs",
+        (F.col("__p") / F.col("__tot")).alias("weight"))
+    if budget is not None:
+        out = out.withColumn(
+            "expected_docs",
+            F.round(F.col("weight") * F.lit(float(budget)), 6))
+    return out

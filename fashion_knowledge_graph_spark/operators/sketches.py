@@ -1,0 +1,131 @@
+"""Deterministic cardinality / frequency sketches as DataFrame plans.
+
+Both sketches here use the same portable 60-bit hash lane the dedup
+family standardized on — ``conv(substr(md5(x), 1, 15), 16, 10)`` — so
+every estimate is bit-replayable in ANSI SQL (DuckDB parses the same
+prefix with ``('0x' || substr(md5(x),1,15))::BIGINT``), which is what
+makes them driver-oracle-checkable. 15 hex chars = 60 bits: fits an
+int64 with headroom, uniform enough for sketch guarantees.
+
+Why sketches in a 100 TB engine: the exact forms (count distinct,
+per-term counts) shuffle one row per distinct VALUE; the sketches
+shuffle one row per (group, slot) — a constant-size summary that
+partial-aggregates map-side and merges associatively, which is the
+difference between a vocabulary-sized exchange and a KB-sized one.
+
+KMV (k minimum values, Bar-Yossef et al. 2002): keep the k smallest
+hashes of the distinct values; with kth smallest = h_(k) on a hash
+space of size 2^60, estimate |D| ≈ (k-1) · 2^60 / h_(k).
+
+Count-min (Cormode & Muthukrishnan 2005): d independent hash rows of
+w buckets; every occurrence increments one bucket per row;
+est(x) = min over rows of its bucket — an overestimate with
+ε = e/w error at δ = e^-d confidence.
+
+Reference parity: the reference has no sketches (it counts its 3,127
+products exactly); these are the scale extensions the north rule's
+10^12-doc corpus needs for vocabulary / per-source cardinality stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(2 ** 60)  # 15 hex chars
+
+
+def _h60(col):
+    """Portable 60-bit uniform hash of a string column (md5 prefix)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
+                 k: int = 64) -> DataFrame:
+    """Per-group KMV distinct-count estimate →
+    ``(group_cols..., n_distinct_exact, n_distinct_kmv)``.
+
+    The k smallest hashes per group are found with one window over the
+    DISTINCT (group, hash) rows; groups with fewer than k distinct
+    values report their exact count (the sketch is lossless below k —
+    that's the standard small-set short-circuit). The exact count
+    rides along from the same distinct pass so callers (and the
+    oracle) can see the estimation error directly.
+
+    Scale note: this demo form shuffles the distinct values once (the
+    same exchange exact COUNT DISTINCT pays) because a window is the
+    portable way to express "k smallest per group"; the production
+    form at 10^12 docs is the associative merge — per-partition
+    k-smallest arrays merged pairwise (a custom Aggregator JVM-side,
+    or ``slice(array_sort(array_union(a, b)), 1, k)`` as a reduce) —
+    whose exchange is k int64s per group regardless of cardinality.
+    The ESTIMATE is identical either way (same k smallest hashes), so
+    correctness pins this plan and the merge form stays a physical
+    swap.
+
+    Estimate arithmetic is done in doubles: (k-1) · 2^60 / h_(k).
+    h_(k) can exceed 2^53 so the int64→double conversion rounds, but
+    IEEE nearest-rounding is engine-independent — the SQL replay is
+    bit-identical.
+    """
+    g = [F.col(c) for c in group_cols]
+    hashed = (df.select(*g, F.col(value_col).alias("__v"))
+              .filter(F.col("__v").isNotNull())
+              .distinct()
+              .select(*g, _h60(F.col("__v")).alias("__h")))
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    ranked = hashed.select(*g, "__h",
+                           F.row_number().over(w).alias("__rn"))
+    per_group = (ranked.groupBy(*group_cols)
+                 .agg(F.count(F.lit(1)).alias("n_distinct_exact"),
+                      F.max(F.when(F.col("__rn") == k, F.col("__h")))
+                      .alias("__kth")))
+    est = F.when(
+        F.col("__kth").isNull(),
+        F.col("n_distinct_exact").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE)
+        / F.col("__kth").cast("double"))
+    return per_group.select(
+        *group_cols, "n_distinct_exact",
+        F.round(est, 4).alias("n_distinct_kmv"))
+
+
+def cms_term_counts(tokens: DataFrame, term_col: str = "term",
+                    depth: int = 4, width: int = 512) -> DataFrame:
+    """Count-min frequency estimates for every distinct term →
+    ``(term, n_exact, n_cms)`` with the CMS guarantee
+    ``n_cms ≥ n_exact`` (collisions only ever ADD).
+
+    ``tokens`` is one row per token occurrence. The sketch itself is
+    the (depth × width) bucket table: one partial-aggregating groupBy
+    whose output is depth·width rows TOTAL — at 10^12 docs that is
+    the entire shuffle (a few KB), vs the vocabulary-sized exchange
+    of an exact count. Bucket row d for term t is
+    ``h60(d || ':' || t) mod width``.
+
+    The exact counts ride along for error inspection (and the
+    oracle); in production they'd be dropped and only probe terms
+    would join the broadcast bucket table.
+    """
+    t = tokens.select(F.col(term_col).alias("term")) \
+        .filter(F.col("term").isNotNull())
+    rows = F.array([F.lit(d) for d in range(depth)])
+    # one row per (occurrence, depth): explode BEFORE aggregating so
+    # the groupBy partial-aggregates map-side straight to d·w cells
+    cells = t.select(
+        "term", F.explode(rows).alias("d")).select(
+        "d",
+        F.pmod(_h60(F.concat_ws(":", F.col("d"), F.col("term"))),
+               F.lit(width)).alias("bucket"))
+    bucket_counts = cells.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_n"))
+    exact = t.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.select(
+        "term", F.explode(rows).alias("d")).select(
+        "term", "d",
+        F.pmod(_h60(F.concat_ws(":", F.col("d"), F.col("term"))),
+               F.lit(width)).alias("bucket"))
+    est = (probes.join(F.broadcast(bucket_counts), ["d", "bucket"])
+           .groupBy("term").agg(F.min("bucket_n").alias("n_cms")))
+    return exact.join(est, "term").select("term", "n_exact", "n_cms")

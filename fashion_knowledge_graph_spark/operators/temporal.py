@@ -254,3 +254,35 @@ def funnel(events: DataFrame, steps: list[str], by: str = "user_id",
                .groupBy(by, *prev_cols)
                .agg(F.min("__ok").alias(f"t{k}")))
     return cur
+
+
+def markov_transitions(events: DataFrame, by: str = "user_id",
+                       ts: str = "ts", state: str = "event_type",
+                       tie: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences → ``(from_state, to_state, n, p)``.
+
+    Each key's events are ordered by (ts, tie) — the deterministic
+    total order every window op in this engine uses — consecutive
+    pairs come from one ``lead`` window (no self-join), and
+    p = n(from→to) / Σ_to' n(from→to') row-normalizes the counts.
+    The sequence-model feature extractor (next-action prediction,
+    session anomaly scoring) over the events stream.
+
+    Scale: ONE shuffle on the key (the window sort), then a
+    partial-agg'd groupBy on (from, to) — |states|² output rows.
+    The probability divide is integer-derived, bit-replayable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(ts, tie)
+    pairs = (events
+             .select(F.col(state).alias("from_state"),
+                     F.lead(state, 1).over(w).alias("to_state"))
+             .filter(F.col("to_state").isNotNull()))
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state", "to_state", "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"))

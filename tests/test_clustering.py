@@ -66,3 +66,53 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert len(out) == 10
     assert all(np.isfinite(r["dist"]) for r in out)
     assert {r["cluster"] for r in out} == {0, 1}
+
+
+def test_pca_project_matches_numpy(spark):
+    """PCA projection vs a straight numpy replay of the same
+    covariance + 3 power-iteration steps."""
+    import numpy as np
+
+    from fashion_knowledge_graph_spark.operators.clustering import (
+        pca_project,
+    )
+
+    rng = np.random.RandomState(7)
+    d = 8
+    base = rng.randn(60, d) * np.array([5.0, 2.0] + [0.3] * (d - 2))
+    rows = [(i, base[i].tolist()) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["pc1"]
+           for r in pca_project(df, iterations=3).collect()}
+
+    mu = base.mean(axis=0)
+    cov = (base.T @ base) / len(base) - np.outer(mu, mu)
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(3):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    exp = (base - mu) @ v
+    for i in range(len(base)):
+        assert got[i] == pytest.approx(round(float(exp[i]), 6), abs=1e-6)
+    # the dominant synthetic axis carries most variance: the spread of
+    # pc1 must dwarf the per-dim noise scale
+    assert np.std(list(got.values())) > 3.0
+
+
+def test_pca_project_partition_invariance(spark):
+    """Same projections regardless of partitioning — the moment
+    partials must merge associatively."""
+    import numpy as np
+
+    from fashion_knowledge_graph_spark.operators.clustering import (
+        pca_project,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(6).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r["vec_id"]: r["pc1"] for r in pca_project(df).collect()}
+    b = {r["vec_id"]: r["pc1"]
+         for r in pca_project(df.repartition(11)).collect()}
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=2e-6)

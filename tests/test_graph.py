@@ -470,3 +470,92 @@ def test_deterministic_walks_rerun_identical(spark):
     r1 = sorted(map(tuple, deterministic_walks(df, 2, 1).collect()))
     r2 = sorted(map(tuple, deterministic_walks(df, 2, 1).collect()))
     assert r1 == r2 and len(r1) == 4 * 3
+
+
+def test_clustering_coefficient_matches_python(spark):
+    """Local clustering coefficient vs a direct python replay:
+    coeff = 2·T(v)/(deg·(deg−1)); deg≥2 nodes with zero triangles
+    are KEPT at coeff 0 (left join, not inner)."""
+    from fashion_knowledge_graph_spark.operators.graph import (
+        clustering_coefficient,
+    )
+    # triangle 1-2-3 + pendant path 3-4-5 (node 4 has deg 2, 0 tris)
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = {r["node"]: (r["deg"], r["triangles"], r["coeff"])
+           for r in clustering_coefficient(df).collect()}
+    nbr = {}
+    for u, v in und:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    exp = {}
+    for v, ns in nbr.items():
+        d = len(ns)
+        if d < 2:
+            continue
+        tri = sum(1 for a in ns for b in ns
+                  if a < b and b in nbr[a])
+        exp[v] = (d, tri, 2.0 * tri / (d * (d - 1)))
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0] and got[k][1] == exp[k][1]
+        assert got[k][2] == pytest.approx(exp[k][2], abs=1e-12)
+    assert got[4] == (2, 0, 0.0)   # zero-triangle node kept
+
+
+def test_shortest_paths_matches_python(spark):
+    """Fixed-round Bellman-Ford vs a python replay; integer weights,
+    directed edges, multi-source min."""
+    from fashion_knowledge_graph_spark.operators.graph import (
+        shortest_paths,
+    )
+    edges = [(1, 2, 4), (2, 3, 1), (1, 3, 10), (3, 4, 2), (4, 1, 1),
+             (5, 1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    for rounds in (1, 2, 3):
+        got = {r["node"]: r["dist"]
+               for r in shortest_paths(df, seeds, rounds,
+                                       weight="w").collect()}
+        exp = {1: 0, 5: 0}
+        for _ in range(rounds):
+            nxt = dict(exp)
+            for u, v, w in edges:
+                if u in exp:
+                    nxt[v] = min(nxt.get(v, 1 << 60), exp[u] + w)
+            exp = nxt
+        assert got == exp
+    # rounds=3 already sees the cheap 1→2→3 path beat direct 1→3
+    got3 = {r["node"]: r["dist"]
+            for r in shortest_paths(df, seeds, 3, weight="w").collect()}
+    assert got3[3] == 5
+
+
+def test_hits_matches_python(spark):
+    """HITS hubs/authorities vs a python replay with L1
+    normalization each half-step."""
+    from fashion_knowledge_graph_spark.operators.graph import hits
+    edges = [(1, 3), (2, 3), (1, 4), (3, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(df, iterations=3).collect()}
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    h = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(3):
+        a = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            a[v] += h[u]
+        tot = sum(a.values())
+        a = {v: x / tot for v, x in a.items()}
+        h = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            h[u] += a[v]
+        tot = sum(h.values())
+        h = {v: x / tot for v, x in h.items()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v][0] == pytest.approx(h[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(a[v], abs=1e-12)
+    # L1 invariants: both columns sum to 1
+    assert sum(x for x, _ in got.values()) == pytest.approx(1.0)
+    assert sum(y for _, y in got.values()) == pytest.approx(1.0)

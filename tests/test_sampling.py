@@ -125,3 +125,41 @@ def test_weighted_sample_k_grouped_and_zero_weight(spark):
         assert r["k"] >= 4            # zero-weight rows never sampled
     assert sorted(per) == ["a", "b"]
     assert all(len(v) == 3 for v in per.values())
+
+
+def test_temperature_weights_matches_python(spark):
+    from fashion_knowledge_graph_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    rows = [("web",)] * 100 + [("code",)] * 25 + [("books",)] * 4
+    df = spark.createDataFrame(rows, "domain string")
+    got = {r["domain"]: (r["n_docs"], r["weight"], r["expected_docs"])
+           for r in temperature_weights(df, "domain", alpha=0.7,
+                                        budget=1000).collect()}
+    counts = {"web": 100, "code": 25, "books": 4}
+    tot = sum(c ** 0.7 for c in counts.values())
+    for d, c in counts.items():
+        w = c ** 0.7 / tot
+        assert got[d][0] == c
+        assert got[d][1] == pytest.approx(w, abs=1e-12)
+        assert got[d][2] == pytest.approx(round(w * 1000.0, 6), abs=1e-9)
+    # weights sum to 1; α<1 upsamples the tail relative to proportional
+    assert sum(w for _, w, _ in got.values()) == pytest.approx(1.0)
+    assert got["books"][1] > 4 / 129
+    assert got["web"][1] < 100 / 129
+
+
+def test_temperature_weights_alpha_extremes(spark):
+    from fashion_knowledge_graph_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    rows = [("a",)] * 30 + [("b",)] * 10
+    df = spark.createDataFrame(rows, "domain string")
+    prop = {r["domain"]: r["weight"]
+            for r in temperature_weights(df, "domain", alpha=1.0).collect()}
+    assert prop["a"] == pytest.approx(0.75) and prop["b"] == pytest.approx(0.25)
+    unif = {r["domain"]: r["weight"]
+            for r in temperature_weights(df, "domain", alpha=0.0).collect()}
+    assert unif["a"] == pytest.approx(0.5) and unif["b"] == pytest.approx(0.5)

@@ -1,0 +1,72 @@
+"""KMV / count-min sketches vs pure-python replays of the same
+portable 60-bit md5 hash lane."""
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fashion_knowledge_graph_spark.operators.sketches import (
+    HASH_SPACE, cms_term_counts, kmv_distinct,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_estimate_matches_python_and_is_close(spark):
+    rows = [(("g%d" % (i % 3)), "v%d" % (i % 200)) for i in range(900)]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    got = {r["grp"]: (r["n_distinct_exact"], r["n_distinct_kmv"])
+           for r in kmv_distinct(df, ["grp"], "val", k=32).collect()}
+    for g in ("g0", "g1", "g2"):
+        vals = sorted({_h60(v) for gg, v in rows if gg == g})
+        exact = len(vals)
+        est = exact if exact < 32 else round(31 * HASH_SPACE / vals[31], 4)
+        assert got[g][0] == exact
+        assert got[g][1] == pytest.approx(est, abs=1e-4)
+        # k=32 ⇒ σ ≈ 1/√32 ≈ 18%; allow 3σ
+        assert abs(got[g][1] - exact) / exact < 0.55
+
+
+def test_kmv_small_groups_are_exact(spark):
+    rows = [("a", "x"), ("a", "y"), ("a", "x"), ("b", "z")]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    got = {r["grp"]: (r["n_distinct_exact"], r["n_distinct_kmv"])
+           for r in kmv_distinct(df, ["grp"], "val", k=8).collect()}
+    assert got == {"a": (2, 2.0), "b": (1, 1.0)}
+
+
+def test_cms_overestimates_and_matches_python(spark):
+    """Tiny width forces collisions: every estimate ≥ exact, and the
+    bucket arithmetic replays the python CMS exactly."""
+    rows = [("t%02d" % (i % 25),) for i in range(500)]
+    df = spark.createDataFrame(rows, "term string")
+    got = {r["term"]: (r["n_exact"], r["n_cms"])
+           for r in cms_term_counts(df, depth=3, width=4).collect()}
+
+    exact = {}
+    for (t,) in rows:
+        exact[t] = exact.get(t, 0) + 1
+    buckets = {}
+    for t, c in exact.items():
+        for d in range(3):
+            b = _h60(f"{d}:{t}") % 4
+            buckets[(d, b)] = buckets.get((d, b), 0) + c
+    exp = {t: (c, min(buckets[(d, _h60(f"{d}:{t}") % 4)]
+                      for d in range(3)))
+           for t, c in exact.items()}
+    assert got == exp
+    assert all(cms >= ex for ex, cms in got.values())
+    # width 4 with 25 terms MUST collide somewhere
+    assert any(cms > ex for ex, cms in got.values())
+
+
+def test_cms_wide_sketch_is_exact_on_small_vocab(spark):
+    rows = [("alpha",)] * 5 + [("beta",)] * 3 + [("gamma",)] * 1
+    df = spark.createDataFrame(rows, "term string")
+    got = {r["term"]: (r["n_exact"], r["n_cms"])
+           for r in cms_term_counts(df, depth=4, width=512).collect()}
+    assert got == {"alpha": (5, 5), "beta": (3, 3), "gamma": (1, 1)}

@@ -163,3 +163,59 @@ def test_funnel_rejects_single_step(spark):
     ev = spark.createDataFrame([(1,)], "user_id int")
     with pytest.raises(ValueError):
         funnel(ev, ["view"])
+
+
+def test_markov_transitions_matches_python(spark):
+    from fashion_knowledge_graph_spark.operators.temporal import (
+        markov_transitions,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    seqs = {1: ["view", "click", "view", "purchase"],
+            2: ["view", "view", "click"],
+            3: ["click"]}
+    eid = 0
+    for u, seq in seqs.items():
+        for i, s in enumerate(seq):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, s))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r["from_state"], r["to_state"]): (r["n"], r["p"])
+           for r in markov_transitions(df).collect()}
+
+    cnt = {}
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    frm = {}
+    for (a, _b), n in cnt.items():
+        frm[a] = frm.get(a, 0) + n
+    exp = {k: (n, n / frm[k[0]]) for k, n in cnt.items()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert got[k][1] == pytest.approx(exp[k][1], abs=1e-12)
+    # single-event user 3 contributes no transition; rows sum to 1
+    assert ("click", None) not in got
+    for a in frm:
+        assert sum(p for (x, _), (_, p) in got.items() if x == a) \
+            == pytest.approx(1.0)
+
+
+def test_markov_transitions_tie_break_is_deterministic(spark):
+    """Equal timestamps fall back to the event_id tie-break."""
+    from fashion_knowledge_graph_spark.operators.temporal import (
+        markov_transitions,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(2, t0, 1, "b"), (1, t0, 1, "a"), (3, t0, 1, "c")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r["from_state"], r["to_state"]) for r in
+           markov_transitions(df).collect()}
+    assert got == {("a", "b"), ("b", "c")}

@@ -257,3 +257,29 @@ def test_bm25_matches_python_reference(spark):
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     assert got == [(i, s, r + 1) for r, (i, s) in enumerate(want)]
     assert 5 not in {g[0] for g in got}     # no query term, no row
+
+
+def test_char_entropy_matches_python(spark):
+    import math
+
+    from fashion_knowledge_graph_spark.functions.text import char_entropy
+
+    rows = [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, None), (5, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chars"], r["entropy"])
+           for r in char_entropy(df).collect()}
+    assert 4 not in got                      # null text dropped
+
+    def h(s):
+        n = len(s)
+        freq = {}
+        for c in s:
+            freq[c] = freq.get(c, 0) + 1
+        return round(-sum(m / n * math.log2(m / n)
+                          for m in freq.values()), 6)
+
+    assert got[1] == (4, 0.0)                # constant string
+    assert got[2] == (4, 1.0)                # two equiprobable chars
+    assert got[3] == (4, h("abcd"))          # uniform: log2(4) = 2
+    assert got[3][1] == pytest.approx(2.0)
+    assert got[5] == (1, 0.0)
