@@ -2437,6 +2437,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("text").isNotNull())
         return char_entropy(docs)
 
+    def sketch_histogram_quantiles(spark, sf):
+        # mergeable fixed-range histogram quantile sketch: 128 cells
+        # per group IS the whole shuffle, estimates = first bin whose
+        # cumulative count reaches ceil(q·n); exact interpolated
+        # percentiles ride along to expose the error
+        # (operators/sketches.py::histogram_quantiles)
+        from fashion_knowledge_graph_spark.operators.sketches import (
+            histogram_quantiles,
+        )
+        return histogram_quantiles(
+            _load(spark, sf, "lineitem"), ["l_returnflag"],
+            "l_extendedprice", lo=0.0, hi=110000.0, bins=128,
+            quantiles=(0.5, 0.95))
+
+    def events_time_decay(spark, sf):
+        # exponentially time-decayed engagement per user (0.95/day
+        # against a FIXED reference date — reproducible feature
+        # snapshots, never now()): pure codegen projection + one
+        # partial-agg'd groupBy
+        # (operators/temporal.py::time_decay_agg)
+        from fashion_knowledge_graph_spark.operators.temporal import (
+            time_decay_agg,
+        )
+        return time_decay_agg(_load(spark, sf, "events"))
+
     return {
         "p2_anti_join": p2_anti_join,
         "j1_broadcast_enrich": j1_broadcast_enrich,
@@ -2556,6 +2581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project": emb_pca_project,
         "events_markov_transitions": events_markov_transitions,
         "text_char_entropy": text_char_entropy,
+        "sketch_histogram_quantiles": sketch_histogram_quantiles,
+        "events_time_decay": events_time_decay,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -4327,6 +4354,51 @@ def oracle_sql() -> dict[str, str]:
                round((-sum(n_c * log2(n_c::DOUBLE))) / sum(n_c)
                      + log2(sum(n_c)::DOUBLE), 6) AS entropy
         FROM freq GROUP BY doc_id
+    """
+
+    # histogram quantile sketch: width = 110000/128 = 859.375 exactly;
+    # estimate = midpoint of first bin with cum ≥ ceil(q·n)
+    sql["sketch_histogram_quantiles"] = """
+        WITH cells AS (
+          SELECT l_returnflag,
+                 CAST(least(greatest(floor(
+                   (l_extendedprice - 0.0) / 859.375), 0), 127)
+                   AS INTEGER) AS bin,
+                 count(*) AS c
+          FROM lineitem GROUP BY 1, 2),
+        cum AS (
+          SELECT l_returnflag, bin,
+                 sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY l_returnflag) AS n
+          FROM cells),
+        ests AS (
+          SELECT l_returnflag,
+                 CAST(max(n) AS BIGINT) AS n,
+                 0.0 + (min(CASE WHEN cum >= ceil(n * 0.5)
+                            THEN bin END) + 0.5) * 859.375 AS q50_est,
+                 0.0 + (min(CASE WHEN cum >= ceil(n * 0.95)
+                            THEN bin END) + 0.5) * 859.375 AS q95_est
+          FROM cum GROUP BY 1),
+        exact AS (
+          SELECT l_returnflag,
+                 round(quantile_cont(l_extendedprice, 0.5), 6)
+                   AS q50_exact,
+                 round(quantile_cont(l_extendedprice, 0.95), 6)
+                   AS q95_exact
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, n, q50_est, q95_est, q50_exact, q95_exact
+        FROM ests JOIN exact USING (l_returnflag)
+    """
+
+    # time-decayed engagement: integer day diff vs the fixed ref date
+    sql["events_time_decay"] = """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value * pow(0.95,
+                 CAST(date_diff('day', CAST(ts AS DATE),
+                                DATE '2024-02-01') AS DOUBLE))), 6)
+                 AS decayed_value
+        FROM events GROUP BY 1
     """
 
     # LPA: 3 unrolled synchronous rounds, exact BIGINT weight tallies,

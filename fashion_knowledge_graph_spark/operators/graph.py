@@ -55,10 +55,24 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # otherwise re-execute once per consumer
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
                      w.alias("w")).localCheckpoint(eager=True)
-    nodes = (e.select(F.col("e_src").alias("node"))
-             .unionByName(e.select(F.col("e_dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
-    n = nodes.count()
+    # node set + dangling flag in ONE partial-agg'd pass (src rows
+    # carry has_out=1, dst rows 0, max per node), ONE checkpoint, and
+    # both scalars (n, n_dang) in ONE agg job — the round-3 shape
+    # spent 4 setup jobs (nodes ckpt + count, dangling ckpt + count)
+    # on the same information; at local job-floor ~0.2 s each that was
+    # pure launch overhead, and at cluster scale it was two extra
+    # passes over the node set
+    nodes_meta = (e.select(F.col("e_src").alias("node"),
+                           F.lit(1).alias("has_out"))
+                  .unionByName(e.select(F.col("e_dst").alias("node"),
+                                        F.lit(0).alias("has_out")))
+                  .groupBy("node").agg(F.max("has_out").alias("has_out"))
+                  .localCheckpoint(eager=True))
+    n, n_dang = nodes_meta.agg(
+        F.count(F.lit(1)),
+        F.sum(F.lit(1) - F.col("has_out"))).first()
+    nodes = nodes_meta.select("node")
+    dang_nodes = nodes_meta.filter(F.col("has_out") == 0).select("node")
     outw = e.groupBy("e_src").agg(F.sum("w").alias("outw"))
     # static per-edge transition share w(u,v)/outw(u): join ONCE
     # outside the loop (the round-1 shape re-joined outw every
@@ -68,13 +82,6 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
               .select("e_src", F.col("e_dst").alias("node"),
                       (F.col("w") / F.col("outw")).alias("share"))
               .localCheckpoint(eager=True))
-    # dangling node SET is static — compute once; when empty (every
-    # node has out-edges, e.g. symmetrized graphs) the per-iteration
-    # dangling-mass job is skipped entirely
-    dang_nodes = nodes.join(
-        e.select(F.col("e_src").alias("node")).distinct(),
-        "node", "left_anti").localCheckpoint(eager=True)
-    n_dang = dang_nodes.count()
 
     if seeds is None:
         # uniform teleport: keep the literal form — the per-node tele
@@ -83,27 +90,29 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     else:
         seed_col = seeds.columns[0]
-        # intersect with the graph's node set BEFORE counting: a seed
-        # absent from the graph would otherwise inflate n_seeds while
-        # the left join below silently drops it from tele, leaving a
-        # teleport vector summing to <1 (rank mass leaks every
-        # iteration with no error)
-        s = (seeds.select(F.col(seed_col).alias("node")).distinct()
-             .join(nodes, "node", "left_semi")
-             .localCheckpoint(eager=True))
-        n_seeds = s.count()
-        if n_seeds == 0:
+        # flag seed membership on the (checkpointed) node set in ONE
+        # pass; seeds absent from the graph simply never match, so
+        # counting is_seed intersects BEFORE normalizing — a foreign
+        # seed can no longer shrink the teleport vector's sum below 1
+        # and silently leak rank mass every iteration. One checkpoint
+        # + one scalar agg replaces the round-3 shape's three setup
+        # jobs (seed ckpt + count + tele ckpt).
+        seed_set = (seeds.select(F.col(seed_col).alias("node"))
+                    .distinct().withColumn("__s", F.lit(1)))
+        flagged = (nodes.join(seed_set, "node", "left")
+                   .select("node",
+                           F.coalesce(F.col("__s"), F.lit(0))
+                           .alias("is_seed"))
+                   .localCheckpoint(eager=True))
+        n_seeds = flagged.agg(F.sum("is_seed")).first()[0]
+        if not n_seeds:
             raise ValueError(
                 "personalized PageRank needs ≥1 seed present in the graph")
-        # teleport vector is node-sized and static: compute once,
-        # checkpoint, reuse every iteration (seed membership is a
-        # broadcastable semi-join at scale)
-        tele_df = (nodes.join(s.withColumn("__s", F.lit(1)),
-                              "node", "left")
-                   .select("node",
-                           (F.coalesce(F.col("__s"), F.lit(0))
-                            / F.lit(float(n_seeds))).alias("tele"))
-                   .localCheckpoint(eager=True))
+        # teleport vector is a pure projection of the checkpointed
+        # flag column — static, reused every iteration
+        tele_df = flagged.select(
+            "node",
+            (F.col("is_seed") / F.lit(float(n_seeds))).alias("tele"))
         ranks = tele_df.select("node", F.col("tele").alias("rank"))
     for _ in range(iterations):
         dangling = 0.0 if n_dang == 0 else (

@@ -129,3 +129,60 @@ def cms_term_counts(tokens: DataFrame, term_col: str = "term",
     est = (probes.join(F.broadcast(bucket_counts), ["d", "bucket"])
            .groupBy("term").agg(F.min("bucket_n").alias("n_cms")))
     return exact.join(est, "term").select("term", "n_exact", "n_cms")
+
+
+def histogram_quantiles(df: DataFrame, group_cols: list[str],
+                        value_col: str, lo: float, hi: float,
+                        bins: int = 128,
+                        quantiles: tuple = (0.5, 0.95)) -> DataFrame:
+    """Per-group quantile estimates from a fixed-range equi-width
+    histogram sketch → ``(group_cols..., n, q<P>_est, q<P>_exact...)``.
+
+    The sketch is the (group, bin) count table: ``bins`` cells per
+    group REGARDLESS of row count — fully mergeable (counts add), one
+    partial-aggregating groupBy, which is why fixed-bin histograms
+    are the classic streaming/distributed quantile structure (the
+    t-digest/KLL trade: those adapt bin edges for unbounded domains;
+    fixed edges keep this exactly SQL-replayable). Estimate for
+    quantile q = midpoint of the first bin whose cumulative count
+    reaches ceil(q·n); out-of-range values clamp to the edge bins
+    (the caller owns [lo, hi) — same contract as
+    ``functions/zorder.bucketize``).
+
+    Exact interpolated percentiles ride along (one extra agg over
+    the same pass shape) so the estimation error is visible — the
+    same error-transparency convention as ``kmv_distinct``.
+    """
+    g = [F.col(c) for c in group_cols]
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(lo))
+                           / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1)).cast("int")
+    cells = (df.select(*g, b.alias("bin"))
+             .groupBy(*group_cols, "bin")
+             .agg(F.count(F.lit(1)).alias("c")))
+    wcum = Window.partitionBy(*group_cols).orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(*group_cols)
+    cum = cells.select(
+        *group_cols, "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"))
+    est_aggs = [F.first("n").alias("n")]
+    for q in quantiles:
+        tag = f"q{int(round(q * 100)):02d}"
+        est_aggs.append(
+            (F.lit(lo) + (F.min(F.when(
+                F.col("cum") >= F.ceil(F.col("n") * F.lit(q)),
+                F.col("bin"))) + F.lit(0.5)) * F.lit(width))
+            .alias(f"{tag}_est"))
+    ests = cum.groupBy(*group_cols).agg(*est_aggs)
+    exact_aggs = []
+    pct = F.expr(
+        f"percentile({value_col}, array({', '.join(str(q) for q in quantiles)}))")
+    for i, q in enumerate(quantiles):
+        tag = f"q{int(round(q * 100)):02d}"
+        exact_aggs.append(F.round(pct[i], 6).alias(f"{tag}_exact"))
+    exact = df.groupBy(*group_cols).agg(*exact_aggs)
+    return ests.join(exact, group_cols)

@@ -286,3 +286,34 @@ def markov_transitions(events: DataFrame, by: str = "user_id",
     return counts.select(
         "from_state", "to_state", "n",
         (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"))
+
+
+def time_decay_agg(events: DataFrame, by: str = "user_id",
+                   ts: str = "ts", value: str = "value",
+                   ref_date: str = "2024-02-01",
+                   daily_decay: float = 0.95) -> DataFrame:
+    """Exponentially time-decayed engagement per key →
+    ``(by, n_events, decayed_value)`` with
+    decayed = Σ value·decay^(days before ref_date).
+
+    The recency-weighted feature every ranking/recommendation
+    pipeline derives from an event log (yesterday's purchase counts
+    ~20× more than last month's at 0.95/day). The reference date is
+    an explicit parameter, NOT now(): feature snapshots must be
+    reproducible — rerunning the pipeline tomorrow over the same
+    events yields the same training table (the determinism contract
+    shared with ``operators/sampling.py``).
+
+    Plan: pure codegen projection (integer day diff → pow) feeding
+    one partial-agg'd groupBy — scan-speed at 100 TB. The day diff
+    is date-granular and the decay an integer-exponent pow, so both
+    engines compute identical doubles; the Σ is the only
+    order-sensitive term (callers round at 6).
+    """
+    days = F.datediff(F.lit(ref_date).cast("date"),
+                      F.col(ts).cast("date"))
+    contrib = F.col(value) * F.pow(F.lit(daily_decay),
+                                   days.cast("double"))
+    return (events.groupBy(by)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(contrib), 6).alias("decayed_value")))

@@ -493,3 +493,62 @@ def test_market_basket_broadcasts_counts_not_pairs(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pca_moment_pass_has_no_exchange(spark):
+    """pca_project's covariance comes from pure map partials: the
+    moments stage must show one MapInArrow and ZERO exchanges — no
+    vector ever rides a shuffle."""
+    import re
+
+    import numpy as np
+    import pyarrow  # noqa: F401 — kernel dependency, fail loud here
+
+    from fashion_knowledge_graph_spark.operators import clustering as cl
+
+    rng = np.random.RandomState(0)
+    rows = [(i, rng.randn(6).tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # the returned projection plan is scan → MapInArrow → project;
+    # the internal moments pass has the same shape (audited here via
+    # the output plan — both must stay exchange-free)
+    out = cl.pca_project(df)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"\(\d+\) MapInArrow", plan)) == 1, plan
+
+
+def test_cms_bucket_aggregate_is_partial_and_broadcast(spark):
+    """cms_term_counts: the d×w bucket table must partial-aggregate
+    (map-side combine — the sketch's entire point) and join back as a
+    BroadcastExchange, never a shuffle join on the bucket table."""
+    from fashion_knowledge_graph_spark.operators.sketches import (
+        cms_term_counts,
+    )
+
+    df = spark.createDataFrame([("t%d" % (i % 7),) for i in range(100)],
+                               "term string")
+    plan = _plan(cms_term_counts(df, depth=2, width=8))
+    assert "partial_count" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_markov_reuses_one_partitioning_for_window_and_agg(spark):
+    """markov_transitions: exactly one user-keyed shuffle feeds the
+    lead window; the (from,to) count partial-aggregates after it."""
+    import datetime as dt
+
+    from fashion_knowledge_graph_spark.operators.temporal import (
+        markov_transitions,
+    )
+
+    rows = [(i, dt.datetime(2026, 1, 1, 0, i % 60), i % 5, "e%d" % (i % 3))
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    plan = _plan(markov_transitions(df))
+    assert "partial_count" in plan, plan
+    # shuffles: window-by-user, groupBy(from,to), window-by-from —
+    # none may carry the raw ts/event_id after the lead projection
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 3, plan

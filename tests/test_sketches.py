@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from fashion_knowledge_graph_spark.operators.sketches import (
-    HASH_SPACE, cms_term_counts, kmv_distinct,
+    HASH_SPACE, cms_term_counts, histogram_quantiles, kmv_distinct,
 )
 
 
@@ -70,3 +70,41 @@ def test_cms_wide_sketch_is_exact_on_small_vocab(spark):
     got = {r["term"]: (r["n_exact"], r["n_cms"])
            for r in cms_term_counts(df, depth=4, width=512).collect()}
     assert got == {"alpha": (5, 5), "beta": (3, 3), "gamma": (1, 1)}
+
+
+def test_histogram_quantiles_matches_python(spark):
+    """Sketch estimate = midpoint of the first bin reaching ceil(q·n),
+    replayed directly in python; error bounded by one bin width."""
+    rows = [("g", float(i)) for i in range(1, 101)]   # 1..100 uniform
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = histogram_quantiles(df, ["grp"], "v", lo=0.0, hi=100.0,
+                              bins=10, quantiles=(0.5, 0.9)).collect()[0]
+    # bins of width 10; value v lands in bin min(floor(v/10), 9)
+    import math
+    binned = [min(int(v // 10), 9) for _, v in rows]
+    n = len(binned)
+    for q, est_col in ((0.5, "q50_est"), (0.9, "q90_est")):
+        target = math.ceil(q * n)
+        cum, pick = 0, None
+        for b in range(10):
+            cum += sum(1 for x in binned if x == b)
+            if cum >= target and pick is None:
+                pick = b
+        exp = 0.0 + (pick + 0.5) * 10.0
+        assert got[est_col] == pytest.approx(exp, abs=1e-9)
+        # within one bin width of the exact quantile
+        assert abs(got[est_col] - got[est_col.replace("_est", "_exact")]) \
+            <= 10.0
+    assert got["n"] == n
+
+
+def test_histogram_quantiles_clamps_out_of_range(spark):
+    """Values outside [lo, hi) clamp to the edge bins instead of
+    raising or disappearing."""
+    rows = [("g", -50.0)] * 5 + [("g", 500.0)] * 5
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = histogram_quantiles(df, ["grp"], "v", lo=0.0, hi=100.0,
+                              bins=10, quantiles=(0.5,)).collect()[0]
+    assert got["n"] == 10
+    # median target falls in the low clamp bin (bin 0 midpoint 5.0)
+    assert got["q50_est"] == pytest.approx(5.0)

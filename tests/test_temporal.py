@@ -219,3 +219,26 @@ def test_markov_transitions_tie_break_is_deterministic(spark):
     got = {(r["from_state"], r["to_state"]) for r in
            markov_transitions(df).collect()}
     assert got == {("a", "b"), ("b", "c")}
+
+
+def test_time_decay_agg_matches_python(spark):
+    from fashion_knowledge_graph_spark.operators.temporal import (
+        time_decay_agg,
+    )
+    import datetime as dt
+
+    rows = [(1, dt.datetime(2024, 1, 31, 12, 0), 1, "view", 10.0),
+            (2, dt.datetime(2024, 1, 1, 0, 0), 1, "view", 10.0),
+            (3, dt.datetime(2024, 1, 31, 23, 59), 2, "view", 4.0)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double")
+    got = {r["user_id"]: (r["n_events"], r["decayed_value"])
+           for r in time_decay_agg(df).collect()}
+    # day diffs vs 2024-02-01 are date-granular: 1 and 31 days
+    exp1 = 10.0 * 0.95 ** 1 + 10.0 * 0.95 ** 31
+    assert got[1] == (2, pytest.approx(round(exp1, 6), abs=1e-9))
+    assert got[2] == (1, pytest.approx(round(4.0 * 0.95, 6), abs=1e-9))
+    # recency dominates: yesterday's 10 outweighs month-old 10
+    assert 10.0 * 0.95 ** 1 > 10.0 * 0.95 ** 31 * 4
