@@ -306,24 +306,29 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     n = nodes.count()
     hubs = nodes.select("node", F.lit(1.0 / n).alias("hub"))
     for _ in range(iterations):
+        # checkpoint the RAW sums (the |E|-row join-aggregate — the
+        # half-step's only heavy job) so the normalization total and
+        # the normalized projection both read the materialized rows;
+        # normalizing lazily (a dim-sized left join) instead of
+        # checkpointing it halves the heavy executions per half-step
         auth_raw = (hubs.join(e, hubs["node"] == e["e_src"])
                     .groupBy(F.col("e_dst").alias("node"))
-                    .agg(F.sum("hub").alias("authority")))
+                    .agg(F.sum("hub").alias("authority"))
+                    .localCheckpoint(eager=True))
         a_tot = auth_raw.agg(F.sum("authority")).first()[0]
         auths = (nodes.join(auth_raw, "node", "left")
                  .select("node",
                          (F.coalesce(F.col("authority"), F.lit(0.0))
-                          / F.lit(a_tot)).alias("authority"))
-                 .localCheckpoint(eager=True))
+                          / F.lit(a_tot)).alias("authority")))
         hub_raw = (auths.join(e, auths["node"] == e["e_dst"])
                    .groupBy(F.col("e_src").alias("node"))
-                   .agg(F.sum("authority").alias("hub")))
+                   .agg(F.sum("authority").alias("hub"))
+                   .localCheckpoint(eager=True))
         h_tot = hub_raw.agg(F.sum("hub")).first()[0]
         hubs = (nodes.join(hub_raw, "node", "left")
                 .select("node",
                         (F.coalesce(F.col("hub"), F.lit(0.0))
-                         / F.lit(h_tot)).alias("hub"))
-                .localCheckpoint(eager=True))
+                         / F.lit(h_tot)).alias("hub")))
     return hubs.join(auths, "node").select("node", "hub", "authority")
 
 
