@@ -2462,6 +2462,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return time_decay_agg(_load(spark, sf, "events"))
 
+    def ann_pq_adc_topk(spark, sf):
+        # product quantization (FAISS PQ core): 4 per-subspace Lloyd
+        # codebooks (deterministic first-k init, 1 update) trained in
+        # ONE mapInArrow pass per iteration, vectors encoded to 4
+        # small ints, then asymmetric-distance top-10 per query via
+        # per-query (m×k) lookup tables — O(m) gathers per item over
+        # codes instead of O(d) float math; ranking by ROUNDED
+        # distance + id tie-break for engine-order reproducibility
+        # (operators/quantize.py::pq_train/pq_encode/pq_adc_topk)
+        from fashion_knowledge_graph_spark.operators.quantize import (
+            pq_adc_topk, pq_encode, pq_train,
+        )
+        emb = _load(spark, sf, "embeddings")
+        books = pq_train(emb, m=4, k=16, iterations=1)
+        codes = pq_encode(emb, books)
+        queries = [(r["vec_id"], list(r["embedding"]))
+                   for r in emb.orderBy("vec_id").limit(5).collect()]
+        return pq_adc_topk(codes, books, queries, topk=10)
+
     return {
         "p2_anti_join": p2_anti_join,
         "j1_broadcast_enrich": j1_broadcast_enrich,
@@ -2583,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_entropy": text_char_entropy,
         "sketch_histogram_quantiles": sketch_histogram_quantiles,
         "events_time_decay": events_time_decay,
+        "ann_pq_adc_topk": ann_pq_adc_topk,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -4400,6 +4420,58 @@ def oracle_sql() -> dict[str, str]:
                  AS decayed_value
         FROM events GROUP BY 1
     """
+
+    # product quantization: per-subspace Lloyd replay (the
+    # kmeans_clusters CTE pattern on list_slice subvectors), encode =
+    # final assignment, ADC = Σ_sub list_distance(q_sub, centroid)²,
+    # ranking by ROUNDED distance + id (engine-order reproducible)
+    pq_sub = """
+        es{S} AS (SELECT vec_id, list_slice(v, {LO}, {HI}) AS v
+                  FROM e),
+        cs{S}0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1
+                            AS cid, v
+                   FROM (SELECT vec_id, v FROM es{S}
+                         ORDER BY vec_id LIMIT 16)),
+        as{S}0 AS (SELECT vec_id, cid FROM (
+          SELECT e2.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e2.vec_id
+                   ORDER BY list_distance(e2.v, c.v) ASC,
+                            c.cid ASC) AS rn
+          FROM es{S} e2 CROSS JOIN cs{S}0 c) WHERE rn = 1),
+        ms{S}1 AS (SELECT a.cid, t.dim, avg(e2.v[t.dim]) AS mv
+                   FROM es{S} e2 JOIN as{S}0 a USING (vec_id)
+                   CROSS JOIN range(1, 17) t(dim)
+                   GROUP BY 1, 2),
+        cs{S}1 AS (SELECT c0.cid, coalesce(ml.v, c0.v) AS v
+                   FROM cs{S}0 c0 LEFT JOIN (
+                     SELECT cid, list(mv ORDER BY dim) AS v
+                     FROM ms{S}1 GROUP BY cid) ml USING (cid)),
+        code{S} AS (SELECT vec_id, cid FROM (
+          SELECT e2.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e2.vec_id
+                   ORDER BY list_distance(e2.v, c.v) ASC,
+                            c.cid ASC) AS rn
+          FROM es{S} e2 CROSS JOIN cs{S}1 c) WHERE rn = 1),
+        adc{S} AS (SELECT q.query_id, cd.vec_id,
+                          list_distance(list_slice(q.v, {LO}, {HI}),
+                                        c.v) ** 2 AS dpart
+                   FROM q CROSS JOIN code{S} cd
+                   JOIN cs{S}1 c ON c.cid = cd.cid)"""
+    sql["ann_pq_adc_topk"] = ("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v FROM e
+              ORDER BY vec_id LIMIT 5),"""
+        + ",".join(pq_sub.format(S=s, LO=16 * s + 1, HI=16 * s + 16)
+                   for s in range(4)) + """
+        SELECT query_id, vec_id, round(adc, 6) AS adc_dist FROM (
+          SELECT query_id, vec_id, sum(dpart) AS adc FROM (
+            SELECT * FROM adc0 UNION ALL SELECT * FROM adc1
+            UNION ALL SELECT * FROM adc2 UNION ALL SELECT * FROM adc3)
+          GROUP BY 1, 2)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY round(adc, 6) ASC, vec_id ASC) <= 10
+    """)
 
     # LPA: 3 unrolled synchronous rounds, exact BIGINT weight tallies,
     # max-weight/min-label adoption — over the same co-purchase graph

@@ -130,3 +130,175 @@ def int8_cosine_topk(queries_q: DataFrame, corpus_q: DataFrame,
 
     return cosine_topk(queries_q, corpus_q, k=k,
                        q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec)
+
+
+def pq_train(df: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", m: int = 4, k: int = 16,
+             iterations: int = 1):
+    """Train product-quantization codebooks (Jégou et al. 2011, the
+    FAISS ``PQ``/``IVF-PQ`` core) → numpy ``(m, k, d/m)``.
+
+    The vector space is split into ``m`` contiguous subspaces; each
+    gets its own k-centroid Lloyd codebook. Determinism contract
+    matches ``clustering.kmeans_assign``: init = the k smallest-id
+    vectors' subvectors, fixed ``iterations``, argmin ties toward the
+    smaller centroid id — which is what makes the whole train→encode→
+    search path replayable in ANSI SQL.
+
+    Scale shape: codebooks are driver-resident (m·k·d/m doubles — KB),
+    and each Lloyd iteration is ONE ``mapInArrow`` pass emitting
+    (subspace, cluster, count, sum) partials for ALL m subspaces at
+    once — the treeAggregate economics of ``kmeans_assign``, ×m
+    codebooks for the price of one corpus read per iteration.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    src = df.select(id_col, vec_col)
+    init = src.orderBy(id_col).limit(k).select(vec_col).collect()
+    x0 = np.asarray([r[0] for r in init], dtype=np.float64)   # (k, d)
+    d = x0.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    books = np.stack([x0[:, i * dsub:(i + 1) * dsub]
+                      for i in range(m)])                     # (m, k, dsub)
+
+    def partials(cb):
+        def kernel(batches):
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                x = np.asarray(rb.column(vec_col).to_pylist(),
+                               dtype=np.float64)
+                subs, cls_, cnts, sums = [], [], [], []
+                for i in range(m):
+                    xs = x[:, i * dsub:(i + 1) * dsub]
+                    # direct-form distances (the kmeans_assign
+                    # cancellation-parity rationale)
+                    sq = ((xs[:, None, :] - cb[i][None, :, :]) ** 2) \
+                        .sum(axis=2)
+                    cl = np.argmin(sq, axis=1)
+                    for kk in np.unique(cl):
+                        msk = cl == kk
+                        subs.append(i)
+                        cls_.append(int(kk))
+                        cnts.append(int(msk.sum()))
+                        sums.append(xs[msk].sum(axis=0).tolist())
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(subs, pa.int32()),
+                     pa.array(cls_, pa.int32()),
+                     pa.array(cnts, pa.int64()),
+                     pa.array(sums, pa.list_(pa.float64()))],
+                    names=["sub", "cluster", "cnt", "vsum"])
+        return kernel
+
+    for _ in range(iterations):
+        rows = src.mapInArrow(
+            partials(books),
+            "sub int, cluster int, cnt long, vsum array<double>") \
+            .collect()
+        cnt = np.zeros((m, k))
+        tot = np.zeros_like(books)
+        for r in rows:
+            cnt[r["sub"], r["cluster"]] += r["cnt"]
+            tot[r["sub"], r["cluster"]] += np.asarray(r["vsum"])
+        books = books.copy()
+        nz = cnt > 0
+        books[nz] = tot[nz] / cnt[nz][:, None]
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector as its per-subspace nearest-centroid codes
+    → ``(id_col, codes array<int>)`` — d floats become m small ints
+    (the 16-64× index-size lever that lets a 10^12-vector corpus fit
+    an ANN tier at all). One map pass, no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    cb = np.asarray(codebooks)
+    m, _k, dsub = cb.shape
+
+    def kernel(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            x = np.asarray(rb.column(vec_col).to_pylist(),
+                           dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for i in range(m):
+                xs = x[:, i * dsub:(i + 1) * dsub]
+                sq = ((xs[:, None, :] - cb[i][None, :, :]) ** 2) \
+                    .sum(axis=2)
+                codes[:, i] = np.argmin(sq, axis=1)
+            offs = pa.array(range(0, (len(x) + 1) * m, m),
+                            type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(id_col),
+                 pa.ListArray.from_arrays(offs,
+                                          pa.array(codes.ravel(),
+                                                   pa.int32()))],
+                names=[id_col, "codes"])
+
+    return df.select(id_col, vec_col).mapInArrow(
+        kernel, f"{id_col} long, codes array<int>")
+
+
+def pq_adc_topk(codes_df: DataFrame, codebooks, queries,
+                topk: int = 10, id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes →
+    ``(query_id, vec_id, adc_dist)``: per query, a (m × k) lookup
+    table of exact subspace distances to every centroid is built once
+    (driver-side — queries stay full-precision, hence *asymmetric*),
+    and each item's approximate distance is m table gathers + a sum —
+    O(m) per item instead of O(d), over codes instead of floats.
+
+    ``queries`` is a list of (query_id, vector) pairs (dim-sized,
+    driver-held — the same economics as the codebooks). Ranking uses
+    the ROUNDED distance with the item id as tie-break, so the order
+    is reproducible across engines and summation orders.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import Window
+
+    cb = np.asarray(codebooks)
+    m, k, dsub = cb.shape
+    qids = [int(q) for q, _ in queries]
+    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
+    # (nq, m, k) exact subspace distance tables
+    lut = np.empty((len(qids), m, k))
+    for i in range(m):
+        qs = qmat[:, i * dsub:(i + 1) * dsub]
+        lut[:, i, :] = ((qs[:, None, :] - cb[i][None, :, :]) ** 2) \
+            .sum(axis=2)
+
+    def kernel(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            codes = np.asarray(rb.column("codes").to_pylist(),
+                               dtype=np.int64)           # (n, m)
+            # scores[(q, item)] = Σ_m lut[q, m, codes[item, m]]
+            sc = np.zeros((len(qids), n))
+            for i in range(m):
+                sc += lut[:, i, codes[:, i]]
+            ids = np.asarray(rb.column(id_col).to_pylist())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(qids, n), pa.int64()),
+                 pa.array(np.tile(ids, len(qids)), pa.int64()),
+                 pa.array(sc.ravel(), pa.float64())],
+                names=["query_id", id_col, "adc"])
+
+    scored = codes_df.mapInArrow(
+        kernel, f"query_id long, {id_col} long, adc double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("adc", 6).asc(), F.col(id_col).asc())
+    return (scored
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= topk)
+            .select("query_id", id_col,
+                    F.round("adc", 6).alias("adc_dist")))

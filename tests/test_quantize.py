@@ -109,3 +109,102 @@ def test_int8_topk_recall_vs_float_path(spark):
     top5e = {(x["query_id"], x["corpus_id"]) for x in exact}
     top5q = {(x["query_id"], x["corpus_id"]) for x in got}
     assert len(top5e & top5q) >= 0.9 * len(top5e)
+
+
+def _pq_py(base, m, k, iterations):
+    """Reference PQ training: first-k init, Lloyd with empty clusters
+    keeping their centroid, argmin ties to the smaller id."""
+    import numpy as np
+
+    d = base.shape[1]
+    dsub = d // m
+    books = np.stack([base[:k, i * dsub:(i + 1) * dsub]
+                      for i in range(m)])
+    for _ in range(iterations):
+        new = books.copy()
+        for i in range(m):
+            xs = base[:, i * dsub:(i + 1) * dsub]
+            sq = ((xs[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+            cl = np.argmin(sq, axis=1)
+            for kk in range(k):
+                msk = cl == kk
+                if msk.any():
+                    new[i][kk] = xs[msk].mean(axis=0)
+        books = new
+    return books
+
+
+def test_pq_train_encode_matches_numpy(spark):
+    import numpy as np
+
+    from fashion_knowledge_graph_spark.operators.quantize import (
+        pq_encode, pq_train,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(80, 8)
+    rows = [(i, base[i].tolist()) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=2, k=4, iterations=2)
+    exp_books = _pq_py(base, m=2, k=4, iterations=2)
+    assert np.allclose(books, exp_books, atol=1e-12)
+
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in pq_encode(df, books).collect()}
+    for i in range(len(base)):
+        exp = []
+        for s in range(2):
+            xs = base[i, s * 4:(s + 1) * 4]
+            sq = ((xs[None, :] - exp_books[s]) ** 2).sum(axis=1)
+            exp.append(int(sq.argmin()))
+        assert codes[i] == exp, i
+
+
+def test_pq_train_partition_invariance(spark):
+    import numpy as np
+
+    from fashion_knowledge_graph_spark.operators.quantize import pq_train
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.randn(8).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = pq_train(df, m=2, k=4, iterations=1)
+    b = pq_train(df.repartition(13), m=2, k=4, iterations=1)
+    assert np.allclose(a, b, atol=1e-12)
+
+
+def test_pq_adc_recall_on_blobs(spark):
+    """On well-separated blobs the ADC top-1 neighbor must share the
+    query's blob, and ADC recall@10 vs exact L2 top-10 stays high —
+    the compression is 8 floats → 2 codes yet neighborhoods survive."""
+    import numpy as np
+
+    from fashion_knowledge_graph_spark.operators.quantize import (
+        pq_adc_topk, pq_encode, pq_train,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(5, 8) * 8
+    # INTERLEAVED blob membership (i % 5): the deterministic first-k
+    # init then spans all blobs — the operator's documented init
+    # contract assumes ids aren't adversarially sorted by cluster
+    labels = np.arange(200) % 5
+    base = centers[labels] + rng.randn(200, 8) * 0.4
+    rows = [(i, base[i].tolist()) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=2, k=32, iterations=2)
+    codes = pq_encode(df, books)
+    qids = [0, 1, 2, 3, 4]                  # one per blob
+    queries = [(q, base[q].tolist()) for q in qids]
+    got = pq_adc_topk(codes, books, queries, topk=10) \
+        .orderBy("query_id", "adc_dist", "vec_id").collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    recalls = []
+    for q in qids:
+        exact = np.argsort(((base - base[q]) ** 2).sum(axis=1))[:10]
+        # top ADC hit lives in the query's blob
+        assert labels[per_q[q][0]] == labels[q]
+        recalls.append(len(set(per_q[q]) & set(exact.tolist())) / 10)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
