@@ -2481,6 +2481,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    for r in emb.orderBy("vec_id").limit(5).collect()]
         return pq_adc_topk(codes, books, queries, topk=10)
 
+    def j_skew_key_profile(spark, sf):
+        # per-key skew diagnostics (the planning input for the salted
+        # join / range-repartition knobs): top-10 heaviest supplier
+        # keys with share + cumulative share — one partial-agg pass
+        # over the data, window math on the key table only
+        # (operators/skew.py::skew_profile)
+        from fashion_knowledge_graph_spark.operators.skew import (
+            skew_profile,
+        )
+        return skew_profile(_load(spark, sf, "lineitem"),
+                            "l_suppkey", top=10)
+
+    def events_session_paths(spark, sf):
+        # top-20 session journeys: 4-hour-gap sessionization (the
+        # sessionize_events contract), first-5-step paths joined as
+        # arrow strings, counted — whole-journey mining vs
+        # markov_transitions' single steps
+        # (operators/temporal.py::session_paths)
+        from fashion_knowledge_graph_spark.operators.temporal import (
+            session_paths,
+        )
+        return session_paths(_load(spark, sf, "events"),
+                             gap="4 hours", max_steps=5, top=20)
+
     return {
         "p2_anti_join": p2_anti_join,
         "j1_broadcast_enrich": j1_broadcast_enrich,
@@ -2603,6 +2627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_histogram_quantiles": sketch_histogram_quantiles,
         "events_time_decay": events_time_decay,
         "ann_pq_adc_topk": ann_pq_adc_topk,
+        "j_skew_key_profile": j_skew_key_profile,
+        "events_session_paths": events_session_paths,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -4472,6 +4498,64 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (PARTITION BY query_id
           ORDER BY round(adc, 6) ASC, vec_id ASC) <= 10
     """)
+
+    # skew profile: one count pass, window math on the key table
+    sql["j_skew_key_profile"] = """
+        WITH counts AS (
+          SELECT l_suppkey AS key, count(*) AS n_rows
+          FROM lineitem GROUP BY 1),
+        ranked AS (
+          SELECT key, n_rows,
+                 sum(n_rows) OVER () AS tot,
+                 row_number() OVER (ORDER BY n_rows DESC, key ASC)
+                   AS rank,
+                 sum(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM counts)
+        SELECT key, n_rows,
+               round(n_rows::DOUBLE / tot::DOUBLE, 9) AS share,
+               round(cum::DOUBLE / tot::DOUBLE, 9) AS cum_share,
+               rank
+        FROM ranked WHERE rank <= 10
+    """
+
+    # session paths: the sessionize_events 4h-gap CTEs + first-5-step
+    # string_agg journeys, counted and ranked
+    sql["events_session_paths"] = """
+        WITH g AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts) AS prev_us
+          FROM events),
+        f AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN prev_us IS NULL
+                        OR epoch_us(ts) - prev_us > 14400000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM g),
+        s AS (
+          SELECT user_id, ts, event_id, event_type,
+                 (sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING))::BIGINT
+                   AS session_idx
+          FROM f),
+        steps AS (
+          SELECT user_id, session_idx, event_type,
+                 row_number() OVER (PARTITION BY user_id, session_idx
+                   ORDER BY ts, event_id) AS step
+          FROM s),
+        paths AS (
+          SELECT user_id, session_idx,
+                 string_agg(event_type, '>' ORDER BY step) AS path
+          FROM steps WHERE step <= 5 GROUP BY 1, 2),
+        counted AS (
+          SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1)
+        SELECT path, n_sessions,
+               row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+                 AS rank
+        FROM counted
+        QUALIFY rank <= 20
+    """
 
     # LPA: 3 unrolled synchronous rounds, exact BIGINT weight tallies,
     # max-weight/min-label adoption — over the same co-purchase graph

@@ -42,3 +42,37 @@ def salted_broadcast_join(big: DataFrame, small: DataFrame,
     out = salted_big.join(F.broadcast(salted_small),
                           [*keys, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_profile(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
+    """Per-key skew diagnostics → the ``top`` heaviest keys as
+    ``(key, n_rows, share, cum_share, rank)``.
+
+    The planning input for every knob in this module: a key whose
+    ``share`` approaches 1/shuffle-partitions is the one that will
+    straggle a shuffle, and ``cum_share`` of the head tells you
+    whether salting the top-N (``salted_broadcast_join``) or range
+    repartition is the right lever. One partial-agg'd groupBy over
+    the data, then window arithmetic on the key-count table only —
+    at 100 TB the second stage touches |keys| rows, never the data.
+
+    Integer-derived ratios (count / total) — bit-replayable.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    wall = Window.partitionBy()
+    worder = Window.partitionBy().orderBy(
+        F.desc("n_rows"), F.asc("key"))
+    return (counts
+            .withColumn("__tot", F.sum("n_rows").over(wall))
+            .withColumn("rank", F.row_number().over(worder))
+            .filter(F.col("rank") <= top)
+            .select("key", "n_rows",
+                    F.round(F.col("n_rows") / F.col("__tot"), 9)
+                    .alias("share"),
+                    F.round((F.sum("n_rows").over(
+                        worder.rowsBetween(Window.unboundedPreceding, 0)))
+                        / F.col("__tot"), 9).alias("cum_share"),
+                    "rank"))

@@ -317,3 +317,40 @@ def time_decay_agg(events: DataFrame, by: str = "user_id",
     return (events.groupBy(by)
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum(contrib), 6).alias("decayed_value")))
+
+
+def session_paths(events: DataFrame, by: str = "user_id",
+                  ts: str = "ts", state: str = "event_type",
+                  tie: str = "event_id", gap: str = "30 minutes",
+                  max_steps: int = 5, top: int = 20) -> DataFrame:
+    """Top session paths → ``(path, n_sessions)``: sessionize on the
+    inactivity gap, take each session's first ``max_steps`` events in
+    the engine-wide (ts, tie) order, join them as an arrow-separated
+    string, and count path frequencies — the UX/funnel-mining
+    companion to ``markov_transitions`` (which models single steps;
+    this surfaces whole journeys). Ties in path counts break
+    lexicographically for a deterministic top list.
+
+    Plan: reuses ``sessionize``'s entity-keyed shuffle, then ONE more
+    window on the same (key, session) partitioning, a collect-free
+    string_agg-style groupBy, and a count — |sessions| rows after the
+    first agg, |distinct paths| after the second.
+    """
+    from pyspark.sql import Window
+
+    s = sessionize(events, by=by, ts=ts, gap=gap)
+    w = Window.partitionBy(by, "session_idx").orderBy(ts, tie)
+    first_steps = (s.withColumn("__step", F.row_number().over(w))
+                   .filter(F.col("__step") <= max_steps))
+    paths = (first_steps.groupBy(by, "session_idx")
+             .agg(F.concat_ws(
+                 ">", F.array_sort(F.collect_list(
+                     F.struct("__step", F.col(state).alias("s"))))
+                 .getField("s")).alias("path")))
+    worder = Window.partitionBy().orderBy(
+        F.desc("n_sessions"), F.asc("path"))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .withColumn("rank", F.row_number().over(worder))
+            .filter(F.col("rank") <= top)
+            .select("path", "n_sessions", "rank"))

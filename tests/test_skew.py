@@ -60,3 +60,19 @@ def test_repartition_by_range(spark):
     out = repartition_by_range(df, "doc_id", n=8)
     assert out.rdd.getNumPartitions() == 8
     assert out.count() == 1000
+
+
+def test_skew_profile_matches_python(spark):
+    from fashion_knowledge_graph_spark.operators.skew import skew_profile
+
+    rows = [("hot",)] * 50 + [("warm",)] * 30 + [("a",)] * 10 + \
+        [("b",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r["key"], r["n_rows"], r["share"], r["cum_share"], r["rank"])
+           for r in skew_profile(df, "k", top=3)
+           .orderBy("rank").collect()]
+    assert got == [
+        ("hot", 50, round(0.5, 9), round(0.5, 9), 1),
+        ("warm", 30, round(0.3, 9), round(0.8, 9), 2),
+        ("a", 10, round(0.1, 9), round(0.9, 9), 3),   # tie → lex order
+    ]

@@ -242,3 +242,36 @@ def test_time_decay_agg_matches_python(spark):
     assert got[2] == (1, pytest.approx(round(4.0 * 0.95, 6), abs=1e-9))
     # recency dominates: yesterday's 10 outweighs month-old 10
     assert 10.0 * 0.95 ** 1 > 10.0 * 0.95 ** 31 * 4
+
+
+def test_session_paths_matches_python(spark):
+    from fashion_knowledge_graph_spark.operators.temporal import (
+        session_paths,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: two sessions (gap > 30 min splits), identical first
+    # journey "view>click"
+    for start in (t0, t0 + dt.timedelta(hours=2)):
+        for i, s in enumerate(["view", "click"]):
+            rows.append((eid, start + dt.timedelta(minutes=i), 1, s))
+            eid += 1
+    # user 2: one long session; only the first 2 steps make the path
+    for i, s in enumerate(["view", "click", "purchase"]):
+        rows.append((eid, t0 + dt.timedelta(minutes=i), 2, s))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = [(r["path"], r["n_sessions"], r["rank"])
+           for r in session_paths(df, gap="30 minutes", max_steps=2,
+                                  top=10).orderBy("rank").collect()]
+    assert got == [("view>click", 3, 1)]
+
+    # max_steps=3 separates user 2's longer journey
+    got3 = {r["path"]: r["n_sessions"]
+            for r in session_paths(df, gap="30 minutes", max_steps=3,
+                                   top=10).collect()}
+    assert got3 == {"view>click": 2, "view>click>purchase": 1}
