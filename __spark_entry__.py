@@ -2481,6 +2481,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    for r in emb.orderBy("vec_id").limit(5).collect()]
         return pq_adc_topk(codes, books, queries, topk=10)
 
+    def ann_ivfpq_topk(spark, sf):
+        # IVF-PQ (the FAISS IVFx,PQy architecture) by composition:
+        # coarse quantizer = pq_train with m=1, inverted-list
+        # assignment = pq_encode with it, nprobe=2 probed lists per
+        # query broadcast-join the (cluster, codes) corpus, ADC ranks
+        # inside — candidates cut ~nprobe/ncoarse BEFORE any distance
+        # math (operators/quantize.py::ivfpq_topk)
+        from fashion_knowledge_graph_spark.operators.quantize import (
+            ivfpq_topk,
+        )
+        emb = _load(spark, sf, "embeddings")
+        queries = [(r["vec_id"], list(r["embedding"]))
+                   for r in emb.orderBy("vec_id").limit(5).collect()]
+        return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
+                          k=16, iterations=1, topk=10)
+
     def j_skew_key_profile(spark, sf):
         # per-key skew diagnostics (the planning input for the salted
         # join / range-repartition knobs): top-10 heaviest supplier
@@ -2629,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc_topk": ann_pq_adc_topk,
         "j_skew_key_profile": j_skew_key_profile,
         "events_session_paths": events_session_paths,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -4556,6 +4573,45 @@ def oracle_sql() -> dict[str, str]:
         FROM counted
         QUALIFY rank <= 20
     """
+
+    # IVF-PQ: coarse Lloyd replay (the kmeans CTE pattern, k=8, one
+    # update) gives inverted lists + per-query nprobe=2 probes; the
+    # PQ subspace CTEs (pq_sub, shared with ann_pq_adc_topk) give the
+    # codes; ADC restricted to probed-list candidates before ranking
+    sql["ann_ivfpq_topk"] = ("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v FROM e
+              ORDER BY vec_id LIMIT 5),
+        c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v
+               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),"""
+        + km_assign.format(K=0, P=0) + ","
+        + km_update.format(K=1, P=0) + """,
+        lst AS (SELECT vec_id, cid AS cluster FROM (
+          SELECT e2.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e2.vec_id
+                   ORDER BY list_distance(e2.v, c.v) ASC,
+                            c.cid ASC) AS rn
+          FROM e e2 CROSS JOIN c1 c) WHERE rn = 1),
+        probes AS (SELECT query_id, cid AS cluster FROM (
+          SELECT q.query_id, c.cid,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_distance(q.v, c.v) ASC,
+                            c.cid ASC) AS rn
+          FROM q CROSS JOIN c1 c) WHERE rn <= 2),"""
+        + ",".join(pq_sub.format(S=s, LO=16 * s + 1, HI=16 * s + 16)
+                   for s in range(4)) + """
+        SELECT query_id, vec_id, round(adc, 6) AS adc_dist FROM (
+          SELECT a.query_id, a.vec_id, sum(a.dpart) AS adc FROM (
+            SELECT * FROM adc0 UNION ALL SELECT * FROM adc1
+            UNION ALL SELECT * FROM adc2 UNION ALL SELECT * FROM adc3) a
+          JOIN lst ON lst.vec_id = a.vec_id
+          JOIN probes p ON p.query_id = a.query_id
+                       AND p.cluster = lst.cluster
+          GROUP BY 1, 2)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY round(adc, 6) ASC, vec_id ASC) <= 10
+    """)
 
     # LPA: 3 unrolled synchronous rounds, exact BIGINT weight tallies,
     # max-weight/min-label adoption — over the same co-purchase graph

@@ -302,3 +302,94 @@ def pq_adc_topk(codes_df: DataFrame, codebooks, queries,
             .filter(F.col("__rn") <= topk)
             .select("query_id", id_col,
                     F.round("adc", 6).alias("adc_dist")))
+
+
+def ivfpq_topk(df: DataFrame, queries, id_col: str = "vec_id",
+               vec_col: str = "embedding", ncoarse: int = 8,
+               nprobe: int = 2, m: int = 4, k: int = 16,
+               iterations: int = 1, topk: int = 10) -> DataFrame:
+    """IVF-PQ search (the FAISS ``IVFx,PQy`` architecture) →
+    ``(query_id, vec_id, adc_dist)``: a coarse k-means quantizer
+    partitions the corpus into ``ncoarse`` inverted lists; each query
+    probes only its ``nprobe`` nearest lists and ADC-ranks the PQ
+    codes inside them — candidate count drops by ~nprobe/ncoarse
+    BEFORE any distance math, which at 10^12 vectors is the
+    difference between touching a shard and touching the corpus.
+
+    Built by composition: the coarse quantizer IS ``pq_train`` with
+    m=1 (one codebook over the full vector), list assignment IS
+    ``pq_encode`` with that codebook, and the in-list codes come from
+    the standard ``pq_train``/``pq_encode``. This variant quantizes
+    raw vectors (IVF restricts candidates only); the
+    residual-encoding refinement (PQ over x − coarse_centroid) is a
+    drop-in swap on the same plan shape.
+
+    Plan shape: probe table (query_id, cluster — nq·nprobe rows)
+    broadcast-joins the (cluster, codes) corpus — the inverted-list
+    read; ADC is a row-wise LUT gather in one mapInArrow kernel; the
+    same rounded-distance + id ranking as ``pq_adc_topk``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import Window
+
+    coarse = pq_train(df, id_col, vec_col, m=1, k=ncoarse,
+                      iterations=iterations)           # (1, ncoarse, d)
+    lists = pq_encode(df, coarse, id_col, vec_col) \
+        .select(id_col, F.col("codes")[0].alias("cluster"))
+    books = pq_train(df, id_col, vec_col, m=m, k=k,
+                     iterations=iterations)
+    codes = pq_encode(df, books, id_col, vec_col)
+    corpus = codes.join(lists, id_col)
+
+    cb = np.asarray(books)
+    _m, _k, dsub = cb.shape
+    qids = [int(q) for q, _ in queries]
+    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
+    cdist = ((qmat[:, None, :] - coarse[0][None, :, :]) ** 2).sum(axis=2)
+    # nprobe nearest lists per query, ties toward the smaller cluster
+    # id (lexsort keys are applied last-key-major)
+    order = np.lexsort((np.tile(np.arange(ncoarse), (len(qids), 1)),
+                        cdist), axis=1)
+    probes = [(qids[i], int(c))
+              for i in range(len(qids))
+              for c in order[i, :nprobe]]
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
+    cand = corpus.join(F.broadcast(probe_df), "cluster")
+
+    lut = np.empty((len(qids), _m, _k))
+    for i in range(_m):
+        qs = qmat[:, i * dsub:(i + 1) * dsub]
+        lut[:, i, :] = ((qs[:, None, :] - cb[i][None, :, :]) ** 2) \
+            .sum(axis=2)
+    qidx = {q: i for i, q in enumerate(qids)}
+
+    def kernel(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            cds = np.asarray(rb.column("codes").to_pylist(),
+                             dtype=np.int64)
+            qs = np.asarray([qidx[q] for q in
+                             rb.column("query_id").to_pylist()],
+                            dtype=np.int64)
+            sc = np.zeros(n)
+            for i in range(_m):
+                sc += lut[qs, i, cds[:, i]]
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("query_id"), rb.column(id_col),
+                 pa.array(sc, pa.float64())],
+                names=["query_id", id_col, "adc"])
+
+    scored = cand.select("query_id", id_col, "codes").mapInArrow(
+        kernel, f"query_id long, {id_col} long, adc double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("adc", 6).asc(), F.col(id_col).asc())
+    return (scored
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= topk)
+            .select("query_id", id_col,
+                    F.round("adc", 6).alias("adc_dist")))

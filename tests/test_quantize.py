@@ -208,3 +208,61 @@ def test_pq_adc_recall_on_blobs(spark):
         assert labels[per_q[q][0]] == labels[q]
         recalls.append(len(set(per_q[q]) & set(exact.tolist())) / 10)
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_ivfpq_full_probe_equals_exhaustive_pq(spark):
+    """nprobe = ncoarse probes every inverted list — IVF-PQ must then
+    return EXACTLY the exhaustive ADC result (same codebook
+    contract), proving the probe is a pure candidate filter."""
+    import numpy as np
+
+    from fashion_knowledge_graph_spark.operators.quantize import (
+        ivfpq_topk, pq_adc_topk, pq_encode, pq_train,
+    )
+
+    rng = np.random.RandomState(7)
+    labels = np.arange(120) % 4
+    centers = rng.randn(4, 8) * 6
+    base = centers[labels] + rng.randn(120, 8) * 0.5
+    rows = [(i, base[i].tolist()) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = [(i, base[i].tolist()) for i in (0, 1, 2)]
+
+    books = pq_train(df, m=2, k=8, iterations=1)
+    codes = pq_encode(df, books)
+    exhaustive = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"])
+        for r in pq_adc_topk(codes, books, queries, topk=5).collect())
+    ivf_full = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"])
+        for r in ivfpq_topk(df, queries, ncoarse=4, nprobe=4, m=2, k=8,
+                            iterations=1, topk=5).collect())
+    assert ivf_full == exhaustive
+
+
+def test_ivfpq_partial_probe_keeps_blob_neighbors(spark):
+    import numpy as np
+
+    from fashion_knowledge_graph_spark.operators.quantize import (
+        ivfpq_topk,
+    )
+
+    rng = np.random.RandomState(9)
+    labels = np.arange(160) % 4
+    centers = rng.randn(4, 8) * 8
+    base = centers[labels] + rng.randn(160, 8) * 0.4
+    rows = [(i, base[i].tolist()) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = [(q, base[q].tolist()) for q in (0, 1, 2, 3)]
+    got = ivfpq_topk(df, queries, ncoarse=8, nprobe=2, m=2, k=16,
+                     iterations=2, topk=5) \
+        .orderBy("query_id", "adc_dist", "vec_id").collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for q, _v in queries:
+        assert len(per_q[q]) == 5          # probed lists hold ≥ topk
+        assert labels[per_q[q][0]] == labels[q]
+        # majority of the shortlist shares the query's blob
+        same = sum(labels[x] == labels[q] for x in per_q[q])
+        assert same >= 3, (q, per_q[q])
