@@ -336,15 +336,42 @@ def ivfpq_topk(df: DataFrame, queries, id_col: str = "vec_id",
 
     coarse = pq_train(df, id_col, vec_col, m=1, k=ncoarse,
                       iterations=iterations)           # (1, ncoarse, d)
-    lists = pq_encode(df, coarse, id_col, vec_col) \
-        .select(id_col, F.col("codes")[0].alias("cluster"))
     books = pq_train(df, id_col, vec_col, m=m, k=k,
                      iterations=iterations)
-    codes = pq_encode(df, books, id_col, vec_col)
-    corpus = codes.join(lists, id_col)
-
     cb = np.asarray(books)
     _m, _k, dsub = cb.shape
+    cc = np.asarray(coarse[0])
+
+    # list assignment + PQ codes in ONE fused encode pass — a
+    # separate pq_encode per codebook would force a vec_id shuffle
+    # join of the two outputs, putting the codes on an exchange
+    # (caught by the plan-audit test); fused, the corpus never
+    # shuffles before the probe broadcast join
+    def encode_both(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            x = np.asarray(rb.column(vec_col).to_pylist(),
+                           dtype=np.float64)
+            cl = np.argmin(((x[:, None, :] - cc[None, :, :]) ** 2)
+                           .sum(axis=2), axis=1).astype(np.int32)
+            cds = np.empty((len(x), _m), dtype=np.int32)
+            for i in range(_m):
+                xs = x[:, i * dsub:(i + 1) * dsub]
+                sq = ((xs[:, None, :] - cb[i][None, :, :]) ** 2) \
+                    .sum(axis=2)
+                cds[:, i] = np.argmin(sq, axis=1)
+            offs = pa.array(range(0, (len(x) + 1) * _m, _m),
+                            type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(id_col), pa.array(cl, pa.int32()),
+                 pa.ListArray.from_arrays(offs,
+                                          pa.array(cds.ravel(),
+                                                   pa.int32()))],
+                names=[id_col, "cluster", "codes"])
+
+    corpus = df.select(id_col, vec_col).mapInArrow(
+        encode_both, f"{id_col} long, cluster int, codes array<int>")
     qids = [int(q) for q, _ in queries]
     qmat = np.asarray([v for _, v in queries], dtype=np.float64)
     cdist = ((qmat[:, None, :] - coarse[0][None, :, :]) ** 2).sum(axis=2)

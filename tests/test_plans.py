@@ -552,3 +552,28 @@ def test_markov_reuses_one_partitioning_for_window_and_agg(spark):
     # none may carry the raw ts/event_id after the lead projection
     n_shuffles = plan.count("Exchange hashpartitioning")
     assert n_shuffles <= 3, plan
+
+
+def test_ivfpq_probe_join_is_broadcast_and_codes_never_shuffle(spark):
+    """ivfpq_topk: the probe table joins the corpus as a
+    BroadcastExchange (the inverted-list read), and the only shuffle
+    (the final top-k window) carries scalar (query_id, id, adc) rows —
+    codes never ride an exchange."""
+    import numpy as np
+
+    from fashion_knowledge_graph_spark.operators.quantize import (
+        ivfpq_topk,
+    )
+
+    rng = np.random.RandomState(1)
+    rows = [(i, rng.randn(8).tolist()) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = [(0, rows[0][1]), (1, rows[1][1])]
+    plan = _plan(ivfpq_topk(df, queries, ncoarse=4, nprobe=2, m=2, k=8))
+    assert "BroadcastExchange" in plan, plan
+    shuffle_sections = [s for s in plan.split("\n(")
+                        if s.split(" ", 1)[-1].startswith("Exchange")
+                        and "Broadcast" not in s.split("\n")[0]]
+    assert shuffle_sections, plan
+    for s in shuffle_sections:
+        assert "codes" not in s, s
