@@ -2497,6 +2497,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
                           k=16, iterations=1, topk=10)
 
+    def s_csv_roundtrip(spark, sf):
+        # CSV source/sink coverage: write the supplier dim to CSV
+        # (header, Spark quoting) and read it back with an EXPLICIT
+        # schema (no inference job — at 100 TB schema inference is a
+        # full extra scan). The oracle reads the ORIGINAL parquet, so
+        # the value-hash proves the round-trip lossless, including
+        # shortest-repr double round-tripping of s_acctbal
+        import hashlib
+
+        sup = _load(spark, sf, "supplier")
+        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+        path = f"/tmp/spark_graft_csv_{tag}"
+        sup.coalesce(1).write.mode("overwrite") \
+            .option("header", True).csv(path)
+        return spark.read.option("header", True) \
+            .schema(sup.schema).csv(path) \
+            .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
     def j_skew_key_profile(spark, sf):
         # per-key skew diagnostics (the planning input for the salted
         # join / range-repartition knobs): top-10 heaviest supplier
@@ -2646,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_skew_key_profile": j_skew_key_profile,
         "events_session_paths": events_session_paths,
         "ann_ivfpq_topk": ann_ivfpq_topk,
+        "s_csv_roundtrip": s_csv_roundtrip,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -4515,6 +4534,12 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (PARTITION BY query_id
           ORDER BY round(adc, 6) ASC, vec_id ASC) <= 10
     """)
+
+    # CSV round-trip: the oracle reads the ORIGINAL parquet — equality
+    # proves the Spark CSV write+read lossless
+    sql["s_csv_roundtrip"] = """
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """
 
     # skew profile: one count pass, window math on the key table
     sql["j_skew_key_profile"] = """
