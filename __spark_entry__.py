@@ -2497,6 +2497,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
                           k=16, iterations=1, topk=10)
 
+    def stream_cms_heavy_hitters(spark, sf):
+        # 2.I × sketches: count-min bucket table maintained as REAL
+        # Structured Streaming state (d·w cells FOREVER vs unbounded
+        # per-term state; complete mode ⇒ stream ≡ batch, so the
+        # sketch arithmetic is value-hash-checked), estimates joined
+        # against batch exact counts
+        # (streaming/incremental.py::stream_cms_once)
+        from fashion_knowledge_graph_spark.streaming.incremental import (
+            stream_cms_once,
+        )
+        return stream_cms_once(
+            spark, os.path.join(sf, "documents.parquet"),
+            depth=4, width=16)
+
     def s_csv_roundtrip(spark, sf):
         # CSV source/sink coverage: write the supplier dim to CSV
         # (header, Spark quoting) and read it back with an EXPLICIT
@@ -2665,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_paths": events_session_paths,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "s_csv_roundtrip": s_csv_roundtrip,
+        "stream_cms_heavy_hitters": stream_cms_heavy_hitters,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -4539,6 +4554,38 @@ def oracle_sql() -> dict[str, str]:
     # proves the Spark CSV write+read lossless
     sql["s_csv_roundtrip"] = """
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """
+
+    # streaming CMS: unigram tokens, width 16 (31-word vocab ⇒ real
+    # collisions), same 60-bit lane — the drained complete-mode state
+    # equals this batch replay exactly
+    sql["stream_cms_heavy_hitters"] = """
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE text IS NOT NULL),
+        toks2 AS (SELECT term FROM toks
+                  WHERE term <> '' AND term IS NOT NULL),
+        depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        cells AS (
+          SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                        || term), 1, 15))::BIGINT
+                      % 16 AS bucket
+          FROM toks2, depths),
+        bucket_counts AS (
+          SELECT d, bucket, count(*) AS bucket_n
+          FROM cells GROUP BY 1, 2),
+        exact AS (SELECT term, count(*) AS n_exact
+                  FROM toks2 GROUP BY 1),
+        probes AS (
+          SELECT term, d,
+                 ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                     || term), 1, 15))::BIGINT
+                   % 16 AS bucket
+          FROM exact, depths),
+        est AS (SELECT term, min(bucket_n) AS n_cms
+                FROM probes JOIN bucket_counts USING (d, bucket)
+                GROUP BY term)
+        SELECT term, n_exact, n_cms FROM exact JOIN est USING (term)
     """
 
     # skew profile: one count pass, window math on the key table

@@ -459,3 +459,72 @@ def stream_merge_once(spark: SparkSession, events_path: str,
                           tempfile.mkdtemp(prefix="fkg_stream_cp_"))
     q.awaitTermination()
     return t.read(spark)
+
+
+def stream_cms_once(spark: SparkSession, docs_path: str,
+                    depth: int = 4, width: int = 16) -> DataFrame:
+    """Drain the documents table through a REAL Structured Streaming
+    count-min sketch: token occurrences → (depth × width) bucket
+    counts as the streaming STATE (complete-mode stateful agg,
+    ``availableNow``), then join the drained bucket table against the
+    batch exact counts → ``(term, n_exact, n_cms)``.
+
+    This is why sketches matter in streaming: the state is d·w cells
+    FOREVER — a streaming exact term count holds |vocabulary| rows of
+    state (unbounded on an open vocabulary), the sketch holds a
+    constant few KB no matter how many tokens flow through. Complete
+    mode ⇒ the drained bucket table equals the batch aggregation
+    exactly (the ``stream_tumbling_agg_once`` stream≡batch contract),
+    so the full ANSI-SQL oracle applies; the estimates use the same
+    portable 60-bit lane as ``operators/sketches.cms_term_counts``.
+    """
+    import os
+    import tempfile
+
+    from fashion_knowledge_graph_spark.operators.sketches import _h60
+
+    if os.path.isfile(docs_path):
+        d = tempfile.mkdtemp(prefix="fkg_stream_src_")
+        os.symlink(docs_path, os.path.join(
+            d, os.path.basename(docs_path)))
+        docs_path = d
+    schema = ("doc_id bigint, text string, lang string, "
+              "source string, n_chars bigint")
+    rows = F.array([F.lit(i) for i in range(depth)])
+
+    def cells_of(df):
+        t = (df.filter(F.col("text").isNotNull())
+             .select(F.explode(F.split("text", " ")).alias("term"))
+             .filter(F.col("term") != ""))
+        return t.select(
+            "term", F.explode(rows).alias("d")).select(
+            "d",
+            F.pmod(_h60(F.concat_ws(":", F.col("d"), F.col("term"))),
+                   F.lit(width)).alias("bucket"))
+
+    src = spark.readStream.schema(schema).parquet(docs_path)
+    buckets = cells_of(src).groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_n"))
+    _ONCE_SEQ[0] += 1
+    name = f"fkg_stream_cms_{_ONCE_SEQ[0]}"
+    q = (buckets.writeStream.outputMode("complete").format("memory")
+         .queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="fkg_stream_cp_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    drained = spark.table(name)
+
+    batch = spark.read.parquet(docs_path) \
+        .filter(F.col("text").isNotNull()) \
+        .select(F.explode(F.split("text", " ")).alias("term")) \
+        .filter(F.col("term") != "")
+    exact = batch.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.select(
+        "term", F.explode(rows).alias("d")).select(
+        "term", "d",
+        F.pmod(_h60(F.concat_ws(":", F.col("d"), F.col("term"))),
+               F.lit(width)).alias("bucket"))
+    est = (probes.join(F.broadcast(drained), ["d", "bucket"])
+           .groupBy("term").agg(F.min("bucket_n").alias("n_cms")))
+    return exact.join(est, "term").select("term", "n_exact", "n_cms")

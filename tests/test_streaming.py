@@ -365,3 +365,38 @@ def test_stream_merge_into_upserts_and_fences_replays(spark,
     got3 = {(r["user_id"], r["event_type"]): (r["event_id"], r["value"])
             for r in t.read(spark).collect()}
     assert got3 == {**state, (3, "view"): (9, 9.0)}
+
+
+def test_stream_cms_equals_batch_sketch(spark, tmp_path):
+    """The drained streaming CMS must equal the batch
+    cms_term_counts exactly (complete mode ⇒ stream ≡ batch), with
+    real collisions at width 4."""
+    import pandas as pd
+
+    from fashion_knowledge_graph_spark.operators.sketches import (
+        cms_term_counts,
+    )
+    from fashion_knowledge_graph_spark.streaming.incremental import (
+        stream_cms_once,
+    )
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "docs")
+    pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": ["alpha beta", "beta gamma delta", "alpha alpha",
+                 "epsilon zeta", "eta theta iota", "kappa beta"],
+        "lang": ["en"] * 6, "source": ["s"] * 6,
+        "n_chars": [10] * 6,
+    }).to_parquet(p + ".parquet")
+    got = {r["term"]: (r["n_exact"], r["n_cms"])
+           for r in stream_cms_once(spark, p + ".parquet",
+                                    depth=3, width=4).collect()}
+    docs = spark.read.parquet(p + ".parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term")) \
+        .filter("term <> ''")
+    exp = {r["term"]: (r["n_exact"], r["n_cms"])
+           for r in cms_term_counts(toks, depth=3, width=4).collect()}
+    assert got == exp
+    assert all(cms >= ex for ex, cms in got.values())
+    assert any(cms > ex for ex, cms in got.values())   # collisions real
