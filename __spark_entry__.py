@@ -2497,6 +2497,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
                           k=16, iterations=1, topk=10)
 
+    def graph_modularity(spark, sf):
+        # Newman modularity decomposition of the LPA communities over
+        # the co-purchase graph — per-community internal weight,
+        # degree weight, and Q contribution with exact BIGINT sums
+        # (the judge of what label_propagation produced;
+        # operators/graph.py::modularity)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            label_propagation, modularity,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        e = und.select("src", "dst", "weight").unionByName(
+            und.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"), "weight"))
+        comm = label_propagation(e, weight="weight", rounds=3)
+        return modularity(e, comm, weight="weight")
+
     def stream_cms_heavy_hitters(spark, sf):
         # 2.I × sketches: count-min bucket table maintained as REAL
         # Structured Streaming state (d·w cells FOREVER vs unbounded
@@ -2680,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "s_csv_roundtrip": s_csv_roundtrip,
         "stream_cms_heavy_hitters": stream_cms_heavy_hitters,
+        "graph_modularity": graph_modularity,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -4711,6 +4728,47 @@ def oracle_sql() -> dict[str, str]:
         + lpa_round.format(K=3, P=2) + """
         SELECT node, label AS community FROM l3
     """)
+
+    # modularity: LPA round CTEs (shared with graph_lpa_communities)
+    # + exact-BIGINT internal/degree sums, two float divides at the end
+    sql["graph_modularity"] = ("""
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT src, dst, w FROM pairs
+              UNION ALL SELECT dst, src, w FROM pairs),
+        nodes AS (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        l0 AS (SELECT node, node AS label FROM nodes),"""
+        + lpa_round.format(K=1, P=0) + ","
+        + lpa_round.format(K=2, P=1) + ","
+        + lpa_round.format(K=3, P=2) + """,
+        lab AS (SELECT node, label AS community FROM l3),
+        tot AS (SELECT sum(w)::DOUBLE AS w2 FROM e),
+        labeled AS (
+          SELECT e.w, ls.community AS c_src, ld.community AS c_dst
+          FROM e JOIN lab ls ON ls.node = e.src
+                 JOIN lab ld ON ld.node = e.dst),
+        intw AS (SELECT c_src AS community, sum(w) AS int2
+                 FROM labeled WHERE c_src = c_dst GROUP BY 1),
+        degs AS (SELECT c_src AS community, sum(w) AS deg
+                 FROM labeled GROUP BY 1),
+        nn AS (SELECT community, count(*) AS n_nodes
+               FROM lab GROUP BY 1)
+        SELECT nn.community, nn.n_nodes,
+               CAST(coalesce(i.int2, 0) AS BIGINT) AS internal_weight,
+               CAST(coalesce(d.deg, 0) AS BIGINT) AS degree_weight,
+               round(coalesce(i.int2, 0)::DOUBLE / tot.w2
+                     - (coalesce(d.deg, 0)::DOUBLE / tot.w2) ** 2, 9)
+                 AS contribution
+        FROM nn LEFT JOIN degs d USING (community)
+        LEFT JOIN intw i USING (community)
+        CROSS JOIN tot
+    """)
+
 
     sql["dedup_exact"] = f"""
         SELECT md5({_norm_sql('text')}) AS fingerprint,

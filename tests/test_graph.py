@@ -559,3 +559,42 @@ def test_hits_matches_python(spark):
     # L1 invariants: both columns sum to 1
     assert sum(x for x, _ in got.values()) == pytest.approx(1.0)
     assert sum(y for _, y in got.values()) == pytest.approx(1.0)
+
+
+def test_modularity_matches_python(spark):
+    """Per-community Q contributions vs a direct python replay of
+    Newman's formula on a two-clique-plus-bridge graph; the known
+    good assignment scores higher than the everything-in-one bucket."""
+    from fashion_knowledge_graph_spark.operators.graph import modularity
+
+    und = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    sym = [(a, b, 1) for a, b in und] + [(b, a, 1) for a, b in und]
+    e = spark.createDataFrame(sym, "src long, dst long, weight long")
+    comm = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        "node long, community long")
+    got = {r["community"]: (r["n_nodes"], r["internal_weight"],
+                            r["degree_weight"], r["contribution"])
+           for r in modularity(e, comm, weight="weight").collect()}
+
+    w2 = 2 * len(und)                     # symmetrized total = 14*... 
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    lab = {1: 10, 2: 10, 3: 10, 4: 20, 5: 20, 6: 20}
+    for c in (10, 20):
+        int2 = sum(2 for a, b in und if lab[a] == c and lab[b] == c)
+        degw = sum(deg[v] for v in lab if lab[v] == c)
+        contrib = round(int2 / w2 - (degw / w2) ** 2, 9)
+        assert got[c][0] == 3
+        assert got[c][1] == int2 and got[c][2] == degw
+        assert got[c][3] == pytest.approx(contrib, abs=1e-12)
+    q_good = sum(v[3] for v in got.values())
+
+    one = spark.createDataFrame([(v, 1) for v in lab],
+                                "node long, community long")
+    q_one = sum(r["contribution"]
+                for r in modularity(e, one, weight="weight").collect())
+    assert q_good > q_one
+    assert q_one == pytest.approx(0.0, abs=1e-9)   # all-in-one ⇒ Q = 0
