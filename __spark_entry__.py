@@ -2497,6 +2497,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
                           k=16, iterations=1, topk=10)
 
+    def s_rollback(spark, sf):
+        # Iceberg rollback_to_snapshot: load the supplier dim, append
+        # a corrupt batch, ROLL BACK — a pure metadata commit
+        # re-referencing the good snapshot's file set (no data job);
+        # the read must equal the original exactly, the bad snapshot
+        # stays time-travelable (asserted in-query)
+        # (sources/tables.py::SnapshotTable.rollback)
+        from fashion_knowledge_graph_spark.sources.tables import (
+            SnapshotTable,
+        )
+        sup = _load(spark, sf, "supplier")
+        t = SnapshotTable(tempfile.mkdtemp(prefix="fkg_rb_"))
+        good = t.write(sup, mode="overwrite", stage="load")
+        bad = t.write(
+            sup.limit(3).withColumn("s_acctbal", F.lit(-1.0e9)),
+            mode="append", stage="corrupt")
+        t.rollback(good)
+        assert t.count_rows() == t.count_rows(good)
+        assert t.count_rows(bad) > t.count_rows(good)  # history intact
+        return t.read(spark)
+
     def graph_modularity(spark, sf):
         # Newman modularity decomposition of the LPA communities over
         # the co-purchase graph — per-community internal weight,
@@ -2697,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_csv_roundtrip": s_csv_roundtrip,
         "stream_cms_heavy_hitters": stream_cms_heavy_hitters,
         "graph_modularity": graph_modularity,
+        "s_rollback": s_rollback,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -4570,6 +4592,11 @@ def oracle_sql() -> dict[str, str]:
     # CSV round-trip: the oracle reads the ORIGINAL parquet — equality
     # proves the Spark CSV write+read lossless
     sql["s_csv_roundtrip"] = """
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """
+
+    # rollback: post-rollback read ≡ the original load
+    sql["s_rollback"] = """
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
     """
 

@@ -395,6 +395,43 @@ class SnapshotTable:
         return self.write(packed, mode="overwrite", stage="compact",
                           stats_cols=stats_cols)
 
+    def rollback(self, snapshot_id: int) -> int:
+        """Roll the table back to ``snapshot_id``'s state as a NEW
+        commit that re-references that snapshot's exact file set —
+        Iceberg's ``rollback_to_snapshot`` shape with history
+        retained: pure driver-side metadata (no Spark job, no data
+        copy — at 10^12 docs a bad-batch recovery must not touch
+        data), the abandoned snapshots stay time-travelable until
+        ``expire_snapshots`` reclaims them (their files are protected
+        exactly while any retained manifest still references them),
+        and the rollback itself is an auditable commit in the
+        lineage chain. Raises if the target snapshot has expired."""
+        tgt = self._manifest(snapshot_id)
+        parent = self.current_snapshot()
+        sid = max(self.snapshots(), default=0) + 1
+        manifest = {
+            "snapshot_id": sid, "parent": parent, "mode": "rollback",
+            "stage": f"rollback_to_{snapshot_id}", "wall_ms": 0,
+            "files": tgt["files"],
+            "lineage": [{"stage": f"rollback_to_{snapshot_id}",
+                         "partition_id": -1, "output_rows": 0,
+                         "snapshot_id": sid, "wall_ms": 0}],
+            "schema": tgt["schema"],
+            "commit_uuid": str(uuid.uuid4()),
+            "rollback_of": snapshot_id,
+        }
+        if tgt.get("file_stats"):
+            manifest["file_stats"] = tgt["file_stats"]
+        tmp = os.path.join(self.snap_dir, f".{sid:08d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.snap_dir, f"{sid:08d}.json"))
+        tmp_cur = os.path.join(self.snap_dir, ".CURRENT.tmp")
+        with open(tmp_cur, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp_cur, os.path.join(self.snap_dir, "CURRENT"))
+        return sid
+
     def count_rows(self, snapshot_id: int | None = None) -> int:
         """Metadata-only ``COUNT(*)``: sum the per-file row counts the
         commit recorded from parquet footers — zero Spark jobs, zero

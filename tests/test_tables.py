@@ -352,3 +352,53 @@ def test_diff_multiset_semantics(spark, tbl):
     d = [(r["k"], r["op"]) for r in tbl.diff(spark, 1).collect()]
     # one (1,x) survives; the OTHER copy and (2,y) are deletes
     assert sorted(d) == [(1, "delete"), (2, "delete")]
+
+
+def test_rollback_restores_state_and_keeps_history(spark, tbl):
+    df1 = spark.range(10).select(F.col("id").alias("k"))
+    good = tbl.write(df1, mode="overwrite", stage="load")
+    bad = tbl.write(spark.range(100, 103).select(F.col("id").alias("k")),
+                    mode="append", stage="corrupt")
+    rb = tbl.rollback(good)
+    # pure metadata: CURRENT content equals the good snapshot exactly
+    assert sorted(r["k"] for r in tbl.read(spark).collect()) == \
+        list(range(10))
+    assert tbl.count_rows() == 10 and tbl.count_rows(bad) == 13
+    # the bad snapshot remains time-travelable
+    assert sorted(r["k"] for r in
+                  tbl.read(spark, snapshot_id=bad).collect()) == \
+        list(range(10)) + [100, 101, 102]
+    # rollback is itself a commit: parent chain records the audit
+    m = tbl._manifest(rb)
+    assert m["mode"] == "rollback" and m["rollback_of"] == good
+    assert m["parent"] == bad
+    # appends continue normally after a rollback
+    tbl.write(spark.range(200, 202).select(F.col("id").alias("k")),
+              mode="append", stage="more")
+    assert tbl.count_rows() == 12
+
+
+def test_rollback_then_expire_protects_shared_files(spark, tbl):
+    df1 = spark.range(5).select(F.col("id").alias("k"))
+    good = tbl.write(df1, mode="overwrite", stage="load")
+    tbl.write(spark.range(50, 52).select(F.col("id").alias("k")),
+              mode="append", stage="bad")
+    tbl.rollback(good)
+    res = tbl.expire_snapshots(keep_last=1)
+    # the rollback manifest references the good snapshot's files, so
+    # expiry must NOT reclaim them; the bad append's extra files go
+    assert sorted(r["k"] for r in tbl.read(spark).collect()) == \
+        list(range(5))
+    assert res["files_deleted"] >= 1
+
+
+def test_rollback_to_expired_snapshot_raises(spark, tbl):
+    import pytest as _pytest
+
+    s1 = tbl.write(spark.range(3).select(F.col("id").alias("k")),
+                   mode="overwrite", stage="a")
+    tbl.write(spark.range(3).select(F.col("id").alias("k")),
+              mode="overwrite", stage="b")
+    tbl.expire_snapshots(keep_last=1)
+    with _pytest.raises(FileNotFoundError):
+        tbl.rollback(s1)
