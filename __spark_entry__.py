@@ -2497,6 +2497,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
                           k=16, iterations=1, topk=10)
 
+    def ann_matryoshka_topk(spark, sf):
+        # Matryoshka-style (MRL) truncated search: the FIRST 16 of 64
+        # dims reused as a 4×-cheaper prefilter embedding — a pure
+        # slice feeding the same brute-force machinery (at scale the
+        # truncated pass shortlists, the full-dim pass re-ranks);
+        # rank-only output like ann_cosine_topk
+        emb = _load(spark, sf, "embeddings").select(
+            "vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+        q = emb.filter(F.col("vec_id") < 20)
+        return sim.cosine_topk(q, emb, k=5).select(
+            "query_id", "corpus_id", "rank")
+
     def s_rollback(spark, sf):
         # Iceberg rollback_to_snapshot: load the supplier dim, append
         # a corrupt batch, ROLL BACK — a pure metadata commit
@@ -2719,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_heavy_hitters": stream_cms_heavy_hitters,
         "graph_modularity": graph_modularity,
         "s_rollback": s_rollback,
+        "ann_matryoshka_topk": ann_matryoshka_topk,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -4598,6 +4611,24 @@ def oracle_sql() -> dict[str, str]:
     # rollback: post-rollback read ≡ the original load
     sql["s_rollback"] = """
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """
+
+    # Matryoshka truncation: cosine over the first-16-dim slices
+    sql["ann_matryoshka_topk"] = """
+        WITH t AS (SELECT vec_id,
+                          list_slice(embedding::DOUBLE[], 1, 16) AS v
+                   FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                 list_cosine_similarity(q.v, c.v) AS s
+          FROM t q JOIN t c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 20),
+        ranked AS (
+          SELECT query_id, corpus_id, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY s DESC, corpus_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 5
     """
 
     # streaming CMS: unigram tokens, width 16 (31-word vocab ⇒ real
