@@ -2497,6 +2497,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
                           k=16, iterations=1, topk=10)
 
+    def text_rake_keyphrases(spark, sf):
+        # RAKE unsupervised keyphrase extraction: stopword-free token
+        # runs via the gaps-and-islands window, deg/freq word scores
+        # (vocabulary-sized table, broadcast back), phrase = Σ member
+        # scores, top-25 by rounded score
+        # (functions/text.py::rake_keyphrases)
+        from fashion_knowledge_graph_spark.functions.text import (
+            rake_keyphrases,
+        )
+        return rake_keyphrases(_load(spark, sf, "documents"), top=25)
+
+    def a_unpivot_measures(spark, sf):
+        # relational UNPIVOT (melt): the four lineitem measures become
+        # (measure, value) rows in ONE pass — the wide→long reshape
+        # feeding generic per-metric aggregation; stays codegen (no
+        # explode of structs needed, Spark's native unpivot node)
+        li = _load(spark, sf, "lineitem")
+        long = li.unpivot(
+            ["l_returnflag"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure", "value")
+        return (long.groupBy("l_returnflag", "measure")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum(F.col("value")
+                                   .cast("decimal(18,2)")), 2)
+                     .cast("double").alias("total")))
+
     def ann_matryoshka_topk(spark, sf):
         # Matryoshka-style (MRL) truncated search: the FIRST 16 of 64
         # dims reused as a 4×-cheaper prefilter embedding — a pure
@@ -2732,6 +2759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": graph_modularity,
         "s_rollback": s_rollback,
         "ann_matryoshka_topk": ann_matryoshka_topk,
+        "a_unpivot_measures": a_unpivot_measures,
+        "text_rake_keyphrases": text_rake_keyphrases,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -4611,6 +4640,58 @@ def oracle_sql() -> dict[str, str]:
     # rollback: post-rollback read ≡ the original load
     sql["s_rollback"] = """
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """
+
+    # RAKE: islands replay (pos − row_number; DuckDB's 1-based
+    # subscripts shift pos AND island uniformly — grouping unchanged),
+    # exact-int word stats, rank over the ROUNDED score
+    sql["text_rake_keyphrases"] = """
+        WITH toks AS (
+          SELECT doc_id AS doc,
+                 unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents WHERE text IS NOT NULL),
+        ns AS (SELECT doc, tok, pos FROM toks
+               WHERE tok <> '' AND tok NOT IN
+                 ('the','a','and','of','to','in','is','that',
+                  'for','with')),
+        isl AS (SELECT doc, tok, pos,
+                       pos - row_number() OVER (
+                         PARTITION BY doc ORDER BY pos) AS island
+                FROM ns),
+        inst AS (SELECT doc, island,
+                        string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                        count(*) AS plen
+                 FROM isl GROUP BY 1, 2 HAVING count(*) <= 4),
+        members AS (SELECT isl.tok, inst.plen, isl.doc, isl.island
+                    FROM isl JOIN inst USING (doc, island)),
+        wscore AS (SELECT tok, sum(plen)::DOUBLE / count(*) AS wscore
+                   FROM members GROUP BY 1),
+        pscores AS (SELECT m.doc, m.island, sum(w.wscore) AS pscore
+                    FROM members m JOIN wscore w USING (tok)
+                    GROUP BY 1, 2),
+        ranked AS (SELECT i.phrase, count(*) AS n_occurrences,
+                          round(min(p.pscore), 6) AS score
+                   FROM inst i JOIN pscores p USING (doc, island)
+                   GROUP BY 1)
+        SELECT phrase, n_occurrences, score,
+               row_number() OVER (ORDER BY score DESC, phrase ASC)
+                 AS rank
+        FROM ranked
+        QUALIFY rank <= 25
+    """
+
+    # unpivot: DuckDB UNPIVOT ≡ Spark df.unpivot; DECIMAL sums keep
+    # the totals order-independent
+    sql["a_unpivot_measures"] = """
+        WITH long AS (
+          UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice,
+                          l_discount, l_tax FROM lineitem)
+          ON l_quantity, l_extendedprice, l_discount, l_tax
+          INTO NAME measure VALUE value)
+        SELECT l_returnflag, measure, count(*) AS n,
+               round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total
+        FROM long GROUP BY 1, 2
     """
 
     # Matryoshka truncation: cosine over the first-16-dim slices

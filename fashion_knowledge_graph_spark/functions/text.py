@@ -333,3 +333,64 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
                         F.col("__s") / F.col("n_chars")
                         + F.log2(F.col("n_chars").cast("double")), 6)
                     .alias("entropy")))
+
+
+def rake_keyphrases(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", max_phrase_len: int = 4,
+                    top: int = 25) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) →
+    the ``top`` phrases as ``(phrase, n_occurrences, score, rank)``.
+
+    Candidate phrases are maximal stopword-free token runs (the
+    gaps-and-islands window trick — island = pos − row_number, pure
+    codegen); each word scores deg(w)/freq(w) where deg counts
+    phrase-length-weighted appearances (a word living in long phrases
+    is a content word) and a phrase scores the sum of its member
+    words. The corpus-level keyphrase surfacer that needs no model —
+    the fashion-attribute miner's unsupervised cousin.
+
+    Scale shape: one doc-keyed window for islands, two
+    partial-agg'd groupBys (phrase instances, word stats — the word
+    table is vocabulary-sized and broadcasts back), one final ranked
+    aggregation over distinct phrases. Ties rank lexicographically.
+    """
+    from pyspark.sql import Window
+
+    toks = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc"),
+                    F.posexplode(F.split(text_col, " "))
+                    .alias("pos", "tok"))
+            .filter(F.col("tok") != ""))
+    ns = toks.filter(~F.col("tok").isin(*EN_STOPWORDS))
+    w = Window.partitionBy("doc").orderBy("pos")
+    isl = ns.withColumn("island", F.col("pos") - F.row_number().over(w))
+    inst = (isl.groupBy("doc", "island")
+            .agg(F.concat_ws(
+                " ", F.array_sort(F.collect_list(
+                    F.struct("pos", F.col("tok").alias("t"))))
+                .getField("t")).alias("phrase"),
+                F.count(F.lit(1)).alias("plen"))
+            .filter(F.col("plen") <= max_phrase_len))
+    members = isl.join(inst, ["doc", "island"]) \
+        .select("tok", "plen", "doc", "island")
+    wstats = (members.groupBy("tok")
+              .agg(F.count(F.lit(1)).alias("freq"),
+                   F.sum("plen").alias("deg")))
+    wscore = wstats.select(
+        "tok", (F.col("deg").cast("double") / F.col("freq"))
+        .alias("wscore"))
+    pscores = (members.join(F.broadcast(wscore), "tok")
+               .groupBy("doc", "island")
+               .agg(F.sum("wscore").alias("pscore")))
+    # min over instances: identical phrases share one global score by
+    # construction, but per-instance float summation order can differ
+    # in the last ulp — min is deterministic, round(6) collapses it
+    ranked = (inst.join(pscores, ["doc", "island"])
+              .groupBy("phrase")
+              .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                   F.round(F.min("pscore"), 6).alias("score")))
+    worder = Window.partitionBy().orderBy(
+        F.desc("score"), F.asc("phrase"))
+    return (ranked.withColumn("rank", F.row_number().over(worder))
+            .filter(F.col("rank") <= top)
+            .select("phrase", "n_occurrences", "score", "rank"))

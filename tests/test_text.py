@@ -283,3 +283,52 @@ def test_char_entropy_matches_python(spark):
     assert got[3] == (4, h("abcd"))          # uniform: log2(4) = 2
     assert got[3][1] == pytest.approx(2.0)
     assert got[5] == (1, 0.0)
+
+
+def test_rake_keyphrases_matches_python(spark):
+    """RAKE vs a direct python replay: islands split at stopwords,
+    deg/freq word scores, phrase = Σ member scores."""
+    from fashion_knowledge_graph_spark.functions.text import (
+        EN_STOPWORDS, rake_keyphrases,
+    )
+
+    rows = [(1, "deep learning of deep learning models"),
+            (2, "learning models and deep learning"),
+            (3, "the models")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["phrase"]: (r["n_occurrences"], r["score"], r["rank"])
+           for r in rake_keyphrases(df, max_phrase_len=4,
+                                    top=10).collect()}
+
+    stop = set(EN_STOPWORDS)
+    phrases = []                      # (phrase_tokens,) instances
+    for _, text in rows:
+        run = []
+        for t in text.split(" "):
+            if t in stop:
+                if run:
+                    phrases.append(run)
+                run = []
+            else:
+                run.append(t)
+        if run:
+            phrases.append(run)
+    phrases = [p for p in phrases if len(p) <= 4]
+    freq, deg = {}, {}
+    for p in phrases:
+        for t in p:
+            freq[t] = freq.get(t, 0) + 1
+            deg[t] = deg.get(t, 0) + len(p)
+    wscore = {t: deg[t] / freq[t] for t in freq}
+    exp = {}
+    for p in phrases:
+        ph = " ".join(p)
+        n, _ = exp.get(ph, (0, None))
+        exp[ph] = (n + 1, round(sum(wscore[t] for t in p), 6))
+    assert {k: v[:2] for k, v in got.items()} == exp
+    # ranking: by rounded score desc, phrase asc — spot-check order
+    ordered = sorted(exp.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    for i, (ph, _) in enumerate(ordered, start=1):
+        assert got[ph][2] == i, (ph, got[ph])
+    # multiword content phrases outrank stopword-adjacent singletons
+    assert got["deep learning"][2] < got["models"][2]
