@@ -2497,6 +2497,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
                           k=16, iterations=1, topk=10)
 
+    def events_date_spine_gaps(spark, sf):
+        # date-spine anti-pattern killer: generate the full Jan-2024
+        # day spine (F.sequence — no source table needed), left-join
+        # daily event counts, return EVERY day with its count incl.
+        # zero-activity days (the rows a plain groupBy silently
+        # drops); at scale the spine is dim-sized and broadcasts
+        spine = spark.range(1).select(
+            F.explode(F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-31").cast("date"))).alias("day"))
+        ev = _load(spark, sf, "events")
+        daily = ev.groupBy(F.col("ts").cast("date").alias("day")) \
+            .agg(F.count(F.lit(1)).alias("n"))
+        return (spine.join(daily, "day", "left")
+                .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+                        (F.coalesce(F.col("n"), F.lit(0)) == 0)
+                        .alias("is_gap")))
+
     def text_rake_keyphrases(spark, sf):
         # RAKE unsupervised keyphrase extraction: stopword-free token
         # runs via the gaps-and-islands window, deg/freq word scores
@@ -2761,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_matryoshka_topk": ann_matryoshka_topk,
         "a_unpivot_measures": a_unpivot_measures,
         "text_rake_keyphrases": text_rake_keyphrases,
+        "events_date_spine_gaps": events_date_spine_gaps,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -4640,6 +4660,21 @@ def oracle_sql() -> dict[str, str]:
     # rollback: post-rollback read ≡ the original load
     sql["s_rollback"] = """
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """
+
+    # date spine: generate_series ≡ F.sequence; zero days kept
+    sql["events_date_spine_gaps"] = """
+        WITH spine AS (
+          SELECT unnest(generate_series(DATE '2024-01-01',
+                                        DATE '2024-01-31',
+                                        INTERVAL 1 DAY))::DATE AS day),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n
+          FROM events GROUP BY 1)
+        SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+               CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+               coalesce(daily.n, 0) = 0 AS is_gap
+        FROM spine LEFT JOIN daily USING (day)
     """
 
     # RAKE: islands replay (pos − row_number; DuckDB's 1-based
