@@ -64,6 +64,13 @@ HEADLINE = [
     "text_bm25_topk",
     "hybrid_search_rrf",
     "dedup_jaccard_prefix",
+    # round-4 additions (sketches, PQ-family ANN, PCA, RAKE)
+    "sketch_cms_bigrams",
+    "sketch_kmv_distinct",
+    "emb_pca_project",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "text_rake_keyphrases",
 ]
 
 
