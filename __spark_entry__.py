@@ -2497,6 +2497,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
                           k=16, iterations=1, topk=10)
 
+    def sketch_kmv_overlap(spark, sf):
+        # KMV sketch ALGEBRA: pairwise audience overlap between event
+        # types — union sketch = k smallest of the two merged
+        # sketches, intersection by inclusion–exclusion; per-pair
+        # cost is O(k log k) on two k-row summaries, never a
+        # |A|×|B| join; exact intersection rides along for error
+        # visibility (operators/sketches.py::kmv_overlap)
+        from fashion_knowledge_graph_spark.operators.sketches import (
+            kmv_overlap,
+        )
+        return kmv_overlap(_load(spark, sf, "events"),
+                           "event_type", "user_id", k=64)
+
     def events_date_spine_gaps(spark, sf):
         # date-spine anti-pattern killer: generate the full Jan-2024
         # day spine (F.sequence — no source table needed), left-join
@@ -2781,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_unpivot_measures": a_unpivot_measures,
         "text_rake_keyphrases": text_rake_keyphrases,
         "events_date_spine_gaps": events_date_spine_gaps,
+        "sketch_kmv_overlap": sketch_kmv_overlap,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -4660,6 +4674,67 @@ def oracle_sql() -> dict[str, str]:
     # rollback: post-rollback read ≡ the original load
     sql["s_rollback"] = """
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """
+
+    # KMV overlap: identical window/merge/inclusion–exclusion replay;
+    # arithmetic on ALREADY-ROUNDED singles/union keeps both engines
+    # on the same doubles
+    sql["sketch_kmv_overlap"] = """
+        WITH hashed AS (
+          SELECT DISTINCT event_type AS s,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1, 15))::BIGINT AS h
+          FROM events WHERE user_id IS NOT NULL),
+        sk AS (SELECT s, h, rn FROM (
+          SELECT s, h, row_number() OVER (PARTITION BY s
+                                          ORDER BY h) AS rn
+          FROM hashed) WHERE rn <= 64),
+        per_set AS (SELECT s, count(*) AS n_sk,
+                           max(CASE WHEN rn = 64 THEN h END) AS kth
+                    FROM sk GROUP BY 1),
+        singles AS (SELECT s,
+                           round(CASE WHEN kth IS NULL
+                                 THEN n_sk::DOUBLE
+                                 ELSE 63.0 * 1152921504606846976.0
+                                      / kth::DOUBLE END, 4) AS e
+                    FROM per_set),
+        pairs AS (SELECT a.s AS set_a, b.s AS set_b
+                  FROM (SELECT DISTINCT s FROM sk) a
+                  JOIN (SELECT DISTINCT s FROM sk) b ON a.s < b.s),
+        merged AS (
+          SELECT DISTINCT set_a, set_b, h FROM (
+            SELECT p.set_a, p.set_b, k1.h
+            FROM pairs p JOIN sk k1 ON k1.s = p.set_a
+            UNION ALL
+            SELECT p.set_a, p.set_b, k2.h
+            FROM pairs p JOIN sk k2 ON k2.s = p.set_b)),
+        uk AS (SELECT set_a, set_b, count(*) AS n_sk,
+                      max(CASE WHEN rn = 64 THEN h END) AS kth
+               FROM (SELECT set_a, set_b, h,
+                            row_number() OVER (
+                              PARTITION BY set_a, set_b
+                              ORDER BY h) AS rn
+                     FROM merged) WHERE rn <= 64 GROUP BY 1, 2),
+        eu AS (SELECT set_a, set_b,
+                      round(CASE WHEN kth IS NULL THEN n_sk::DOUBLE
+                            ELSE 63.0 * 1152921504606846976.0
+                                 / kth::DOUBLE END, 4) AS est_union
+               FROM uk),
+        exact_i AS (SELECT x.s AS set_a, y.s AS set_b,
+                           count(*) AS n_intersect_exact
+                    FROM hashed x JOIN hashed y
+                      ON x.h = y.h AND x.s < y.s GROUP BY 1, 2)
+        SELECT eu.set_a, eu.set_b, ea.e AS est_a, eb.e AS est_b,
+               eu.est_union,
+               greatest(round(ea.e + eb.e - eu.est_union, 4), 0.0)
+                 AS est_intersect,
+               round(greatest(round(ea.e + eb.e - eu.est_union, 4),
+                              0.0) / eu.est_union, 6) AS jaccard_est,
+               CAST(coalesce(i.n_intersect_exact, 0) AS BIGINT)
+                 AS n_intersect_exact
+        FROM eu JOIN singles ea ON ea.s = eu.set_a
+        JOIN singles eb ON eb.s = eu.set_b
+        LEFT JOIN exact_i i USING (set_a, set_b)
     """
 
     # date spine: generate_series ≡ F.sequence; zero days kept

