@@ -2497,6 +2497,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
                           k=16, iterations=1, topk=10)
 
+    def kg_attr_similarity(spark, sf):
+        # item-item similarity by shared ATTRIBUTE triples — the KG
+        # complement of co-occurrence ("similar because both are
+        # red-cotton-casual", not "bought together"): distinct
+        # (item, pred=obj) tokens → shared-attr counts via one
+        # inverted self-join → Jaccard from degree counts; ≥4 shared
+        # attrs keeps the head-value fan-out bounded at fixture scale
+        # (the hub-cap knob from neighbor_jaccard is the 100 TB lever)
+        out = _kg_world(spark, sf)
+        prods = out["canonical"].select(
+            F.col("canonical_id").alias("subj")).distinct()
+        attrs = (out["triples"].filter(F.col("pred") != "complements")
+                 .join(prods, "subj", "left_semi")
+                 .select("subj",
+                         F.concat_ws("=", "pred", "obj").alias("a"))
+                 .distinct())
+        deg = attrs.groupBy("subj").agg(F.count(F.lit(1)).alias("deg"))
+        w1 = attrs.select("a", F.col("subj").alias("item_a"))
+        w2 = attrs.select("a", F.col("subj").alias("item_b"))
+        common = (w1.join(w2, "a")
+                  .filter(F.col("item_a") < F.col("item_b"))
+                  .groupBy("item_a", "item_b")
+                  .agg(F.count(F.lit(1)).alias("common_attrs"))
+                  .filter(F.col("common_attrs") >= 4))
+        da = deg.select(F.col("subj").alias("item_a"),
+                        F.col("deg").alias("da"))
+        db = deg.select(F.col("subj").alias("item_b"),
+                        F.col("deg").alias("db"))
+        return (common.join(da, "item_a").join(db, "item_b")
+                .select("item_a", "item_b", "common_attrs",
+                        (F.col("common_attrs").cast("double")
+                         / (F.col("da") + F.col("db")
+                            - F.col("common_attrs"))).alias("jaccard")))
+
     def sketch_kmv_overlap(spark, sf):
         # KMV sketch ALGEBRA: pairwise audience overlap between event
         # types — union sketch = k smallest of the two merged
@@ -2795,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rake_keyphrases": text_rake_keyphrases,
         "events_date_spine_gaps": events_date_spine_gaps,
         "sketch_kmv_overlap": sketch_kmv_overlap,
+        "kg_attr_similarity": kg_attr_similarity,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
         "graph_walk_corpus": graph_walk_corpus,
@@ -5662,6 +5697,26 @@ def _kg_oracle_sql() -> dict[str, str]:
         SELECT src AS subj, 'complements' AS pred, dst AS obj,
                weight::DOUBLE AS score
         FROM edges
+    """
+
+    # attribute-overlap similarity: distinct (pid, pred=obj) tokens
+    # re-derived from the attr-triple arms, inverted self-join,
+    # integer-derived Jaccard
+    sql["kg_attr_similarity"] = f"""
+        WITH RECURSIVE {base},
+        att AS (SELECT DISTINCT subj, pred || '=' || obj AS a
+                FROM ({attr_triples_sql})),
+        deg AS (SELECT subj, count(*) AS deg FROM att GROUP BY 1),
+        com AS (SELECT x.subj AS item_a, y.subj AS item_b,
+                       count(*) AS common_attrs
+                FROM att x JOIN att y
+                  ON x.a = y.a AND x.subj < y.subj
+                GROUP BY 1, 2 HAVING count(*) >= 4)
+        SELECT item_a, item_b, common_attrs,
+               common_attrs::DOUBLE
+                 / (da.deg + db.deg - common_attrs) AS jaccard
+        FROM com JOIN deg da ON da.subj = item_a
+        JOIN deg db ON db.subj = item_b
     """
 
     sql["kg_2hop_recs"] = f"""
