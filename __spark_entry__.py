@@ -2497,6 +2497,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
                           k=16, iterations=1, topk=10)
 
+    def dedup_cluster_stats(spark, sf):
+        # corpus datasheet: duplicate-cluster size distribution +
+        # retention after survivor resolution — the governance number
+        # a 10^12-doc dedup run reports; pure composition over the
+        # dedup_clusters resolution (min-survivor per group)
+        base = dedup_clusters(spark, sf)
+        sizes = base.groupBy("keep_id").agg(
+            F.count(F.lit(1)).alias("cluster_size"))
+        return (sizes.groupBy("cluster_size")
+                .agg(F.count(F.lit(1)).alias("n_clusters"),
+                     F.sum("cluster_size").alias("n_docs")))
+
     def kg_attr_similarity(spark, sf):
         # item-item similarity by shared ATTRIBUTE triples — the KG
         # complement of co-occurrence ("similar because both are
@@ -2829,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rake_keyphrases": text_rake_keyphrases,
         "events_date_spine_gaps": events_date_spine_gaps,
         "sketch_kmv_overlap": sketch_kmv_overlap,
+        "dedup_cluster_stats": dedup_cluster_stats,
         "kg_attr_similarity": kg_attr_similarity,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
@@ -5377,6 +5390,16 @@ def oracle_sql() -> dict[str, str]:
           FROM reach JOIN dsym s ON s.src = reach.id)
         SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id
     """
+
+    # cluster-size datasheet: wraps the full dedup_clusters replay
+    sql["dedup_cluster_stats"] = (
+        "WITH base AS (" + sql["dedup_clusters"] + "),\n"
+        "sizes AS (SELECT keep_id, count(*) AS cluster_size\n"
+        "          FROM base GROUP BY 1)\n"
+        "SELECT cluster_size,\n"
+        "       CAST(count(*) AS BIGINT) AS n_clusters,\n"
+        "       CAST(sum(cluster_size) AS BIGINT) AS n_docs\n"
+        "FROM sizes GROUP BY 1")
 
     # SimHash, bit-exact replay: token hash = first 16 hex chars of
     # md5 read MSB-first; per-bit ±1 sums over the token multiset;
