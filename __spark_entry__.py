@@ -2497,6 +2497,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
                           k=16, iterations=1, topk=10)
 
+    def w_trailing_range_frame(spark, sf):
+        # RANGE-framed window (the interval-frame shape ROWS frames
+        # can't express): per user, trailing-3-day sum/count of value
+        # at every event — frame bounds in integer MICROSECONDS over
+        # unix_micros(ts) so both engines use the identical total
+        # order and boundary arithmetic
+        from pyspark.sql import Window
+        ev = _load(spark, sf, "events")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        w = Window.partitionBy("user_id").orderBy(us.cast("long")) \
+            .rangeBetween(-3 * 86400 * 1_000_000, 0)
+        return ev.select(
+            "event_id", "user_id",
+            F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                    .over(w), 4).cast("double").alias("trail_value"),
+            F.count(F.lit(1)).over(w).alias("trail_n"))
+
     def dedup_cluster_stats(spark, sf):
         # corpus datasheet: duplicate-cluster size distribution +
         # retention after survivor resolution — the governance number
@@ -2842,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_date_spine_gaps": events_date_spine_gaps,
         "sketch_kmv_overlap": sketch_kmv_overlap,
         "dedup_cluster_stats": dedup_cluster_stats,
+        "w_trailing_range_frame": w_trailing_range_frame,
         "kg_attr_similarity": kg_attr_similarity,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
@@ -4722,6 +4740,20 @@ def oracle_sql() -> dict[str, str]:
     # rollback: post-rollback read ≡ the original load
     sql["s_rollback"] = """
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """
+
+    # RANGE frame in integer microseconds; DECIMAL sums order-free
+    sql["w_trailing_range_frame"] = """
+        SELECT event_id, user_id,
+               round(sum(value::DECIMAL(18,6)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 259200000000 PRECEDING
+                       AND CURRENT ROW), 4)::DOUBLE AS trail_value,
+               count(*) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 259200000000 PRECEDING
+                       AND CURRENT ROW) AS trail_n
+        FROM events
     """
 
     # KMV overlap: identical window/merge/inclusion–exclusion replay;
