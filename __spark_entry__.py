@@ -2497,6 +2497,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
                           k=16, iterations=1, topk=10)
 
+    def emb_dim_profile(spark, sf):
+        # embedding-health diagnostic: per-dimension mean/variance
+        # (collapsed or exploded dims are the classic silent encoder
+        # failure); posexplode → one partial-agg'd groupBy on dim —
+        # n + Σx + Σx² exact-form moments, divides at the end only
+        emb = _load(spark, sf, "embeddings")
+        el = emb.select(F.posexplode("embedding").alias("dim", "x")) \
+            .select("dim", F.col("x").cast("double").alias("x"))
+        return (el.groupBy("dim")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("x") / F.count(F.lit(1)), 6)
+                     .alias("mean"),
+                     F.round(F.sum(F.col("x") * F.col("x"))
+                             / F.count(F.lit(1))
+                             - (F.sum("x") / F.count(F.lit(1))) ** 2,
+                             6).alias("variance")))
+
     def w_trailing_range_frame(spark, sf):
         # RANGE-framed window (the interval-frame shape ROWS frames
         # can't express): per user, trailing-3-day sum/count of value
@@ -2860,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_overlap": sketch_kmv_overlap,
         "dedup_cluster_stats": dedup_cluster_stats,
         "w_trailing_range_frame": w_trailing_range_frame,
+        "emb_dim_profile": emb_dim_profile,
         "kg_attr_similarity": kg_attr_similarity,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
@@ -4740,6 +4758,20 @@ def oracle_sql() -> dict[str, str]:
     # rollback: post-rollback read ≡ the original load
     sql["s_rollback"] = """
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """
+
+    # per-dim moments: 0-based dim to match posexplode; identical
+    # E[x²]−E[x]² algebraic form
+    sql["emb_dim_profile"] = """
+        WITH el AS (
+          SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                 unnest(embedding)::DOUBLE AS x
+          FROM embeddings)
+        SELECT dim, count(*) AS n,
+               round(sum(x) / count(*), 6) AS mean,
+               round(sum(x * x) / count(*)
+                     - (sum(x) / count(*)) ** 2, 6) AS variance
+        FROM el GROUP BY 1
     """
 
     # RANGE frame in integer microseconds; DECIMAL sums order-free
