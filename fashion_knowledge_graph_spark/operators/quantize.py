@@ -157,6 +157,10 @@ def pq_train(df: DataFrame, id_col: str = "vec_id",
     src = df.select(id_col, vec_col)
     init = src.orderBy(id_col).limit(k).select(vec_col).collect()
     x0 = np.asarray([r[0] for r in init], dtype=np.float64)   # (k, d)
+    # corpora smaller than k shrink the codebook to what exists (the
+    # kmv small-set short-circuit analogue); all downstream shapes
+    # follow the EFFECTIVE k
+    k = x0.shape[0]
     d = x0.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     dsub = d // m

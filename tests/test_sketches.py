@@ -155,3 +155,41 @@ def test_kmv_overlap_disjoint_sets_clamp_at_zero(spark):
     assert got["est_intersect"] >= 0.0
     # inclusion–exclusion noise stays a small fraction of the union
     assert got["est_intersect"] / got["est_union"] < 0.35
+
+
+def test_round4_operators_edge_cases(spark):
+    """Degenerate inputs return sane empties/exact values instead of
+    crashing: tiny corpora, single sets, all-stopword docs."""
+    import numpy as np
+
+    from fashion_knowledge_graph_spark.functions.text import (
+        char_entropy, rake_keyphrases,
+    )
+    from fashion_knowledge_graph_spark.operators.quantize import (
+        pq_encode, pq_train,
+    )
+
+    # PQ with corpus smaller than k: codebook falls back to the
+    # available vectors; every code stays within range
+    rows = [(i, np.arange(4, dtype=float).tolist()) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=2, k=8, iterations=1)
+    codes = pq_encode(df, books).collect()
+    assert len(codes) == 3
+    for r in codes:
+        assert all(0 <= c < books.shape[1] for c in r["codes"])
+
+    # kmv_overlap with one set: no pairs, empty result
+    one = spark.createDataFrame([("A", 1), ("A", 2)], "s string, v long")
+    assert kmv_overlap(one, "s", "v", k=4).count() == 0
+
+    # RAKE over all-stopword / null text: zero phrases, no crash
+    docs = spark.createDataFrame(
+        [(1, "the a and of"), (2, None)], "doc_id long, text string")
+    assert rake_keyphrases(docs).count() == 0
+
+    # char entropy: empty string yields no chars → row absent
+    docs2 = spark.createDataFrame(
+        [(1, ""), (2, "ab")], "doc_id long, text string")
+    got = {r["doc_id"] for r in char_entropy(docs2).collect()}
+    assert got == {2}
