@@ -345,6 +345,10 @@ def ivfpq_topk(df: DataFrame, queries, id_col: str = "vec_id",
     cb = np.asarray(books)
     _m, _k, dsub = cb.shape
     cc = np.asarray(coarse[0])
+    # pq_train shrinks the codebook on corpora smaller than k — all
+    # probe arithmetic below follows the EFFECTIVE list count
+    ncoarse = cc.shape[0]
+    nprobe = min(nprobe, ncoarse)
 
     # list assignment + PQ codes in ONE fused encode pass — a
     # separate pq_encode per codebook would force a vec_id shuffle

@@ -266,3 +266,23 @@ def test_ivfpq_partial_probe_keeps_blob_neighbors(spark):
         # majority of the shortlist shares the query's blob
         same = sum(labels[x] == labels[q] for x in per_q[q])
         assert same >= 3, (q, per_q[q])
+
+
+def test_ivfpq_tiny_corpus_shrinks_codebooks(spark):
+    """Corpora smaller than ncoarse/k shrink both codebooks to what
+    exists; search still returns every reachable item."""
+    import numpy as np
+
+    from fashion_knowledge_graph_spark.operators.quantize import (
+        ivfpq_topk,
+    )
+
+    rng = np.random.RandomState(2)
+    rows = [(i, rng.randn(4).tolist()) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = [(0, rows[0][1])]
+    got = ivfpq_topk(df, queries, ncoarse=16, nprobe=8, m=2, k=16,
+                     iterations=1, topk=10).collect()
+    # 5 lists of 1 item each (init = the 5 vectors), all probed
+    assert {r["vec_id"] for r in got} == {0, 1, 2, 3, 4}
+    assert all(r["query_id"] == 0 for r in got)
