@@ -304,6 +304,8 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
              .unionByName(e.select(F.col("e_dst").alias("node")))
              .distinct().localCheckpoint(eager=True))
     n = nodes.count()
+    if n == 0:
+        raise ValueError("hits() needs a non-empty edge list")
     hubs = nodes.select("node", F.lit(1.0 / n).alias("hub"))
     for _ in range(iterations):
         # checkpoint the RAW sums (the |E|-row join-aggregate — the
@@ -564,6 +566,9 @@ def modularity(edges: DataFrame, communities: DataFrame,
                              .alias("community")).localCheckpoint(eager=True)
     # symmetrized list counts every undirected edge twice ⇒ 2W = Σw
     tot2w = e.agg(F.sum("w")).first()[0]
+    if not tot2w:
+        raise ValueError("modularity() needs a non-empty edge list "
+                         "with positive total weight")
     labeled = (e.join(lab.withColumnRenamed("node", "e_src")
                       .withColumnRenamed("community", "c_src"), "e_src")
                .join(lab.withColumnRenamed("node", "e_dst")

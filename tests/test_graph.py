@@ -2,6 +2,8 @@
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from fashion_knowledge_graph_spark.operators.graph import pagerank
 
 
@@ -598,3 +600,17 @@ def test_modularity_matches_python(spark):
                 for r in modularity(e, one, weight="weight").collect())
     assert q_good > q_one
     assert q_one == pytest.approx(0.0, abs=1e-9)   # all-in-one ⇒ Q = 0
+
+
+def test_hits_and_modularity_reject_empty_graphs(spark):
+    from fashion_knowledge_graph_spark.operators.graph import (
+        hits, modularity,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="non-empty"):
+        hits(empty)
+    comm = spark.createDataFrame([(1, 1)], "node long, community long")
+    with pytest.raises(ValueError, match="non-empty"):
+        modularity(empty.withColumn("weight", F.lit(1)), comm,
+                   weight="weight")
