@@ -2497,6 +2497,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivfpq_topk(emb, queries, ncoarse=8, nprobe=2, m=4,
                           k=16, iterations=1, topk=10)
 
+    def j_null_safe_join(spark, sf):
+        # null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+        # keys MATCH each other instead of vanishing — the semantics
+        # plain '=' silently drops; nullif() manufactures a
+        # deterministic NULL stratum from a real column
+        o = _load(spark, sf, "orders").select(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k"))
+        dim = spark.createDataFrame(
+            [("F", "finished"), ("P", "pending"), (None, "open")],
+            "k string, label string")
+        return (o.join(dim, o["k"].eqNullSafe(dim["k"]))
+                .groupBy("label")
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+
+    def u_except_intersect(spark, sf):
+        # EXCEPT / INTERSECT set operations (2.F completeness beyond
+        # u1's UNION): ship modes that never appear as return flags,
+        # plus the overlap, tagged in one result
+        o = _load(spark, sf, "orders")
+        li = _load(spark, sf, "lineitem")
+        modes = o.select(F.col("o_orderstatus").alias("v")).distinct()
+        flags = li.select(F.col("l_linestatus").alias("v")).distinct()
+        ex = modes.exceptAll(flags).select(
+            "v", F.lit("except").alias("op"))
+        inter = modes.intersect(flags).select(
+            "v", F.lit("intersect").alias("op"))
+        return ex.unionByName(inter)
+
     def emb_dim_profile(spark, sf):
         # embedding-health diagnostic: per-dimension mean/variance
         # (collapsed or exploded dims are the classic silent encoder
@@ -2878,6 +2906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": dedup_cluster_stats,
         "w_trailing_range_frame": w_trailing_range_frame,
         "emb_dim_profile": emb_dim_profile,
+        "j_null_safe_join": j_null_safe_join,
+        "u_except_intersect": u_except_intersect,
         "kg_attr_similarity": kg_attr_similarity,
         "graph_link_prediction": graph_link_prediction,
         "graph_jaccard_similarity": graph_jaccard_similarity,
@@ -4758,6 +4788,27 @@ def oracle_sql() -> dict[str, str]:
     # rollback: post-rollback read ≡ the original load
     sql["s_rollback"] = """
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """
+
+    # null-safe join: IS NOT DISTINCT FROM ≡ eqNullSafe
+    sql["j_null_safe_join"] = """
+        WITH o AS (SELECT nullif(o_orderstatus, 'O') AS k FROM orders),
+        dim(k, label) AS (VALUES ('F', 'finished'), ('P', 'pending'),
+                                 (NULL, 'open'))
+        SELECT label, count(*) AS n_orders
+        FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.k
+        GROUP BY 1
+    """
+
+    # EXCEPT ALL on distinct inputs ≡ EXCEPT; INTERSECT distinct
+    sql["u_except_intersect"] = """
+        WITH modes AS (SELECT DISTINCT o_orderstatus AS v FROM orders),
+        flags AS (SELECT DISTINCT l_linestatus AS v FROM lineitem)
+        SELECT v, 'except' AS op FROM (
+          SELECT v FROM modes EXCEPT SELECT v FROM flags)
+        UNION ALL
+        SELECT v, 'intersect' AS op FROM (
+          SELECT v FROM modes INTERSECT SELECT v FROM flags)
     """
 
     # per-dim moments: 0-based dim to match posexplode; identical
