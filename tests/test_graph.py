@@ -614,3 +614,46 @@ def test_hits_and_modularity_reject_empty_graphs(spark):
     with pytest.raises(ValueError, match="non-empty"):
         modularity(empty.withColumn("weight", F.lit(1)), comm,
                    weight="weight")
+
+
+def test_pagerank_checkpointed_resume_equals_oneshot(spark, tmp_path):
+    """Interrupt-and-resume converges to the EXACT one-shot ranks:
+    2 iterations committed, process 'dies', a fresh call finishes the
+    remaining 2 from the stored snapshot — bit-equal to 4 straight
+    iterations; the intermediate commit stays time-travelable."""
+    from fashion_knowledge_graph_spark.operators.graph import (
+        pagerank, pagerank_checkpointed,
+    )
+    from fashion_knowledge_graph_spark.sources.tables import SnapshotTable
+
+    edges = [(1, 2, 2.0), (2, 3, 1.0), (3, 1, 1.0), (1, 4, 1.0),
+             (4, 2, 3.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    oneshot = {r["node"]: r["rank"]
+               for r in pagerank(df, weight="weight",
+                                 iterations=4).collect()}
+
+    t = SnapshotTable(str(tmp_path / "pr"))
+    # run only 2 of 4 iterations, then 'crash'
+    pagerank_checkpointed(df, t, iterations=2, chunk=1, weight="weight")
+    mid_snapshot = t.current_snapshot()
+    assert t._manifest(mid_snapshot)["stage"] == "pr_iter_2"
+    # fresh invocation resumes at iteration 2 and finishes
+    got = {r["node"]: r["rank"]
+           for r in pagerank_checkpointed(df, t, iterations=4,
+                                          chunk=1,
+                                          weight="weight").collect()}
+    assert got == oneshot                      # EXACT, not approx
+    assert t._manifest(t.current_snapshot())["stage"] == "pr_iter_4"
+    # chunked commits double as rank history (time travel)
+    mid = {r["node"]: r["rank"]
+           for r in t.read(spark, snapshot_id=mid_snapshot).collect()}
+    two = {r["node"]: r["rank"]
+           for r in pagerank(df, weight="weight",
+                             iterations=2).collect()}
+    assert mid == two
+
+    # idempotent re-run: already complete → no extra commits
+    before = t.current_snapshot()
+    pagerank_checkpointed(df, t, iterations=4, chunk=1, weight="weight")
+    assert t.current_snapshot() == before
