@@ -1555,6 +1555,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id_a", "id_b",
                           F.round("jaccard", 6).alias("jaccard"))
 
+    def dedup_threshold_sweep(spark, sf):
+        # threshold-sensitivity datasheet: near-dup pair counts per
+        # similarity band from ONE inverted-index pass — the tuning
+        # artifact that answers "what does raising the dedup
+        # threshold to 0.7 actually drop" without re-running the join
+        # per candidate threshold
+        out = dd.jaccard_pairs_exact(_docs_split(spark, sf),
+                                     threshold=0.35)
+        band = (F.when(F.col("jaccard") >= 0.9, "0.90+")
+                .when(F.col("jaccard") >= 0.7, "0.70-0.90")
+                .when(F.col("jaccard") >= 0.5, "0.50-0.70")
+                .otherwise("0.35-0.50"))
+        return out.groupBy(band.alias("band")).agg(
+            F.count(F.lit(1)).alias("n_pairs"))
+
     def dedup_jaccard_prefix(spark, sf):
         # PPJoin-style prefix filtering: identical output to
         # dedup_ngram_jaccard (same brute-force oracle) from a
@@ -2904,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_date_spine_gaps": events_date_spine_gaps,
         "sketch_kmv_overlap": sketch_kmv_overlap,
         "dedup_cluster_stats": dedup_cluster_stats,
+        "dedup_threshold_sweep": dedup_threshold_sweep,
         "w_trailing_range_frame": w_trailing_range_frame,
         "emb_dim_profile": emb_dim_profile,
         "j_null_safe_join": j_null_safe_join,
@@ -5214,6 +5230,22 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = inter.id_a
         JOIN sizes sb ON sb.id = inter.id_b
         WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35
+    """
+
+    # threshold sweep: same brute-force pairs, banded counts
+    sql["dedup_threshold_sweep"] = f"""
+        WITH {shingle_cte},
+        sc AS (SELECT inter / (sa.sz + sb.sz - inter)::DOUBLE AS j
+               FROM inter
+               JOIN sizes sa ON sa.id = inter.id_a
+               JOIN sizes sb ON sb.id = inter.id_b
+               WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35)
+        SELECT CASE WHEN j >= 0.9 THEN '0.90+'
+                    WHEN j >= 0.7 THEN '0.70-0.90'
+                    WHEN j >= 0.5 THEN '0.50-0.70'
+                    ELSE '0.35-0.50' END AS band,
+               count(*) AS n_pairs
+        FROM sc GROUP BY 1
     """
 
     # z-order key: identical bucket arithmetic (exact BIGINT ops + one
