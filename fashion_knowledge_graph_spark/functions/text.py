@@ -389,8 +389,11 @@ def rake_keyphrases(df: DataFrame, id_col: str = "doc_id",
               .groupBy("phrase")
               .agg(F.count(F.lit(1)).alias("n_occurrences"),
                    F.round(F.min("pscore"), 6).alias("score")))
+    # top-N via orderBy+limit (per-partition heaps), THEN the rank
+    # window over ≤ top rows — a global window over the full distinct-
+    # phrase table would single-partition a vocabulary²-sized input
+    head = ranked.orderBy(F.desc("score"), F.asc("phrase")).limit(top)
     worder = Window.partitionBy().orderBy(
         F.desc("score"), F.asc("phrase"))
-    return (ranked.withColumn("rank", F.row_number().over(worder))
-            .filter(F.col("rank") <= top)
+    return (head.withColumn("rank", F.row_number().over(worder))
             .select("phrase", "n_occurrences", "score", "rank"))

@@ -289,7 +289,12 @@ def shortest_paths(edges: DataFrame, seeds: DataFrame, rounds: int,
     relaxation) over a DIRECTED edge list → ``(node, dist)`` =
     minimum total edge weight from any seed, among paths of ≤
     ``rounds`` hops (unreached nodes absent; symmetrize the input for
-    undirected semantics).
+    undirected semantics). Seeds absent from the graph still appear
+    in the output at dist 0 — a node is at distance 0 from itself
+    whether or not it has edges (mirror of ``pagerank``'s seed
+    intersection, where absent seeds MUST drop to conserve mass;
+    here keeping them is the harmless, information-preserving
+    choice).
 
     Each round is one min-plus relaxation:
     dist_{t+1}(v) = min(dist_t(v), min_{u→v} dist_t(u) + w(u,v)) —

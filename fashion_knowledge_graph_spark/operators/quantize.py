@@ -258,10 +258,12 @@ def pq_adc_topk(codes_df: DataFrame, codebooks, queries,
     and each item's approximate distance is m table gathers + a sum —
     O(m) per item instead of O(d), over codes instead of floats.
 
-    ``queries`` is a list of (query_id, vector) pairs (dim-sized,
-    driver-held — the same economics as the codebooks). Ranking uses
-    the ROUNDED distance with the item id as tie-break, so the order
-    is reproducible across engines and summation orders.
+    ``queries`` is a list of (query_id, vector) pairs with DISTINCT
+    ids (dim-sized, driver-held — the same economics as the
+    codebooks; a duplicated id would silently merge two queries'
+    result sets). Ranking uses the ROUNDED distance with the item id
+    as tie-break, so the order is reproducible across engines and
+    summation orders.
     """
     import numpy as np
     import pyarrow as pa

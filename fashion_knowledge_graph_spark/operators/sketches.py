@@ -203,9 +203,11 @@ def kmv_overlap(df: DataFrame, set_col: str, value_col: str,
     0. That merge is the whole point at scale: per-pair cost is
     O(k log k) on two k-element summaries, not a |A|×|B| join —
     every pair of 10^9-user audiences compares in microseconds. The
-    exact intersection rides along (the expensive distinct self-join
-    the sketch avoids) so the estimation error is visible, same
-    convention as ``kmv_distinct``.
+    reference intersection rides along (the expensive self-join the
+    sketch avoids) so the estimation error is visible, same
+    convention as ``kmv_distinct``; it joins on the 60-bit hashes,
+    so it is exact up to cross-value collisions (~n²/2⁶¹ —
+    negligible, and identical in the SQL replay).
     """
     hashed = (df.select(F.col(set_col).alias("s"),
                         F.col(value_col).alias("v"))

@@ -61,14 +61,19 @@ def skew_profile(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
     from pyspark.sql import Window
 
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
-        F.count(F.lit(1)).alias("n_rows"))
-    wall = Window.partitionBy()
+        F.count(F.lit(1)).alias("n_rows")).localCheckpoint(eager=True)
+    # top-N FIRST via orderBy+limit (TakeOrderedAndProject — per-
+    # partition heaps, no global sort), THEN the rank/cumulative
+    # window over ≤ top rows. A global window over the full key table
+    # would move EVERY key count to one partition — exactly the skew
+    # this operator exists to diagnose. The scalar total comes from
+    # one agg over the checkpointed counts (no second data pass).
+    tot = counts.agg(F.sum("n_rows").alias("__tot"))
+    head = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top)
     worder = Window.partitionBy().orderBy(
         F.desc("n_rows"), F.asc("key"))
-    return (counts
-            .withColumn("__tot", F.sum("n_rows").over(wall))
+    return (head.crossJoin(F.broadcast(tot))
             .withColumn("rank", F.row_number().over(worder))
-            .filter(F.col("rank") <= top)
             .select("key", "n_rows",
                     F.round(F.col("n_rows") / F.col("__tot"), 9)
                     .alias("share"),

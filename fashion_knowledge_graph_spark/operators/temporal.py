@@ -302,7 +302,11 @@ def time_decay_agg(events: DataFrame, by: str = "user_id",
     an explicit parameter, NOT now(): feature snapshots must be
     reproducible — rerunning the pipeline tomorrow over the same
     events yields the same training table (the determinism contract
-    shared with ``operators/sampling.py``).
+    shared with ``operators/sampling.py``). Events AFTER ``ref_date``
+    get decay^(negative) > 1 — amplified, not dropped: pass a
+    ref_date at or past the snapshot end (filtering future rows is
+    the caller's feature-leakage guard, which this operator must not
+    silently second-guess).
 
     Plan: pure codegen projection (integer day diff → pow) feeding
     one partial-agg'd groupBy — scan-speed at 100 TB. The day diff
@@ -347,10 +351,14 @@ def session_paths(events: DataFrame, by: str = "user_id",
                  ">", F.array_sort(F.collect_list(
                      F.struct("__step", F.col(state).alias("s"))))
                  .getField("s")).alias("path")))
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"))
+    # top-N via orderBy+limit, THEN the rank window over ≤ top rows
+    # (a global window over all distinct paths single-partitions an
+    # unbounded table — the skew_profile lesson)
+    head = counted.orderBy(F.desc("n_sessions"), F.asc("path")) \
+        .limit(top)
     worder = Window.partitionBy().orderBy(
         F.desc("n_sessions"), F.asc("path"))
-    return (paths.groupBy("path")
-            .agg(F.count(F.lit(1)).alias("n_sessions"))
-            .withColumn("rank", F.row_number().over(worder))
-            .filter(F.col("rank") <= top)
+    return (head.withColumn("rank", F.row_number().over(worder))
             .select("path", "n_sessions", "rank"))

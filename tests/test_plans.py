@@ -577,3 +577,24 @@ def test_ivfpq_probe_join_is_broadcast_and_codes_never_shuffle(spark):
     assert shuffle_sections, plan
     for s in shuffle_sections:
         assert "codes" not in s, s
+
+
+def test_topn_rank_queries_use_ordered_limit_not_global_window(spark):
+    """skew_profile (and the rake/session-path rankers sharing the
+    shape) must take the top-N with orderBy+limit — per-partition
+    heaps (TakeOrderedAndProject) — BEFORE any single-partition rank
+    window; a global window over the full key table would funnel
+    every key count into one task."""
+    from fashion_knowledge_graph_spark.operators.skew import skew_profile
+
+    df = spark.createDataFrame([("k%d" % (i % 50),) for i in range(500)],
+                               "k string")
+    plan = _plan(skew_profile(df, "k", top=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    # no SinglePartition exchange may carry the key column — the only
+    # legitimate one is the scalar total (a single sum value); the
+    # ordered limit already delivers the ≤ top rows to the window
+    sections = [s for s in plan.split("\n(")
+                if "SinglePartition" in s]
+    for s in sections:
+        assert "key" not in s, s
