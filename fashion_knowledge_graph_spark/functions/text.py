@@ -296,9 +296,13 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 20,
     per_doc = scored.groupBy("id").agg(
         F.round(F.sum(part), 6).alias("score"))
     from pyspark.sql import Window
+
+    # top-k via orderBy+limit (per-partition heaps) BEFORE the rank
+    # window — a global window over every matching doc would single-
+    # partition the scored corpus (the skew_profile lesson)
+    head = per_doc.orderBy(F.desc("score"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("id"))
-    return (per_doc.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+    return (head.withColumn("rank", F.row_number().over(w))
             .select(F.col("id").alias(id_col), "score", "rank"))
 
 

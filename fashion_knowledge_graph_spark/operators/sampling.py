@@ -107,8 +107,14 @@ def weighted_sample_k(df: DataFrame, key_col: str, weight_col: str,
     out = df.filter(F.col(weight_col).isNotNull()
                     & (F.col(weight_col) > 0)) \
         .withColumn("__es_key", key)
-    part = Window.partitionBy(*by) if by else Window.partitionBy()
-    w = part.orderBy(F.desc("__es_key"), F.asc(key_col))
+    if not by:
+        # ungrouped: orderBy+limit (TakeOrderedAndProject per-
+        # partition heaps) — a global rank window would funnel the
+        # whole corpus into one task
+        return (out.orderBy(F.desc("__es_key"), F.asc(key_col))
+                .limit(k).drop("__es_key"))
+    w = Window.partitionBy(*by).orderBy(
+        F.desc("__es_key"), F.asc(key_col))
     return (out.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .drop("__es_key", "__rn"))
