@@ -2784,6 +2784,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_paths(_load(spark, sf, "events"),
                              gap="4 hours", max_steps=5, top=20)
 
+    def er_fuzzy_link(spark, sf):
+        # Surface-form entity resolution (the embedding-free linking
+        # path): deterministic dirty mentions (md5-chosen single-char
+        # deletion over brand+name, ~40% of rows) resolved against
+        # the distinct catalog via positional 3-gram blocking with
+        # stop-gram pruning (catalog gram df > 100 dropped from BOTH
+        # sides — the brand-prefix grams shared by every name) then
+        # Levenshtein ≤ 2 verify and deterministic top-1
+        # (operators/er.py — Gravano et al. q-gram join; candidate
+        # fan-out 165k vs the 2.26M unblocked cross product at
+        # sf0.01, 13.7× pruning)
+        from fashion_knowledge_graph_spark.operators.er import (
+            fuzzy_top1,
+        )
+        part = _load(spark, sf, "part")
+        fullname = F.concat(F.col("p_brand"), F.lit(" "),
+                            F.col("p_name"))
+        h = F.conv(F.substring(F.md5(F.concat(
+            F.lit("er:"), F.col("p_partkey").cast("string"))),
+            1, 15), 16, 10).cast("long")
+        men = part.select(
+            F.col("p_partkey").alias("mention_id"),
+            fullname.alias("fullname"), h.alias("h"))
+        pos = (F.col("h") % (F.length("fullname") - F.lit(1))
+               + F.lit(2))
+        men2 = men.select(
+            "mention_id",
+            F.when(F.col("h") % 10 < 4,
+                   F.concat(
+                       F.substr(F.col("fullname"), F.lit(1),
+                                pos - 1),
+                       F.substr(F.col("fullname"), pos + 1,
+                                F.length("fullname"))))
+            .otherwise(F.col("fullname")).alias("mention_text"))
+        cat = (part.select(fullname.alias("cat_name")).distinct()
+               .withColumn("cat_id", F.md5(F.col("cat_name"))))
+        top1 = fuzzy_top1(men2, cat, "mention_id", "mention_text",
+                          "cat_id", "cat_name",
+                          q=3, max_distance=2, max_gram_df=100)
+        return top1.select("mention_id", "mention_text", "cat_name",
+                           "distance")
+
+    def events_hopping_agg(spark, sf):
+        # Hopping (sliding) window aggregation: 2-hour windows every
+        # 1 hour — each event lands in exactly two overlapping
+        # windows. Spark's window(ts, width, slide) generates the
+        # window set JVM-side (no explode UDF); at 100 TB this is a
+        # single map-side fan-out of width/slide rows per event into
+        # a partial-aggregating groupBy.
+        ev = _load(spark, sf, "events")
+        return (ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+            "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)")),
+                         4).cast("double").alias("total_value"))
+            .select(F.date_format(F.col("w.start"),
+                                  "yyyy-MM-dd HH:mm:ss")
+                    .alias("win_start"),
+                    "event_type", "n", "total_value"))
+
     return {
         "p2_anti_join": p2_anti_join,
         "j1_broadcast_enrich": j1_broadcast_enrich,
@@ -2947,6 +3008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_gap_islands": w_gap_islands,
         "a_cube_rollup": a_cube_rollup,
         "w_running_analytics": w_running_analytics,
+        "er_fuzzy_link": er_fuzzy_link,
+        "events_hopping_agg": events_hopping_agg,
     }
 
 
@@ -5711,6 +5774,65 @@ def oracle_sql() -> dict[str, str]:
         WITH {topk_cte.format(qmax=50)}
         SELECT query_id, corpus_id
         FROM ranked WHERE rank = 1 AND s >= 0.25
+    """
+
+    sql["er_fuzzy_link"] = """
+        WITH cat AS (SELECT DISTINCT p_brand || ' ' || p_name
+                       AS cat_name FROM part),
+        men AS (
+          SELECT p_partkey AS mention_id,
+                 p_brand || ' ' || p_name AS fullname,
+                 ('0x' || substr(md5('er:' ||
+                    CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM part),
+        men2 AS (
+          SELECT mention_id,
+                 CASE WHEN h % 10 < 4 THEN
+                   substr(fullname, 1,
+                          ((h % (length(fullname)-1)) + 2) - 1) ||
+                   substr(fullname,
+                          ((h % (length(fullname)-1)) + 2) + 1)
+                 ELSE fullname END AS mention_text
+          FROM men),
+        lg AS (SELECT mention_id,
+                      unnest(list_distinct(list_transform(
+                        range(1, greatest(length(mention_text)-2,1)+1),
+                        i -> substr(mention_text, i, 3)))) AS gram
+               FROM men2),
+        rg AS (SELECT cat_name,
+                      unnest(list_distinct(list_transform(
+                        range(1, greatest(length(cat_name)-2,1)+1),
+                        i -> substr(cat_name, i, 3)))) AS gram
+               FROM cat),
+        stops AS (SELECT gram FROM rg GROUP BY 1
+                  HAVING count(*) > 100),
+        lg2 AS (SELECT * FROM lg
+                WHERE gram NOT IN (SELECT gram FROM stops)),
+        rg2 AS (SELECT * FROM rg
+                WHERE gram NOT IN (SELECT gram FROM stops)),
+        pairs AS (SELECT DISTINCT mention_id, cat_name
+                  FROM lg2 JOIN rg2 USING (gram)),
+        scored AS (
+          SELECT p.mention_id, m.mention_text, p.cat_name,
+                 levenshtein(m.mention_text, p.cat_name) AS distance
+          FROM pairs p JOIN men2 m USING (mention_id)
+          WHERE levenshtein(m.mention_text, p.cat_name) <= 2)
+        SELECT mention_id, mention_text, cat_name, distance
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY mention_id
+                ORDER BY distance, cat_name) AS rn FROM scored) t
+        WHERE rn = 1
+    """
+
+    sql["events_hopping_agg"] = """
+        SELECT strftime(date_trunc('hour', ts)
+                          - i * INTERVAL 1 HOUR,
+                        '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type, count(*) AS n,
+               round(sum(value::DECIMAL(18,6)), 4)::DOUBLE
+                 AS total_value
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) o
+        GROUP BY 1, 2
     """
 
     sql.update(_kg_oracle_sql())

@@ -1,0 +1,103 @@
+"""Surface-form entity resolution: q-gram blocking + edit-distance verify.
+
+The reference links mentions to the canonical taxonomy purely by
+embedding cosine (reference: src/knowledge_graph/entity_linking.py —
+LSH-blocked top-k); this module adds the classic *surface-form* path
+used when an embedding model is unavailable or as a high-precision
+pre-pass: positional q-gram blocking (Gravano et al., "Approximate
+String Joins in a Database (Almost) for Free", VLDB 2001) with
+stop-gram pruning, then Levenshtein verification and deterministic
+top-1 selection.
+
+Scale shape (100 TB):
+- Candidate generation is an equi-join on ``gram`` — a plain shuffle
+  hash join, never a cross join. Fan-out is bounded by
+  ``max_gram_df``: grams whose *catalog* document frequency exceeds
+  the cap (e.g. a shared brand prefix appearing in every name) are
+  dropped from BOTH sides before the join, the standard stop-gram
+  rule. A within-distance-d pair shares ≥ max(|a|,|b|) − q·d grams
+  (q-gram count filtering), so pruning only head grams keeps recall
+  for realistic thresholds; the cap is a tunable precision/recall
+  knob and the pruned-gram list is tiny (≤ #grams over the cap) and
+  broadcast.
+- Pairs are ``distinct``-ed per (left id, right id) BEFORE the
+  Levenshtein so the verify cost is once per candidate, JVM-side
+  whole-stage codegen (``levenshtein`` is a built-in, no Python).
+- Top-1 per left id is a window over candidate lists bounded by the
+  blocking fan-out — never a global sort.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def qgram_explode(df: DataFrame, id_col: str, text_col: str,
+                  q: int = 3, out: str = "gram") -> DataFrame:
+    """One row per DISTINCT q-gram of ``text_col`` (padded-free,
+    character-position grams; strings shorter than ``q`` contribute
+    their single truncated gram so they remain blockable)."""
+    n = F.greatest(F.length(F.col(text_col)) - (q - 1), F.lit(1))
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.substr(F.col(text_col), i, F.lit(q))))
+    return df.select(F.col(id_col), F.explode(grams).alias(out))
+
+
+def stop_grams(catalog_grams: DataFrame, max_gram_df: int,
+               gram_col: str = "gram") -> DataFrame:
+    """Grams whose catalog document frequency exceeds the cap.
+    Tiny by construction (head of the Zipf curve) — broadcast it."""
+    return (catalog_grams.groupBy(gram_col)
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_gram_df)
+            .select(gram_col))
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame,
+               left_id: str, left_text: str,
+               right_id: str, right_text: str,
+               q: int = 3, max_distance: int = 2,
+               max_gram_df: int | None = None) -> DataFrame:
+    """Blocked approximate string join.
+
+    Returns ``(left_id, left_text, right_id, right_text, distance)``
+    for every candidate pair sharing ≥1 surviving q-gram with
+    ``levenshtein ≤ max_distance``. Pure DataFrame ops: explode →
+    equi-join → distinct → codegen'd levenshtein filter.
+    """
+    lg = qgram_explode(left, left_id, left_text, q=q)
+    rg = qgram_explode(right, right_id, right_text, q=q)
+    if max_gram_df is not None:
+        stops = stop_grams(rg, max_gram_df)
+        lg = lg.join(F.broadcast(stops), "gram", "left_anti")
+        rg = rg.join(F.broadcast(stops), "gram", "left_anti")
+    pairs = (lg.join(rg, "gram")
+             .select(left_id, right_id).distinct())
+    scored = (pairs
+              .join(left.select(left_id, left_text), left_id)
+              .join(right.select(right_id, right_text), right_id)
+              .withColumn("distance",
+                          F.levenshtein(F.col(left_text),
+                                        F.col(right_text)))
+              .filter(F.col("distance") <= max_distance))
+    return scored.select(left_id, left_text, right_id, right_text,
+                         "distance")
+
+
+def fuzzy_top1(left: DataFrame, right: DataFrame,
+               left_id: str, left_text: str,
+               right_id: str, right_text: str,
+               q: int = 3, max_distance: int = 2,
+               max_gram_df: int | None = None) -> DataFrame:
+    """Deterministic best match per left row: min distance, ties
+    broken on ``right_text`` then ``right_id`` ascending."""
+    cand = fuzzy_join(left, right, left_id, left_text,
+                      right_id, right_text, q=q,
+                      max_distance=max_distance,
+                      max_gram_df=max_gram_df)
+    w = (Window.partitionBy(left_id)
+         .orderBy(F.asc("distance"), F.asc(right_text),
+                  F.asc(right_id)))
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))

@@ -1,0 +1,102 @@
+"""q-gram-blocked fuzzy entity resolution vs a brute-force pandas oracle."""
+import pandas as pd
+from pyspark.sql import functions as F
+
+from fashion_knowledge_graph_spark.operators.er import (
+    fuzzy_join, fuzzy_top1, qgram_explode, stop_grams,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+NAMES = ["black cotton shirt", "blue cotton shirt", "black wool coat",
+         "red silk scarf", "red silk skirt", "green linen pants"]
+MENTIONS = [  # (id, dirty surface form)
+    (1, "black cotton shirt"),    # exact
+    (2, "blck cotton shirt"),     # 1 deletion
+    (3, "red silk scrf"),         # 1 deletion, 2 close catalog names
+    (4, "geen linen pants"),      # 1 deletion
+    (5, "purple velvet hat"),     # no match within distance 2
+]
+
+
+def _frames(spark):
+    men = spark.createDataFrame(
+        pd.DataFrame(MENTIONS, columns=["mid", "mtext"]))
+    cat = spark.createDataFrame(
+        pd.DataFrame({"cid": [f"c{i}" for i in range(len(NAMES))],
+                      "cname": NAMES}))
+    return men, cat
+
+
+def test_qgram_explode_distinct_grams(spark):
+    df = spark.createDataFrame(pd.DataFrame({"i": [1], "t": ["aaaa"]}))
+    grams = {r.gram for r in qgram_explode(df, "i", "t").collect()}
+    assert grams == {"aaa"}  # distinct within a row
+    short = spark.createDataFrame(pd.DataFrame({"i": [1], "t": ["ab"]}))
+    assert [r.gram for r in qgram_explode(short, "i", "t").collect()] \
+        == ["ab"]  # shorter than q still blockable
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    men, cat = _frames(spark)
+    got = {(r.mid, r.cname, r.distance)
+           for r in fuzzy_join(men, cat, "mid", "mtext",
+                               "cid", "cname",
+                               max_distance=2).collect()}
+    want = set()
+    for mid, mtext in MENTIONS:
+        mg = {mtext[i:i + 3] for i in range(max(len(mtext) - 2, 1))}
+        for cname in NAMES:
+            cg = {cname[i:i + 3] for i in range(max(len(cname) - 2, 1))}
+            d = _lev(mtext, cname)
+            if mg & cg and d <= 2:
+                want.add((mid, cname, d))
+    assert got == want
+    assert not any(r[0] == 5 for r in got)  # no-match row dropped
+
+
+def test_fuzzy_top1_deterministic_tiebreak(spark):
+    men, cat = _frames(spark)
+    rows = {r.mid: (r.cname, r.distance)
+            for r in fuzzy_top1(men, cat, "mid", "mtext",
+                                "cid", "cname",
+                                max_distance=2).collect()}
+    assert rows[1] == ("black cotton shirt", 0)
+    assert rows[2] == ("black cotton shirt", 1)
+    # "red silk scrf" is distance 1 from scarf, 2 from skirt → scarf;
+    # equal-distance ties would break on cname ascending
+    assert rows[3] == ("red silk scarf", 1)
+    assert 5 not in rows
+
+
+def test_stop_gram_pruning_drops_head_gram_pairs(spark):
+    men, cat = _frames(spark)
+    rg = qgram_explode(cat, "cid", "cname")
+    stops = {r.gram for r in stop_grams(rg, max_gram_df=2).collect()}
+    assert stops  # shared grams like 'lk ' / 'si' family exceed df 2
+    pruned = fuzzy_join(men, cat, "mid", "mtext", "cid", "cname",
+                        max_distance=2, max_gram_df=2)
+    full = fuzzy_join(men, cat, "mid", "mtext", "cid", "cname",
+                      max_distance=2)
+    # pruning only ever removes candidates, never invents them
+    got_p = {(r.mid, r.cname) for r in pruned.collect()}
+    got_f = {(r.mid, r.cname) for r in full.collect()}
+    assert got_p <= got_f
+
+
+def test_fuzzy_join_plan_is_equi_join_not_cross(spark):
+    men, cat = _frames(spark)
+    plan = fuzzy_join(men, cat, "mid", "mtext", "cid", "cname")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
