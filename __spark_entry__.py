@@ -2784,6 +2784,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_paths(_load(spark, sf, "events"),
                              gap="4 hours", max_steps=5, top=20)
 
+    def ml_ols_regression(spark, sf):
+        # Distributed closed-form OLS (normal equations): ONE
+        # map-side partial-agg pass collects 10 exact DECIMAL
+        # moments, the 3×3 Cramer solve is scalar math on the merged
+        # row — the MLlib WeightedLeastSquares shape, zero iterations
+        # and zero vector shuffles at any scale. Fit:
+        # l_extendedprice ~ l_quantity + l_discount
+        # (operators/regression.py::ols_fit)
+        from fashion_knowledge_graph_spark.operators.regression import (
+            ols_fit,
+        )
+        li = _load(spark, sf, "lineitem")
+        fit = ols_fit(li, "l_extendedprice", "l_quantity",
+                      "l_discount")
+        return fit.select(
+            "n",
+            F.round("intercept", 4).alias("intercept"),
+            F.round("beta1", 4).alias("beta1"),
+            F.round("beta2", 4).alias("beta2"),
+            F.round("r2", 6).alias("r2"))
+
+    def sketch_bloom_filter(spark, sf):
+        # Explicit Bloom filter as a first-class, persistable sketch:
+        # build the bit table over high-value customers (the filter
+        # is ≤ m rows regardless of input size → broadcasts at any
+        # scale), probe ALL customers, and emit might_contain next to
+        # exact membership so false positives are visible data (no
+        # false negatives by construction — the invariant the oracle
+        # hash-checks). Same shape as Spark's runtime might_contain
+        # join pruning, but deterministic md5 lanes ⇒ bit-replayable
+        # (operators/sketches.py::bloom_build/bloom_probe)
+        from fashion_knowledge_graph_spark.operators.sketches import (
+            bloom_build, bloom_probe,
+        )
+        orders = _load(spark, sf, "orders")
+        cust = _load(spark, sf, "customer")
+        members = (orders.filter(F.col("o_totalprice") > 480000)
+                   .select(F.col("o_custkey").alias("k")).distinct())
+        bits = bloom_build(members, "k", m=4096, d=3)
+        probed = bloom_probe(bits, cust.select("c_custkey"),
+                             "c_custkey", m=4096, d=3)
+        return (probed
+                .join(members.withColumnRenamed("k", "c_custkey")
+                      .withColumn("is_member", F.lit(True)),
+                      "c_custkey", "left")
+                .select("c_custkey", "might_contain",
+                        F.coalesce("is_member", F.lit(False))
+                        .alias("is_member")))
+
     def er_fuzzy_link(spark, sf):
         # Surface-form entity resolution (the embedding-free linking
         # path): deterministic dirty mentions (md5-chosen single-char
@@ -3010,6 +3059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_running_analytics": w_running_analytics,
         "er_fuzzy_link": er_fuzzy_link,
         "events_hopping_agg": events_hopping_agg,
+        "sketch_bloom_filter": sketch_bloom_filter,
+        "ml_ols_regression": ml_ols_regression,
     }
 
 
@@ -5774,6 +5825,76 @@ def oracle_sql() -> dict[str, str]:
         WITH {topk_cte.format(qmax=50)}
         SELECT query_id, corpus_id
         FROM ranked WHERE rank = 1 AND s >= 0.25
+    """
+
+    sql["ml_ols_regression"] = """
+        WITH s AS (
+          SELECT count(*)::DOUBLE AS n,
+                 sum(l_quantity::DECIMAL(12,2))::DOUBLE AS sx1,
+                 sum(l_discount::DECIMAL(12,2))::DOUBLE AS sx2,
+                 sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS sy,
+                 sum(l_quantity::DECIMAL(12,2)
+                     * l_quantity::DECIMAL(12,2))::DOUBLE AS sx11,
+                 sum(l_quantity::DECIMAL(12,2)
+                     * l_discount::DECIMAL(12,2))::DOUBLE AS sx12,
+                 sum(l_discount::DECIMAL(12,2)
+                     * l_discount::DECIMAL(12,2))::DOUBLE AS sx22,
+                 sum(l_quantity::DECIMAL(12,2)
+                     * l_extendedprice::DECIMAL(12,2))::DOUBLE
+                   AS sx1y,
+                 sum(l_discount::DECIMAL(12,2)
+                     * l_extendedprice::DECIMAL(12,2))::DOUBLE
+                   AS sx2y,
+                 sum(l_extendedprice::DECIMAL(12,2)
+                     * l_extendedprice::DECIMAL(12,2))::DOUBLE AS syy
+          FROM lineitem),
+        d AS (
+          SELECT *,
+            (n * (sx11 * sx22 - sx12 * sx12)
+             - sx1 * (sx1 * sx22 - sx12 * sx2)
+             + sx2 * (sx1 * sx12 - sx11 * sx2)) AS det,
+            (sy * (sx11 * sx22 - sx12 * sx12)
+             - sx1 * (sx1y * sx22 - sx12 * sx2y)
+             + sx2 * (sx1y * sx12 - sx11 * sx2y)) AS det0,
+            (n * (sx1y * sx22 - sx12 * sx2y)
+             - sy * (sx1 * sx22 - sx12 * sx2)
+             + sx2 * (sx1 * sx2y - sx1y * sx2)) AS det1,
+            (n * (sx11 * sx2y - sx1y * sx12)
+             - sx1 * (sx1 * sx2y - sx1y * sx2)
+             + sy * (sx1 * sx12 - sx11 * sx2)) AS det2
+          FROM s)
+        SELECT n::BIGINT AS n,
+               round(det0 / det, 4) AS intercept,
+               round(det1 / det, 4) AS beta1,
+               round(det2 / det, 4) AS beta2,
+               round(1 - (syy - (det0 / det) * sy
+                              - (det1 / det) * sx1y
+                              - (det2 / det) * sx2y)
+                       / (syy - sy * sy / n), 6) AS r2
+        FROM d
+    """
+
+    sql["sketch_bloom_filter"] = """
+        WITH mem AS (SELECT DISTINCT o_custkey AS k FROM orders
+                     WHERE o_totalprice > 480000),
+        lanes AS (SELECT unnest([1, 2, 3]) AS i),
+        bits AS (SELECT DISTINCT
+                   ('0x' || substr(md5('bloom' || i || ':' ||
+                      CAST(k AS VARCHAR)), 1, 15))::BIGINT % 4096
+                     AS pos
+                 FROM mem CROSS JOIN lanes),
+        pp AS (SELECT c_custkey,
+                   ('0x' || substr(md5('bloom' || i || ':' ||
+                      CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                     % 4096 AS pos
+               FROM customer CROSS JOIN lanes),
+        hit AS (SELECT c_custkey,
+                       sum(CASE WHEN pos IN (SELECT pos FROM bits)
+                           THEN 1 ELSE 0 END) = 3 AS might_contain
+                FROM pp GROUP BY 1)
+        SELECT h.c_custkey, h.might_contain,
+               (m.k IS NOT NULL) AS is_member
+        FROM hit h LEFT JOIN mem m ON h.c_custkey = m.k
     """
 
     sql["er_fuzzy_link"] = """

@@ -275,3 +275,55 @@ def kmv_overlap(df: DataFrame, set_col: str, value_col: str,
         F.round(inter / F.col("est_union"), 6).alias("jaccard_est"),
         F.coalesce(F.col("n_intersect_exact"), F.lit(0))
         .alias("n_intersect_exact"))
+
+
+def bloom_positions(col, m: int, d: int):
+    """Array of ``d`` bit positions in ``[0, m)`` for a value — the
+    same portable md5 lanes as every other sketch here, salted per
+    hash function, so the filter is bit-replayable in ANSI SQL."""
+    return F.array(*[
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"bloom{i}:"), col.cast("string"))),
+            1, 15), 16, 10).cast("long") % m)
+        for i in range(1, d + 1)])
+
+
+def bloom_build(df: DataFrame, value_col: str,
+                m: int = 4096, d: int = 3) -> DataFrame:
+    """Build a Bloom filter over the distinct values of ``value_col``
+    as a table of SET BIT POSITIONS → ``(pos)``, ≤ m rows.
+
+    The bit table IS the filter: tiny by construction (m positions at
+    most, independent of input cardinality), so at 100 TB it
+    broadcasts to every probe task — the same shape as the runtime
+    ``might_contain`` join pruning Spark injects, but explicit,
+    deterministic, and persistable as a table other jobs reuse.
+    Build cost: one distinct + a d-way position explode, all
+    partial-aggregated map-side.
+    """
+    return (df.select(F.explode(
+                bloom_positions(F.col(value_col), m, d)).alias("pos"))
+            .distinct())
+
+
+def bloom_probe(bits: DataFrame, probe: DataFrame, probe_col: str,
+                m: int = 4096, d: int = 3) -> DataFrame:
+    """Probe rows against a built filter → probe columns +
+    ``might_contain`` (no false negatives; false-positive rate
+    ≈ (1 − e^(−d·n/m))^d).
+
+    Plan shape: explode the probe's d positions, LEFT join the
+    (broadcast-sized) bit table, and require ALL d lanes to hit —
+    a map-side membership test once the bits are broadcast; the only
+    exchange is the per-probe-key regroup, which partial-aggregates.
+    """
+    pp = probe.select(
+        F.col(probe_col),
+        F.posexplode(bloom_positions(F.col(probe_col), m, d))
+        .alias("lane", "pos"))
+    hit = (pp.join(F.broadcast(bits.withColumn("__hit", F.lit(1))),
+                   "pos", "left")
+           .groupBy(probe_col)
+           .agg((F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                 == F.lit(d)).alias("might_contain")))
+    return probe.join(hit, probe_col)

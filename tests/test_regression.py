@@ -1,0 +1,54 @@
+"""Closed-form OLS vs numpy lstsq, plus degeneracy + invariance."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from fashion_knowledge_graph_spark.operators.regression import ols_fit
+
+
+def _data(n=500, seed=7):
+    rng = np.random.RandomState(seed)
+    x1 = rng.randint(1, 50, n).astype(float)
+    x2 = np.round(rng.uniform(0, 0.1, n), 2)
+    y = np.round(3.5 + 2.25 * x1 - 40.0 * x2 + rng.normal(0, 2, n), 2)
+    return pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+
+
+def test_ols_two_features_matches_numpy(spark):
+    pdf = _data()
+    row = ols_fit(spark.createDataFrame(pdf), "y", "x1", "x2").first()
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    beta, *_ = np.linalg.lstsq(X, pdf.y.values, rcond=None)
+    assert row.n == len(pdf)
+    assert row.intercept == pytest.approx(beta[0], abs=1e-6)
+    assert row.beta1 == pytest.approx(beta[1], abs=1e-8)
+    assert row.beta2 == pytest.approx(beta[2], abs=1e-6)
+    pred = X @ beta
+    r2 = 1 - ((pdf.y - pred) ** 2).sum() / \
+        ((pdf.y - pdf.y.mean()) ** 2).sum()
+    assert row.r2 == pytest.approx(r2, abs=1e-9)
+
+
+def test_ols_single_feature_matches_numpy(spark):
+    pdf = _data()
+    row = ols_fit(spark.createDataFrame(pdf), "y", "x1").first()
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1])
+    beta, *_ = np.linalg.lstsq(X, pdf.y.values, rcond=None)
+    assert row.intercept == pytest.approx(beta[0], abs=1e-6)
+    assert row.beta1 == pytest.approx(beta[1], abs=1e-8)
+
+
+def test_ols_partition_invariant(spark):
+    # decimal moment sums are order-free: 1 partition ≡ 16 partitions
+    pdf = _data()
+    df = spark.createDataFrame(pdf)
+    a = ols_fit(df.coalesce(1), "y", "x1", "x2").first()
+    b = ols_fit(df.repartition(16), "y", "x1", "x2").first()
+    assert (a.intercept, a.beta1, a.beta2, a.r2) \
+        == (b.intercept, b.beta1, b.beta2, b.r2)
+
+
+def test_ols_degenerate_constant_feature_yields_nulls(spark):
+    pdf = _data().assign(x1=5.0)  # collinear with the intercept
+    row = ols_fit(spark.createDataFrame(pdf), "y", "x1", "x2").first()
+    assert row.intercept is None and row.beta1 is None

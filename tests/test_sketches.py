@@ -193,3 +193,44 @@ def test_round4_operators_edge_cases(spark):
         [(1, ""), (2, "ab")], "doc_id long, text string")
     got = {r["doc_id"] for r in char_entropy(docs2).collect()}
     assert got == {2}
+
+
+def test_bloom_no_false_negatives_and_visible_fps(spark):
+    import hashlib
+
+    from fashion_knowledge_graph_spark.operators.sketches import (
+        bloom_build, bloom_probe,
+    )
+
+    members = list(range(0, 400))
+    probes = list(range(0, 1200))
+    m, d = 512, 3  # deliberately undersized so FPs occur
+
+    mdf = spark.createDataFrame([(v,) for v in members], "k bigint")
+    pdf = spark.createDataFrame([(v,) for v in probes], "p bigint")
+    bits = bloom_build(mdf, "k", m=m, d=d)
+    got = {r.p: r.might_contain
+           for r in bloom_probe(bits, pdf, "p", m=m, d=d).collect()}
+
+    def pos(v, i):
+        h = hashlib.md5(f"bloom{i}:{v}".encode()).hexdigest()
+        return int(h[:15], 16) % m
+
+    bitset = {pos(v, i) for v in members for i in (1, 2, 3)}
+    want = {v: all(pos(v, i) in bitset for i in (1, 2, 3))
+            for v in probes}
+    assert got == want                       # bit-exact python replay
+    assert all(got[v] for v in members)      # no false negatives
+    fps = [v for v in probes if got[v] and v not in set(members)]
+    assert fps                               # undersized m ⇒ FPs exist
+    assert len(fps) < 800                    # but it still filters
+
+
+def test_bloom_bit_table_is_bounded_by_m(spark):
+    from fashion_knowledge_graph_spark.operators.sketches import (
+        bloom_build,
+    )
+    mdf = spark.range(0, 5000).withColumnRenamed("id", "k")
+    bits = bloom_build(mdf, "k", m=64, d=3)
+    n = bits.count()
+    assert n <= 64  # the filter never outgrows m, whatever the input
