@@ -2784,6 +2784,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_paths(_load(spark, sf, "events"),
                              gap="4 hours", max_steps=5, top=20)
 
+    def graph_degree_stats(spark, sf):
+        # Degree datasheet + discrete power-law exponent MLE (Hill /
+        # CSN eq. 3.7) for the co-purchase graph — the skew profile
+        # that decides salting and hub caps at 100 TB; the ln-sum
+        # runs over the distinct-degree rollup, not per node
+        # (operators/graph.py::degree_stats)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            degree_stats,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        s = degree_stats(und, dmin=2)
+        return s.select(
+            "n_nodes", "n_edges", "max_degree",
+            F.round("mean_degree", 6).alias("mean_degree"),
+            F.round("alpha_hill", 6).alias("alpha_hill"))
+
     def ml_ols_regression(spark, sf):
         # Distributed closed-form OLS (normal equations): ONE
         # map-side partial-agg pass collects 10 exact DECIMAL
@@ -2833,20 +2849,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.coalesce("is_member", F.lit(False))
                         .alias("is_member")))
 
-    def er_fuzzy_link(spark, sf):
-        # Surface-form entity resolution (the embedding-free linking
-        # path): deterministic dirty mentions (md5-chosen single-char
-        # deletion over brand+name, ~40% of rows) resolved against
-        # the distinct catalog via positional 3-gram blocking with
-        # stop-gram pruning (catalog gram df > 100 dropped from BOTH
-        # sides — the brand-prefix grams shared by every name) then
-        # Levenshtein ≤ 2 verify and deterministic top-1
-        # (operators/er.py — Gravano et al. q-gram join; candidate
-        # fan-out 165k vs the 2.26M unblocked cross product at
-        # sf0.01, 13.7× pruning)
-        from fashion_knowledge_graph_spark.operators.er import (
-            fuzzy_top1,
-        )
+    def _er_dirty_mentions(spark, sf):
+        # deterministic dirty mention synthesis shared by the er_*
+        # queries: md5-chosen single-char deletion over brand+name on
+        # ~40% of part rows → (mention_id, mention_text)
         part = _load(spark, sf, "part")
         fullname = F.concat(F.col("p_brand"), F.lit(" "),
                             F.col("p_name"))
@@ -2858,7 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fullname.alias("fullname"), h.alias("h"))
         pos = (F.col("h") % (F.length("fullname") - F.lit(1))
                + F.lit(2))
-        men2 = men.select(
+        return men.select(
             "mention_id",
             F.when(F.col("h") % 10 < 4,
                    F.concat(
@@ -2867,13 +2873,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.substr(F.col("fullname"), pos + 1,
                                 F.length("fullname"))))
             .otherwise(F.col("fullname")).alias("mention_text"))
-        cat = (part.select(fullname.alias("cat_name")).distinct()
+
+    def er_fuzzy_link(spark, sf):
+        # Surface-form entity resolution (the embedding-free linking
+        # path): deterministic dirty mentions resolved against the
+        # distinct catalog via positional 3-gram blocking with
+        # stop-gram pruning (catalog gram df > 100 dropped from BOTH
+        # sides — the brand-prefix grams shared by every name) then
+        # Levenshtein ≤ 2 verify and deterministic top-1
+        # (operators/er.py — Gravano et al. q-gram join; candidate
+        # fan-out 165k vs the 2.26M unblocked cross product at
+        # sf0.01, 13.7× pruning)
+        from fashion_knowledge_graph_spark.operators.er import (
+            fuzzy_top1,
+        )
+        part = _load(spark, sf, "part")
+        men2 = _er_dirty_mentions(spark, sf)
+        cat = (part.select(F.concat(F.col("p_brand"), F.lit(" "),
+                                    F.col("p_name")).alias("cat_name"))
+               .distinct()
                .withColumn("cat_id", F.md5(F.col("cat_name"))))
         top1 = fuzzy_top1(men2, cat, "mention_id", "mention_text",
                           "cat_id", "cat_name",
                           q=3, max_distance=2, max_gram_df=100)
         return top1.select("mention_id", "mention_text", "cat_name",
                            "distance")
+
+    def er_clusters(spark, sf):
+        # ER canonicalization step 2: transitive closure of the fuzzy
+        # pairs — blocked mention↔mention self-join (same q-gram +
+        # stop-gram machinery, Levenshtein ≤ 1, a<b dedup) feeds
+        # connected components; cluster id = min mention id, with the
+        # member count alongside. The surface-form twin of
+        # kg_canonical's embedding-based dedup
+        # (operators/er.py + operators/components.py)
+        from fashion_knowledge_graph_spark.operators.components import (
+            connected_components,
+        )
+        from fashion_knowledge_graph_spark.operators.er import (
+            fuzzy_join,
+        )
+        men2 = _er_dirty_mentions(spark, sf)
+        rhs = (men2.select(F.col("mention_id").alias("rid"),
+                           F.col("mention_text").alias("rtext")))
+        pairs = fuzzy_join(men2, rhs, "mention_id", "mention_text",
+                           "rid", "rtext",
+                           q=3, max_distance=1, max_gram_df=100)
+        edges = (pairs.filter(F.col("mention_id") < F.col("rid"))
+                 .select(F.col("mention_id").alias("src"),
+                         F.col("rid").alias("dst")))
+        cc = connected_components(
+            edges, men2.select(F.col("mention_id").alias("id")), "id")
+        sizes = (cc.groupBy("component")
+                 .agg(F.count(F.lit(1)).alias("n_members")))
+        return (cc.join(sizes, "component")
+                .select(F.col("id").alias("mention_id"),
+                        F.col("component").alias("cluster_id"),
+                        "n_members"))
 
     def events_hopping_agg(spark, sf):
         # Hopping (sliding) window aggregation: 2-hour windows every
@@ -3061,6 +3117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hopping_agg": events_hopping_agg,
         "sketch_bloom_filter": sketch_bloom_filter,
         "ml_ols_regression": ml_ols_regression,
+        "er_clusters": er_clusters,
+        "graph_degree_stats": graph_degree_stats,
     }
 
 
@@ -5825,6 +5883,75 @@ def oracle_sql() -> dict[str, str]:
         WITH {topk_cte.format(qmax=50)}
         SELECT query_id, corpus_id
         FROM ranked WHERE rank = 1 AND s >= 0.25
+    """
+
+    sql["er_clusters"] = """
+        WITH RECURSIVE men AS (
+          SELECT p_partkey AS mention_id,
+                 p_brand || ' ' || p_name AS fullname,
+                 ('0x' || substr(md5('er:' ||
+                    CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM part),
+        men2 AS (
+          SELECT mention_id,
+                 CASE WHEN h % 10 < 4 THEN
+                   substr(fullname, 1,
+                          ((h % (length(fullname)-1)) + 2) - 1) ||
+                   substr(fullname,
+                          ((h % (length(fullname)-1)) + 2) + 1)
+                 ELSE fullname END AS mention_text
+          FROM men),
+        mg AS (SELECT mention_id, mention_text,
+                      unnest(list_distinct(list_transform(
+                        range(1, greatest(length(mention_text)-2,1)+1),
+                        i -> substr(mention_text, i, 3)))) AS gram
+               FROM men2),
+        stops AS (SELECT gram FROM mg GROUP BY 1
+                  HAVING count(*) > 100),
+        mg2 AS (SELECT * FROM mg
+                WHERE gram NOT IN (SELECT gram FROM stops)),
+        e AS (SELECT DISTINCT x.mention_id AS src,
+                              y.mention_id AS dst
+              FROM mg2 x JOIN mg2 y USING (gram)
+              WHERE x.mention_id < y.mention_id
+                AND levenshtein(x.mention_text, y.mention_text) <= 1),
+        und AS (SELECT src AS a, dst AS b FROM e
+                UNION ALL SELECT dst, src FROM e),
+        reach AS (
+          SELECT mention_id AS id, mention_id AS r FROM men2
+          UNION
+          SELECT reach.id, und.b FROM reach
+          JOIN und ON reach.r = und.a),
+        cc AS (SELECT id, min(r) AS cluster_id FROM reach
+               GROUP BY 1),
+        sizes AS (SELECT cluster_id, count(*) AS n_members
+                  FROM cc GROUP BY 1)
+        SELECT id AS mention_id, cluster_id, n_members
+        FROM cc JOIN sizes USING (cluster_id)
+    """
+
+    sql["graph_degree_stats"] = """
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT src AS a, dst AS b FROM pairs),
+        adj AS (SELECT a AS z FROM und
+                UNION ALL SELECT b FROM und),
+        deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1),
+        byd AS (SELECT deg, count(*) AS cnt FROM deg GROUP BY 1)
+        SELECT (SELECT sum(cnt) FROM byd)::BIGINT AS n_nodes,
+               (SELECT count(*) FROM und)::BIGINT AS n_edges,
+               (SELECT max(deg) FROM byd)::BIGINT AS max_degree,
+               round((SELECT sum(deg * cnt)::DOUBLE / sum(cnt)
+                      FROM byd), 6) AS mean_degree,
+               round(1.0 + (SELECT sum(cnt)::DOUBLE FROM byd
+                            WHERE deg >= 2)
+                         / (SELECT sum(cnt * ln(deg / 1.5))
+                            FROM byd WHERE deg >= 2), 6)
+                 AS alpha_hill
     """
 
     sql["ml_ols_regression"] = """

@@ -742,3 +742,37 @@ def deterministic_walks(edges: DataFrame, steps: int,
                        F.col("cur").alias("node")))
         frontier = nxt
     return out
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst",
+                 dmin: int = 2) -> DataFrame:
+    """One-row degree datasheet for an undirected edge list:
+    ``(n_nodes, n_edges, max_degree, mean_degree, alpha_hill)``.
+
+    ``alpha_hill`` is the discrete power-law exponent MLE (Clauset,
+    Shalizi & Newman 2009, eq. 3.7): over the k nodes with degree ≥
+    dmin, alpha = 1 + k / Σ ln(deg / (dmin − ½)). Everything reduces
+    to ONE degree aggregation (partial map-side) followed by a
+    per-distinct-degree rollup — the ln sum runs over ≤ max_degree
+    rows weighted by exact integer counts, so at 100 TB the float
+    arithmetic happens on a vocabulary-of-degrees-sized table, not
+    per node. Callers round alpha for cross-engine display.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    byd = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("cnt"))
+    n_edges = und.count()
+    tail = byd.filter(F.col("deg") >= dmin)
+    return (byd.agg(
+        F.sum("cnt").cast("bigint").alias("n_nodes"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.max("deg").cast("bigint").alias("max_degree"),
+        (F.sum(F.col("deg") * F.col("cnt"))
+         / F.sum("cnt")).alias("mean_degree"))
+        .crossJoin(tail.agg(
+            (1.0 + F.sum("cnt")
+             / F.sum(F.col("cnt")
+                     * F.log(F.col("deg") / (dmin - 0.5))))
+            .alias("alpha_hill"))))

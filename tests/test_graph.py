@@ -657,3 +657,26 @@ def test_pagerank_checkpointed_resume_equals_oneshot(spark, tmp_path):
     before = t.current_snapshot()
     pagerank_checkpointed(df, t, iterations=4, chunk=1, weight="weight")
     assert t.current_snapshot() == before
+
+
+def test_degree_stats_matches_python(spark):
+    import math
+
+    from fashion_knowledge_graph_spark.operators.graph import degree_stats
+
+    # star (hub deg 4) + triangle, one shared node
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (4, 5), (5, 6), (6, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    row = degree_stats(df, dmin=2).first()
+
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert row.n_nodes == len(deg)
+    assert row.n_edges == len(edges)
+    assert row.max_degree == max(deg.values())
+    assert abs(row.mean_degree - sum(deg.values()) / len(deg)) < 1e-12
+    tail = [d for d in deg.values() if d >= 2]
+    alpha = 1 + len(tail) / sum(math.log(d / 1.5) for d in tail)
+    assert abs(row.alpha_hill - alpha) < 1e-9
