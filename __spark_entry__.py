@@ -2800,6 +2800,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("mean_degree", 6).alias("mean_degree"),
             F.round("alpha_hill", 6).alias("alpha_hill"))
 
+    def graph_assortativity(spark, sf):
+        # Newman degree assortativity over the co-purchase graph —
+        # with degree_stats' alpha this is the two-number skew
+        # fingerprint (hub-hub vs hub-leaf wiring) that picks the
+        # salting strategy (operators/graph.py::degree_assortativity)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            degree_assortativity,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        s = degree_assortativity(und)
+        return s.select("n_edge_ends",
+                        F.round("r", 6).alias("r"))
+
+    def scd2_type_intervals(spark, sf):
+        # Type-2 SCD build: collapse each user's event stream into
+        # validity intervals of event_type (islands by VALUE change,
+        # not time gap) — one shuffle+sort per entity, epoch-µs
+        # BIGINT bounds, open current interval
+        # (operators/temporal.py::scd2_intervals)
+        from fashion_knowledge_graph_spark.operators.temporal import (
+            scd2_intervals,
+        )
+        return scd2_intervals(_load(spark, sf, "events"))
+
     def ml_ols_regression(spark, sf):
         # Distributed closed-form OLS (normal equations): ONE
         # map-side partial-agg pass collects 10 exact DECIMAL
@@ -3119,6 +3143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_ols_regression": ml_ols_regression,
         "er_clusters": er_clusters,
         "graph_degree_stats": graph_degree_stats,
+        "graph_assortativity": graph_assortativity,
+        "scd2_type_intervals": scd2_type_intervals,
     }
 
 
@@ -5883,6 +5909,55 @@ def oracle_sql() -> dict[str, str]:
         WITH {topk_cte.format(qmax=50)}
         SELECT query_id, corpus_id
         FROM ranked WHERE rank = 1 AND s >= 0.25
+    """
+
+    sql["graph_assortativity"] = """
+        WITH pairs AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT src AS a, dst AS b FROM pairs
+                UNION ALL SELECT dst, src FROM pairs),
+        deg AS (SELECT a AS node, count(*) AS deg FROM und
+                GROUP BY 1),
+        ends AS (SELECT da.deg AS x, db.deg AS y
+                 FROM und
+                 JOIN deg da ON und.a = da.node
+                 JOIN deg db ON und.b = db.node),
+        s AS (SELECT count(*) AS m, sum(x) AS s1, sum(y) AS s2,
+                     sum(x*y) AS s12, sum(x*x) AS s11,
+                     sum(y*y) AS s22
+              FROM ends)
+        SELECT m::BIGINT AS n_edge_ends,
+               round((m * s12 - s1 * s2)::DOUBLE
+                     / sqrt((m * s11 - s1 * s1)::DOUBLE
+                            * (m * s22 - s2 * s2)::DOUBLE), 6) AS r
+        FROM s
+    """
+
+    sql["scd2_type_intervals"] = """
+        WITH o AS (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+          FROM events),
+        g AS (SELECT *,
+                 sum(CASE WHEN prev IS NULL
+                          OR event_type <> prev THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS grp
+              FROM o),
+        iv AS (SELECT user_id, grp, min(event_type) AS event_type,
+                      min(epoch_us(ts)) AS valid_from_us
+               FROM g GROUP BY 1, 2)
+        SELECT user_id, event_type, valid_from_us, valid_to_us,
+               (valid_to_us IS NULL) AS is_current
+        FROM (SELECT user_id, event_type, valid_from_us,
+                     lead(valid_from_us) OVER (PARTITION BY user_id
+                       ORDER BY valid_from_us) AS valid_to_us
+              FROM iv) z
     """
 
     sql["er_clusters"] = """

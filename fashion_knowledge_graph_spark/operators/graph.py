@@ -776,3 +776,45 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst",
              / F.sum(F.col("cnt")
                      * F.log(F.col("deg") / (dmin - 0.5))))
             .alias("alpha_hill"))))
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Newman degree assortativity r for an undirected edge list —
+    the Pearson correlation of endpoint degrees over the symmetrized
+    edge set. One row: ``(n_edge_ends, r)``.
+
+    r > 0: hubs attach to hubs (social nets); r < 0: hubs attach to
+    leaves (catalogs, k-ary trees) — with ``degree_stats`` this is
+    the two-number skew fingerprint that picks the salting strategy.
+    All five moment sums are exact BIGINTs (degrees are integers), so
+    the single double formula at the end is bit-replayable; the heavy
+    lifting is one degree agg + one edge-end join, both on the edge
+    key — no new shuffle shape.
+    """
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionAll(edges.select(F.col(dst).alias("a"),
+                                  F.col(src).alias("b"))))
+    deg = (und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+           .withColumnRenamed("a", "node"))
+    ends = (und
+            .join(deg.select(F.col("node").alias("a"),
+                             F.col("deg").alias("da")), "a")
+            .join(deg.select(F.col("node").alias("b"),
+                             F.col("deg").alias("db")), "b"))
+    m = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("da").alias("s1"), F.sum("db").alias("s2"),
+        F.sum(F.col("da") * F.col("db")).alias("s12"),
+        F.sum(F.col("da") * F.col("da")).alias("s11"),
+        F.sum(F.col("db") * F.col("db")).alias("s22"))
+    mm, s1, s2 = F.col("m"), F.col("s1"), F.col("s2")
+    s12, s11, s22 = F.col("s12"), F.col("s11"), F.col("s22")
+    # each factor is an exact int that fits a double; multiply in
+    # DOUBLE — the int64 product of two ~1e10 factors would overflow
+    num = (mm * s12 - s1 * s2).cast("double")
+    den = F.sqrt((mm * s11 - s1 * s1).cast("double")
+                 * (mm * s22 - s2 * s2).cast("double"))
+    return m.select(
+        mm.cast("bigint").alias("n_edge_ends"),
+        F.when(den != 0, num / den).alias("r"))

@@ -680,3 +680,43 @@ def test_degree_stats_matches_python(spark):
     tail = [d for d in deg.values() if d >= 2]
     alpha = 1 + len(tail) / sum(math.log(d / 1.5) for d in tail)
     assert abs(row.alpha_hill - alpha) < 1e-9
+
+
+def test_degree_assortativity_matches_python(spark):
+    import math
+
+    from fashion_knowledge_graph_spark.operators.graph import (
+        degree_assortativity,
+    )
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (4, 5), (5, 6), (6, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    row = degree_assortativity(df).first()
+
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ends = [(deg[a], deg[b]) for a, b in edges] + \
+           [(deg[b], deg[a]) for a, b in edges]
+    m = len(ends)
+    s1 = sum(x for x, _ in ends)
+    s2 = sum(y for _, y in ends)
+    s12 = sum(x * y for x, y in ends)
+    s11 = sum(x * x for x, _ in ends)
+    s22 = sum(y * y for _, y in ends)
+    r = (m * s12 - s1 * s2) / math.sqrt(
+        (m * s11 - s1 * s1) * (m * s22 - s2 * s2))
+    assert row.n_edge_ends == m
+    assert abs(row.r - r) < 1e-12
+    assert row.r < 0  # star+triangle: hubs wire to leaves
+
+
+def test_degree_assortativity_regular_graph_degenerate(spark):
+    from fashion_knowledge_graph_spark.operators.graph import (
+        degree_assortativity,
+    )
+    # 4-cycle: every degree equal ⇒ zero variance ⇒ r undefined/null
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)],
+                               "src bigint, dst bigint")
+    row = degree_assortativity(df).first()
+    assert row.r is None

@@ -275,3 +275,55 @@ def test_session_paths_matches_python(spark):
             for r in session_paths(df, gap="30 minutes", max_steps=3,
                                    top=10).collect()}
     assert got3 == {"view>click": 2, "view>click>purchase": 1}
+
+
+def test_scd2_intervals_collapses_runs_and_marks_current(spark):
+    import pandas as pd
+
+    from fashion_knowledge_graph_spark.operators.temporal import (
+        scd2_intervals,
+    )
+    rows = [
+        # user 1: A A B A  → 3 intervals; user 2: single event
+        (1, 1, "2024-01-01 00:00:00", "A"),
+        (2, 1, "2024-01-01 01:00:00", "A"),
+        (3, 1, "2024-01-01 02:00:00", "B"),
+        (4, 1, "2024-01-01 03:00:00", "A"),
+        (5, 2, "2024-01-01 00:30:00", "C"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    out = scd2_intervals(spark.createDataFrame(pdf)).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r.valid_from_us)
+    assert [r.event_type for r in u1] == ["A", "B", "A"]
+    # exclusive upper bound = next interval's start; only last open
+    assert [r.valid_to_us for r in u1[:-1]] == \
+        [u1[1].valid_from_us, u1[2].valid_from_us]
+    assert u1[-1].valid_to_us is None
+    assert [r.is_current for r in u1] == [False, False, True]
+    us = lambda s: int(pd.Timestamp(s).value // 1000)  # noqa: E731
+    assert u1[0].valid_from_us == us("2024-01-01 00:00:00")
+    assert by_user[2][0].is_current and \
+        by_user[2][0].valid_from_us == us("2024-01-01 00:30:00")
+
+
+def test_scd2_intervals_tiebreak_on_equal_ts(spark):
+    import pandas as pd
+
+    from fashion_knowledge_graph_spark.operators.temporal import (
+        scd2_intervals,
+    )
+    # two events at the SAME ts: event_id order decides the sequence
+    rows = [(2, 1, "2024-01-01 00:00:00", "B"),
+            (1, 1, "2024-01-01 00:00:00", "A")]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    out = sorted(scd2_intervals(spark.createDataFrame(pdf)).collect(),
+                 key=lambda r: (r.valid_from_us, r.event_type))
+    assert [r.event_type for r in out] == ["A", "B"]
+    assert out[1].is_current and not out[0].is_current
