@@ -2824,6 +2824,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return scd2_intervals(_load(spark, sf, "events"))
 
+    def events_mad_outliers(spark, sf):
+        # Robust outlier detection: per-type median + MAD (both EXACT
+        # interpolated percentiles, the parity-proven
+        # percentile ≡ quantile_cont lane), flag |x−med| > 3·1.4826·MAD.
+        # Two dim-sized per-type stat rows broadcast back onto the
+        # stream — the robust twin of events_daily_anomaly's
+        # mean/stddev z-score (median tolerates the very outliers
+        # stddev absorbs)
+        ev = _load(spark, sf, "events")
+        med = ev.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.5)").alias("med"))
+        dev = (ev.join(F.broadcast(med), "event_type")
+               .withColumn("adev", F.abs(F.col("value")
+                                         - F.col("med"))))
+        mad = dev.groupBy("event_type").agg(
+            F.expr("percentile(adev, 0.5)").alias("mad"))
+        return (dev.join(F.broadcast(mad), "event_type")
+                .filter(F.col("adev")
+                        > 3 * 1.4826 * F.col("mad"))
+                .select("event_id", "event_type",
+                        F.round("value", 2).alias("value"),
+                        F.round(F.col("adev")
+                                / (F.lit(1.4826) * F.col("mad")),
+                                4).alias("robust_z")))
+
+    def dq_fd_violations(spark, sf):
+        # Data-quality audit: functional-dependency check
+        # p_name → p_type; emit the violating LHS groups with their
+        # RHS cardinality — one partial-agg'd groupBy over a
+        # two-column projection (the scan reads 2 columns at any
+        # scale)
+        part = _load(spark, sf, "part")
+        return (part.groupBy("p_name")
+                .agg(F.countDistinct("p_type").alias("n_types"),
+                     F.count(F.lit(1)).alias("n_rows"))
+                .filter(F.col("n_types") > 1))
+
+    def dq_benford_digits(spark, sf):
+        # Benford first-digit audit over order totals: observed share
+        # per leading digit vs ln(1+1/d)/ln(10). The digit comes from
+        # the BIGINT string of floor(x) — integer-to-string is
+        # engine-portable where log10-of-double boundary cases are
+        # not
+        o = _load(spark, sf, "orders")
+        d = F.substring(F.floor("o_totalprice").cast("bigint")
+                        .cast("string"), 1, 1).cast("int")
+        tot = o.count()
+        return (o.groupBy(d.alias("digit"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("share",
+                            F.round(F.col("n") / F.lit(tot), 6))
+                .withColumn("benford",
+                            F.round(F.log(1.0 + 1.0 / F.col("digit"))
+                                    / F.log(F.lit(10.0)), 6))
+                .withColumn("delta",
+                            F.round(F.col("share")
+                                    - F.col("benford"), 6)))
+
+    def w_forward_fill(spark, sf):
+        # Gap-fill: deterministically null ~20% of readings (md5
+        # selector), then forward-fill per user in event order with
+        # last(ignorenulls) over a running frame — ONE shuffle+sort
+        # per user; leading nulls stay null (nothing to carry)
+        ev = _load(spark, sf, "events")
+        h = F.conv(F.substring(F.md5(F.concat(
+            F.lit("ff:"), F.col("event_id").cast("string"))),
+            1, 15), 16, 10).cast("long")
+        v = F.when(h % 5 != 0, F.col("value"))
+        w = (Window.partitionBy("user_id")
+             .orderBy(F.asc("ts"), F.asc("event_id"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return (ev.select("event_id", "user_id", "ts", v.alias("v"))
+                .withColumn("v_filled",
+                            F.last("v", ignorenulls=True).over(w))
+                .select("event_id", "user_id",
+                        F.round("v", 2).alias("v"),
+                        F.round("v_filled", 2).alias("v_filled")))
+
     def ml_ols_regression(spark, sf):
         # Distributed closed-form OLS (normal equations): ONE
         # map-side partial-agg pass collects 10 exact DECIMAL
@@ -3145,6 +3223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_stats": graph_degree_stats,
         "graph_assortativity": graph_assortativity,
         "scd2_type_intervals": scd2_type_intervals,
+        "events_mad_outliers": events_mad_outliers,
+        "dq_fd_violations": dq_fd_violations,
+        "dq_benford_digits": dq_benford_digits,
+        "w_forward_fill": w_forward_fill,
     }
 
 
@@ -5909,6 +5991,59 @@ def oracle_sql() -> dict[str, str]:
         WITH {topk_cte.format(qmax=50)}
         SELECT query_id, corpus_id
         FROM ranked WHERE rank = 1 AND s >= 0.25
+    """
+
+    sql["events_mad_outliers"] = """
+        WITH med AS (SELECT event_type,
+                            quantile_cont(value, 0.5) AS med
+                     FROM events GROUP BY 1),
+        dev AS (SELECT e.event_id, e.event_type, e.value,
+                       abs(e.value - m.med) AS adev
+                FROM events e JOIN med m USING (event_type)),
+        mad AS (SELECT event_type,
+                       quantile_cont(adev, 0.5) AS mad
+                FROM dev GROUP BY 1)
+        SELECT d.event_id, d.event_type,
+               round(d.value, 2) AS value,
+               round(d.adev / (1.4826 * m.mad), 4) AS robust_z
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE d.adev > 3 * 1.4826 * m.mad
+    """
+
+    sql["dq_fd_violations"] = """
+        SELECT p_name, count(DISTINCT p_type) AS n_types,
+               count(*) AS n_rows
+        FROM part GROUP BY 1 HAVING count(DISTINCT p_type) > 1
+    """
+
+    sql["dq_benford_digits"] = """
+        SELECT digit, n,
+               round(n / tot, 6) AS share,
+               round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford,
+               round(round(n / tot, 6)
+                     - round(ln(1.0 + 1.0 / digit) / ln(10.0), 6), 6)
+                 AS delta
+        FROM (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1)::INT AS digit,
+                     count(*) AS n,
+                     (SELECT count(*) FROM orders)::DOUBLE AS tot
+              FROM orders GROUP BY 1) t
+    """
+
+    sql["w_forward_fill"] = """
+        WITH v AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN ('0x' || substr(md5('ff:' ||
+                        CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 5 <> 0
+                      THEN value END AS v
+          FROM events)
+        SELECT event_id, user_id, round(v, 2) AS v,
+               round(last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS v_filled
+        FROM v
     """
 
     sql["graph_assortativity"] = """
