@@ -2824,6 +2824,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return scd2_intervals(_load(spark, sf, "events"))
 
+    def select_max_coverage(spark, sf):
+        # Budgeted corpus selection: greedy (1−1/e) max-coverage pick
+        # of 5 docs maximizing word-BIGRAM coverage (916-bigram space
+        # at sf0.01 — unigrams collapse to 31) — k rounds of
+        # anti-join + word-count-shaped aggregation, covered set
+        # stays distributed (operators/selection.py)
+        from fashion_knowledge_graph_spark.functions.text import (
+            tokens,
+        )
+        from fashion_knowledge_graph_spark.operators.selection import (
+            greedy_max_coverage,
+        )
+        docs = (_load(spark, sf, "documents")
+                .filter(F.col("text").isNotNull()))
+        dt = (docs.select("doc_id", tokens(F.col("text")).alias("t"))
+              .select("doc_id", F.explode(F.expr(
+                  # sequence(1,0) would be DESCENDING, not empty —
+                  # guard the 1-token case explicitly
+                  "CASE WHEN size(t) >= 2 THEN "
+                  "transform(sequence(1, size(t)-1), i -> "
+                  "concat(element_at(t, i), ' ', "
+                  "element_at(t, i+1))) ELSE array() END"))
+                  .alias("tok")))
+        return greedy_max_coverage(dt, k=5)
+
     def events_mad_outliers(spark, sf):
         # Robust outlier detection: per-type median + MAD (both EXACT
         # interpolated percentiles, the parity-proven
@@ -3227,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_fd_violations": dq_fd_violations,
         "dq_benford_digits": dq_benford_digits,
         "w_forward_fill": w_forward_fill,
+        "select_max_coverage": select_max_coverage,
     }
 
 
@@ -5992,6 +6018,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, corpus_id
         FROM ranked WHERE rank = 1 AND s >= 0.25
     """
+
+    # greedy max-coverage: k=5 unrolled stages (pick → covered union
+    # → uncovered anti-filter), ties on doc_id asc — the exact trace
+    # the operator's distributed greedy produces
+    _cov = [f"""t AS (SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id,
+                      unnest(list_transform(range(1, len(tl)),
+                        i -> tl[i] || ' ' || tl[i+1])) AS tok
+                    FROM (SELECT doc_id, {toks} AS tl
+                          FROM documents
+                          WHERE text IS NOT NULL) w) z)"""]
+    for i in range(1, 6):
+        src = "t" if i == 1 else f"u{i}"
+        if i > 1:
+            _cov.append(
+                f"""u{i} AS (SELECT * FROM t WHERE tok NOT IN
+                       (SELECT tok FROM c{i-1}))""")
+        _cov.append(
+            f"""p{i} AS (SELECT doc_id, count(*) AS gain FROM {src}
+                   GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1)""")
+        prev = f"SELECT tok FROM c{i-1} UNION " if i > 1 else ""
+        _cov.append(
+            f"""c{i} AS ({prev}SELECT DISTINCT {src}.tok
+                   FROM {src} JOIN p{i} USING (doc_id))""")
+    _cov_sel = "\n UNION ALL ".join(
+        f"""SELECT {i} AS rank, doc_id, gain AS new_tokens,
+              (SELECT count(*) FROM c{i}) AS total_covered
+            FROM p{i}""" for i in range(1, 6))
+    sql["select_max_coverage"] = (
+        "WITH " + ",\n".join(_cov) + "\n" + _cov_sel)
 
     sql["events_mad_outliers"] = """
         WITH med AS (SELECT event_type,
