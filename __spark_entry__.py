@@ -2824,6 +2824,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return scd2_intervals(_load(spark, sf, "events"))
 
+    def stat_contingency(spark, sf):
+        # Categorical dependence datasheet for (market segment ×
+        # order priority): chi², degrees of freedom, Cramér's V and
+        # mutual information in ONE row. Joint counts are one
+        # partial-agg'd groupBy (the only big-data pass); every
+        # later step runs on the 25-cell grid. All log/division
+        # inputs are exact integer counts, so the scalar formulas
+        # replay bit-for-bit
+        cust = _load(spark, sf, "customer")
+        orders = _load(spark, sf, "orders")
+        joint = (cust.join(orders,
+                           cust.c_custkey == orders.o_custkey)
+                 .groupBy("c_mktsegment", "o_orderpriority")
+                 .agg(F.count(F.lit(1)).alias("nij")))
+        wr = Window.partitionBy("c_mktsegment")
+        wc = Window.partitionBy("o_orderpriority")
+        wall = Window.partitionBy()
+        g = (joint
+             .withColumn("r", F.sum("nij").over(wr))
+             .withColumn("c", F.sum("nij").over(wc))
+             .withColumn("n", F.sum("nij").over(wall)))
+        e = F.col("r") * F.col("c") / F.col("n")
+        cell_chi = F.pow(F.col("nij") - e, 2) / e
+        cell_mi = ((F.col("nij") / F.col("n"))
+                   * F.log2(F.col("nij") * F.col("n")
+                            / (F.col("r") * F.col("c"))))
+        return (g.agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(F.sum(cell_chi), 4).alias("chi2"),
+            ((F.countDistinct("c_mktsegment") - 1)
+             * (F.countDistinct("o_orderpriority") - 1))
+            .cast("bigint").alias("dof"),
+            F.round(F.sqrt(F.sum(cell_chi) / (F.max("n")
+                    * F.least(F.countDistinct("c_mktsegment") - 1,
+                              F.countDistinct("o_orderpriority")
+                              - 1))), 6).alias("cramers_v"),
+            F.round(F.sum(cell_mi), 6).alias("mi_bits")))
+
     def select_max_coverage(spark, sf):
         # Budgeted corpus selection: greedy (1−1/e) max-coverage pick
         # of 5 docs maximizing word-BIGRAM coverage (916-bigram space
@@ -3253,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_benford_digits": dq_benford_digits,
         "w_forward_fill": w_forward_fill,
         "select_max_coverage": select_max_coverage,
+        "stat_contingency": stat_contingency,
     }
 
 
@@ -6017,6 +6056,34 @@ def oracle_sql() -> dict[str, str]:
         WITH {topk_cte.format(qmax=50)}
         SELECT query_id, corpus_id
         FROM ranked WHERE rank = 1 AND s >= 0.25
+    """
+
+    sql["stat_contingency"] = """
+        WITH joint AS (
+          SELECT c_mktsegment, o_orderpriority, count(*) AS nij
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          GROUP BY 1, 2),
+        g AS (SELECT *,
+                sum(nij) OVER (PARTITION BY c_mktsegment) AS r,
+                sum(nij) OVER (PARTITION BY o_orderpriority) AS c,
+                sum(nij) OVER () AS n
+              FROM joint)
+        SELECT max(n)::BIGINT AS n,
+               round(sum(pow(nij - r * c / n, 2)
+                         / (r * c / n)), 4) AS chi2,
+               ((count(DISTINCT c_mktsegment) - 1)
+                * (count(DISTINCT o_orderpriority) - 1))::BIGINT
+                 AS dof,
+               round(sqrt(sum(pow(nij - r * c / n, 2)
+                              / (r * c / n))
+                          / (max(n)
+                             * least(count(DISTINCT c_mktsegment)
+                                       - 1,
+                                     count(DISTINCT o_orderpriority)
+                                       - 1))), 6) AS cramers_v,
+               round(sum((nij / n) * log2(nij * n
+                          / (r * c))), 6) AS mi_bits
+        FROM g
     """
 
     # greedy max-coverage: k=5 unrolled stages (pick → covered union
