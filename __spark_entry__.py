@@ -2824,6 +2824,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return scd2_intervals(_load(spark, sf, "events"))
 
+    def events_survival_km(spark, sf):
+        # Kaplan–Meier time-to-churn curve: per-user activity span in
+        # epoch days (exact integers), churn observed when the last
+        # event predates the corpus horizon day (the user went quiet
+        # before the data ends), else right-censored — still active
+        # at the horizon; the estimator itself runs on the
+        # distinct-durations rollup (operators/temporal.py::
+        # kaplan_meier — running ln-sum product, absorbing zero when
+        # a risk set fully churns)
+        from fashion_knowledge_graph_spark.operators.temporal import (
+            kaplan_meier,
+        )
+        ev = _load(spark, sf, "events")
+        day = F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000")
+        pu = (ev.select("user_id", day.alias("day"))
+              .groupBy("user_id")
+              .agg(F.min("day").alias("d0"), F.max("day").alias("d1")))
+        gmax = pu.agg(F.max("d1").alias("gmax"))
+        dur = (pu.crossJoin(F.broadcast(gmax))
+               .select((F.col("d1") - F.col("d0")).alias("t"),
+                       (F.col("d1") < F.col("gmax"))
+                       .alias("observed")))
+        return kaplan_meier(dur)
+
     def stat_contingency(spark, sf):
         # Categorical dependence datasheet for (market segment ×
         # order priority): chi², degrees of freedom, Cramér's V and
@@ -3292,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_forward_fill": w_forward_fill,
         "select_max_coverage": select_max_coverage,
         "stat_contingency": stat_contingency,
+        "events_survival_km": events_survival_km,
     }
 
 
@@ -6056,6 +6082,41 @@ def oracle_sql() -> dict[str, str]:
         WITH {topk_cte.format(qmax=50)}
         SELECT query_id, corpus_id
         FROM ranked WHERE rank = 1 AND s >= 0.25
+    """
+
+    sql["events_survival_km"] = """
+        WITH d AS (SELECT user_id,
+                          epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        pu AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+               FROM d GROUP BY 1),
+        g AS (SELECT max(d1) AS gmax FROM pu),
+        dur AS (SELECT (d1 - d0) AS t,
+                       (d1 < gmax) AS observed
+                FROM pu CROSS JOIN g),
+        byt AS (SELECT t, count(*) AS n_at,
+                       sum(CASE WHEN observed THEN 1 ELSE 0 END)
+                         AS d_events
+                FROM dur GROUP BY 1),
+        r AS (SELECT *, sum(n_at) OVER (ORDER BY t DESC
+                ROWS UNBOUNDED PRECEDING) AS n_risk FROM byt),
+        s AS (SELECT *,
+                max(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END)
+                  OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING)
+                  AS dead,
+                exp(sum(CASE WHEN d_events > 0
+                             AND d_events < n_risk
+                             THEN ln((n_risk - d_events) / n_risk)
+                             ELSE 0 END)
+                    OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING))
+                  AS surv
+              FROM r)
+        SELECT CAST(t AS BIGINT) AS t,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d_events AS BIGINT) AS d_events,
+               round(CASE WHEN dead = 1 THEN 0.0 ELSE surv END, 6)
+                 AS survival
+        FROM s WHERE d_events > 0
     """
 
     sql["stat_contingency"] = """

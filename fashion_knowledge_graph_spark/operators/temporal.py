@@ -403,3 +403,52 @@ def scd2_intervals(events: DataFrame, by: str = "user_id",
             .withColumn("is_current", F.col("valid_to_us").isNull())
             .select(by, attr, "valid_from_us", "valid_to_us",
                     "is_current"))
+
+
+def kaplan_meier(durations: DataFrame, dur: str = "t",
+                 observed: str = "observed") -> DataFrame:
+    """Kaplan–Meier survival estimator over ``(t, observed)`` rows
+    (t: integer duration; observed: TRUE = the event happened,
+    FALSE = right-censored) → one row per distinct EVENT time:
+    ``(t, n_risk, d_events, survival)``.
+
+    S(t) = Π_{t_j ≤ t} (1 − d_j / n_j), computed as
+    exp(Σ ln((n_j − d_j)/n_j)) so the product becomes a running
+    window sum — every ln argument is a ratio of exact integer
+    counts, and the cumulative sum runs in the window's total order,
+    so the curve replays bit-for-bit in SQL. n_risk (everyone with
+    duration ≥ t, censored included) falls out of ONE descending
+    cumulative count over the grouped duration table — the whole
+    estimator is two partial-agg'd aggregations plus two windows on a
+    distinct-durations-sized table, nothing per-subject past the
+    first groupBy.
+    """
+    byt = (durations.groupBy(F.col(dur).alias("t"))
+           .agg(F.count(F.lit(1)).alias("n_at"),
+                F.sum(F.col(observed).cast("long"))
+                .alias("d_events")))
+    w_desc = (Window.orderBy(F.desc("t"))
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_asc = (Window.orderBy(F.asc("t"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    g = (byt.withColumn("n_risk", F.sum("n_at").over(w_desc))
+         .withColumn("__lnterm",
+                     # d == n_risk ⇒ the factor is 0 and S collapses;
+                     # keep ln() off that case (Spark nulls ln(0),
+                     # DuckDB errors) and zero S via the flag below
+                     F.when((F.col("d_events") > 0)
+                            & (F.col("d_events") < F.col("n_risk")),
+                            F.log((F.col("n_risk")
+                                   - F.col("d_events"))
+                                  / F.col("n_risk")))
+                     .otherwise(F.lit(0.0)))
+         .withColumn("__dead",
+                     F.max((F.col("d_events") == F.col("n_risk"))
+                           .cast("int")).over(w_asc))
+         .withColumn("survival",
+                     F.when(F.col("__dead") == 1, F.lit(0.0))
+                     .otherwise(
+                         F.exp(F.sum("__lnterm").over(w_asc)))))
+    return (g.filter(F.col("d_events") > 0)
+            .select("t", "n_risk", "d_events",
+                    F.round("survival", 6).alias("survival")))

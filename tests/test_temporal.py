@@ -327,3 +327,39 @@ def test_scd2_intervals_tiebreak_on_equal_ts(spark):
                  key=lambda r: (r.valid_from_us, r.event_type))
     assert [r.event_type for r in out] == ["A", "B"]
     assert out[1].is_current and not out[0].is_current
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    import pandas as pd
+
+    from fashion_knowledge_graph_spark.operators.temporal import (
+        kaplan_meier,
+    )
+    # classic worked example: events at t=1 (1 death of 5 at risk),
+    # t=3 (tie: 2 deaths of 4 at risk after a censoring at t=2)
+    rows = [(1, True), (2, False), (3, True), (3, True), (5, False)]
+    pdf = pd.DataFrame(rows, columns=["t", "observed"])
+    out = {r.t: r for r in
+           kaplan_meier(spark.createDataFrame(pdf)).collect()}
+    # censor-only times (2, 5) carry no row
+    assert sorted(out) == [1, 3]
+    assert out[1].n_risk == 5 and out[1].d_events == 1
+    assert out[1].survival == round(4 / 5, 6)
+    assert out[3].n_risk == 3 and out[3].d_events == 2
+    assert out[3].survival == round(4 / 5 * (1 / 3), 6)
+
+
+def test_kaplan_meier_absorbing_zero(spark):
+    import pandas as pd
+
+    from fashion_knowledge_graph_spark.operators.temporal import (
+        kaplan_meier,
+    )
+    # the whole risk set dies at t=4 → S hits exactly 0 and stays 0
+    rows = [(1, True), (4, True), (4, True)]
+    pdf = pd.DataFrame(rows, columns=["t", "observed"])
+    out = {r.t: r for r in
+           kaplan_meier(spark.createDataFrame(pdf)).collect()}
+    assert out[1].survival == round(2 / 3, 6)
+    assert out[4].n_risk == 2 and out[4].d_events == 2
+    assert out[4].survival == 0.0
