@@ -2849,6 +2849,130 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        .alias("observed")))
         return kaplan_meier(dur)
 
+    def stat_gini_concentration(spark, sf):
+        # Revenue inequality per market segment: Gini coefficient via
+        # the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+        # customers sorted by revenue. Revenue is summed as
+        # DECIMAL(18,2) (exact, order-free), rank·revenue stays
+        # DECIMAL, so both Σ terms are exact integers-scaled values —
+        # only the final ratio is floating. Ties don't matter: equal
+        # xᵢ make Σ i·xᵢ invariant under any tie order. One shuffle
+        # to the per-customer rollup, one per-segment sort for the
+        # rank window (segment-partitioned range sort at scale), then
+        # a 5-row agg
+        cust = _load(spark, sf, "customer")
+        orders = _load(spark, sf, "orders")
+        rev = (cust.join(orders, cust.c_custkey == orders.o_custkey)
+               .groupBy("c_mktsegment", "c_custkey")
+               .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .alias("x")))
+        w = (Window.partitionBy("c_mktsegment")
+             .orderBy(F.asc("x"), F.asc("c_custkey")))
+        ranked = rev.withColumn("i", F.row_number().over(w))
+        return (ranked.groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_customers"),
+                     F.sum("x").cast("double").alias("_tot"),
+                     F.sum(F.col("i") * F.col("x")).cast("double")
+                     .alias("_wtot"))
+                .select("c_mktsegment", "n_customers",
+                        F.round("_tot", 2).alias("total_revenue"),
+                        F.round(
+                            2.0 * F.col("_wtot")
+                            / (F.col("n_customers") * F.col("_tot"))
+                            - (F.col("n_customers") + 1)
+                            / F.col("n_customers").cast("double"),
+                            6).alias("gini")))
+
+    def stat_ab_ztest(spark, sf):
+        # Two-proportion z-test on high-value-purchase conversion
+        # (a purchase with value > 200 — plain purchase saturates at
+        # ~100% of users in this corpus, a degenerate test) between
+        # two deterministic user buckets (user_id parity stands in
+        # for the hashed assignment a real experiment platform uses).
+        # Per-user conversion collapses in ONE partial-agg'd groupBy
+        # on user_id; the test statistic is scalar math over four
+        # exact integer counts — pooled p̂, z = Δp/√(p̂(1−p̂)(1/n₀+1/n₁))
+        # — so the replay is bit-identical
+        ev = _load(spark, sf, "events")
+        per_user = (ev.groupBy("user_id")
+                    .agg(F.max(((F.col("event_type") == "purchase")
+                                & (F.col("value") > 200))
+                               .cast("long")).alias("conv"))
+                    .select((F.col("user_id") % 2).alias("variant"),
+                            "conv"))
+        g = (per_user.groupBy("variant")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("conv").alias("c"))
+             .agg(F.max(F.when(F.col("variant") == 0, F.col("n")))
+                  .alias("n_a"),
+                  F.max(F.when(F.col("variant") == 0, F.col("c")))
+                  .alias("conv_a"),
+                  F.max(F.when(F.col("variant") == 1, F.col("n")))
+                  .alias("n_b"),
+                  F.max(F.when(F.col("variant") == 1, F.col("c")))
+                  .alias("conv_b")))
+        pa = F.col("conv_a") / F.col("n_a")
+        pb = F.col("conv_b") / F.col("n_b")
+        pp = (F.col("conv_a") + F.col("conv_b")) \
+            / (F.col("n_a") + F.col("n_b"))
+        z = (pb - pa) / F.sqrt(pp * (1 - pp)
+                               * (1.0 / F.col("n_a")
+                                  + 1.0 / F.col("n_b")))
+        return g.select(
+            "n_a", "conv_a", "n_b", "conv_b",
+            F.round(pa, 6).alias("rate_a"),
+            F.round(pb, 6).alias("rate_b"),
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) > 1.959964).alias("significant_95"))
+
+    def rank_eval_ndcg(spark, sf):
+        # Ranking-quality evaluation: NDCG@10 of the exact cosine
+        # retriever against binary label-match relevance. The ranked
+        # lists come from the SAME gate-proven cosine_topk operator
+        # (integer ranks — no float scores cross the comparison);
+        # rel, R_q (relevant-corpus size) and both DCG sums are
+        # integer-derived, IDCG@10 closes over min(10, R_q) ideal
+        # hits. Per query: retrieval is the only big pass; the eval
+        # itself is a 10-row-per-query rollup plus one broadcast-able
+        # per-label count
+        from fashion_knowledge_graph_spark.operators import (
+            similarity as sim,
+        )
+        emb = _load(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 20)
+        top = sim.cosine_topk(q, emb, k=10) \
+            .select("query_id", "corpus_id", "rank")
+        lab = emb.select("vec_id", "label")
+        rel = (top
+               .join(F.broadcast(lab.withColumnRenamed("vec_id",
+                                                       "query_id")
+                                 .withColumnRenamed("label",
+                                                    "q_label")),
+                     "query_id")
+               .join(lab.withColumnRenamed("vec_id", "corpus_id")
+                     .withColumnRenamed("label", "c_label"),
+                     "corpus_id")
+               .withColumn("rel",
+                           (F.col("q_label") == F.col("c_label"))
+                           .cast("long")))
+        # corpus-wide relevant count per label (self excluded)
+        nlab = emb.groupBy(F.col("label").alias("q_label")) \
+            .agg((F.count(F.lit(1)) - 1).alias("n_relevant"))
+        per_q = (rel.groupBy("query_id", "q_label")
+                 .agg(F.sum(F.col("rel")
+                            / F.log2(F.col("rank") + 1))
+                      .alias("dcg"))
+                 .join(F.broadcast(nlab), "q_label"))
+        idcg = F.expr(
+            "aggregate(sequence(1, int(greatest(1, "
+            "least(10, n_relevant)))), "
+            "cast(0.0 as double), (s, i) -> s + 1.0 / log2(i + 1))")
+        return per_q.select(
+            "query_id", "n_relevant",
+            F.round("dcg", 6).alias("dcg10"),
+            F.round(idcg, 6).alias("idcg10"),
+            F.round(F.col("dcg") / idcg, 6).alias("ndcg10"))
+
     def stat_contingency(spark, sf):
         # Categorical dependence datasheet for (market segment ×
         # order priority): chi², degrees of freedom, Cramér's V and
@@ -3318,6 +3442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_max_coverage": select_max_coverage,
         "stat_contingency": stat_contingency,
         "events_survival_km": events_survival_km,
+        "stat_gini_concentration": stat_gini_concentration,
+        "stat_ab_ztest": stat_ab_ztest,
+        "rank_eval_ndcg": rank_eval_ndcg,
     }
 
 
@@ -6117,6 +6244,102 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN dead = 1 THEN 0.0 ELSE surv END, 6)
                  AS survival
         FROM s WHERE d_events > 0
+    """
+
+    sql["stat_gini_concentration"] = """
+        WITH rev AS (
+          SELECT c_mktsegment, c_custkey,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY x ASC, c_custkey ASC) AS i
+          FROM rev),
+        g AS (SELECT c_mktsegment,
+                     count(*) AS n_customers,
+                     CAST(sum(x) AS DOUBLE) AS tot,
+                     CAST(sum(i * x) AS DOUBLE) AS wtot
+              FROM ranked GROUP BY 1)
+        SELECT c_mktsegment, n_customers,
+               round(tot, 2) AS total_revenue,
+               round(2.0 * wtot / (n_customers * tot)
+                     - (n_customers + 1) / CAST(n_customers AS DOUBLE),
+                     6) AS gini
+        FROM g
+    """
+
+    sql["stat_ab_ztest"] = """
+        WITH per_user AS (
+          SELECT user_id % 2 AS variant,
+                 max(CASE WHEN event_type = 'purchase'
+                          AND value > 200
+                          THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY user_id),
+        v AS (SELECT variant, count(*) AS n, sum(conv) AS c
+              FROM per_user GROUP BY 1),
+        g AS (SELECT
+                CAST(max(CASE WHEN variant = 0 THEN n END) AS BIGINT)
+                  AS n_a,
+                CAST(max(CASE WHEN variant = 0 THEN c END) AS BIGINT)
+                  AS conv_a,
+                CAST(max(CASE WHEN variant = 1 THEN n END) AS BIGINT)
+                  AS n_b,
+                CAST(max(CASE WHEN variant = 1 THEN c END) AS BIGINT)
+                  AS conv_b
+              FROM v),
+        s AS (SELECT *,
+                conv_a / CAST(n_a AS DOUBLE) AS pa,
+                conv_b / CAST(n_b AS DOUBLE) AS pb,
+                (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS pp
+              FROM g),
+        z AS (SELECT *,
+                (pb - pa) / sqrt(pp * (1 - pp)
+                                 * (1.0 / n_a + 1.0 / n_b)) AS zs
+              FROM s)
+        SELECT n_a, conv_a, n_b, conv_b,
+               round(pa, 6) AS rate_a,
+               round(pb, 6) AS rate_b,
+               round(zs, 6) AS z_score,
+               abs(zs) > 1.959964 AS significant_95
+        FROM z
+    """
+
+    sql["rank_eval_ndcg"] = """
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, q.label AS q_label,
+                 c.vec_id AS corpus_id, c.label AS c_label,
+                 list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]) AS s
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 20),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY s DESC, corpus_id ASC) AS rank
+          FROM scored),
+        nlab AS (SELECT label AS q_label, count(*) - 1 AS n_relevant
+                 FROM embeddings GROUP BY 1),
+        dcg AS (
+          SELECT query_id, q_label,
+                 sum(CASE WHEN q_label = c_label THEN 1 ELSE 0 END
+                     / log2(rank + 1)) AS dcg
+          FROM ranked WHERE rank <= 10
+          GROUP BY 1, 2),
+        h AS (SELECT CAST(i AS BIGINT) AS i,
+                     sum(1.0 / log2(i + 1)) OVER (
+                       ORDER BY i ROWS UNBOUNDED PRECEDING) AS hsum
+              FROM range(1, 11) AS t(i)),
+        idcg AS (
+          SELECT d.query_id, n.n_relevant, d.dcg, h.hsum AS idcg
+          FROM dcg d JOIN nlab n USING (q_label)
+          JOIN h ON h.i = greatest(1, least(10, n.n_relevant)))
+        SELECT query_id, CAST(n_relevant AS BIGINT) AS n_relevant,
+               round(dcg, 6) AS dcg10,
+               round(idcg, 6) AS idcg10,
+               round(dcg / idcg, 6) AS ndcg10
+        FROM idcg
     """
 
     sql["stat_contingency"] = """
