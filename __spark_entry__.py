@@ -2048,6 +2048,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("product_id").limit(20)
         return Q.two_hop_recommend(out["edges"], seeds, top_k=10)
 
+    def kg_negative_samples(spark, sf):
+        # TransE-style corruption over the KG's attribute + text
+        # triples: one deterministic type-constrained negative per
+        # distinct triple (md5-keyed skip-one index into the
+        # predicate's own object vocabulary — hard negatives, never
+        # cross-kind ones; plans/queries.py::negative_samples). The
+        # triple stream is the only big pass; both vocab lookups
+        # broadcast
+        from fashion_knowledge_graph_spark.plans import queries as Q
+        t = _kg_world(spark, sf)["triples"]
+        return Q.negative_samples(t)
+
     def kg_mention_gates(spark, sf):
         # P3/P5/P6/P8 + W1 relationally, over the materialized PRE-gate
         # segmentation rows — the last un-oracled reference semantics
@@ -3364,6 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical": kg_canonical,
         "kg_complete_the_look": kg_complete_the_look,
         "kg_2hop_recs": kg_2hop_recs,
+        "kg_negative_samples": kg_negative_samples,
         "kg_mention_gates": kg_mention_gates,
         "kg_ctl_filtered": kg_ctl_filtered,
         "kg_lineage_metrics": kg_lineage_metrics,
@@ -6859,6 +6872,33 @@ def _kg_oracle_sql() -> dict[str, str]:
     # attribute-overlap similarity: distinct (pid, pred=obj) tokens
     # re-derived from the attr-triple arms, inverted self-join,
     # integer-derived Jaccard
+    sql["kg_negative_samples"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte},
+        tri AS (
+          SELECT DISTINCT subj::VARCHAR AS subj, pred, obj::VARCHAR AS obj
+          FROM (SELECT subj, pred, obj FROM ({attr_triples_sql})
+                UNION ALL
+                SELECT subj, pred, obj FROM ttr)),
+        v AS (SELECT pred, obj,
+                     row_number() OVER (PARTITION BY pred
+                                        ORDER BY obj) AS rnk,
+                     count(*) OVER (PARTITION BY pred) AS vsz
+              FROM (SELECT DISTINCT pred, obj FROM tri)),
+        j AS (SELECT t.subj, t.pred, t.obj, v.rnk, v.vsz,
+                     ('0x' || substr(md5('neg:' || t.subj || ':'
+                                         || t.pred || ':' || t.obj),
+                                     1, 15))::BIGINT AS h
+              FROM tri t JOIN v ON v.pred = t.pred AND v.obj = t.obj
+              WHERE v.vsz >= 2),
+        n AS (SELECT subj, pred, obj,
+                     CASE WHEN h % (vsz - 1) + 1 < rnk
+                          THEN h % (vsz - 1) + 1
+                          ELSE h % (vsz - 1) + 2 END AS nrk
+              FROM j)
+        SELECT n.subj, n.pred, n.obj, v.obj AS neg_obj
+        FROM n JOIN v ON v.pred = n.pred AND v.rnk = n.nrk
+    """
+
     sql["kg_attr_similarity"] = f"""
         WITH RECURSIVE {base},
         att AS (SELECT DISTINCT subj, pred || '=' || obj AS a
