@@ -2060,6 +2060,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = _kg_world(spark, sf)["triples"]
         return Q.negative_samples(t)
 
+    def kg_pred_stats(spark, sf):
+        # KG schema profiling (the KG-refinement datasheet): per
+        # predicate over the distinct triple set — triple count,
+        # distinct subjects/objects, max + mean subject fan-out and
+        # the derived is_functional flag (max fan-out 1 ⇒ the
+        # predicate behaves like a key). Two partial-agg'd
+        # aggregations on the triple stream; everything else is
+        # predicate-cardinality-sized
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred", F.col("obj").cast("string").alias("obj"))
+             .distinct())
+        per_subj = (t.groupBy("pred", "subj")
+                    .agg(F.count(F.lit(1)).alias("k")))
+        stats = (per_subj.groupBy("pred")
+                 .agg(F.sum("k").alias("n_triples"),
+                      F.count(F.lit(1)).alias("n_subjects"),
+                      F.max("k").alias("max_fanout")))
+        nobj = (t.groupBy("pred")
+                .agg(F.countDistinct("obj").alias("n_objects")))
+        return (stats.join(nobj, "pred")
+                .select("pred", "n_triples", "n_subjects", "n_objects",
+                        "max_fanout",
+                        (F.col("max_fanout") == 1).alias("is_functional"),
+                        F.round(F.col("n_triples")
+                                / F.col("n_subjects").cast("double"),
+                                6).alias("mean_fanout")))
+
+    def kg_star_join(spark, sf):
+        # The SPARQL star-join shape over the triple table: subjects
+        # matching BOTH mandatory patterns (hasColor=black ∧
+        # hasMaterial=cotton) with an OPTIONAL gender pattern left-
+        # joined on — three self-joins of the same triple scan, each
+        # arm filtered before its shuffle (predicate+object pushdown
+        # is what keeps a 10^12-triple star join feasible)
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred", F.col("obj").cast("string").alias("obj"))
+             .distinct())
+        a = t.filter((F.col("pred") == "hasColor")
+                     & (F.col("obj") == "black")).select("subj")
+        b = t.filter((F.col("pred") == "hasMaterial")
+                     & (F.col("obj") == "cotton")).select("subj")
+        opt = t.filter(F.col("pred") == "gender") \
+            .select("subj", F.col("obj").alias("gender"))
+        return a.join(b, "subj").join(opt, "subj", "left") \
+            .select("subj", "gender")
+
     def kg_mention_gates(spark, sf):
         # P3/P5/P6/P8 + W1 relationally, over the materialized PRE-gate
         # segmentation rows — the last un-oracled reference semantics
@@ -3377,6 +3425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_complete_the_look": kg_complete_the_look,
         "kg_2hop_recs": kg_2hop_recs,
         "kg_negative_samples": kg_negative_samples,
+        "kg_pred_stats": kg_pred_stats,
+        "kg_star_join": kg_star_join,
         "kg_mention_gates": kg_mention_gates,
         "kg_ctl_filtered": kg_ctl_filtered,
         "kg_lineage_metrics": kg_lineage_metrics,
@@ -6897,6 +6947,50 @@ def _kg_oracle_sql() -> dict[str, str]:
               FROM j)
         SELECT n.subj, n.pred, n.obj, v.obj AS neg_obj
         FROM n JOIN v ON v.pred = n.pred AND v.rnk = n.nrk
+    """
+
+    tri_cte = f"""
+        tri AS (
+          SELECT DISTINCT subj::VARCHAR AS subj, pred, obj::VARCHAR AS obj
+          FROM (SELECT subj, pred, obj FROM ({attr_triples_sql})
+                UNION ALL
+                SELECT subj, pred, obj FROM ttr
+                UNION ALL
+                SELECT src AS subj, 'complements' AS pred,
+                       dst AS obj
+                FROM edges))
+    """
+
+    sql["kg_pred_stats"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        per_subj AS (SELECT pred, subj, count(*) AS k
+                     FROM tri GROUP BY 1, 2),
+        st AS (SELECT pred, sum(k) AS n_triples,
+                      count(*) AS n_subjects, max(k) AS max_fanout
+               FROM per_subj GROUP BY 1),
+        no AS (SELECT pred, count(DISTINCT obj) AS n_objects
+               FROM tri GROUP BY 1)
+        SELECT st.pred,
+               CAST(n_triples AS BIGINT) AS n_triples,
+               CAST(n_subjects AS BIGINT) AS n_subjects,
+               CAST(n_objects AS BIGINT) AS n_objects,
+               CAST(max_fanout AS BIGINT) AS max_fanout,
+               max_fanout = 1 AS is_functional,
+               round(n_triples / CAST(n_subjects AS DOUBLE), 6)
+                 AS mean_fanout
+        FROM st JOIN no ON no.pred = st.pred
+    """
+
+    sql["kg_star_join"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte}
+        SELECT a.subj, o.obj AS gender
+        FROM (SELECT subj FROM tri
+              WHERE pred = 'hasColor' AND obj = 'black') a
+        JOIN (SELECT subj FROM tri
+              WHERE pred = 'hasMaterial' AND obj = 'cotton') b
+          ON a.subj = b.subj
+        LEFT JOIN (SELECT subj, obj FROM tri WHERE pred = 'gender') o
+          ON o.subj = a.subj
     """
 
     sql["kg_attr_similarity"] = f"""
