@@ -2060,6 +2060,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = _kg_world(spark, sf)["triples"]
         return Q.negative_samples(t)
 
+    def docs_span_audit(spark, sf):
+        # Span-sequence integrity audit over the interleaved payload
+        # (input_hint shape): per doc — span/kind counts, strict
+        # offset monotonicity, and the kind pattern string ("ITIT…").
+        # Every column is an array expression over the spans struct
+        # (transform/filter/array_sort) — pure codegen map work, ZERO
+        # shuffles: the audit runs at scan speed no matter how many
+        # docs, which is the only acceptable cost for a 10^12-row
+        # validity gate. The north rule's span-sequence invariant
+        # (kind, text, media_ref, order) expressed relationally
+        _kg_world(spark, sf)
+        docs = spark.read.parquet(_kg_paths(sf)["docs"])
+        offs = F.transform(F.col("spans"), lambda s: s["offset"])
+        return docs.select(
+            "doc_id",
+            F.size("spans").alias("n_spans"),
+            F.size(F.filter(F.col("spans"),
+                            lambda s: s["kind"] == "text"))
+            .alias("n_text"),
+            F.size(F.filter(F.col("spans"),
+                            lambda s: s["kind"] == "image_ref"))
+            .alias("n_media"),
+            ((F.array_sort(offs) == offs)
+             & (F.size(F.array_distinct(offs)) == F.size(offs)))
+            .alias("offsets_monotone"),
+            F.concat_ws("", F.transform(
+                F.col("spans"),
+                lambda s: F.when(s["kind"] == "text", F.lit("T"))
+                .otherwise(F.lit("I")))).alias("pattern"))
+
     def kg_pred_stats(spark, sf):
         # KG schema profiling (the KG-refinement datasheet): per
         # predicate over the distinct triple set — triple count,
@@ -3427,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": kg_negative_samples,
         "kg_pred_stats": kg_pred_stats,
         "kg_star_join": kg_star_join,
+        "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
         "kg_ctl_filtered": kg_ctl_filtered,
         "kg_lineage_metrics": kg_lineage_metrics,
@@ -6959,6 +6990,26 @@ def _kg_oracle_sql() -> dict[str, str]:
                 SELECT src AS subj, 'complements' AS pred,
                        dst AS obj
                 FROM edges))
+    """
+
+    sql["docs_span_audit"] = f"""
+        WITH d AS (SELECT doc_id, spans,
+                          list_transform(spans, s -> s.offset) AS offs
+                   FROM read_parquet('{docs_glob}'))
+        SELECT doc_id,
+               CAST(len(spans) AS INT) AS n_spans,
+               CAST(len(list_filter(spans, s -> s.kind = 'text'))
+                    AS INT) AS n_text,
+               CAST(len(list_filter(spans, s -> s.kind = 'image_ref'))
+                    AS INT) AS n_media,
+               (list_sort(offs) = offs
+                AND len(list_distinct(offs)) = len(offs))
+                 AS offsets_monotone,
+               array_to_string(
+                 list_transform(spans,
+                   s -> CASE WHEN s.kind = 'text' THEN 'T'
+                             ELSE 'I' END), '') AS pattern
+        FROM d
     """
 
     sql["kg_pred_stats"] = f"""
