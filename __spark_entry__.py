@@ -2138,6 +2138,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return a.join(b, "subj").join(opt, "subj", "left") \
             .select("subj", "gender")
 
+    def kg_motif_wedge(spark, sf):
+        # GraphFrames-style motif query over the KG edge table: open
+        # wedges "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)" on the
+        # symmetrized strong edges (weight ≥ 2) — the co-occurrence
+        # frontier a recommender expands into, found by the motif
+        # COMPILER (operators/motif.py), not a hand-written join;
+        # a < c dedups the two symmetric bindings of each wedge
+        from fashion_knowledge_graph_spark.operators.motif import (
+            motif_find,
+        )
+        ed = _kg_world(spark, sf)["edges"] \
+            .filter(F.col("weight") >= 2).select("src", "dst")
+        sym = ed.unionByName(ed.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+        return (motif_find(
+            sym, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+            .filter((F.col("a") < F.col("c")))
+            .select("a", "b", "c"))
+
     def kg_mention_gates(spark, sf):
         # P3/P5/P6/P8 + W1 relationally, over the materialized PRE-gate
         # segmentation rows — the last un-oracled reference semantics
@@ -3457,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": kg_negative_samples,
         "kg_pred_stats": kg_pred_stats,
         "kg_star_join": kg_star_join,
+        "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
         "kg_ctl_filtered": kg_ctl_filtered,
@@ -6990,6 +7010,18 @@ def _kg_oracle_sql() -> dict[str, str]:
                 SELECT src AS subj, 'complements' AS pred,
                        dst AS obj
                 FROM edges))
+    """
+
+    sql["kg_motif_wedge"] = f"""
+        WITH RECURSIVE {base},
+        ed AS (SELECT src, dst FROM edges WHERE weight >= 2),
+        sym AS (SELECT src, dst FROM ed
+                UNION ALL SELECT dst AS src, src AS dst FROM ed)
+        SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+        FROM sym w1 JOIN sym w2 ON w2.src = w1.dst
+        WHERE w1.src < w2.dst
+          AND NOT EXISTS (SELECT 1 FROM sym n
+                          WHERE n.src = w1.src AND n.dst = w2.dst)
     """
 
     sql["docs_span_audit"] = f"""
