@@ -3145,6 +3145,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .alias("tok")))
         return greedy_max_coverage(dt, k=5)
 
+    def dq_constraint_suite(spark, sf):
+        # Declarative DQ gate (Great Expectations / Deequ shape) over
+        # lineitem: 6 row/set-level rules compile into ONE aggregate
+        # scan + 1 anti-join pass for the FK rule
+        # (operators/validate.py::check_constraints — at 10^12 rows
+        # one-scan-for-all-rules is the feature); a rule set chosen
+        # to exercise every rule type with both passing and binding
+        # outcomes
+        from fashion_knowledge_graph_spark.operators.validate import (
+            check_constraints,
+        )
+        li = _load(spark, sf, "lineitem")
+        orders = _load(spark, sf, "orders")
+        rules = [
+            {"name": "orderkey_not_null", "type": "not_null",
+             "col": "l_orderkey"},
+            {"name": "qty_1_50", "type": "range", "col": "l_quantity",
+             "min": 1, "max": 50},
+            {"name": "discount_0_005", "type": "range",
+             "col": "l_discount", "min": 0.0, "max": 0.05},
+            {"name": "returnflag_enum", "type": "enum",
+             "col": "l_returnflag", "values": ["A", "N", "R"]},
+            {"name": "linestatus_shape", "type": "regex",
+             "col": "l_linestatus", "pattern": "^[OF]$"},
+            {"name": "line_pk_unique", "type": "unique",
+             "cols": ["l_orderkey", "l_linenumber"]},
+            {"name": "orderkey_fk", "type": "foreign_key",
+             "col": "l_orderkey", "ref": orders,
+             "ref_col": "o_orderkey"},
+        ]
+        return check_constraints(li, rules)
+
     def events_mad_outliers(spark, sf):
         # Robust outlier detection: per-type median + MAD (both EXACT
         # interpolated percentiles, the parity-proven
@@ -3559,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_gini_concentration": stat_gini_concentration,
         "stat_ab_ztest": stat_ab_ztest,
         "rank_eval_ndcg": rank_eval_ndcg,
+        "dq_constraint_suite": dq_constraint_suite,
     }
 
 
@@ -6358,6 +6391,44 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN dead = 1 THEN 0.0 ELSE surv END, 6)
                  AS survival
         FROM s WHERE d_events > 0
+    """
+
+    sql["dq_constraint_suite"] = """
+        WITH agg AS (
+          SELECT
+            sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS orderkey_not_null,
+            sum(CASE WHEN l_quantity IS NOT NULL
+                      AND (l_quantity < 1 OR l_quantity > 50)
+                     THEN 1 ELSE 0 END) AS qty_1_50,
+            sum(CASE WHEN l_discount IS NOT NULL
+                      AND (l_discount < 0.0 OR l_discount > 0.05)
+                     THEN 1 ELSE 0 END) AS discount_0_005,
+            sum(CASE WHEN l_returnflag IS NOT NULL
+                      AND l_returnflag NOT IN ('A', 'N', 'R')
+                     THEN 1 ELSE 0 END) AS returnflag_enum,
+            sum(CASE WHEN l_linestatus IS NOT NULL
+                      AND NOT regexp_matches(l_linestatus, '^[OF]$')
+                     THEN 1 ELSE 0 END) AS linestatus_shape,
+            count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+              AS line_pk_unique
+          FROM lineitem),
+        fk AS (
+          SELECT count(*) AS orphans FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)),
+        rows_out("constraint", violations) AS (
+          SELECT 'orderkey_not_null', orderkey_not_null FROM agg
+          UNION ALL SELECT 'qty_1_50', qty_1_50 FROM agg
+          UNION ALL SELECT 'discount_0_005', discount_0_005 FROM agg
+          UNION ALL SELECT 'returnflag_enum', returnflag_enum FROM agg
+          UNION ALL SELECT 'linestatus_shape', linestatus_shape FROM agg
+          UNION ALL SELECT 'line_pk_unique', line_pk_unique FROM agg
+          UNION ALL SELECT 'orderkey_fk', orphans FROM fk)
+        SELECT "constraint", CAST(violations AS BIGINT) AS violations,
+               violations = 0 AS passed
+        FROM rows_out
     """
 
     sql["stat_gini_concentration"] = """
