@@ -3145,6 +3145,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .alias("tok")))
         return greedy_max_coverage(dt, k=5)
 
+    def sketch_join_size(spark, sf):
+        # Join-cardinality estimation WITHOUT joining: the AMS/CMS
+        # inner-product estimator on the lineitem×lineitem self-join
+        # over l_partkey (= the second frequency moment F₂, the
+        # skew statistic a join planner needs). Each side collapses
+        # to a depth×width bucket table — KBs of shuffle at any
+        # scale; the exact Σf² companion rides along for error
+        # inspection (operators/sketches.py::cms_join_size)
+        from fashion_knowledge_graph_spark.operators.sketches import (
+            cms_join_size,
+        )
+        li = _load(spark, sf, "lineitem")
+        return cms_join_size(li, li, "l_partkey", "l_partkey",
+                             depth=4, width=8192)
+
     def dq_constraint_suite(spark, sf):
         # Declarative DQ gate (Great Expectations / Deequ shape) over
         # lineitem: 6 row/set-level rules compile into ONE aggregate
@@ -3592,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_ab_ztest": stat_ab_ztest,
         "rank_eval_ndcg": rank_eval_ndcg,
         "dq_constraint_suite": dq_constraint_suite,
+        "sketch_join_size": sketch_join_size,
     }
 
 
@@ -6391,6 +6407,31 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN dead = 1 THEN 0.0 ELSE surv END, 6)
                  AS survival
         FROM s WHERE d_events > 0
+    """
+
+    sql["sketch_join_size"] = """
+        WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS k
+                   FROM lineitem WHERE l_partkey IS NOT NULL),
+        depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        cells AS (
+          SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                        || k), 1, 15))::BIGINT
+                      % 8192 AS bucket
+          FROM k, depths),
+        bc AS (SELECT d, bucket, count(*) AS n
+               FROM cells GROUP BY 1, 2),
+        ip AS (SELECT d, sum(n * n) AS ip FROM bc GROUP BY 1),
+        est AS (SELECT CASE WHEN count(*) < 4 THEN 0
+                            ELSE min(ip) END AS est_join_size
+                FROM ip),
+        f AS (SELECT k, count(*) AS fk FROM k GROUP BY 1),
+        ex AS (SELECT sum(fk * fk) AS exact_join_size,
+                      sum(fk) AS n FROM f)
+        SELECT CAST(n AS BIGINT) AS n_left,
+               CAST(n AS BIGINT) AS n_right,
+               CAST(exact_join_size AS BIGINT) AS exact_join_size,
+               CAST(est_join_size AS BIGINT) AS est_join_size
+        FROM ex CROSS JOIN est
     """
 
     sql["dq_constraint_suite"] = """

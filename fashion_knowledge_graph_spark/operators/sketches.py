@@ -327,3 +327,78 @@ def bloom_probe(bits: DataFrame, probe: DataFrame, probe_col: str,
            .agg((F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
                  == F.lit(d)).alias("might_contain")))
     return probe.join(hit, probe_col)
+
+
+def cms_join_size(left: DataFrame, right: DataFrame,
+                  left_col: str, right_col: str,
+                  depth: int = 4, width: int = 8192) -> DataFrame:
+    """Equi-join cardinality estimation from per-side count-min
+    sketches (the AMS inner-product estimator) → ONE row
+    ``(n_left, n_right, exact_join_size, est_join_size)``.
+
+    |A ⋈_k B| = Σ_k fA(k)·fB(k). Each depth row estimates it as the
+    inner product of the two sides' bucket vectors
+    Σ_b cmsA[d,b]·cmsB[d,b]; hash collisions only ever ADD mass, so
+    every row's estimate ≥ the true size and the reported
+    ``min`` over rows keeps the CMS upper-bound guarantee while
+    shedding most collision noise. Self-joins (same column both
+    sides) make this the second frequency moment F₂ — the classic
+    join-planning / skew statistic.
+
+    Scale shape: each side collapses to a (depth·width)-row bucket
+    table in one partial-agg'd pass — the two relations are NEVER
+    joined; total shuffle is KBs at any input size, which is the
+    entire point (the exact companion needs per-key count tables
+    whose size is the key cardinality). Same portable 60-bit md5
+    bucket rule as ``cms_term_counts``, so the SQL replay is
+    bit-identical.
+    """
+    rows = F.array([F.lit(d) for d in range(depth)])
+
+    def side_buckets(df, col):
+        return (df.select(F.col(col).cast("string").alias("k"))
+                .filter(F.col("k").isNotNull())
+                .select("k", F.explode(rows).alias("d"))
+                .select("d", F.pmod(
+                    _h60(F.concat_ws(":", F.col("d"), F.col("k"))),
+                    F.lit(width)).alias("bucket"))
+                .groupBy("d", "bucket")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    la = side_buckets(left, left_col)
+    rb = side_buckets(right, right_col)
+    est = (la.join(rb.withColumnRenamed("n", "m"), ["d", "bucket"])
+           .groupBy("d").agg(F.sum(F.col("n") * F.col("m")).alias("ip"))
+           # a depth row with ZERO shared buckets never reaches the
+           # group table, but its inner product is 0 — and 0 is then
+           # the true min (any missing depth ⇒ estimate 0; exact ≤
+           # every depth's ip, so exact is 0 too and the guarantee
+           # holds)
+           .agg(F.when(F.countDistinct("d") < F.lit(depth), F.lit(0))
+                .otherwise(F.min("ip")).alias("est_join_size")))
+
+    lk = (left.select(F.col(left_col).cast("string").alias("k"))
+          .filter(F.col("k").isNotNull())
+          .groupBy("k").agg(F.count(F.lit(1)).alias("fa")))
+    rk = (right.select(F.col(right_col).cast("string").alias("k"))
+          .filter(F.col("k").isNotNull())
+          .groupBy("k").agg(F.count(F.lit(1)).alias("fb")))
+    exact = (lk.join(rk, "k")
+             .agg(F.coalesce(F.sum(F.col("fa") * F.col("fb")),
+                             F.lit(0)).alias("exact_join_size"),
+                  F.coalesce(F.sum("fa"), F.lit(0)).alias("n_left")))
+    n_r = right.select(F.col(right_col).cast("string").alias("k")) \
+        .filter(F.col("k").isNotNull()) \
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    # n_left above counts only keys present in BOTH sides — recount
+    n_l = left.select(F.col(left_col).cast("string").alias("k")) \
+        .filter(F.col("k").isNotNull()) \
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    return (n_l.crossJoin(n_r)
+            .crossJoin(exact.select("exact_join_size"))
+            .crossJoin(est)
+            .select("n_left", "n_right",
+                    F.col("exact_join_size").cast("long")
+                    .alias("exact_join_size"),
+                    F.col("est_join_size").cast("long")
+                    .alias("est_join_size")))

@@ -234,3 +234,47 @@ def test_bloom_bit_table_is_bounded_by_m(spark):
     bits = bloom_build(mdf, "k", m=64, d=3)
     n = bits.count()
     assert n <= 64  # the filter never outgrows m, whatever the input
+
+
+def _h60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_cms_join_size_exact_and_estimate(spark):
+    from fashion_knowledge_graph_spark.operators.sketches import (
+        cms_join_size,
+    )
+    left = [("a",)] * 3 + [("b",)] * 2 + [("c",)] * 1 + [(None,)]
+    right = [("a",)] * 4 + [("b",)] * 1 + [("d",)] * 5
+    ldf = spark.createDataFrame(left, "k string")
+    rdf = spark.createDataFrame(right, "j string")
+    depth, width = 4, 64
+    row = cms_join_size(ldf, rdf, "k", "j",
+                        depth=depth, width=width).collect()[0]
+    # exact: 3*4 + 2*1 = 14; nulls excluded from counts
+    assert (row.n_left, row.n_right, row.exact_join_size) == (6, 10, 14)
+    # python bucket replay pins the estimate bit-for-bit
+    ests = []
+    for d in range(depth):
+        la, rb = {}, {}
+        for k, _ in [(x[0], 1) for x in left if x[0] is not None]:
+            b = _h60_py(f"{d}:{k}") % width
+            la[b] = la.get(b, 0) + 1
+        for k in [x[0] for x in right]:
+            b = _h60_py(f"{d}:{k}") % width
+            rb[b] = rb.get(b, 0) + 1
+        ests.append(sum(n * rb.get(b, 0) for b, n in la.items()))
+    assert row.est_join_size == min(ests)
+    # the CMS guarantee: collisions only add
+    assert row.est_join_size >= row.exact_join_size
+
+
+def test_cms_join_size_disjoint_keys(spark):
+    from fashion_knowledge_graph_spark.operators.sketches import (
+        cms_join_size,
+    )
+    ldf = spark.createDataFrame([("x",)] * 5, "k string")
+    rdf = spark.createDataFrame([("y",)] * 5, "j string")
+    row = cms_join_size(ldf, rdf, "k", "j", width=4096).collect()[0]
+    assert row.exact_join_size == 0
+    assert row.est_join_size >= 0  # collisions may inflate, never deflate
