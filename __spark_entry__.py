@@ -505,6 +505,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("sum_value").cast("double") / F.col("n_rows"),
                     6).alias("avg_value"))
 
+    def mv_kmv_distinct(spark, sf):
+        # approximate COUNT DISTINCT maintained INCREMENTALLY: the MV
+        # keeps per-group KMV sketches (k smallest 60-bit value
+        # hashes, ≤ k int64s of state per group) and folds each CDC
+        # append with the associative k-smallest merge — the
+        # distributed-sketch form kmv_distinct's docstring promises;
+        # the merged estimate is bit-identical to a one-shot sketch
+        # of everything (pinned in tests/test_matview.py), which is
+        # exactly what the oracle replays
+        from fashion_knowledge_graph_spark.sources.matview import (
+            IncrementalMV,
+        )
+        from fashion_knowledge_graph_spark.sources.tables import (
+            SnapshotTable,
+        )
+        ev = _load(spark, sf, "events").select(
+            "event_type", "user_id", "event_id")
+        root = tempfile.mkdtemp(prefix="fkg_mvkmv_")
+        src = SnapshotTable(os.path.join(root, "src"))
+        mv = IncrementalMV(src, os.path.join(root, "mv"),
+                           keys=["event_type"], sum_cols=[],
+                           distinct_cols=["user_id"], kmv_k=32)
+        for i in range(3):
+            src.write(ev.filter(F.col("event_id") % 3 == i)
+                      .drop("event_id"),
+                      mode="append" if i else "overwrite", stage="cdc")
+            mv.refresh(spark)
+        return mv.read(spark).select(
+            "event_type", "n_rows",
+            F.round("distinct_est_user_id", 4).alias("distinct_est"))
+
     def s_snapshot_diff(spark, sf):
         # full CDC between snapshots including a rewrite: delete every
         # 4th customer (copy-on-write), append clone rows, then diff
@@ -3581,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_merge_upsert": s_merge_upsert,
         "s_compact_optimize": s_compact_optimize,
         "mv_incremental_refresh": mv_incremental_refresh,
+        "mv_kmv_distinct": mv_kmv_distinct,
         "s_expire_vacuum": s_expire_vacuum,
         "s_wap_publish": s_wap_publish,
         "s_snapshot_diff": s_snapshot_diff,
@@ -4761,6 +4793,30 @@ def oracle_sql() -> dict[str, str]:
     sql["s_expire_vacuum"] = """
         SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
         FROM customer WHERE NOT (c_custkey % 3 = 0)
+    """
+
+    sql["mv_kmv_distinct"] = """
+        WITH du AS (SELECT DISTINCT event_type, user_id
+                    FROM events WHERE user_id IS NOT NULL),
+        h AS (SELECT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                     1, 15))::BIGINT AS hh
+              FROM du),
+        r AS (SELECT event_type, hh, row_number() OVER (
+                PARTITION BY event_type ORDER BY hh) AS rn
+              FROM h),
+        g AS (SELECT event_type, count(*) AS nd,
+                     max(CASE WHEN rn = 32 THEN hh END) AS kth
+              FROM r GROUP BY 1),
+        n AS (SELECT event_type, count(*) AS n_rows
+              FROM events GROUP BY 1)
+        SELECT n.event_type, n.n_rows,
+               round(CASE WHEN g.kth IS NULL
+                          THEN CAST(coalesce(nd, 0) AS DOUBLE)
+                          ELSE 31.0 * 1152921504606846976.0
+                               / CAST(kth AS DOUBLE) END, 4)
+                 AS distinct_est
+        FROM n LEFT JOIN g ON g.event_type = n.event_type
     """
 
     sql["mv_incremental_refresh"] = """

@@ -39,18 +39,60 @@ class IncrementalMV:
     """
 
     def __init__(self, source: SnapshotTable, root: str,
-                 keys: list[str], sum_cols: list[str]):
+                 keys: list[str], sum_cols: list[str],
+                 distinct_cols: list[str] | None = None,
+                 kmv_k: int = 64):
         self.source = source
         self.table = SnapshotTable(root)
         self.keys = list(keys)
         self.sum_cols = list(sum_cols)
+        # per-group APPROX-DISTINCT state: the k smallest 60-bit value
+        # hashes as an array column ``kmv_<col>`` — the mergeable KMV
+        # form promised by operators/sketches.kmv_distinct's docstring
+        # (slice(array_sort(array_distinct(old ∪ delta)), 1, k)); the
+        # STORED state is ≤ k int64s per group no matter the
+        # cardinality, and refresh math stays O(delta)
+        self.distinct_cols = list(distinct_cols or [])
+        self.kmv_k = int(kmv_k)
         self._state_path = os.path.join(root, "_mv_state.json")
 
     # ---- internals ----------------------------------------------------
     def _partial(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from ..operators.sketches import _h60
+
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         aggs += [F.sum(c).alias(f"sum_{c}") for c in self.sum_cols]
-        return df.groupBy(*self.keys).agg(*aggs)
+        out = df.groupBy(*self.keys).agg(*aggs)
+        for dc in self.distinct_cols:
+            hashed = (df.select(*self.keys, F.col(dc).alias("__v"))
+                      .filter(F.col("__v").isNotNull())
+                      .distinct()
+                      .select(*self.keys, _h60(F.col("__v")).alias("__h")))
+            w = Window.partitionBy(*self.keys).orderBy("__h")
+            arr = (hashed
+                   .withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") <= self.kmv_k)
+                   .groupBy(*self.keys)
+                   .agg(F.array_sort(F.collect_list("__h"))
+                        .alias(f"kmv_{dc}")))
+            # a group whose column is all-null still exists in the
+            # main partial — carry an empty sketch, not a null
+            out = out.join(arr, self.keys, "left").withColumn(
+                f"kmv_{dc}",
+                F.coalesce(F.col(f"kmv_{dc}"),
+                           F.array().cast("array<long>")))
+        return out
+
+    def _merge_aggs(self):
+        aggs = [F.sum("n_rows").alias("n_rows")]
+        aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}")
+                 for c in self.sum_cols]
+        aggs += [F.slice(F.array_sort(F.array_distinct(
+            F.flatten(F.collect_list(f"kmv_{dc}")))), 1, self.kmv_k)
+            .alias(f"kmv_{dc}") for dc in self.distinct_cols]
+        return aggs
 
     def _last_sid(self) -> int | None:
         if not os.path.exists(self._state_path):
@@ -95,17 +137,30 @@ class IncrementalMV:
         merged = (self.table.read(spark)
                   .unionByName(self._partial(delta))
                   .groupBy(*self.keys)
-                  .agg(F.sum("n_rows").alias("n_rows"),
-                       *[F.sum(f"sum_{c}").alias(f"sum_{c}")
-                         for c in self.sum_cols]))
+                  .agg(*self._merge_aggs()))
         self._commit(merged, cur)
         return cur
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """The view's mergeable state plus derived finals
-        (``avg_<col>`` per sum column)."""
+        """The view's mergeable state plus derived finals:
+        ``avg_<col>`` per sum column, and ``distinct_est_<col>`` per
+        distinct column — exact below k (the sketch is lossless
+        there), else the KMV estimator (k−1)·2^60/h_(k), the same
+        arithmetic as ``operators/sketches.kmv_distinct``."""
+        from ..operators.sketches import HASH_SPACE
+
         df = self.table.read(spark)
         for c in self.sum_cols:
             df = df.withColumn(
                 f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows"))
+        for dc in self.distinct_cols:
+            arr = F.col(f"kmv_{dc}")
+            df = df.withColumn(
+                f"distinct_est_{dc}",
+                F.when(F.size(arr) < self.kmv_k,
+                       F.size(arr).cast("double"))
+                .otherwise(F.lit(float(self.kmv_k - 1))
+                           * F.lit(HASH_SPACE)
+                           / F.element_at(arr, self.kmv_k)
+                           .cast("double")))
         return df

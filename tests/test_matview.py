@@ -109,3 +109,42 @@ def test_mv_refresh_survives_source_compaction_and_expiry(spark,
     want[99] = (1, 7)
     assert {r["k"]: (r["n_rows"], r["sum_v"])
             for r in mv.read(spark).collect()} == want
+
+
+def test_mv_kmv_distinct_incremental_equals_full(spark, tmp_path):
+    """The KMV merge property: folding per-delta k-smallest arrays
+    must yield EXACTLY the k smallest hashes of the union — so the
+    incremental estimate is bit-identical to a one-shot sketch of all
+    data. Groups under k values report exact counts."""
+    from fashion_knowledge_graph_spark.operators.sketches import (
+        kmv_distinct,
+    )
+    src = SnapshotTable(os.path.join(str(tmp_path), "src"))
+    mv = IncrementalMV(src, os.path.join(str(tmp_path), "mv"),
+                       keys=["k"], sum_cols=["v"],
+                       distinct_cols=["u"], kmv_k=16)
+    # group 0: ~150 distinct users (sketch saturates); group 1: 5
+    # (exact short-circuit); group 2 has nulls only in one delta
+    rows = [(i, 0, i % 997, i * 3 % 100) for i in range(300)]
+    rows += [(i + 1000, 1, i % 5, 7) for i in range(40)]
+    rows += [(2000, 2, None, 1), (2001, 2, 42, 1)]
+    df = spark.createDataFrame(rows, "i long, k long, u long, v long")
+    for step in range(3):
+        src.write(df.filter(F.col("i") % 3 == step).drop("i"),
+                  mode="append" if step else "overwrite", stage="cdc")
+        mv.refresh(spark)
+    got = {r["k"]: r for r in mv.read(spark).collect()}
+    # one-shot sketch over ALL the data, same k
+    want = {r["k"]: r for r in
+            kmv_distinct(df, ["k"], "u", k=16).collect()}
+    for k in (0, 1, 2):
+        # kmv_distinct rounds its estimate to 4 decimals; the MV
+        # exposes the raw double — same arithmetic either way
+        assert round(got[k]["distinct_est_u"], 4) == \
+            want[k]["n_distinct_kmv"]
+    assert got[1]["distinct_est_u"] == 5.0      # exact below k
+    assert got[2]["distinct_est_u"] == 1.0      # nulls never counted
+    # stored state is capped at k hashes
+    assert all(len(got[k]["kmv_u"]) <= 16 for k in (0, 1, 2))
+    # sums/counts still exact alongside the sketch
+    assert got[1]["n_rows"] == 40 and got[1]["sum_v"] == 280
