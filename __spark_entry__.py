@@ -1401,6 +1401,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("node").limit(5)
         return bfs_distances(e, seeds, max_depth=3)
 
+    def graph_harmonic_centrality(spark, sf):
+        # seed-sampled harmonic closeness (Boldi-Vigna estimator
+        # shape): Σ 1/d from 5 fixed seeds, 3 hops, over the
+        # symmetrized co-purchase graph — ONE per-seed BFS loop whose
+        # frontier key carries the seed id (operators/graph.py::
+        # harmonic_centrality)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            harmonic_centrality,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        e = und.select("src", "dst").unionByName(
+            und.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst")))
+        seeds = und.select(F.col("src").alias("node")).distinct() \
+            .orderBy("node").limit(5)
+        return harmonic_centrality(e, seeds, max_depth=3)
+
     def funnel_view_click_purchase(spark, sf):
         # ordered funnel (behavioral analytics): first view → first
         # click after it → first purchase after that, per user
@@ -3479,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "graph_kcore": graph_kcore,
         "graph_bfs_distances": graph_bfs_distances,
+        "graph_harmonic_centrality": graph_harmonic_centrality,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "rfm_segments": rfm_segments,
         "part_brand_margin": part_brand_margin,
@@ -4271,6 +4289,39 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT node, dist FROM v1
         UNION ALL SELECT node, dist FROM v2
         UNION ALL SELECT node, dist FROM v3
+    """)
+
+    _hc = ["""
+        undh AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        eh AS (SELECT src, dst FROM undh
+               UNION ALL SELECT dst AS src, src AS dst FROM undh),
+        h0 AS (SELECT node AS seed, node, 0 AS dist FROM (
+                 SELECT DISTINCT src AS node FROM undh
+                 ORDER BY node LIMIT 5))
+    """]
+    for _d in range(1, 4):
+        _prev = " UNION ALL ".join(f"SELECT * FROM h{_j}"
+                                   for _j in range(_d))
+        _hc.append(f"""
+        h{_d} AS (
+          SELECT DISTINCT f.seed, e.dst AS node, {_d} AS dist
+          FROM h{_d - 1} f JOIN eh e ON e.src = f.node
+          WHERE NOT EXISTS (SELECT 1 FROM ({_prev}) p
+                            WHERE p.seed = f.seed
+                              AND p.node = e.dst))
+        """)
+    sql["graph_harmonic_centrality"] = ("WITH " + ",".join(_hc) + """
+        SELECT node, count(*) AS n_reached,
+               round(sum(1.0 / dist), 6) AS harmonic
+        FROM (SELECT * FROM h1
+              UNION ALL SELECT * FROM h2
+              UNION ALL SELECT * FROM h3)
+        GROUP BY node
     """)
 
     sql["funnel_view_click_purchase"] = """

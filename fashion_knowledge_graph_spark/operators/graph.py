@@ -818,3 +818,46 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
     return m.select(
         mm.cast("bigint").alias("n_edge_ends"),
         F.when(den != 0, num / den).alias("r"))
+
+
+def harmonic_centrality(edges: DataFrame, seeds: DataFrame,
+                        max_depth: int, src: str = "src",
+                        dst: str = "dst") -> DataFrame:
+    """Seed-sampled harmonic closeness centrality over an UNDIRECTED
+    (symmetrized) edge list → ``(node, n_reached, harmonic)`` where
+    harmonic(v) = Σ_{s ∈ seeds, s≠v, d(s,v)≤max_depth} 1/d(s,v) —
+    the Boldi-Vigna estimator shape: exact harmonic centrality uses
+    every node as a seed; a fixed seed SAMPLE (their scale answer)
+    is the same computation with fewer sources, and a fixed
+    ``max_depth`` keeps it deterministic/SQL-replayable (the
+    unrolled-iteration contract shared with ``bfs_distances``).
+
+    The per-seed BFS is ONE loop, not |seeds| loops: the seed id
+    rides inside the frontier key, so the state is (seed, node, dist)
+    and each round is frontier ⋈ edges + distinct + anti-join vs
+    visited keyed on (seed, node) — |seeds|× the rows of a
+    single-source BFS through the SAME number of jobs. Distances are
+    exact integers; only the final Σ 1/d is floating (≤ |seeds|
+    terms, summed in one partial-agg'd groupBy).
+    """
+    node_col = seeds.columns[0]
+    e = edges.select(F.col(src).alias("e_src"),
+                     F.col(dst).alias("e_dst")).localCheckpoint(eager=True)
+    visited = seeds.select(F.col(node_col).alias("seed"),
+                           F.col(node_col).alias("node"),
+                           F.lit(0).alias("dist")) \
+        .distinct().localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["e_src"])
+               .select("seed", F.col("e_dst").alias("node")).distinct()
+               .join(visited, ["seed", "node"], "left_anti")
+               .withColumn("dist", F.lit(d))
+               .localCheckpoint(eager=True))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (visited.filter(F.col("dist") > 0)
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_reached"),
+                 F.round(F.sum(F.lit(1.0) / F.col("dist")), 6)
+                 .alias("harmonic")))
