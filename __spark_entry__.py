@@ -1418,6 +1418,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("node").limit(5)
         return harmonic_centrality(e, seeds, max_depth=3)
 
+    def graph_betweenness(spark, sf):
+        # seed-sampled Brandes betweenness (5 fixed sources, 3-hop
+        # horizon) over the symmetrized co-purchase graph: forward
+        # pass accumulates exact BIGINT shortest-path counts per
+        # level, backward pass unrolls the dependency recurrence
+        # δ(v)=Σ (σ_v/σ_w)(1+δ(w)) — operators/graph.py::
+        # betweenness_sampled
+        from fashion_knowledge_graph_spark.operators.graph import (
+            betweenness_sampled,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        e = und.select("src", "dst").unionByName(
+            und.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst")))
+        seeds = und.select(F.col("src").alias("node")).distinct() \
+            .orderBy("node").limit(5)
+        return betweenness_sampled(e, seeds, max_depth=3)
+
     def funnel_view_click_purchase(spark, sf):
         # ordered funnel (behavioral analytics): first view → first
         # click after it → first purchase after that, per user
@@ -3497,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": graph_kcore,
         "graph_bfs_distances": graph_bfs_distances,
         "graph_harmonic_centrality": graph_harmonic_centrality,
+        "graph_betweenness": graph_betweenness,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "rfm_segments": rfm_segments,
         "part_brand_margin": part_brand_margin,
@@ -4315,6 +4334,55 @@ def oracle_sql() -> dict[str, str]:
                             WHERE p.seed = f.seed
                               AND p.node = e.dst))
         """)
+    # Brandes forward (σ per level) + backward (δ) unrolled; shares
+    # the graph/seed construction with the harmonic oracle
+    _bw = ["""
+        undw AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        ew AS (SELECT src, dst FROM undw
+               UNION ALL SELECT dst AS src, src AS dst FROM undw),
+        l0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma
+               FROM (SELECT DISTINCT src AS node FROM undw
+                     ORDER BY node LIMIT 5))
+    """]
+    for _d in range(1, 4):
+        _prev = " UNION ALL ".join(
+            f"SELECT seed, node FROM l{_j}" for _j in range(_d))
+        _bw.append(f"""
+        l{_d} AS (
+          SELECT f.seed, e.dst AS node, sum(f.sigma) AS sigma
+          FROM l{_d - 1} f JOIN ew e ON e.src = f.node
+          WHERE NOT EXISTS (SELECT 1 FROM ({_prev}) p
+                            WHERE p.seed = f.seed
+                              AND p.node = e.dst)
+          GROUP BY 1, 2)
+        """)
+    for _d in (2, 1):
+        _w = (f"(SELECT seed, node, sigma, 0.0 AS delta FROM l3)"
+              if _d == 2 else "b2")
+        _bw.append(f"""
+        b{_d} AS (
+          SELECT c.seed, c.node, c.sigma,
+                 coalesce(sum((c.sigma * 1.0 / w.sigma)
+                              * (1.0 + w.delta)), 0.0) AS delta
+          FROM l{_d} c
+          LEFT JOIN ew e ON e.src = c.node
+          LEFT JOIN {_w} w
+            ON w.seed = c.seed AND w.node = e.dst
+          GROUP BY 1, 2, 3)
+        """)
+    sql["graph_betweenness"] = ("WITH " + ",".join(_bw) + """
+        SELECT node, round(sum(delta), 6) AS betweenness
+        FROM (SELECT seed, node, delta FROM b1
+              UNION ALL SELECT seed, node, delta FROM b2)
+        GROUP BY node
+        HAVING round(sum(delta), 6) > 0
+    """)
+
     sql["graph_harmonic_centrality"] = ("WITH " + ",".join(_hc) + """
         SELECT node, count(*) AS n_reached,
                round(sum(1.0 / dist), 6) AS harmonic

@@ -861,3 +861,93 @@ def harmonic_centrality(edges: DataFrame, seeds: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_reached"),
                  F.round(F.sum(F.lit(1.0) / F.col("dist")), 6)
                  .alias("harmonic")))
+
+
+def betweenness_sampled(edges: DataFrame, seeds: DataFrame,
+                        max_depth: int, src: str = "src",
+                        dst: str = "dst") -> DataFrame:
+    """Seed-sampled betweenness centrality (Brandes' algorithm with a
+    fixed source sample — the standard approximation at scale) over
+    an UNDIRECTED (symmetrized) edge list →
+    ``(node, betweenness)`` = Σ_s δ_s(v) over the sampled sources,
+    δ from Brandes' dependency accumulation restricted to shortest
+    paths of ≤ ``max_depth`` hops (the fixed-depth determinism
+    contract shared with ``bfs_distances``/``harmonic_centrality``).
+
+    Two relational passes per depth level, ALL sources in one job:
+    - forward: level L_d holds (seed, node, σ) with σ(v) =
+      Σ_{u ∈ L_{d−1}, u→v} σ(u) — the shortest-path COUNT recurrence;
+      one frontier ⋈ edges + partial-agg'd groupBy per level, visited
+      anti-join keyed (seed, node). σ is an exact BIGINT.
+    - backward: δ(v) over L_d from L_{d+1}:
+      δ(v) = Σ_{w ∈ L_{d+1}, v→w} (σ_v/σ_w)·(1+δ(w)) — one join per
+      level, deepest first, nothing iterative beyond the unrolled
+      depth. Only this ratio is floating.
+
+    Endpoints don't count (δ excludes the source; targets contribute
+    through the 1+δ term only), matching Brandes exactly; with every
+    node as a seed and enough depth this IS exact betweenness (up to
+    the undirected double-count convention — divide by 2 if needed).
+    """
+    node_col = seeds.columns[0]
+    # distinct: σ is a path COUNT — a duplicated edge row would count
+    # the same shortest path twice (Brandes is defined on simple
+    # graphs)
+    e = edges.select(F.col(src).alias("e_src"),
+                     F.col(dst).alias("e_dst")).distinct() \
+        .localCheckpoint(eager=True)
+    lvl0 = seeds.select(F.col(node_col).alias("seed"),
+                        F.col(node_col).alias("node")).distinct() \
+        .withColumn("sigma", F.lit(1).cast("long")) \
+        .localCheckpoint(eager=True)
+    levels = [lvl0]
+    visited = lvl0.select("seed", "node")
+    for _ in range(max_depth):
+        fr = levels[-1]
+        nxt = (fr.join(e, fr["node"] == e["e_src"])
+               .select("seed", F.col("e_dst").alias("nnode"), "sigma")
+               .groupBy("seed", F.col("nnode").alias("node"))
+               .agg(F.sum("sigma").alias("sigma"))
+               .join(visited, ["seed", "node"], "left_anti")
+               .localCheckpoint(eager=True))
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("seed", "node")) \
+            .localCheckpoint(eager=True)
+
+    # backward accumulation, deepest level first
+    delta = levels[-1].select(
+        "seed", "node", F.lit(0.0).alias("delta"))
+    acc = None
+    for d in range(max_depth - 1, -1, -1):
+        cur = levels[d]
+        # σ(w) from the level-(d+1) table, δ(w) from the previous
+        # backward step
+        down = (levels[d + 1].select(
+            "seed", F.col("node").alias("w"),
+            F.col("sigma").alias("w_sigma"))
+            .join(delta.select("seed",
+                               F.col("node").alias("w"), "delta"),
+                  ["seed", "w"]))
+        contrib = (cur.join(e, cur["node"] == e["e_src"])
+                   .select("seed", "node", "sigma",
+                           F.col("e_dst").alias("w"))
+                   .join(down, ["seed", "w"])
+                   .groupBy("seed", "node", "sigma")
+                   .agg(F.sum((F.col("sigma").cast("double")
+                               / F.col("w_sigma"))
+                              * (F.lit(1.0) + F.col("delta")))
+                        .alias("delta")))
+        # nodes of this level with no downstream get delta 0
+        delta = (cur.join(contrib.select("seed", "node", "delta"),
+                          ["seed", "node"], "left")
+                 .select("seed", "node", "sigma",
+                         F.coalesce(F.col("delta"), F.lit(0.0))
+                         .alias("delta"))
+                 .localCheckpoint(eager=True))
+        nonsrc = delta.filter(F.col("node") != F.col("seed")) \
+            .select("seed", "node", "delta")
+        acc = nonsrc if acc is None else acc.unionByName(nonsrc)
+
+    return (acc.groupBy("node")
+            .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
+            .filter(F.col("betweenness") > 0))

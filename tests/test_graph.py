@@ -761,3 +761,74 @@ def test_harmonic_centrality_python_parity(spark):
     assert got["e"] == (1, round(1.0 / 3, 6))
     # seeds see each other: a-b-c-f = 3 hops
     assert got["f"][0] >= 1 and got["a"][0] >= 1
+
+
+def _brandes_py(edges, seeds, max_depth):
+    """Textbook Brandes restricted to paths of <= max_depth hops."""
+    import collections
+    adj = collections.defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    bc = collections.defaultdict(float)
+    for s in seeds:
+        dist = {s: 0}
+        sigma = collections.defaultdict(int)
+        sigma[s] = 1
+        preds = collections.defaultdict(list)
+        order = [s]
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] == max_depth:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+                    order.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = collections.defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: round(x, 6) for v, x in bc.items() if round(x, 6) > 0}
+
+
+def test_betweenness_sampled_python_parity(spark):
+    from fashion_knowledge_graph_spark.operators.graph import (
+        betweenness_sampled,
+    )
+    # diamond + tail: two equal shortest paths a-b-d / a-c-d split
+    # sigma; e hangs off d
+    und = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    edges = und + [(y, x) for x, y in und]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("e",)], "node string")
+    got = {r.node: r.betweenness for r in
+           betweenness_sampled(df, seeds, max_depth=3).collect()}
+    assert got == _brandes_py(und, ["a", "e"], 3)
+    # the path-count split is visible: from a, b and c each carry
+    # sigma 1 of d's sigma 2 -> each gets 0.5·(1+delta(d))
+    assert got["b"] == got["c"]
+
+
+def test_betweenness_all_seeds_star(spark):
+    from fashion_knowledge_graph_spark.operators.graph import (
+        betweenness_sampled,
+    )
+    # star: hub h between every leaf pair; with ALL nodes as seeds
+    # betweenness(h) = 2·C(3,2) = 6 (undirected double count)
+    und = [("h", "x"), ("h", "y"), ("h", "z")]
+    edges = und + [(y, x) for x, y in und]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("h",), ("x",), ("y",), ("z",)], "node string")
+    got = {r.node: r.betweenness for r in
+           betweenness_sampled(df, seeds, max_depth=3).collect()}
+    assert got == {"h": 6.0}
+    assert got == _brandes_py(und, ["h", "x", "y", "z"], 3)
