@@ -1418,6 +1418,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("node").limit(5)
         return harmonic_centrality(e, seeds, max_depth=3)
 
+    def graph_ktruss(spark, sf):
+        # 3-truss of the co-purchase graph, 2 peel rounds: every
+        # surviving edge sits in ≥1 triangle of the surviving
+        # subgraph — the edge-level cohesion miner (k-core's
+        # edge analogue; operators/graph.py::ktruss_peel)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            ktruss_peel,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        return ktruss_peel(und.select("src", "dst"), k=3, rounds=2)
+
     def graph_betweenness(spark, sf):
         # seed-sampled Brandes betweenness (5 fixed sources, 3-hop
         # horizon) over the symmetrized co-purchase graph: forward
@@ -3516,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_distances": graph_bfs_distances,
         "graph_harmonic_centrality": graph_harmonic_centrality,
         "graph_betweenness": graph_betweenness,
+        "graph_ktruss": graph_ktruss,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "rfm_segments": rfm_segments,
         "part_brand_margin": part_brand_margin,
@@ -4334,6 +4346,42 @@ def oracle_sql() -> dict[str, str]:
                             WHERE p.seed = f.seed
                               AND p.node = e.dst))
         """)
+    # k-truss: 2 unrolled peel rounds — per round, id-ordered triangle
+    # enumeration on the current edge set, per-edge support via the
+    # 3-arm union, keep support >= k-2
+    _kt = ["""
+        undt AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        c0 AS (SELECT src AS a, dst AS b FROM undt)
+    """]
+    for _r in range(1, 3):
+        _bwd = f"c{_r - 1}"
+        _kt.append(f"""
+        t{_r} AS (
+          SELECT e1.a, e1.b, e2.b AS c
+          FROM {_bwd} e1
+          JOIN {_bwd} e2 ON e2.a = e1.a AND e1.b < e2.b
+          JOIN {_bwd} e3 ON e3.a = e1.b AND e3.b = e2.b),
+        s{_r} AS (
+          SELECT a, b, count(*) AS support FROM (
+            SELECT a, b FROM t{_r}
+            UNION ALL SELECT a, c AS b FROM t{_r}
+            UNION ALL SELECT b AS a, c AS b FROM t{_r})
+          GROUP BY 1, 2),
+        c{_r} AS (
+          SELECT e.a, e.b, coalesce(s.support, 0) AS support
+          FROM {_bwd} e LEFT JOIN s{_r} s
+            ON s.a = e.a AND s.b = e.b
+          WHERE coalesce(s.support, 0) >= 1)
+        """)
+    sql["graph_ktruss"] = ("WITH " + ",".join(_kt) + """
+        SELECT a, b, CAST(support AS BIGINT) AS support FROM c2
+    """)
+
     # Brandes forward (σ per level) + backward (δ) unrolled; shares
     # the graph/seed construction with the harmonic oracle
     _bw = ["""

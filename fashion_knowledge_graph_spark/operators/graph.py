@@ -951,3 +951,53 @@ def betweenness_sampled(edges: DataFrame, seeds: DataFrame,
     return (acc.groupBy("node")
             .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
             .filter(F.col("betweenness") > 0))
+
+
+def ktruss_peel(edges: DataFrame, k: int, rounds: int,
+                src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-round k-truss peeling over an undirected edge list →
+    the surviving canonical edges ``(a, b, support)`` (a < b).
+
+    The k-truss is the maximal subgraph where every edge sits in ≥
+    k−2 triangles OF THE SUBGRAPH — the edge-analogue of k-core and
+    the standard dense-community miner (cohesion by shared context,
+    not just degree). Each round: enumerate triangles on the CURRENT
+    edge set as an id-ordered 3-way self-join (a<b<c finds each
+    exactly once), explode each into its 3 edges, partial-agg the
+    per-edge support, and keep edges with support ≥ k−2. Enough
+    rounds reach the fixpoint; the FIXED count keeps it
+    deterministic/SQL-replayable (the unrolled-iteration contract of
+    ``kcore_peel``). The surviving edge set shrinks monotonically and
+    is checkpointed per round.
+
+    Skew note: the id-ordered join keeps the replay trivially exact;
+    on power-law graphs swap the enumeration for the degree-ordered
+    orientation of ``triangle_counts`` (O(m^1.5) wedge bound) — the
+    support arithmetic downstream is identical.
+    """
+    a, b = F.col(src), F.col(dst)
+    cur = (edges.select(F.least(a, b).alias("a"),
+                        F.greatest(a, b).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct()
+           .localCheckpoint(eager=True))
+    out = cur.withColumn("support", F.lit(0).cast("long"))
+    for _ in range(rounds):
+        e1 = cur
+        e2 = cur.select(F.col("a"), F.col("b").alias("c"))
+        e3 = cur.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        tri = (e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+               .join(e3, ["b", "c"]))
+        arms = (tri.select("a", "b")
+                .unionByName(tri.select("a", F.col("c").alias("b")))
+                .unionByName(tri.select(F.col("b").alias("a"),
+                                        F.col("c").alias("b"))))
+        sup = arms.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support"))
+        out = (cur.join(sup, ["a", "b"], "left")
+               .select("a", "b",
+                       F.coalesce(F.col("support"), F.lit(0))
+                       .alias("support"))
+               .filter(F.col("support") >= k - 2)
+               .localCheckpoint(eager=True))
+        cur = out.select("a", "b")
+    return out

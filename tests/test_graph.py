@@ -832,3 +832,51 @@ def test_betweenness_all_seeds_star(spark):
            betweenness_sampled(df, seeds, max_depth=3).collect()}
     assert got == {"h": 6.0}
     assert got == _brandes_py(und, ["h", "x", "y", "z"], 3)
+
+
+def test_ktruss_peel_python_parity_and_cascade(spark):
+    from fashion_knowledge_graph_spark.operators.graph import ktruss_peel
+    # two triangles sharing edge (b,c), plus a pendant edge and a
+    # "weak" triangle hanging off d that dies once (d,e) peels
+    und = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+           ("d", "e"), ("e", "f"), ("d", "f"), ("x", "y")]
+    df = spark.createDataFrame(und, "src string, dst string")
+
+    def truss_py(edges, k, rounds):
+        cur = {tuple(sorted(e)) for e in edges}
+        for _ in range(rounds):
+            es = cur
+            sup = {e: 0 for e in es}
+            nodes = sorted({v for e in es for v in e})
+            for i, a in enumerate(nodes):
+                for b in nodes[i + 1:]:
+                    if (a, b) not in es:
+                        continue
+                    for c in nodes:
+                        if c <= b:
+                            continue
+                        if (tuple(sorted((a, c))) in es
+                                and tuple(sorted((b, c))) in es
+                                and (a, b) < (a, c)):
+                            for e in ((a, b), tuple(sorted((a, c))),
+                                      tuple(sorted((b, c)))):
+                                sup[e] += 1
+            cur = {e for e in es if sup[e] >= k - 2}
+            final = {e: sup[e] for e in cur}
+        return final
+
+    for k, rounds in ((3, 1), (3, 3), (4, 2)):
+        got = {(r.a, r.b): r.support for r in
+               ktruss_peel(df, k=k, rounds=rounds).collect()}
+        want = truss_py(und, k, rounds)
+        assert got == want, (k, rounds, got, want)
+    # k=3, enough rounds: the 4-clique-ish core {a,b,c,d} triangles
+    # survive; pendant and (x,y) gone; the d-e-f triangle SURVIVES
+    # (it is its own 3-truss)
+    got3 = {(r.a, r.b) for r in ktruss_peel(df, k=3, rounds=3).collect()}
+    assert ("x", "y") not in got3 and ("a", "b") in got3
+    assert ("d", "e") in got3  # triangle d-e-f is 3-truss
+    # k=4: only edges in >=2 triangles survive round 1, then cascade
+    # kills everything (no 4-truss here)
+    got4 = {(r.a, r.b) for r in ktruss_peel(df, k=4, rounds=3).collect()}
+    assert got4 == set()
