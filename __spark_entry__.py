@@ -1429,6 +1429,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         und = j6_cooccurrence_edges(spark, sf)
         return ktruss_peel(und.select("src", "dst"), k=3, rounds=2)
 
+    def graph_luby_mis(spark, sf):
+        # Luby's maximal independent set, 2 derandomized rounds, over
+        # the co-purchase graph — md5 per-round priorities, strict
+        # (h, id) total order, winners + neighbors deactivate
+        # (operators/graph.py::luby_mis)
+        from fashion_knowledge_graph_spark.operators.graph import (
+            luby_mis,
+        )
+        und = j6_cooccurrence_edges(spark, sf)
+        return luby_mis(und.select("src", "dst"), rounds=2)
+
     def graph_betweenness(spark, sf):
         # seed-sampled Brandes betweenness (5 fixed sources, 3-hop
         # horizon) over the symmetrized co-purchase graph: forward
@@ -3528,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic_centrality": graph_harmonic_centrality,
         "graph_betweenness": graph_betweenness,
         "graph_ktruss": graph_ktruss,
+        "graph_luby_mis": graph_luby_mis,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "rfm_segments": rfm_segments,
         "part_brand_margin": part_brand_margin,
@@ -4346,6 +4358,61 @@ def oracle_sql() -> dict[str, str]:
                             WHERE p.seed = f.seed
                               AND p.node = e.dst))
         """)
+    # Luby MIS: 2 unrolled derandomized rounds; lexicographic (h, id)
+    # minimum over active neighbors via a two-stage exact min
+    _lm = ["""
+        undm AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        e1 AS (SELECT src AS a, dst AS b FROM undm),
+        act1 AS (SELECT DISTINCT a AS node FROM e1
+                 UNION SELECT DISTINCT b AS node FROM e1)
+    """]
+    for _r in (1, 2):
+        _lm.append(f"""
+        pri{_r} AS (
+          SELECT node,
+                 ('0x' || substr(md5('{_r}:' ||
+                                     CAST(node AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+          FROM act{_r}),
+        nbp{_r} AS (
+          SELECT s.node, p2.h AS nb_h, s.nb
+          FROM (SELECT a AS node, b AS nb FROM e{_r}
+                UNION ALL SELECT b AS node, a AS nb FROM e{_r}) s
+          JOIN pri{_r} p2 ON p2.node = s.nb),
+        best{_r} AS (SELECT node, min(nb_h) AS bh
+                     FROM nbp{_r} GROUP BY 1),
+        best2{_r} AS (
+          SELECT b.node, b.bh, min(n.nb) AS bn
+          FROM best{_r} b JOIN nbp{_r} n
+            ON n.node = b.node AND n.nb_h = b.bh
+          GROUP BY 1, 2),
+        win{_r} AS (
+          SELECT p.node FROM pri{_r} p
+          LEFT JOIN best2{_r} m ON m.node = p.node
+          WHERE m.node IS NULL OR p.h < m.bh
+             OR (p.h = m.bh AND p.node < m.bn)),
+        dead{_r} AS (SELECT node FROM win{_r}
+                     UNION
+                     SELECT s.node FROM nbp{_r} s
+                     WHERE s.nb IN (SELECT node FROM win{_r})),
+        act{_r + 1} AS (
+          SELECT node FROM act{_r}
+          WHERE node NOT IN (SELECT node FROM dead{_r})),
+        e{_r + 1} AS (
+          SELECT a, b FROM e{_r}
+          WHERE a IN (SELECT node FROM act{_r + 1})
+            AND b IN (SELECT node FROM act{_r + 1}))
+        """)
+    sql["graph_luby_mis"] = ("WITH " + ",".join(_lm) + """
+        SELECT node, 1 AS mis_round FROM win1
+        UNION ALL SELECT node, 2 AS mis_round FROM win2
+    """)
+
     # k-truss: 2 unrolled peel rounds — per round, id-ordered triangle
     # enumeration on the current edge set, per-edge support via the
     # 3-arm union, keep support >= k-2

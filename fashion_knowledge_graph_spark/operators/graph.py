@@ -1001,3 +1001,77 @@ def ktruss_peel(edges: DataFrame, k: int, rounds: int,
                .localCheckpoint(eager=True))
         cur = out.select("a", "b")
     return out
+
+
+def luby_mis(edges: DataFrame, rounds: int, src: str = "src",
+             dst: str = "dst") -> DataFrame:
+    """Luby's maximal-independent-set algorithm with DETERMINISTIC
+    priorities over an undirected edge list → ``(node, mis_round)``
+    for every node that joined the MIS within ``rounds`` rounds.
+
+    Per round r, every still-active node draws the priority
+    ``(h60(r ':' node), node)`` — md5-uniform for independence
+    purposes yet byte-replayable (the engine's standard derandomized-
+    RNG trick, cf. ``deterministic_walks``); a node joins the MIS iff
+    its priority beats EVERY active neighbor's (strict total order —
+    the id tiebreak makes ties impossible), then MIS members and
+    their neighbors deactivate. Luby's theorem gives O(log n)
+    expected rounds to classify everyone; the FIXED round count keeps
+    the unrolled-iteration SQL contract, returning the (independent,
+    prefix-maximal) set found so far. Isolated actives have no
+    neighbor to lose to, so they join immediately.
+
+    The MIS is the standard symmetry-breaking primitive (conflict-free
+    update scheduling, distance-2 coloring seeds, landmark selection).
+    Per round: one partial-agg'd min over each node's active-neighbor
+    priorities + two anti-joins — all narrow (node, h) rows,
+    checkpointed per round.
+    """
+    from ..operators.sketches import _h60
+
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("a"),
+                        F.greatest(a, b).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    active_e = und.localCheckpoint(eager=True)
+    active_n = (active_e.select(F.col("a").alias("node"))
+                .unionByName(active_e.select(F.col("b").alias("node")))
+                .distinct().localCheckpoint(eager=True))
+    out = None
+    for r in range(1, rounds + 1):
+        pri = active_n.select(
+            "node",
+            _h60(F.concat_ws(":", F.lit(r), F.col("node")))
+            .alias("h"))
+        sym = (active_e.select(F.col("a").alias("node"),
+                               F.col("b").alias("nb"))
+               .unionByName(active_e.select(F.col("b").alias("node"),
+                                            F.col("a").alias("nb"))))
+        nb_best = (sym.join(pri.select(F.col("node").alias("nb"),
+                                       F.col("h").alias("nb_h"),
+                                       ), "nb")
+                   .groupBy("node")
+                   .agg(F.min(F.struct(F.col("nb_h").alias("h"),
+                                       F.col("nb").alias("n")))
+                        .alias("best")))
+        winners = (pri.join(nb_best, "node", "left")
+                   .filter(F.col("best").isNull()
+                           | (F.struct(F.col("h"),
+                                       F.col("node").alias("n"))
+                              < F.col("best")))
+                   .select("node").withColumn("mis_round", F.lit(r))
+                   .localCheckpoint(eager=True))
+        out = winners if out is None else out.unionByName(winners)
+        # deactivate winners + their neighbors
+        dead = (winners.select("node")
+                .unionByName(
+                    sym.join(winners.select(F.col("node").alias("nb")),
+                             "nb").select("node"))
+                .distinct())
+        active_n = active_n.join(dead, "node", "left_anti") \
+            .localCheckpoint(eager=True)
+        active_e = (active_e
+                    .join(active_n.select(F.col("node").alias("a")), "a")
+                    .join(active_n.select(F.col("node").alias("b")), "b")
+                    .localCheckpoint(eager=True))
+    return out

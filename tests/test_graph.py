@@ -880,3 +880,44 @@ def test_ktruss_peel_python_parity_and_cascade(spark):
     # kills everything (no 4-truss here)
     got4 = {(r.a, r.b) for r in ktruss_peel(df, k=4, rounds=3).collect()}
     assert got4 == set()
+
+
+def test_luby_mis_python_parity_and_invariants(spark):
+    import hashlib
+
+    from fashion_knowledge_graph_spark.operators.graph import luby_mis
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # 4-cycle
+           ("c", "e"), ("f", "g"), ("h", "h2")]             # tail + 2 comps
+    df = spark.createDataFrame(und, "src string, dst string")
+    got = {r.node: r.mis_round for r in
+           luby_mis(df, rounds=4).collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # python replay of the derandomized rounds
+    adj = {}
+    for x, y in und:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    active = set(adj)
+    want = {}
+    for r in range(1, 5):
+        pri = {v: (h60(f"{r}:{v}"), v) for v in active}
+        winners = {v for v in active
+                   if all(pri[v] < pri[u] for u in adj[v] if u in active)}
+        for v in winners:
+            want[v] = r
+        dead = set(winners)
+        for v in winners:
+            dead |= adj[v] & active
+        active -= dead
+    assert got == want
+    # independence: no two MIS members adjacent
+    mis = set(got)
+    assert not any(y in mis and x in mis for x, y in und)
+    # maximality after enough rounds: every non-MIS node has a MIS
+    # neighbor
+    for v in adj:
+        assert v in mis or adj[v] & mis, v
