@@ -3248,6 +3248,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cms_join_size(li, li, "l_partkey", "l_partkey",
                              depth=4, width=8192)
 
+    def ml_target_encoding(spark, sf):
+        # K-fold leave-one-fold-out target encoding of the market
+        # segment against order value — the leakage-free
+        # high-cardinality-categorical feature (sklearn/CatBoost
+        # shape) via the fold-marginal decomposition: ONE partial-agg
+        # pass over the facts into a (|cats|·K)-row table, exact
+        # DECIMAL sums, md5 folds (operators/features.py)
+        from fashion_knowledge_graph_spark.operators.features import (
+            target_encode_loo,
+        )
+        cust = _load(spark, sf, "customer")
+        orders = _load(spark, sf, "orders")
+        facts = (cust.join(orders, cust.c_custkey == orders.o_custkey)
+                 .select("o_orderkey", "c_mktsegment", "o_totalprice"))
+        return target_encode_loo(facts, "o_orderkey", "c_mktsegment",
+                                 "o_totalprice", n_folds=5,
+                                 prior_weight=10.0)
+
     def dq_constraint_suite(spark, sf):
         # Declarative DQ gate (Great Expectations / Deequ shape) over
         # lineitem: 6 row/set-level rules compile into ONE aggregate
@@ -3701,6 +3719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval_ndcg": rank_eval_ndcg,
         "dq_constraint_suite": dq_constraint_suite,
         "sketch_join_size": sketch_join_size,
+        "ml_target_encoding": ml_target_encoding,
     }
 
 
@@ -6697,6 +6716,29 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN dead = 1 THEN 0.0 ELSE surv END, 6)
                  AS survival
         FROM s WHERE d_events > 0
+    """
+
+    sql["ml_target_encoding"] = """
+        WITH base AS (
+          SELECT c_mktsegment AS cat,
+                 ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                 1, 15))::BIGINT % 5 AS fold,
+                 CAST(o_totalprice AS DECIMAL(18,6)) AS t
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          WHERE o_totalprice IS NOT NULL),
+        pf AS (SELECT cat, fold, count(*) AS n_cf, sum(t) AS s_cf
+               FROM base GROUP BY 1, 2),
+        g AS (SELECT *,
+                sum(n_cf) OVER (PARTITION BY cat) AS n_c,
+                sum(s_cf) OVER (PARTITION BY cat) AS s_c,
+                CAST(sum(s_cf) OVER () / sum(n_cf) OVER () AS DOUBLE)
+                  AS mu
+              FROM pf)
+        SELECT cat AS c_mktsegment, CAST(fold AS INT) AS fold,
+               CAST(n_cf AS BIGINT) AS n_fold,
+               round((CAST(s_c - s_cf AS DOUBLE) + 10.0 * mu)
+                     / (n_c - n_cf + 10.0), 6) AS encoding
+        FROM g
     """
 
     sql["sketch_join_size"] = """
