@@ -3266,6 +3266,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  "o_totalprice", n_folds=5,
                                  prior_weight=10.0)
 
+    def ml_feature_hash(spark, sf):
+        # the hashing trick over document tokens: unbounded vocab →
+        # fixed 64-bucket signed-hash space, sparse (doc, bucket,
+        # value) rows — no vocabulary pass, no fitted state, ONE
+        # groupBy (operators/features.py::feature_hash)
+        from fashion_knowledge_graph_spark.operators.features import (
+            feature_hash,
+        )
+        docs = (_load(spark, sf, "documents")
+                .filter((F.col("text").isNotNull())
+                        & (F.col("doc_id") < 1000)))
+        toks = docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " "))
+            .alias("tok")).filter(F.col("tok") != "")
+        return feature_hash(toks, "doc_id", "tok", dim=64)
+
     def dq_constraint_suite(spark, sf):
         # Declarative DQ gate (Great Expectations / Deequ shape) over
         # lineitem: 6 row/set-level rules compile into ONE aggregate
@@ -3720,6 +3736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_constraint_suite": dq_constraint_suite,
         "sketch_join_size": sketch_join_size,
         "ml_target_encoding": ml_target_encoding,
+        "ml_feature_hash": ml_feature_hash,
     }
 
 
@@ -6716,6 +6733,24 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN dead = 1 THEN 0.0 ELSE surv END, 6)
                  AS survival
         FROM s WHERE d_events > 0
+    """
+
+    sql["ml_feature_hash"] = """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+          WHERE text IS NOT NULL AND doc_id < 1000),
+        t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('b:' || tok), 1, 15))::BIGINT
+                   % 64 AS bucket,
+                 CASE WHEN ('0x' || substr(md5('s:' || tok), 1, 15))
+                             ::BIGINT % 2 = 1
+                      THEN 1 ELSE -1 END AS s
+          FROM t2)
+        SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS value
+        FROM hashed GROUP BY 1, 2 HAVING sum(s) <> 0
     """
 
     sql["ml_target_encoding"] = """

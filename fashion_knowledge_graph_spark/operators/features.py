@@ -67,3 +67,36 @@ def target_encode_loo(df: DataFrame, id_col: str, cat_col: str,
         F.col("cat").alias(cat_col), "fold",
         F.col("n_cf").cast("long").alias("n_fold"),
         F.round(enc, 6).alias("encoding"))
+
+
+def feature_hash(tokens: DataFrame, id_col: str, token_col: str,
+                 dim: int = 1024, signed: bool = True) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): fold an unbounded
+    feature vocabulary into a FIXED ``dim``-bucket space with a
+    signed hash → sparse ``(id, bucket, value)`` rows, value =
+    Σ sign(token) over the row's occurrences of tokens in that
+    bucket.
+
+    bucket = h60('b:' t) mod dim; sign = ±1 from an independent hash
+    bit. The sign makes collisions cancel in expectation (E[x·x'] is
+    unbiased — the property that lets linear models train on hashed
+    features), and hashing needs NO vocabulary pass, no fitted state,
+    no dictionary broadcast: the one groupBy on (id, bucket) is the
+    entire computation, and adding a feature never changes another's
+    column. Deterministic md5 lanes ⇒ the SQL replay and any re-run
+    are byte-identical.
+    """
+    t = tokens.select(F.col(id_col).alias("id"),
+                      F.col(token_col).alias("tok")) \
+        .filter(F.col("tok").isNotNull())
+    bucket = F.pmod(_h60(F.concat(F.lit("b:"), F.col("tok"))),
+                    F.lit(dim))
+    sign = F.when(
+        F.pmod(_h60(F.concat(F.lit("s:"), F.col("tok"))),
+               F.lit(2)) == 1,
+        F.lit(1)).otherwise(F.lit(-1)) if signed else F.lit(1)
+    return (t.select("id", bucket.alias("bucket"), sign.alias("s"))
+            .groupBy("id", "bucket")
+            .agg(F.sum("s").cast("long").alias("value"))
+            .filter(F.col("value") != 0)
+            .select(F.col("id").alias(id_col), "bucket", "value"))

@@ -62,3 +62,36 @@ def test_target_encode_fold_assignment_is_stable(spark, facts):
     b = target_encode_loo(facts.repartition(7), "id", "cat", "y",
                           n_folds=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_feature_hash_python_parity_and_cancellation(spark):
+    from fashion_knowledge_graph_spark.operators.features import (
+        feature_hash,
+    )
+    rows = [(1, "red"), (1, "red"), (1, "dress"), (2, "blue"),
+            (2, None)]
+    df = spark.createDataFrame(rows, "doc long, tok string")
+    D = 16
+    got = {(r.doc, r.bucket): r.value for r in
+           feature_hash(df, "doc", "tok", dim=D).collect()}
+
+    def b(t):
+        return _h60("b:" + t) % D
+
+    def s(t):
+        return 1 if _h60("s:" + t) % 2 == 1 else -1
+
+    import collections
+    want = collections.defaultdict(int)
+    for d, t in rows:
+        if t is not None:
+            want[(d, b(t))] += s(t)
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
+    # duplicate tokens accumulate: |value| for doc1's 'red' bucket
+    # is 2 (unless 'dress' collides and cancels — then it is 1)
+    assert any(abs(v) >= 1 for (d, _), v in got.items() if d == 1)
+    # rerun identical
+    again = {(r.doc, r.bucket): r.value for r in
+             feature_hash(df, "doc", "tok", dim=D).collect()}
+    assert got == again
