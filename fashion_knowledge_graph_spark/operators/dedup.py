@@ -956,10 +956,21 @@ def jaccard_pairs_prefix(df: DataFrame, id_col: str = "doc_id",
     not by posting-list blowup.
     """
     post, prefix = _prefix_index(df, id_col, text_col, n, threshold)
-    a = prefix.select(F.col("id").alias("id_a"), "sh")
-    b = prefix.select(F.col("id").alias("id_b"), "sh")
-    cand = a.join(b, "sh").filter(F.col("id_a") < F.col("id_b")) \
-        .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    a = prefix.select(F.col("id").alias("id_a"), "sh",
+                      F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("id").alias("id_b"), "sh",
+                      F.col("sz").alias("sz_b"))
+    # length filter (the PPJoin companion prune): J ≥ t forces
+    # t·max(|a|,|b|) ≤ min(|a|,|b|) — a doc can never clear the
+    # threshold against one much larger than itself, so those pairs
+    # drop BEFORE the expensive set-verify join. The 1e-9 guard keeps
+    # the error direction safe (at worst one extra candidate), same
+    # rationale as the prefix ceiling.
+    cand = (a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.least("sz_a", "sz_b")
+                    >= F.lit(threshold)
+                    * F.greatest("sz_a", "sz_b") - F.lit(1e-9))
+            .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
     sets = post.groupBy("id").agg(F.collect_set("sh").alias("shs"))
     paired = cand \
         .join(sets.select(F.col("id").alias("id_a"),
@@ -993,7 +1004,7 @@ def _prefix_index(df: DataFrame, id_col: str, text_col: str,
     prefix = (post.join(dfreq, "sh").join(sizes, "id")
               .withColumn("r", F.row_number().over(w))
               .filter(F.col("r") <= F.col("sz") - need + 1)
-              .select("id", "sh"))
+              .select("id", "sh", "sz"))
     return post, prefix
 
 

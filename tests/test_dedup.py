@@ -427,3 +427,45 @@ def test_prefix_overlap_ceiling_is_fp_safe(spark):
 
 def _corpus_df(spark):
     return spark.createDataFrame(_mk_corpus(), "doc_id int, text string")
+
+
+def test_jaccard_prefix_length_filter_prunes_but_stays_exact(spark):
+    from pyspark.sql import functions as F
+
+    from fashion_knowledge_graph_spark.operators import dedup as dd
+
+    # a short doc inside a much longer one: shares rare shingles (so
+    # the prefix index WILL propose the pair) but can never reach
+    # J >= 0.5 against 4x its size — the length filter must drop it
+    # before verify, without changing the final (exact) output
+    short = "zq zr zs zt zu"
+    long = ("zq zr zs zt zu " + "filler one two three " * 6).strip()
+    twin_a = "aa bb cc dd ee ff gg"
+    twin_b = "aa bb cc dd ee ff hh"
+    # padding docs make the filler shingles COMMON (high df), so the
+    # zq-run shingles are doc 2's rarest and land in its prefix —
+    # the pair (1,2) then IS a prefix candidate and only the length
+    # filter removes it
+    pad = [(10 + i, ("filler one two three " * 6).strip())
+           for i in range(6)]
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, twin_a), (4, twin_b)] + pad,
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b): round(r.jaccard, 6) for r in
+           dd.jaccard_pairs_prefix(df, threshold=0.5).collect()}
+    want = {(r.id_a, r.id_b): round(r.jaccard, 6) for r in
+            dd.jaccard_pairs_exact(df, threshold=0.5).collect()}
+    assert got == want                   # exactness preserved
+    assert (1, 2) not in got             # size-skewed pair gone
+    assert (3, 4) in got                 # near-twins survive
+    # and the candidate set actually shrank: the (1,2) pair IS a
+    # prefix candidate (shared rare shingles) yet never reaches verify
+    post, prefix = dd._prefix_index(df, "doc_id", "text", 3, 0.5)
+    a = prefix.select(F.col("id").alias("id_a"), "sh",
+                      F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("id").alias("id_b"), "sh",
+                      F.col("sz").alias("sz_b"))
+    raw = {(r.id_a, r.id_b) for r in
+           a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b").distinct().collect()}
+    assert (1, 2) in raw
