@@ -372,6 +372,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return plan.select("media_id", "mime", "target_width",
                            "target_height", "needs_resize")
 
+    def mm_audio_chunk_plan(spark, sf):
+        # overlapping ASR-style windowing over the timed media items
+        # (2 s chunks, 0.5 s overlap): sequence+posexplode on
+        # duration metadata, shuffle-free; untimed media yield no
+        # chunks (operators/multimodal.py::audio_chunk_plan)
+        from fashion_knowledge_graph_spark.operators import multimodal as mm
+        return mm.audio_chunk_plan(_mm_media(spark, sf),
+                                   chunk_ms=2000, overlap_ms=500)
+
     def mm_frame_plan(spark, sf):
         # video frame-sampling fan-out: sequence+explode on the
         # duration metadata (shuffle-free; one row per frame to
@@ -3561,6 +3570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_meta": mm_media_meta,
         "mm_resize_plan": mm_resize_plan,
         "mm_frame_plan": mm_frame_plan,
+        "mm_audio_chunk_plan": mm_audio_chunk_plan,
         "u1_union_distinct": u1_union_distinct,
         "a2_collect_sorted": a2_collect_sorted,
         "events_tumbling_agg": events_tumbling_agg,
@@ -6656,6 +6666,24 @@ def oracle_sql() -> dict[str, str]:
                unnest(CASE WHEN dur > 0 THEN range(0, dur, 1000)
                            ELSE [0] END)::INT AS frame_ms
         FROM d
+    """
+
+    sql["mm_audio_chunk_plan"] = f"""
+        WITH {mm_media_cte},
+        d AS (SELECT mid,
+                CASE WHEN substr(md5(mid || ':m'), 1, 1) < '4'
+                     THEN (('0x' || substr(md5(mid || ':d'), 1, 15))::BIGINT
+                           % 9000 + 500)
+                     ELSE 0 END AS dur
+              FROM m),
+        st AS (SELECT mid, dur,
+                      unnest(range(0, dur, 1500))::BIGINT AS start_ms
+               FROM d WHERE dur > 0)
+        SELECT mid AS media_id,
+               CAST(start_ms // 1500 AS INT) AS chunk_idx,
+               CAST(start_ms AS INT) AS start_ms,
+               CAST(least(start_ms + 2000, dur) AS INT) AS end_ms
+        FROM st
     """
 
     topk_cte = """

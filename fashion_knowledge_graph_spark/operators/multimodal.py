@@ -166,3 +166,33 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             dur > 0,
             F.sequence(F.lit(0), dur - 1, F.lit(every_ms)))
             .otherwise(F.array(F.lit(0)))).alias("frame_ms"))
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 2000,
+                     overlap_ms: int = 500) -> DataFrame:
+    """Overlapping audio-chunk plan: one row per decode window over
+    every timed media item → ``(media_id, chunk_idx, start_ms,
+    end_ms)``, starts every ``chunk_ms − overlap_ms`` (the standard
+    ASR/embedding windowing — overlap keeps utterances that straddle
+    a boundary inside at least one chunk), ends clipped to the
+    duration.
+
+    Same shuffle-free ``sequence`` + ``posexplode`` shape as
+    ``frame_sample_plan``: the plan is pure map work over the
+    metadata; per-chunk decode happens downstream (stubbed in this
+    container). Untimed media (images, duration 0/null) produce no
+    chunks — an image has no waveform; contrast the frame plan's
+    [0] still-frame fallback, which IS meaningful for images.
+    """
+    if overlap_ms >= chunk_ms:
+        raise ValueError("overlap_ms must be < chunk_ms")
+    step = chunk_ms - overlap_ms
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    starts = F.when(dur > 0,
+                    F.sequence(F.lit(0), dur - 1, F.lit(step)))
+    return (media.select("media_id", dur.alias("dur"),
+                         F.posexplode(starts)
+                         .alias("chunk_idx", "start_ms"))
+            .select("media_id", "chunk_idx", "start_ms",
+                    F.least(F.col("start_ms") + F.lit(chunk_ms),
+                            F.col("dur")).alias("end_ms")))

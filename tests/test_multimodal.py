@@ -74,3 +74,26 @@ def test_frame_sample_plan(spark):
         got.setdefault(r["media_id"], []).append(r["frame_ms"])
     assert sorted(got["v1"]) == [0, 1000, 2000, 3000]
     assert got["v2"] == [0]
+
+
+def test_audio_chunk_plan(spark):
+    import pytest as _pytest
+    media = spark.createDataFrame(
+        [("a1", "audio/wav", bytearray(b"x"), (None, None, 5200, 1)),
+         ("a2", "audio/wav", bytearray(b"y"), (None, None, 1000, 1)),
+         ("img", "image/png", bytearray(b"z"), (None, None, None, 1))],
+        mm.MEDIA_SCHEMA)
+    got = {}
+    for r in mm.audio_chunk_plan(media, chunk_ms=2000,
+                                 overlap_ms=500).collect():
+        got.setdefault(r["media_id"], []).append(
+            (r["chunk_idx"], r["start_ms"], r["end_ms"]))
+    # starts every 1500 ms, ends clipped to 5200
+    assert sorted(got["a1"]) == [(0, 0, 2000), (1, 1500, 3500),
+                                 (2, 3000, 5000), (3, 4500, 5200)]
+    # shorter than one chunk: single clipped window
+    assert got["a2"] == [(0, 0, 1000)]
+    # untimed media produce NO chunks (no waveform to window)
+    assert "img" not in got
+    with _pytest.raises(ValueError, match="overlap"):
+        mm.audio_chunk_plan(media, chunk_ms=500, overlap_ms=500)
