@@ -3257,6 +3257,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cms_join_size(li, li, "l_partkey", "l_partkey",
                              depth=4, width=8192)
 
+    def j_rendezvous_shards(spark, sf):
+        # rendezvous (HRW) shard assignment of the corpus onto 4
+        # named shards — consistent-hashing semantics without a ring:
+        # stateless argmax of per-shard hashes, minimal remap on
+        # membership change (pinned in tests/test_skew.py); rolled up
+        # to per-shard counts (operators/skew.py::rendezvous_assign)
+        from fashion_knowledge_graph_spark.operators.skew import (
+            rendezvous_assign,
+        )
+        docs = _load(spark, sf, "documents").select("doc_id")
+        return (rendezvous_assign(docs, "doc_id",
+                                  ["us-east", "us-west", "eu", "ap"])
+                .groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n_docs")))
+
     def ml_target_encoding(spark, sf):
         # K-fold leave-one-fold-out target encoding of the market
         # segment against order value — the leakage-free
@@ -3747,6 +3762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_join_size": sketch_join_size,
         "ml_target_encoding": ml_target_encoding,
         "ml_feature_hash": ml_feature_hash,
+        "j_rendezvous_shards": j_rendezvous_shards,
     }
 
 
@@ -6761,6 +6777,20 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN dead = 1 THEN 0.0 ELSE surv END, 6)
                  AS survival
         FROM s WHERE d_events > 0
+    """
+
+    sql["j_rendezvous_shards"] = """
+        WITH shards(s) AS (
+          VALUES ('us-east'), ('us-west'), ('eu'), ('ap')),
+        h AS (SELECT doc_id, s,
+                     ('0x' || substr(md5(s || ':'
+                                         || CAST(doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT AS hv
+              FROM documents, shards),
+        a AS (SELECT doc_id,
+                     (max(struct_pack(h := hv, s := s))).s AS shard
+              FROM h GROUP BY 1)
+        SELECT shard, count(*) AS n_docs FROM a GROUP BY 1
     """
 
     sql["ml_feature_hash"] = """

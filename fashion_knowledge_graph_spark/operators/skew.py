@@ -81,3 +81,33 @@ def skew_profile(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
                         worder.rowsBetween(Window.unboundedPreceding, 0)))
                         / F.col("__tot"), 9).alias("cum_share"),
                     "rank"))
+
+
+def rendezvous_assign(df: DataFrame, key_col: str,
+                      shards: list[str]) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key
+    goes to ``argmax_shard h60(shard ':' key)`` → input columns plus
+    ``shard``.
+
+    The property that matters at fleet scale: adding or removing a
+    shard remaps ONLY the keys whose argmax was that shard (≈1/n of
+    them) — consistent-hashing semantics without a ring, no stored
+    state, no coordination; assignment is a pure function of
+    (shard list, key), so re-runs and the SQL replay are
+    byte-identical. The argmax is a ``greatest``-free exact struct-max
+    over |shards| codegen hash expressions per row — pure map work,
+    zero shuffles; |shards| is a config constant, not data.
+    """
+    from ..operators.sketches import _h60
+
+    if not shards:
+        raise ValueError("need at least one shard")
+    if len(set(shards)) != len(shards):
+        raise ValueError("duplicate shard names")
+    key = F.col(key_col).cast("string")
+    pairs = [F.struct(
+        _h60(F.concat(F.lit(s + ":"), key)).alias("h"),
+        F.lit(s).alias("s")) for s in shards]
+    return df.withColumn(
+        "shard", F.greatest(*pairs)["s"] if len(pairs) > 1
+        else pairs[0]["s"])

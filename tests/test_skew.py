@@ -76,3 +76,39 @@ def test_skew_profile_matches_python(spark):
         ("warm", 30, round(0.3, 9), round(0.8, 9), 2),
         ("a", 10, round(0.1, 9), round(0.9, 9), 3),   # tie → lex order
     ]
+
+
+def test_rendezvous_assign_minimal_remap(spark):
+    import hashlib
+
+    from fashion_knowledge_graph_spark.operators.skew import (
+        rendezvous_assign,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "k long")
+    s3 = ["a", "b", "c"]
+    got3 = {r.k: r.shard for r in
+            rendezvous_assign(df, "k", s3).collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want3 = {i: max(s3, key=lambda s: (h60(f"{s}:{i}"), s))
+             for i in range(300)}
+    assert got3 == want3
+    # roughly balanced
+    import collections
+    sizes = collections.Counter(got3.values())
+    assert all(60 < sizes[s] < 140 for s in s3), sizes
+    # remove shard 'c': ONLY c's keys move, everyone else stays put
+    got2 = {r.k: r.shard for r in
+            rendezvous_assign(df, "k", ["a", "b"]).collect()}
+    for k, s in got3.items():
+        if s != "c":
+            assert got2[k] == s, k
+    # validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        rendezvous_assign(df, "k", [])
+    with _pytest.raises(ValueError, match="duplicate"):
+        rendezvous_assign(df, "k", ["a", "a"])
