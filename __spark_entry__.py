@@ -2064,6 +2064,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          threshold=0.3)
         return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
+    def cluster_dbscan(spark, sf):
+        # density clustering over the embedding corpus: ε-neighbor
+        # pairs from the exact cosine path (the oracle config — the
+        # LSH-blocked or ANN candidate path drops in unchanged at
+        # scale), then DBSCAN semantics in pure relational ops: core
+        # = ≥3 neighbors, clusters = CC over core–core pairs, border
+        # → min core neighbor's cluster, noise absent
+        # (operators/clustering.py::dbscan_from_pairs)
+        from fashion_knowledge_graph_spark.operators.clustering import (
+            dbscan_from_pairs,
+        )
+        pairs = dd.embedding_near_dup_auto(
+            _load(spark, sf, "embeddings"), threshold=0.3) \
+            .select("id_a", "id_b")
+        return dbscan_from_pairs(pairs, min_pts=3,
+                                 id_col="vec_id",
+                                 src="id_a", dst="id_b")
+
     def semdedup_pairs(spark, sf):
         # SemDeDup: k-means-blocked semantic near-dup — the oracle
         # replays the 2-iteration Lloyd assignment (same CTEs as
@@ -3661,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_clusters": dedup_clusters,
         "embedding_near_dup": embedding_near_dup,
+        "cluster_dbscan": cluster_dbscan,
         "semdedup_pairs": semdedup_pairs,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -6594,6 +6613,37 @@ def oracle_sql() -> dict[str, str]:
           JOIN bs x ON x.id = c.id_a
           JOIN bs y ON y.id = c.id_b) t
         WHERE hamming <= 8
+    """
+
+    sql["cluster_dbscan"] = """
+        WITH RECURSIVE ep AS (
+          SELECT a.vec_id AS x, b.vec_id AS y
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) >= 0.3),
+        sym AS (SELECT x, y FROM ep
+                UNION SELECT y AS x, x AS y FROM ep),
+        deg AS (SELECT x, count(*) AS n_nb FROM sym GROUP BY 1),
+        core AS (SELECT x AS node FROM deg WHERE n_nb >= 3),
+        ce AS (SELECT s.x, s.y FROM sym s
+               WHERE s.x IN (SELECT node FROM core)
+                 AND s.y IN (SELECT node FROM core)),
+        reach(id, r) AS (
+          SELECT node, node FROM core
+          UNION
+          SELECT e.y, reach.r FROM reach JOIN ce e ON e.x = reach.id),
+        cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        border AS (
+          SELECT s.x AS id, min(s.y) AS nb_core
+          FROM sym s
+          WHERE s.y IN (SELECT node FROM core)
+            AND s.x NOT IN (SELECT node FROM core)
+          GROUP BY 1)
+        SELECT id AS vec_id, cluster, 'core' AS role FROM cc
+        UNION ALL
+        SELECT b.id AS vec_id, c.cluster, 'border' AS role
+        FROM border b JOIN cc c ON c.id = b.nb_core
     """
 
     sql["embedding_near_dup"] = """

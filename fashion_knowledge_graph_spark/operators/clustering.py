@@ -173,3 +173,63 @@ def pca_project(df: DataFrame, id_col: str = "vec_id",
 
     return src.mapInArrow(project, f"{id_col} long, pc1 double") \
         .select(id_col, F.round("pc1", 6).alias("pc1"))
+
+
+def dbscan_from_pairs(pairs: DataFrame, min_pts: int,
+                      id_col: str = "id",
+                      src: str = "a", dst: str = "b") -> DataFrame:
+    """DBSCAN from a precomputed ε-neighbor pair list →
+    ``(id, cluster, role)`` with role ``core``/``border`` (noise
+    points are ABSENT — they belong to no cluster by definition).
+
+    Decoupling neighbor generation from clustering is the
+    scale-shape: ``pairs`` can come from the exact pairwise join (the
+    oracle-checkable config), the LSH-blocked candidate path, or an
+    ANN index — the clustering below is identical. Semantics:
+
+    - core: ≥ ``min_pts`` ε-neighbors (standard DBSCAN counts the
+      point itself; we count NEIGHBORS, so pass ``min_pts`` already
+      decremented if replicating another library's parameter).
+    - clusters = connected components over CORE–CORE pairs
+      (``components.connected_components`` — driver UF small, label
+      propagation at scale), cluster id = min member id.
+    - border: non-core with ≥1 core neighbor, assigned to its
+      MINIMUM core neighbor's cluster — canonical DBSCAN leaves this
+      tie arbitrary (order-dependent); the min rule makes it
+      deterministic and replayable.
+
+    ``pairs`` may be directed or symmetric; it is symmetrized and
+    self-pairs dropped before counting, so either convention works.
+    """
+    from .components import connected_components
+
+    p = (pairs.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+         .filter(F.col("x") != F.col("y")))
+    sym = p.unionByName(p.select(F.col("y").alias("x"),
+                                 F.col("x").alias("y"))).distinct() \
+        .localCheckpoint(eager=True)
+    deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("n_nb"))
+    core = deg.filter(F.col("n_nb") >= min_pts) \
+        .select(F.col("x").alias("node"))
+    core_edges = (sym
+                  .join(core.select(F.col("node").alias("x")), "x")
+                  .join(core.select(F.col("node").alias("y")), "y")
+                  .select(F.col("x").alias("src"),
+                          F.col("y").alias("dst")))
+    cc = connected_components(core_edges,
+                              core.select(F.col("node").alias("id")),
+                              id_col="id")
+    core_out = cc.select(F.col("id"), F.col("component").alias("cluster"),
+                         F.lit("core").alias("role"))
+    border = (sym.join(core.select(F.col("node").alias("y")), "y")
+              .join(core.select(F.col("node").alias("x")), "x",
+                    "left_anti")
+              .groupBy("x").agg(F.min("y").alias("nb_core")))
+    border_out = (border
+                  .join(cc.select(F.col("id").alias("nb_core"),
+                                  F.col("component").alias("cluster")),
+                        "nb_core")
+                  .select(F.col("x").alias("id"), "cluster",
+                          F.lit("border").alias("role")))
+    return core_out.unionByName(border_out).select(
+        F.col("id").alias(id_col), "cluster", "role")

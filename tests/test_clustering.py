@@ -116,3 +116,51 @@ def test_pca_project_partition_invariance(spark):
          for r in pca_project(df.repartition(11)).collect()}
     for k in a:
         assert a[k] == pytest.approx(b[k], abs=2e-6)
+
+
+def test_dbscan_from_pairs_semantics(spark):
+    from fashion_knowledge_graph_spark.operators.clustering import (
+        dbscan_from_pairs,
+    )
+    # two dense blobs bridged by a border point, plus noise:
+    #   blob1 cores: 1,2,3 (mutual neighbors); 4 borders on 1
+    #   blob2 cores: 10,11,12; noise: 99 (one weak link to 4)
+    pairs = [(1, 2), (1, 3), (2, 3), (1, 4),
+             (10, 11), (10, 12), (11, 12),
+             (4, 99)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r.id: (r.cluster, r.role) for r in
+           dbscan_from_pairs(df, min_pts=2).collect()}
+    # cores: degree>=2 -> 1,2,3,10,11,12 and 4 (neighbors 1,99)
+    assert got[1] == (1, "core") and got[2] == (1, "core")
+    assert got[3] == (1, "core") and got[4] == (1, "core")
+    assert got[10] == (10, "core") and got[12] == (10, "core")
+    # 99 has one neighbor (4, a core) -> border of cluster 1
+    assert got[99] == (1, "border")
+    assert len(got) == 8
+
+
+def test_dbscan_noise_absent_and_border_min_rule(spark):
+    from fashion_knowledge_graph_spark.operators.clustering import (
+        dbscan_from_pairs,
+    )
+    # chain: 1-2, 2-3 => only 2 is core (min_pts=2); 1,3 border on 2;
+    # isolated pair 8-9: degree 1 each -> ALL noise (absent)
+    pairs = [(1, 2), (2, 3), (8, 9)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r.id: (r.cluster, r.role) for r in
+           dbscan_from_pairs(df, min_pts=2).collect()}
+    assert got == {2: (2, "core"), 1: (2, "border"), 3: (2, "border")}
+    # border ties pick the MIN core neighbor: two 4-cliques (cores at
+    # min_pts=3), node 5 touches one core in EACH -> degree 2 < 3 so
+    # it stays border, and joins min(2,20)=2's cluster (canonical
+    # DBSCAN leaves this arbitrary; the min rule pins it)
+    cl1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    cl2 = [(a, b) for a in (20, 21, 22, 23)
+           for b in (20, 21, 22, 23) if a < b]
+    pairs2 = cl1 + cl2 + [(2, 5), (20, 5)]
+    df2 = spark.createDataFrame(pairs2, "a long, b long")
+    got2 = {r.id: (r.cluster, r.role) for r in
+            dbscan_from_pairs(df2, min_pts=3).collect()}
+    assert got2[2] == (1, "core") and got2[20] == (20, "core")
+    assert got2[5] == (1, "border")  # min core neighbor is 2 -> cluster 1
