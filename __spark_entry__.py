@@ -3533,6 +3533,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top1.select("mention_id", "mention_text", "cat_name",
                            "distance")
 
+    def er_snm_link(spark, sf):
+        # sorted-neighborhood blocking over the dirty mentions (the
+        # OTHER canonical ER candidate generator next to er_fuzzy_link's
+        # q-gram blocking): ONE range-sort rank, exploded-offset
+        # EQUI-join panes (no theta join), Levenshtein ≤ 2 verify —
+        # candidates bounded at n·(w−1)/2 regardless of key skew
+        # (operators/er.py::snm_pairs)
+        from fashion_knowledge_graph_spark.operators.er import snm_pairs
+        men = _er_dirty_mentions(spark, sf)
+        return snm_pairs(men, "mention_id", "mention_text",
+                         window=5, max_distance=2) \
+            .select("id_a", "id_b", "distance")
+
     def er_clusters(spark, sf):
         # ER canonicalization step 2: transitive closure of the fuzzy
         # pairs — blocked mention↔mention self-join (same q-gram +
@@ -3760,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_cube_rollup": a_cube_rollup,
         "w_running_analytics": w_running_analytics,
         "er_fuzzy_link": er_fuzzy_link,
+        "er_snm_link": er_snm_link,
         "events_hopping_agg": events_hopping_agg,
         "sketch_bloom_filter": sketch_bloom_filter,
         "ml_ols_regression": ml_ols_regression,
@@ -7340,6 +7354,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.c_custkey, h.might_contain,
                (m.k IS NOT NULL) AS is_member
         FROM hit h LEFT JOIN mem m ON h.c_custkey = m.k
+    """
+
+    sql["er_snm_link"] = """
+        WITH men AS (
+          SELECT p_partkey AS mention_id,
+                 p_brand || ' ' || p_name AS fullname,
+                 ('0x' || substr(md5('er:' ||
+                    CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM part),
+        men2 AS (
+          SELECT mention_id,
+                 CASE WHEN h % 10 < 4 THEN
+                   substr(fullname, 1,
+                          ((h % (length(fullname)-1)) + 2) - 1) ||
+                   substr(fullname,
+                          ((h % (length(fullname)-1)) + 2) + 1)
+                 ELSE fullname END AS mention_text
+          FROM men),
+        ranked AS (
+          SELECT mention_id AS id, mention_text AS key,
+                 row_number() OVER (ORDER BY mention_text,
+                                    mention_id) AS rn
+          FROM men2 WHERE mention_text IS NOT NULL),
+        offs AS (SELECT unnest([1, 2, 3, 4]) AS d),
+        a AS (SELECT id AS id_a, key AS key_a, rn + d AS rn_b
+              FROM ranked, offs),
+        p AS (SELECT a.id_a, b.id AS id_b, a.key_a, b.key AS key_b
+              FROM a JOIN ranked b ON b.rn = a.rn_b)
+        SELECT id_a, id_b,
+               CAST(levenshtein(key_a, key_b) AS INT) AS distance
+        FROM p WHERE levenshtein(key_a, key_b) <= 2
     """
 
     sql["er_fuzzy_link"] = """

@@ -100,3 +100,33 @@ def test_fuzzy_join_plan_is_equi_join_not_cross(spark):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snm_pairs_window_and_determinism(spark):
+    from fashion_knowledge_graph_spark.operators.er import snm_pairs
+
+    rows = [(1, "alpha"), (2, "alphb"), (3, "beta"), (4, "betb"),
+            (5, "gamma"), (6, None)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r.id_a, r.id_b) for r in
+           snm_pairs(df, "id", "name", window=2).collect()}
+    # sort order: alpha(1) alphb(2) beta(3) betb(4) gamma(5); w=2 ->
+    # adjacent pairs only; null key dropped
+    assert got == {(1, 2), (2, 3), (3, 4), (4, 5)}
+    # window=3 adds the rank-distance-2 pairs
+    got3 = {(r.id_a, r.id_b) for r in
+            snm_pairs(df, "id", "name", window=3).collect()}
+    assert got3 == got | {(1, 3), (2, 4), (3, 5)}
+    # candidate bound: n*(w-1) - sum of trailing panes
+    assert len(got3) == 7
+    # verify stage: levenshtein <= 1 keeps only the true near-pairs
+    verified = {(r.id_a, r.id_b): r.distance for r in
+                snm_pairs(df, "id", "name", window=3,
+                          max_distance=1).collect()}
+    assert verified == {(1, 2): 1, (3, 4): 1}
+    # equal keys: id tiebreak keeps the pane deterministic
+    dup = spark.createDataFrame(
+        [(7, "same"), (8, "same"), (9, "same")], "id long, name string")
+    gd = {(r.id_a, r.id_b) for r in
+          snm_pairs(dup, "id", "name", window=2).collect()}
+    assert gd == {(7, 8), (8, 9)}
