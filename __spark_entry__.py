@@ -3260,6 +3260,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .alias("tok")))
         return greedy_max_coverage(dt, k=5)
 
+    def dq_table_profile(spark, sf):
+        # ANALYZE-style per-column statistics over orders (null frac,
+        # exact NDV, min/max) — the optimizer-stats collector; all
+        # row-level stats in ONE aggregate job, stack-unpivoted to a
+        # row per column (operators/validate.py::profile_table)
+        from fashion_knowledge_graph_spark.operators.validate import (
+            profile_table,
+        )
+        return profile_table(
+            _load(spark, sf, "orders"),
+            ["o_orderkey", "o_custkey", "o_orderstatus",
+             "o_orderpriority", "o_totalprice"])
+
     def sketch_join_size(spark, sf):
         # Join-cardinality estimation WITHOUT joining: the AMS/CMS
         # inner-product estimator on the lineitem×lineitem self-join
@@ -3796,6 +3809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_target_encoding": ml_target_encoding,
         "ml_feature_hash": ml_feature_hash,
         "j_rendezvous_shards": j_rendezvous_shards,
+        "dq_table_profile": dq_table_profile,
     }
 
 
@@ -6841,6 +6855,43 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN dead = 1 THEN 0.0 ELSE surv END, 6)
                  AS survival
         FROM s WHERE d_events > 0
+    """
+
+    sql["dq_table_profile"] = """
+        WITH g AS (
+          SELECT count(*) AS n,
+            sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+            count(DISTINCT o_orderkey) AS nd1,
+            CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+            CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+            sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu2,
+            count(DISTINCT o_custkey) AS nd2,
+            CAST(min(o_custkey) AS VARCHAR) AS mn2,
+            CAST(max(o_custkey) AS VARCHAR) AS mx2,
+            sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu3,
+            count(DISTINCT o_orderstatus) AS nd3,
+            min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+            sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nu4,
+            count(DISTINCT o_orderpriority) AS nd4,
+            min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4,
+            sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nu5,
+            count(DISTINCT o_totalprice) AS nd5,
+            CAST(min(o_totalprice) AS VARCHAR) AS mn5,
+            CAST(max(o_totalprice) AS VARCHAR) AS mx5
+          FROM orders),
+        rows_out(column_name, n_null, n_distinct, min_val, max_val) AS (
+          SELECT 'o_orderkey', nu1, nd1, mn1, mx1 FROM g
+          UNION ALL SELECT 'o_custkey', nu2, nd2, mn2, mx2 FROM g
+          UNION ALL SELECT 'o_orderstatus', nu3, nd3, mn3, mx3 FROM g
+          UNION ALL SELECT 'o_orderpriority', nu4, nd4, mn4, mx4 FROM g
+          UNION ALL SELECT 'o_totalprice', nu5, nd5, mn5, mx5 FROM g)
+        SELECT column_name, (SELECT n FROM g) AS n_rows,
+               CAST(n_null AS BIGINT) AS n_null,
+               round(n_null / CAST((SELECT n FROM g) AS DOUBLE), 6)
+                 AS null_frac,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               min_val, max_val
+        FROM rows_out
     """
 
     sql["j_rendezvous_shards"] = """

@@ -102,3 +102,42 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     return out.select("constraint",
                       F.col("violations").cast("long").alias("violations"),
                       (F.col("violations") == 0).alias("passed"))
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column statistics → one row per column:
+    ``(column, n_rows, n_null, null_frac, n_distinct, min_val,
+    max_val)`` (min/max rendered as strings so heterogeneous column
+    types share one report schema).
+
+    The optimizer-stats shape (Spark's ANALYZE TABLE ... FOR COLUMNS,
+    DuckDB/Postgres pg_stats): null fraction and NDV drive join
+    ordering and selectivity estimates; min/max seed range pruning.
+    All row-level stats ride ONE aggregate pass; the per-column
+    DISTINCT counts are exact (each one is its own partial-agg lane —
+    Spark plans multi-distinct with one expand, still a single job).
+    At 10^12 rows swap the exact NDVs for the KMV sketch
+    (``operators/sketches.kmv_distinct``) — the report schema is
+    unchanged, which is the point of the string rendering.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"__null_{c}"),
+            F.countDistinct(col).alias(f"__nd_{c}"),
+            F.min(col).cast("string").alias(f"__min_{c}"),
+            F.max(col).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    arms = ", ".join(
+        f"'{c}', `__null_{c}`, `__nd_{c}`, `__min_{c}`, `__max_{c}`"
+        for c in cols)
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(f"stack({len(cols)}, {arms}) AS "
+               "(column_name, n_null, n_distinct, min_val, max_val)")) \
+        .select("column_name", "n_rows", "n_null",
+                F.round(F.col("n_null") / F.col("n_rows"), 6)
+                .alias("null_frac"),
+                "n_distinct", "min_val", "max_val")

@@ -84,3 +84,20 @@ def test_check_constraints_validation_errors(spark, df):
     with pytest.raises(ValueError, match="unknown rule type"):
         check_constraints(df, [{"name": "y", "type": "nope",
                                 "col": "id"}])
+
+
+def test_profile_table_stats(spark):
+    from fashion_knowledge_graph_spark.operators.validate import (
+        profile_table,
+    )
+    rows = [(1, "a", 1.5), (2, "b", None), (3, "a", 2.5), (4, None, 0.5)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    got = {r.column_name: r for r in
+           profile_table(df, ["id", "s", "v"]).collect()}
+    assert got["id"].n_rows == 4 and got["id"].n_null == 0
+    assert got["id"].n_distinct == 4
+    assert (got["id"].min_val, got["id"].max_val) == ("1", "4")
+    assert got["s"].n_null == 1 and got["s"].null_frac == 0.25
+    assert got["s"].n_distinct == 2      # nulls not counted as distinct
+    assert (got["s"].min_val, got["s"].max_val) == ("a", "b")
+    assert (got["v"].min_val, got["v"].max_val) == ("0.5", "2.5")
