@@ -3559,6 +3559,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          window=5, max_distance=2) \
             .select("id_a", "id_b", "distance")
 
+    def er_blocking_eval(spark, sf):
+        # blocking-quality datasheet (the record-linkage methodology
+        # numbers): q-gram blocking's candidate count, reduction
+        # ratio vs the full cross product, and pairs completeness —
+        # recall of each mention's KNOWN true catalog entry (its own
+        # uncorrupted name) among its candidates. One row; every
+        # input an exact integer
+        from fashion_knowledge_graph_spark.operators.er import (
+            qgram_explode, stop_grams,
+        )
+        part = _load(spark, sf, "part")
+        men = _er_dirty_mentions(spark, sf)
+        truth = part.select(
+            F.col("p_partkey").alias("mention_id"),
+            F.concat(F.col("p_brand"), F.lit(" "),
+                     F.col("p_name")).alias("cat_name"))
+        cat = truth.select("cat_name").distinct()
+        lg = qgram_explode(men, "mention_id", "mention_text", q=3)
+        rg = qgram_explode(cat, "cat_name", "cat_name", q=3)
+        stops = stop_grams(rg, 100)
+        lg = lg.join(F.broadcast(stops), "gram", "left_anti")
+        rg = rg.join(F.broadcast(stops), "gram", "left_anti")
+        cand = lg.join(rg, "gram") \
+            .select("mention_id", "cat_name").distinct() \
+            .localCheckpoint(eager=True)
+        n_m = men.count()
+        n_c = cat.count()
+        n_cand = cand.count()
+        hits = truth.join(cand, ["mention_id", "cat_name"]).count()
+        return spark.createDataFrame(
+            [(n_m, n_c, n_cand,
+              round(1.0 - n_cand / (n_m * n_c), 6),
+              round(hits / n_m, 6))],
+            "n_mentions long, n_catalog long, n_candidates long, "
+            "reduction_ratio double, pairs_completeness double")
+
     def er_clusters(spark, sf):
         # ER canonicalization step 2: transitive closure of the fuzzy
         # pairs — blocked mention↔mention self-join (same q-gram +
@@ -3787,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_running_analytics": w_running_analytics,
         "er_fuzzy_link": er_fuzzy_link,
         "er_snm_link": er_snm_link,
+        "er_blocking_eval": er_blocking_eval,
         "events_hopping_agg": events_hopping_agg,
         "sketch_bloom_filter": sketch_bloom_filter,
         "ml_ols_regression": ml_ols_regression,
@@ -7436,6 +7473,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b,
                CAST(levenshtein(key_a, key_b) AS INT) AS distance
         FROM p WHERE levenshtein(key_a, key_b) <= 2
+    """
+
+    sql["er_blocking_eval"] = """
+        WITH cat AS (SELECT DISTINCT p_brand || ' ' || p_name
+                       AS cat_name FROM part),
+        men AS (
+          SELECT p_partkey AS mention_id,
+                 p_brand || ' ' || p_name AS fullname,
+                 ('0x' || substr(md5('er:' ||
+                    CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM part),
+        men2 AS (
+          SELECT mention_id,
+                 CASE WHEN h % 10 < 4 THEN
+                   substr(fullname, 1,
+                          ((h % (length(fullname)-1)) + 2) - 1) ||
+                   substr(fullname,
+                          ((h % (length(fullname)-1)) + 2) + 1)
+                 ELSE fullname END AS mention_text
+          FROM men),
+        lg AS (SELECT mention_id,
+                      unnest(list_distinct(list_transform(
+                        range(1, greatest(length(mention_text)-2,1)+1),
+                        i -> substr(mention_text, i, 3)))) AS gram
+               FROM men2),
+        rg AS (SELECT cat_name,
+                      unnest(list_distinct(list_transform(
+                        range(1, greatest(length(cat_name)-2,1)+1),
+                        i -> substr(cat_name, i, 3)))) AS gram
+               FROM cat),
+        stops AS (SELECT gram FROM rg GROUP BY 1
+                  HAVING count(*) > 100),
+        lg2 AS (SELECT * FROM lg
+                WHERE gram NOT IN (SELECT gram FROM stops)),
+        rg2 AS (SELECT * FROM rg
+                WHERE gram NOT IN (SELECT gram FROM stops)),
+        cand AS (SELECT DISTINCT mention_id, cat_name
+                 FROM lg2 JOIN rg2 USING (gram)),
+        truth AS (SELECT mention_id, fullname AS cat_name FROM men),
+        m AS (SELECT
+                (SELECT count(*) FROM men2) AS n_m,
+                (SELECT count(*) FROM cat) AS n_c,
+                (SELECT count(*) FROM cand) AS n_cand,
+                (SELECT count(*) FROM truth t
+                 JOIN cand c ON c.mention_id = t.mention_id
+                            AND c.cat_name = t.cat_name) AS hits)
+        SELECT n_m AS n_mentions, n_c AS n_catalog,
+               n_cand AS n_candidates,
+               round(1.0 - n_cand / CAST(n_m * n_c AS DOUBLE), 6)
+                 AS reduction_ratio,
+               round(hits / CAST(n_m AS DOUBLE), 6)
+                 AS pairs_completeness
+        FROM m
     """
 
     sql["er_fuzzy_link"] = """
