@@ -2915,6 +2915,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.cosine_topk(q, emb, k=5).select(
             "query_id", "corpus_id", "rank")
 
+    def ann_matryoshka_recall(spark, sf):
+        # retrieval-quality eval of the MRL truncation: recall@5 of
+        # the 16-dim prefilter ranking against the full-64-dim exact
+        # top-5, per query + the quality trade made visible as data —
+        # the methodology number that decides whether the 4× cheaper
+        # prefilter is safe (pairs with er_blocking_eval's role for
+        # blocking)
+        emb = _load(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 20)
+        full = sim.cosine_topk(q, emb, k=5) \
+            .select("query_id", "corpus_id")
+        emb16 = emb.select(
+            "vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+        q16 = emb16.filter(F.col("vec_id") < 20)
+        trunc = sim.cosine_topk(q16, emb16, k=5) \
+            .select("query_id", "corpus_id")
+        hits = (full.join(trunc, ["query_id", "corpus_id"])
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("n_hits")))
+        return (full.groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("k"))
+                .join(hits, "query_id", "left")
+                .select("query_id",
+                        F.coalesce(F.col("n_hits"), F.lit(0))
+                        .cast("long").alias("n_hits"),
+                        F.round(F.coalesce(F.col("n_hits"), F.lit(0))
+                                / F.col("k"), 6).alias("recall_at_5")))
+
     def s_rollback(spark, sf):
         # Iceberg rollback_to_snapshot: load the supplier dim, append
         # a corrupt batch, ROLL BACK — a pure metadata commit
@@ -3787,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": graph_modularity,
         "s_rollback": s_rollback,
         "ann_matryoshka_topk": ann_matryoshka_topk,
+        "ann_matryoshka_recall": ann_matryoshka_recall,
         "a_unpivot_measures": a_unpivot_measures,
         "text_rake_keyphrases": text_rake_keyphrases,
         "events_date_spine_gaps": events_date_spine_gaps,
@@ -6096,6 +6125,48 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY s DESC, corpus_id ASC) AS rank
           FROM scored)
         SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 5
+    """
+
+    sql["ann_matryoshka_recall"] = """
+        WITH full_scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                 list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]) AS s
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 20),
+        full5 AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY s DESC, corpus_id ASC) AS rank
+            FROM full_scored) WHERE rank <= 5),
+        t AS (SELECT vec_id,
+                     list_slice(embedding::DOUBLE[], 1, 16) AS v
+              FROM embeddings),
+        tr_scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                 list_cosine_similarity(q.v, c.v) AS s
+          FROM t q JOIN t c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 20),
+        tr5 AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY s DESC, corpus_id ASC) AS rank
+            FROM tr_scored) WHERE rank <= 5),
+        hits AS (
+          SELECT f.query_id, count(*) AS n_hits
+          FROM full5 f JOIN tr5 t2
+            ON t2.query_id = f.query_id
+           AND t2.corpus_id = f.corpus_id
+          GROUP BY 1),
+        base AS (SELECT query_id, count(*) AS k
+                 FROM full5 GROUP BY 1)
+        SELECT b.query_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h.n_hits, 0) / CAST(b.k AS DOUBLE), 6)
+                 AS recall_at_5
+        FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
     """
 
     # streaming CMS: unigram tokens, width 16 (31-word vocab ⇒ real
