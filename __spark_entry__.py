@@ -2322,6 +2322,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select("query_id", "product_id",
                         F.round("rrf_score", 6).alias("rrf_score"))
 
+    def text_chunking(spark, sf):
+        # RAG-ingestion chunking: 32-token windows, 8-token overlap,
+        # reassembled at whitespace boundaries — pure codegen array
+        # expressions, zero shuffles, chunks at scan speed
+        # (functions/text.py::chunk_documents)
+        from fashion_knowledge_graph_spark.functions.text import (
+            chunk_documents,
+        )
+        docs = _load(spark, sf, "documents") \
+            .filter(F.col("doc_id") < 1000)
+        return chunk_documents(docs, chunk_tokens=32,
+                               overlap_tokens=8) \
+            .select(F.col("id").alias("doc_id"), "chunk_idx",
+                    "n_tokens", "chunk_text")
+
     def text_pii_redact(spark, sf):
         # deterministic PII injection (the synthetic corpus carries
         # none): every 3rd doc gains an email+URL, every 5th a phone —
@@ -3790,6 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lineage_metrics": kg_lineage_metrics,
         "kg_outfit_from_text": kg_outfit_from_text,
         "text_pii_redact": text_pii_redact,
+        "text_chunking": text_chunking,
         "text_repetition": text_repetition,
         "tfidf_top_terms": tfidf_top_terms,
         "graph_pagerank": graph_pagerank,
@@ -4914,6 +4930,30 @@ def oracle_sql() -> dict[str, str]:
     counts_sql = ", ".join(
         f"len(regexp_extract_all({aug_sql}, '{PII_PATTERNS[k]}')) AS n_{k}"
         for k in ("email", "phone", "url", "ip"))
+    sql["text_chunking"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(
+                   lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                   t -> t <> '') AS tk
+          FROM documents
+          WHERE text IS NOT NULL AND doc_id < 1000),
+        nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+        idx AS (SELECT doc_id, tk, n,
+                       unnest(range(0, greatest((n - 1) // 24, 0) + 1))
+                         AS chunk_idx
+                FROM nz),
+        sl AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                      list_slice(tk, chunk_idx * 24 + 1,
+                                 chunk_idx * 24 + 32) AS ck
+               FROM idx)
+        SELECT doc_id, chunk_idx,
+               CAST(len(ck) AS INT) AS n_tokens,
+               array_to_string(ck, ' ') AS chunk_text
+        FROM sl
+        WHERE chunk_idx = 0 OR len(ck) > 8
+    """
+
     sql["text_pii_redact"] = f"""
         SELECT doc_id, {counts_sql}, {red_sql} AS redacted
         FROM documents

@@ -401,3 +401,52 @@ def rake_keyphrases(df: DataFrame, id_col: str = "doc_id",
         F.desc("score"), F.asc("phrase"))
     return (head.withColumn("rank", F.row_number().over(worder))
             .select("phrase", "n_occurrences", "score", "rank"))
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 64,
+                    overlap_tokens: int = 16) -> DataFrame:
+    """RAG-ingestion chunking: split each document into ~``chunk_
+    tokens``-token windows overlapping by ``overlap_tokens``,
+    re-assembled as text at whitespace boundaries →
+    ``(id, chunk_idx, n_tokens, chunk_text)``.
+
+    Same plan shape as the audio chunk plan: token array once,
+    ``sequence`` of window starts, ``posexplode``, and each chunk's
+    text via ``slice`` + ``array_join`` — pure codegen array
+    expressions, ZERO shuffles, no UDF; a 10^12-doc corpus chunks at
+    scan speed. Overlap keeps sentences that straddle a boundary
+    retrievable from at least one chunk (the standard RAG trade:
+    ~overlap/chunk extra storage for recall at the seams). Documents
+    at or under one window yield exactly one chunk; null/empty text
+    yields none.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    out = (df.select(F.col(id_col).alias("id"), toks.alias("__t"),
+                     n.alias("__n"))
+           .filter(F.col("__n") > 0)
+           .select("id", "__t", "__n",
+                   F.posexplode(F.expr(
+                       f"sequence(0, greatest(cast((size(__t) - 1) "
+                       f"as int) div {step}, 0))"))
+                   .alias("chunk_idx", "__c"))
+           # drop windows that start at/after the end AND add nothing:
+           # start < n always holds for idx = (n-1) div step
+           .select("id", "chunk_idx",
+                   F.slice(F.col("__t"),
+                           F.col("chunk_idx") * step + 1,
+                           chunk_tokens).alias("__chunk")))
+    # a trailing window fully CONTAINED in the previous one (pure
+    # overlap, no new tokens) is redundant: keep idx 0 and windows
+    # introducing at least one new token
+    out = out.filter(
+        (F.col("chunk_idx") == 0)
+        | (F.size("__chunk") > F.lit(overlap_tokens)))
+    return out.select(
+        "id", "chunk_idx",
+        F.size("__chunk").alias("n_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"))

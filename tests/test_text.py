@@ -332,3 +332,35 @@ def test_rake_keyphrases_matches_python(spark):
         assert got[ph][2] == i, (ph, got[ph])
     # multiword content phrases outrank stopword-adjacent singletons
     assert got["deep learning"][2] < got["models"][2]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    import pytest as _pytest
+
+    from fashion_knowledge_graph_spark.functions.text import (
+        chunk_documents,
+    )
+    words = " ".join(f"w{i}" for i in range(10))     # 10 tokens
+    small = "a b c"
+    df = spark.createDataFrame(
+        [(1, words), (2, small), (3, None), (4, "")],
+        "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, chunk_tokens=4,
+                             overlap_tokens=2).collect():
+        got.setdefault(r.id, []).append(
+            (r.chunk_idx, r.n_tokens, r.chunk_text))
+    # doc1: starts 0,2,4,6,8 -> windows of 4 (last clipped to 2 =
+    # pure overlap, dropped); every boundary pair shares 2 tokens
+    assert got[1] == [(0, 4, "w0 w1 w2 w3"), (1, 4, "w2 w3 w4 w5"),
+                      (2, 4, "w4 w5 w6 w7"), (3, 4, "w6 w7 w8 w9")]
+    # one-window doc; null/empty produce nothing
+    assert got[2] == [(0, 3, "a b c")]
+    assert 3 not in got and 4 not in got
+    # coverage: every token of doc1 appears in >=1 chunk
+    seen = set()
+    for _, _, t in got[1]:
+        seen.update(t.split())
+    assert seen == set(words.split())
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
