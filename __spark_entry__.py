@@ -2322,6 +2322,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select("query_id", "product_id",
                         F.round("rrf_score", 6).alias("rrf_score"))
 
+    def events_session_window(spark, sf):
+        # Spark's native dynamic-gap session windows in BATCH mode
+        # (F.session_window, 10-min gap): per-user sessions merge
+        # while events arrive within the gap — the built-in operator
+        # surface next to the applyInPandasWithState streaming
+        # sessionizer; bounds exported as epoch-µs BIGINTs, value
+        # summed as DECIMAL (order-free)
+        ev = _load(spark, sf, "events")
+        return (ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts"), "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("total_value"))
+            .select("user_id",
+                    F.unix_micros(F.col("w.start").cast("timestamp"))
+                    .alias("start_us"),
+                    F.unix_micros(F.col("w.end").cast("timestamp"))
+                    .alias("end_us"),
+                    "n_events",
+                    F.round("total_value", 4).alias("total_value")))
+
     def text_chunking(spark, sf):
         # RAG-ingestion chunking: 32-token windows, 8-token overlap,
         # reassembled at whitespace boundaries — pure codegen array
@@ -3806,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_outfit_from_text": kg_outfit_from_text,
         "text_pii_redact": text_pii_redact,
         "text_chunking": text_chunking,
+        "events_session_window": events_session_window,
         "text_repetition": text_repetition,
         "tfidf_top_terms": tfidf_top_terms,
         "graph_pagerank": graph_pagerank,
@@ -4930,6 +4953,31 @@ def oracle_sql() -> dict[str, str]:
     counts_sql = ", ".join(
         f"len(regexp_extract_all({aug_sql}, '{PII_PATTERNS[k]}')) AS n_{k}"
         for k in ("email", "phone", "url", "ip"))
+    sql["events_session_window"] = """
+        WITH e AS (SELECT user_id, ts,
+                          CAST(value AS DECIMAL(18,6)) AS v,
+                          epoch_us(ts) AS us
+                   FROM events),
+        lagd AS (SELECT *, lag(us) OVER (
+                   PARTITION BY user_id ORDER BY us) AS prev_us
+                 FROM e),
+        marks AS (SELECT *,
+                    CASE WHEN prev_us IS NULL
+                           OR us - prev_us > 600000000
+                         THEN 1 ELSE 0 END AS new_s
+                  FROM lagd),
+        sess AS (SELECT *, sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM marks)
+        SELECT user_id,
+               min(us) AS start_us,
+               max(us) + 600000000 AS end_us,
+               count(*) AS n_events,
+               round(CAST(sum(v) AS DOUBLE), 4) AS total_value
+        FROM sess GROUP BY user_id, sid
+    """
+
     sql["text_chunking"] = """
         WITH toks AS (
           SELECT doc_id,
