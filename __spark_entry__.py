@@ -2322,6 +2322,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select("query_id", "product_id",
                         F.round("rrf_score", 6).alias("rrf_score"))
 
+    def attribution_position(spark, sf):
+        # U-shaped multi-touch attribution (40/20/40): each purchase
+        # splits 1.0 of credit across its prior views — first and
+        # last touch 0.4 each, middles share 0.2; the relational form
+        # shuffles ONCE on user_id and the rank window reuses that
+        # partitioning (operators/temporal.py::position_attribution)
+        from fashion_knowledge_graph_spark.operators.temporal import (
+            position_attribution,
+        )
+        return position_attribution(_load(spark, sf, "events"))
+
     def events_session_window(spark, sf):
         # Spark's native dynamic-gap session windows in BATCH mode
         # (F.session_window, 10-min gap): per-user sessions merge
@@ -3829,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": text_pii_redact,
         "text_chunking": text_chunking,
         "events_session_window": events_session_window,
+        "attribution_position": attribution_position,
         "text_repetition": text_repetition,
         "tfidf_top_terms": tfidf_top_terms,
         "graph_pagerank": graph_pagerank,
@@ -4953,6 +4965,35 @@ def oracle_sql() -> dict[str, str]:
     counts_sql = ", ".join(
         f"len(regexp_extract_all({aug_sql}, '{PII_PATTERNS[k]}')) AS n_{k}"
         for k in ("email", "phone", "url", "ip"))
+    sql["attribution_position"] = """
+        WITH conv AS (SELECT user_id AS e, event_id AS conv_id,
+                             ts AS conv_ts
+                      FROM events WHERE event_type = 'purchase'),
+        touch AS (SELECT user_id AS e, event_id AS touch_id,
+                         ts AS touch_ts
+                  FROM events WHERE event_type = 'view'),
+        j AS (SELECT c.conv_id, t.touch_id, t.touch_ts
+              FROM conv c JOIN touch t
+                ON t.e = c.e AND t.touch_ts < c.conv_ts),
+        ranked AS (
+          SELECT conv_id, touch_id,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY touch_ts, touch_id)
+                   AS position,
+                 count(*) OVER (PARTITION BY conv_id) AS n_touches
+          FROM j)
+        SELECT conv_id, touch_id,
+               CAST(position AS INT) AS position,
+               CAST(n_touches AS BIGINT) AS n_touches,
+               round(CASE WHEN n_touches = 1 THEN 1.0
+                          WHEN n_touches = 2 THEN 0.5
+                          WHEN position = 1 THEN 0.4
+                          WHEN position = n_touches THEN 0.4
+                          ELSE 0.2 / (n_touches - 2) END, 6)
+                 AS credit
+        FROM ranked
+    """
+
     sql["events_session_window"] = """
         WITH e AS (SELECT user_id, ts,
                           CAST(value AS DECIMAL(18,6)) AS v,

@@ -452,3 +452,55 @@ def kaplan_meier(durations: DataFrame, dur: str = "t",
     return (g.filter(F.col("d_events") > 0)
             .select("t", "n_risk", "d_events",
                     F.round("survival", 6).alias("survival")))
+
+
+def position_attribution(events: DataFrame, conv_type: str = "purchase",
+                         touch_type: str = "view",
+                         by: str = "user_id", ts: str = "ts",
+                         id_col: str = "event_id") -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every
+    conversion distributes 1.0 of credit over the touches that
+    precede it (same entity) — 40% first touch, 40% last touch, 20%
+    split evenly across the middle; 1 touch ⇒ 1.0, 2 touches ⇒
+    0.5/0.5, 0 touches ⇒ the conversion carries no attribution row.
+    Output: ``(conv_id, touch_id, position, n_touches, credit)``.
+
+    The industry-standard compromise between first-touch (ignores
+    closing) and last-touch (ignores discovery), expressed
+    relationally: one co-partitioned join on the entity key
+    (touch.ts < conv.ts), a per-conversion rank window, then pure
+    credit arithmetic — exact rational inputs, so the replay is
+    bit-identical. Scale: everything shuffles once on the entity
+    key; per-conversion touch lists are user-history-sized, and the
+    rank window shares the join's partitioning (no second exchange).
+    Ties on ts break by event id — deterministic journeys.
+    """
+    conv = events.filter(F.col("event_type") == conv_type).select(
+        F.col(by).alias("e"), F.col(id_col).alias("conv_id"),
+        F.col(ts).alias("conv_ts"))
+    touch = events.filter(F.col("event_type") == touch_type).select(
+        F.col(by).alias("e"), F.col(id_col).alias("touch_id"),
+        F.col(ts).alias("touch_ts"))
+    j = conv.join(touch, "e").filter(F.col("touch_ts")
+                                     < F.col("conv_ts"))
+    # conv_id is unique, so adding the entity key to the window
+    # partition changes nothing semantically — but HashPartitioning(e)
+    # from the join SATISFIES ClusteredDistribution(e, conv_id)
+    # (subset rule), so the windows run in the join's partitioning
+    # with NO second exchange (verified: 2 exchanges total, both
+    # join inputs)
+    w = Window.partitionBy("e", "conv_id").orderBy(
+        F.asc("touch_ts"), F.asc("touch_id"))
+    wn = Window.partitionBy("e", "conv_id")
+    ranked = (j.withColumn("position", F.row_number().over(w))
+              .withColumn("n_touches", F.count(F.lit(1)).over(wn)))
+    n = F.col("n_touches")
+    pos = F.col("position")
+    credit = (F.when(n == 1, F.lit(1.0))
+              .when(n == 2, F.lit(0.5))
+              .when(pos == 1, F.lit(0.4))
+              .when(pos == n, F.lit(0.4))
+              .otherwise(F.lit(0.2) / (n - 2)))
+    return ranked.select("conv_id", "touch_id", "position",
+                         "n_touches",
+                         F.round(credit, 6).alias("credit"))

@@ -363,3 +363,40 @@ def test_kaplan_meier_absorbing_zero(spark):
     assert out[1].survival == round(2 / 3, 6)
     assert out[4].n_risk == 2 and out[4].d_events == 2
     assert out[4].survival == 0.0
+
+
+def test_position_attribution_credit_rules(spark):
+    import pandas as pd
+
+    from fashion_knowledge_graph_spark.operators.temporal import (
+        position_attribution,
+    )
+    rows = [
+        # user 1: 4 views then purchase -> 0.4/0.1/0.1/0.4
+        (1, 1, "2024-01-01 01:00", "view"),
+        (2, 1, "2024-01-01 02:00", "view"),
+        (3, 1, "2024-01-01 03:00", "view"),
+        (4, 1, "2024-01-01 04:00", "view"),
+        (5, 1, "2024-01-01 05:00", "purchase"),
+        # user 2: single view -> 1.0; later 2nd purchase sees 2 views
+        (6, 2, "2024-01-01 01:00", "view"),
+        (7, 2, "2024-01-01 02:00", "purchase"),
+        (8, 2, "2024-01-01 03:00", "view"),
+        (9, 2, "2024-01-01 04:00", "purchase"),
+        # user 3: purchase with no prior view -> no rows
+        (10, 3, "2024-01-01 01:00", "purchase"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    out = position_attribution(spark.createDataFrame(pdf)).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.conv_id, {})[r.touch_id] = r.credit
+    assert got[5] == {1: 0.4, 2: 0.1, 3: 0.1, 4: 0.4}
+    assert got[7] == {6: 1.0}
+    assert got[9] == {6: 0.5, 8: 0.5}
+    assert 10 not in got
+    # conservation: every attributed conversion's credits sum to 1
+    for cid, credits in got.items():
+        assert abs(sum(credits.values()) - 1.0) < 1e-9, cid
