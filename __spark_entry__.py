@@ -3225,6 +3225,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(z, 6).alias("z_score"),
             (F.abs(z) > 1.959964).alias("significant_95"))
 
+    def stat_cuped(spark, sf):
+        # CUPED variance reduction (Deng et al., WSDM'13): per-user
+        # pre-period spend (days 1–15) as the covariate X against
+        # post-period spend Y; θ = cov(X,Y)/var(X), adjusted metric
+        # variance var(Y)−θ²var(X), reduction = ρ². ONE partial-agg'd
+        # per-user rollup (DECIMAL sums — exact), then five exact
+        # moments in one more agg; only the final scalar division is
+        # floating, so the replay is bit-identical. The number that
+        # decides how much experiment traffic CUPED saves
+        ev = _load(spark, sf, "events")
+        cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        v = F.col("value").cast("decimal(18,6)")
+        pu = (ev.groupBy("user_id")
+              .agg(F.coalesce(F.sum(F.when(
+                  F.col("ts").cast("timestamp") < cutoff, v)),
+                  F.lit(0).cast("decimal(18,6)")).alias("x"),
+                  F.coalesce(F.sum(F.when(
+                      F.col("ts").cast("timestamp") >= cutoff, v)),
+                      F.lit(0).cast("decimal(18,6)")).alias("y")))
+        m = pu.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"))
+        n = F.col("n").cast("double")
+        sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+        sxy = F.col("sxy").cast("double")
+        sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+        var_x = sxx / n - (sx / n) * (sx / n)
+        var_y = syy / n - (sy / n) * (sy / n)
+        cov = sxy / n - (sx / n) * (sy / n)
+        theta = cov / var_x
+        var_adj = var_y - theta * theta * var_x
+        return m.select(
+            F.col("n").cast("long").alias("n_users"),
+            F.round(theta, 6).alias("theta"),
+            F.round(var_y, 4).alias("var_y"),
+            F.round(var_adj, 4).alias("var_y_adjusted"),
+            F.round(1.0 - var_adj / var_y, 6)
+            .alias("variance_reduction"))
+
     def rank_eval_ndcg(spark, sf):
         # Ranking-quality evaluation: NDCG@10 of the exact cosine
         # retriever against binary label-match relevance. The ranked
@@ -3841,6 +3883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": text_chunking,
         "events_session_window": events_session_window,
         "attribution_position": attribution_position,
+        "stat_cuped": stat_cuped,
         "text_repetition": text_repetition,
         "tfidf_top_terms": tfidf_top_terms,
         "graph_pagerank": graph_pagerank,
@@ -4965,6 +5008,46 @@ def oracle_sql() -> dict[str, str]:
     counts_sql = ", ".join(
         f"len(regexp_extract_all({aug_sql}, '{PII_PATTERNS[k]}')) AS n_{k}"
         for k in ("email", "phone", "url", "ip"))
+    sql["stat_cuped"] = """
+        WITH pu AS (
+          SELECT user_id,
+                 coalesce(sum(CASE WHEN ts < TIMESTAMP
+                                        '2024-01-16 00:00:00'
+                              THEN CAST(value AS DECIMAL(18,6)) END),
+                          0) AS x,
+                 coalesce(sum(CASE WHEN ts >= TIMESTAMP
+                                        '2024-01-16 00:00:00'
+                              THEN CAST(value AS DECIMAL(18,6)) END),
+                          0) AS y
+          FROM events GROUP BY 1),
+        m AS (SELECT count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx,
+                     sum(y * y) AS syy
+              FROM pu),
+        d AS (SELECT CAST(n AS DOUBLE) AS n,
+                     CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+                     CAST(sxy AS DOUBLE) AS sxy,
+                     CAST(sxx AS DOUBLE) AS sxx,
+                     CAST(syy AS DOUBLE) AS syy,
+                     CAST(n AS BIGINT) AS n_users
+              FROM m),
+        s AS (SELECT n_users,
+                     sxx / n - (sx / n) * (sx / n) AS var_x,
+                     syy / n - (sy / n) * (sy / n) AS var_y,
+                     sxy / n - (sx / n) * (sy / n) AS cov
+              FROM d),
+        t AS (SELECT *, cov / var_x AS theta FROM s)
+        SELECT n_users,
+               round(theta, 6) AS theta,
+               round(var_y, 4) AS var_y,
+               round(var_y - theta * theta * var_x, 4)
+                 AS var_y_adjusted,
+               round(1.0 - (var_y - theta * theta * var_x) / var_y, 6)
+                 AS variance_reduction
+        FROM t
+    """
+
     sql["attribution_position"] = """
         WITH conv AS (SELECT user_id AS e, event_id AS conv_id,
                              ts AS conv_ts
