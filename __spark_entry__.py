@@ -3267,6 +3267,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(1.0 - var_adj / var_y, 6)
             .alias("variance_reduction"))
 
+    def stat_bootstrap_ci(spark, sf):
+        # deterministic Poisson bootstrap (Chamandy et al. 2012): 95%
+        # CI for the mean purchase value, 64 replicates riding ONE
+        # map pass (row → per-replicate Poisson(1) weights from the
+        # md5 uniform through literal inverse-CDF thresholds) into a
+        # 64-row replicate-means table — the resample-with-replacement
+        # shuffle never happens (operators/sampling.py::
+        # poisson_bootstrap_mean)
+        from fashion_knowledge_graph_spark.operators.sampling import (
+            poisson_bootstrap_mean,
+        )
+        ev = _load(spark, sf, "events") \
+            .filter(F.col("event_type") == "purchase")
+        return poisson_bootstrap_mean(ev, "event_id", "value",
+                                      b=64, salt="boot")
+
+    def stat_did(spark, sf):
+        # difference-in-differences on the (user-parity treatment ×
+        # pre/post) panel: DiD = (T,post − T,pre) − (C,post − C,pre)
+        # over per-cell mean event values — four exact-DECIMAL cell
+        # sums from ONE pass; the causal-inference workhorse when
+        # randomization isn't available
+        ev = _load(spark, sf, "events")
+        cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        cells = (ev.groupBy(
+            (F.col("user_id") % 2 == 1).alias("treated"),
+            (F.col("ts").cast("timestamp") >= cutoff).alias("post"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .alias("s")))
+        g = cells.agg(*[
+            F.max(F.when((F.col("treated") == t)
+                         & (F.col("post") == p),
+                         F.col("s").cast("double") / F.col("n")))
+            .alias(f"m_{'t' if t else 'c'}_{'post' if p else 'pre'}")
+            for t in (True, False) for p in (True, False)])
+        did = ((F.col("m_t_post") - F.col("m_t_pre"))
+               - (F.col("m_c_post") - F.col("m_c_pre")))
+        return g.select(
+            F.round("m_t_pre", 6).alias("treat_pre"),
+            F.round("m_t_post", 6).alias("treat_post"),
+            F.round("m_c_pre", 6).alias("control_pre"),
+            F.round("m_c_post", 6).alias("control_post"),
+            F.round(did, 6).alias("did_estimate"))
+
     def rank_eval_ndcg(spark, sf):
         # Ranking-quality evaluation: NDCG@10 of the exact cosine
         # retriever against binary label-match relevance. The ranked
@@ -3884,6 +3929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": events_session_window,
         "attribution_position": attribution_position,
         "stat_cuped": stat_cuped,
+        "stat_did": stat_did,
+        "stat_bootstrap_ci": stat_bootstrap_ci,
         "text_repetition": text_repetition,
         "tfidf_top_terms": tfidf_top_terms,
         "graph_pagerank": graph_pagerank,
@@ -5008,6 +5055,68 @@ def oracle_sql() -> dict[str, str]:
     counts_sql = ", ".join(
         f"len(regexp_extract_all({aug_sql}, '{PII_PATTERNS[k]}')) AS n_{k}"
         for k in ("email", "phone", "url", "ip"))
+    from fashion_knowledge_graph_spark.operators.sampling import (
+        _poisson1_thresholds,
+    )
+    _pth = _poisson1_thresholds()
+    _pcase = " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_pth))
+    sql["stat_bootstrap_ci"] = f"""
+        WITH y AS (SELECT CAST(event_id AS VARCHAR) AS id,
+                          CAST(value AS DECIMAL(18,6)) AS y
+                   FROM events
+                   WHERE event_type = 'purchase'
+                     AND value IS NOT NULL),
+        reps AS (SELECT id, y, unnest(range(0, 64)) AS b FROM y),
+        uu AS (SELECT b, y,
+                      ('0x' || substr(md5('boot:' || CAST(b AS VARCHAR)
+                                          || ':' || id), 1, 15))
+                        ::BIGINT / CAST(1152921504606846976 AS DOUBLE)
+                        AS u
+               FROM reps),
+        ww AS (SELECT b, y, CASE {_pcase} ELSE 9 END AS w FROM uu),
+        means AS (SELECT b,
+                         CAST(sum(y * w) AS DOUBLE) / sum(w) AS m
+                  FROM ww GROUP BY 1),
+        pt AS (SELECT count(*) AS n,
+                      CAST(sum(y) AS DOUBLE) / count(*) AS pm
+               FROM y),
+        ci AS (SELECT quantile_cont(m, 0.025) AS lo,
+                      quantile_cont(m, 0.975) AS hi
+               FROM means)
+        SELECT CAST(n AS BIGINT) AS n,
+               round(pm, 6) AS point_mean,
+               round(lo, 6) AS ci_lo,
+               round(hi, 6) AS ci_hi
+        FROM pt CROSS JOIN ci
+    """
+
+    sql["stat_did"] = """
+        WITH cells AS (
+          SELECT user_id % 2 = 1 AS treated,
+                 ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+                 count(*) AS n,
+                 sum(CAST(value AS DECIMAL(18,6))) AS s
+          FROM events GROUP BY 1, 2),
+        g AS (SELECT
+          max(CASE WHEN treated AND NOT post
+                   THEN CAST(s AS DOUBLE) / n END) AS m_t_pre,
+          max(CASE WHEN treated AND post
+                   THEN CAST(s AS DOUBLE) / n END) AS m_t_post,
+          max(CASE WHEN NOT treated AND NOT post
+                   THEN CAST(s AS DOUBLE) / n END) AS m_c_pre,
+          max(CASE WHEN NOT treated AND post
+                   THEN CAST(s AS DOUBLE) / n END) AS m_c_post
+          FROM cells)
+        SELECT round(m_t_pre, 6) AS treat_pre,
+               round(m_t_post, 6) AS treat_post,
+               round(m_c_pre, 6) AS control_pre,
+               round(m_c_post, 6) AS control_post,
+               round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6)
+                 AS did_estimate
+        FROM g
+    """
+
     sql["stat_cuped"] = """
         WITH pu AS (
           SELECT user_id,

@@ -155,3 +155,71 @@ def temperature_weights(df: DataFrame, domain_col: str,
             "expected_docs",
             F.round(F.col("weight") * F.lit(float(budget)), 6))
     return out
+
+
+def _poisson1_thresholds(kmax: int = 9) -> list[float]:
+    """Cumulative Poisson(1) CDF values P(X ≤ k), k = 0..kmax-1, as
+    plain floats — both engines parse the identical literals to the
+    identical doubles, so the inverse-CDF CASE is bit-portable."""
+    import math
+    acc, fact, out = 0.0, 1.0, []
+    for k in range(kmax):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        out.append(acc)
+    return out
+
+
+def poisson_bootstrap_mean(df: DataFrame, id_col: str,
+                           value_col: str, b: int = 64,
+                           salt: str = "boot") -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean → ONE row
+    ``(n, point_mean, ci_lo, ci_hi)`` (95% percentile interval over
+    ``b`` replicates).
+
+    The scale-standard bootstrap (Chamandy et al., Google 2012):
+    instead of resampling n rows WITH replacement (a global shuffle
+    per replicate), each row draws an independent Poisson(1) weight
+    per replicate — the multinomial's limit — so ALL ``b`` replicates
+    ride ONE map pass (row → b weighted copies) into one
+    partial-agg'd groupBy(replicate). Weights come from the md5
+    uniform through the Poisson(1) inverse CDF (literal thresholds,
+    engine-portable), so the "randomness" is reproducible and the
+    SQL replay exact. value sums accumulate as DECIMAL — order-free;
+    the replicate means and the final quantile_cont/percentile lane
+    (parity-proven elsewhere in this repo) are the only float steps.
+    """
+    ths = _poisson1_thresholds()
+    u = sample_hash(
+        F.concat_ws(":", F.col("b"), F.col("id")), salt) \
+        / F.lit(float(HASH_SPACE))
+    w = F.lit(len(ths))
+    for k in range(len(ths) - 1, -1, -1):
+        w = F.when(u < F.lit(ths[k]), F.lit(k)).otherwise(w)
+    reps = (df.select(F.col(id_col).cast("string").alias("id"),
+                      F.col(value_col).cast("decimal(18,6)")
+                      .alias("y"))
+            .filter(F.col("y").isNotNull())
+            .select("id", "y",
+                    F.explode(F.array([F.lit(i) for i in range(b)]))
+                    .alias("b"))
+            .withColumn("w", w))
+    means = (reps.groupBy("b")
+             .agg((F.sum(F.col("y") * F.col("w")).cast("double")
+                   / F.nullif(F.sum("w"), F.lit(0)))
+                  .alias("m")))
+    point = df.select(F.col(value_col).cast("decimal(18,6)")
+                      .alias("y")) \
+        .filter(F.col("y").isNotNull()) \
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum("y").cast("double") / F.count(F.lit(1)))
+             .alias("point_mean"))
+    ci = means.agg(
+        F.expr("percentile(m, 0.025)").alias("ci_lo"),
+        F.expr("percentile(m, 0.975)").alias("ci_hi"))
+    return (point.crossJoin(ci)
+            .select(F.col("n").cast("long").alias("n"),
+                    F.round("point_mean", 6).alias("point_mean"),
+                    F.round("ci_lo", 6).alias("ci_lo"),
+                    F.round("ci_hi", 6).alias("ci_hi")))

@@ -163,3 +163,56 @@ def test_temperature_weights_alpha_extremes(spark):
     unif = {r["domain"]: r["weight"]
             for r in temperature_weights(df, "domain", alpha=0.0).collect()}
     assert unif["a"] == pytest.approx(0.5) and unif["b"] == pytest.approx(0.5)
+
+
+def test_poisson_bootstrap_mean_python_parity(spark):
+    import hashlib
+    import math
+
+    from fashion_knowledge_graph_spark.operators.sampling import (
+        poisson_bootstrap_mean,
+    )
+
+    rows = [(i, float(10 + (i * 7) % 20)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, y double")
+    B = 32
+    r = poisson_bootstrap_mean(df, "id", "y", b=B,
+                               salt="t").collect()[0]
+    # python replay of the whole pipeline
+    ths, acc, fact = [], 0.0, 1.0
+    for k in range(9):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        ths.append(acc)
+
+    def u(b, i):
+        h = int(hashlib.md5(f"t:{b}:{i}".encode()).hexdigest()[:15], 16)
+        return h / float(1 << 60)
+
+    def pw(x):
+        for k, t in enumerate(ths):
+            if x < t:
+                return k
+        return 9
+
+    means = []
+    for b in range(B):
+        ws = [(pw(u(b, i)), y) for i, y in rows]
+        sw = sum(w for w, _ in ws)
+        means.append(sum(w * y for w, y in ws) / sw)
+    means.sort()
+
+    def pct(p):
+        pos = p * (len(means) - 1)
+        lo = int(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(means) - 1)
+        return means[lo] + frac * (means[hi] - means[lo])
+
+    assert r.n == 40
+    assert r.point_mean == round(sum(y for _, y in rows) / 40, 6)
+    assert r.ci_lo == round(pct(0.025), 6)
+    assert r.ci_hi == round(pct(0.975), 6)
+    # the interval actually brackets the point estimate
+    assert r.ci_lo < r.point_mean < r.ci_hi
