@@ -3809,6 +3809,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .alias("win_start"),
                     "event_type", "n", "total_value"))
 
+    def tok_bpe_pair_counts(spark, sf):
+        # tokenizer training, iteration-0: frequency-weighted adjacent
+        # character-pair counts over the corpus vocabulary — the BPE
+        # merge-candidate table (operators/tokenizer.py, Sennrich et
+        # al. 2016). ONE corpus pass (map-side-combined word count);
+        # the pair explode runs over the aggregated vocab, which is
+        # corpus-size-independent, so at 10^12 docs only the word
+        # count scales. The oracle replays the exact counts and the
+        # (count desc, pair asc) top-20 selection.
+        from fashion_knowledge_graph_spark.operators.tokenizer import (
+            char_pair_counts,
+        )
+        return char_pair_counts(_load(spark, sf, "documents"), k=20)
+
+    def select_dsir_weights(spark, sf):
+        # DSIR-shaped data selection (Xie et al. 2023): hashed-unigram
+        # importance weights log p_target(doc)/p_raw(doc), target =
+        # the English slice, features = portable-md5 buckets (same
+        # 60-bit hash family as domain_mix_split, so the oracle
+        # replays the bucketing bit-for-bit). Two token passes build
+        # the two 64-row bucket histograms; per-doc scoring is one
+        # broadcast join + partial-agg'd groupBy — no shuffle grows
+        # with vocabulary. Top-50 docs by weight, ties on doc_id.
+        from fashion_knowledge_graph_spark.operators.selection import (
+            dsir_log_weights,
+        )
+        docs = _load(spark, sf, "documents")
+        return dsir_log_weights(
+            docs, target_pred=(F.col("lang") == "en"),
+            buckets=64, salt="dsir", k=50)
+
+    def rlhf_preference_pairs(spark, sf):
+        # preference-pair construction for reward-model training over
+        # implicit feedback: per user, (chosen, rejected) = the
+        # highest- vs lowest-value event, deterministic ties on
+        # event_id, kept only when a strict margin exists. Both rank
+        # windows share ONE hash-partitioning on user_id (a single
+        # exchange feeds both sorts).
+        ev = _load(spark, sf, "events")
+        w_hi = Window.partitionBy("user_id").orderBy(
+            F.desc("value"), F.asc("event_id"))
+        w_lo = Window.partitionBy("user_id").orderBy(
+            F.asc("value"), F.asc("event_id"))
+        r = ev.select(
+            "user_id", "event_id", "value",
+            F.row_number().over(w_hi).alias("rhi"),
+            F.row_number().over(w_lo).alias("rlo"))
+        chosen = r.filter(F.col("rhi") == 1).select(
+            "user_id", F.col("event_id").alias("chosen_id"),
+            F.col("value").alias("cv"))
+        rejected = r.filter(F.col("rlo") == 1).select(
+            "user_id", F.col("event_id").alias("rejected_id"),
+            F.col("value").alias("rv"))
+        return (chosen.join(rejected, "user_id")
+                .filter(F.col("cv") > F.col("rv"))
+                .select("user_id", "chosen_id", "rejected_id",
+                        F.round(F.col("cv") - F.col("rv"), 6)
+                        .alias("margin")))
+
+    def text_ppl_buckets(spark, sf):
+        # CCNet-style head/middle/tail corpus split: per-language
+        # ntile(3) over the unigram-LM doc score (high mean_logp =
+        # low perplexity = head). Scores are rounded BEFORE ranking
+        # and ties break on doc_id, so the bucket assignment is
+        # engine-portable; the oracle replays the LM, the ntile, and
+        # the per-bucket rollup.
+        from fashion_knowledge_graph_spark.functions import text as txf
+        docs = _load(spark, sf, "documents") \
+            .filter(F.col("text").isNotNull())
+        tok = docs.select("doc_id", "lang",
+                          F.explode(txf.tokens(F.col("text")))
+                          .alias("w"))
+        uc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+        totals = uc.agg(F.sum("c_w").alias("n_tok"),
+                        F.count(F.lit(1)).alias("vocab"))
+        logp = F.log((F.col("c_w") + 1).cast("double")
+                     / (F.col("n_tok") + F.col("vocab")).cast("double"))
+        scored = (tok.join(uc, "w").crossJoin(F.broadcast(totals))
+                  .groupBy("doc_id", "lang")
+                  .agg(F.round(F.sum(logp) / F.count(F.lit(1)), 6)
+                       .alias("mean_logp")))
+        wb = Window.partitionBy("lang").orderBy(
+            F.desc("mean_logp"), F.asc("doc_id"))
+        return (scored.select("lang", "mean_logp",
+                              F.ntile(3).over(wb).alias("ppl_bucket"))
+                .groupBy("lang", "ppl_bucket")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.round(F.avg("mean_logp"), 6).alias("avg_logp")))
+
     return {
         "p2_anti_join": p2_anti_join,
         "j1_broadcast_enrich": j1_broadcast_enrich,
@@ -4017,6 +4106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_feature_hash": ml_feature_hash,
         "j_rendezvous_shards": j_rendezvous_shards,
         "dq_table_profile": dq_table_profile,
+        "tok_bpe_pair_counts": tok_bpe_pair_counts,
+        "select_dsir_weights": select_dsir_weights,
+        "rlhf_preference_pairs": rlhf_preference_pairs,
+        "text_ppl_buckets": text_ppl_buckets,
     }
 
 
@@ -7977,6 +8070,88 @@ def oracle_sql() -> dict[str, str]:
                  AS total_value
         FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) o
         GROUP BY 1, 2
+    """
+
+    sql["tok_bpe_pair_counts"] = f"""
+        WITH wf AS (
+          SELECT w, count(*) AS freq
+          FROM (SELECT unnest({toks}) AS w
+                FROM documents WHERE text IS NOT NULL)
+          GROUP BY 1),
+        pairs AS (
+          SELECT substring(w, CAST(i AS INT), 1) AS a,
+                 substring(w, CAST(i AS INT) + 1, 1) AS b, freq
+          FROM wf, unnest(generate_series(1, length(w) - 1)) AS t(i))
+        SELECT a, b, sum(freq)::BIGINT AS pair_count
+        FROM pairs GROUP BY 1, 2
+        ORDER BY pair_count DESC, a ASC, b ASC LIMIT 20
+    """
+
+    sql["select_dsir_weights"] = f"""
+        WITH tok AS (
+          SELECT doc_id, lang, (lang = 'en')::INT AS tgt,
+                 ('0x' || substr(md5('dsir:' || w), 1, 15))::BIGINT
+                   % 64 AS b
+          FROM (SELECT doc_id, lang, unnest({toks}) AS w
+                FROM documents WHERE text IS NOT NULL)),
+        hist AS (SELECT b, count(*)::BIGINT AS raw_b,
+                        sum(tgt)::BIGINT AS tgt_b
+                 FROM tok GROUP BY 1),
+        tot AS (SELECT sum(raw_b)::BIGINT AS r_tot,
+                       sum(tgt_b)::BIGINT AS t_tot FROM hist),
+        dim AS (
+          SELECT b, ln((tgt_b + 1)::DOUBLE / (t_tot + 64)::DOUBLE)
+                  - ln((raw_b + 1)::DOUBLE / (r_tot + 64)::DOUBLE)
+                    AS lw
+          FROM hist, tot)
+        SELECT doc_id, lang, count(*) AS n_tokens,
+               round(sum(lw), 6) AS dsir_logw
+        FROM tok JOIN dim USING (b)
+        GROUP BY 1, 2
+        ORDER BY dsir_logw DESC, doc_id ASC LIMIT 50
+    """
+
+    sql["rlhf_preference_pairs"] = """
+        WITH r AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY value DESC, event_id ASC) AS rhi,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY value ASC, event_id ASC) AS rlo
+          FROM events)
+        SELECT c.user_id, c.event_id AS chosen_id,
+               j.event_id AS rejected_id,
+               round(c.value - j.value, 6) AS margin
+        FROM (SELECT * FROM r WHERE rhi = 1) c
+        JOIN (SELECT * FROM r WHERE rlo = 1) j USING (user_id)
+        WHERE c.value > j.value
+    """
+
+    sql["text_ppl_buckets"] = f"""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest({toks}) AS w
+          FROM documents WHERE text IS NOT NULL),
+        uc AS (SELECT w, count(*) AS c_w FROM tok GROUP BY 1),
+        tot AS (SELECT sum(c_w)::BIGINT AS n_tok,
+                       count(*)::BIGINT AS vocab FROM uc),
+        scored AS (
+          SELECT doc_id, lang,
+                 round(sum(ln((c_w + 1)::DOUBLE
+                              / (n_tok + vocab)::DOUBLE))
+                       / count(*), 6) AS mean_logp
+          FROM tok JOIN uc USING (w), tot
+          GROUP BY doc_id, lang),
+        bkt AS (
+          SELECT lang, mean_logp,
+                 ntile(3) OVER (PARTITION BY lang
+                                ORDER BY mean_logp DESC, doc_id ASC)
+                   AS ppl_bucket
+          FROM scored)
+        SELECT lang, ppl_bucket, count(*) AS n_docs,
+               round(avg(mean_logp), 6) AS avg_logp
+        FROM bkt GROUP BY 1, 2
     """
 
     sql.update(_kg_oracle_sql())

@@ -64,3 +64,56 @@ def greedy_max_coverage(doc_tokens: DataFrame, k: int,
         StructField("new_tokens", LongType()),
         StructField("total_covered", LongType())])
     return doc_tokens.sparkSession.createDataFrame(out, schema)
+
+
+def dsir_log_weights(docs: DataFrame, target_pred,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     buckets: int = 64, salt: str = "dsir",
+                     k: int = 50) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling").
+
+    Features are hashed unigrams: token -> portable 60-bit md5 bucket
+    (``sampling.sample_hash``) mod ``buckets`` — the same hash the
+    driver oracle replays in SQL. The per-doc weight is
+
+        sum_tokens [ ln (tgt[b]+1)/(T+B)  -  ln (raw[b]+1)/(R+B) ]
+
+    i.e. log p_target(doc) - log p_raw(doc) under add-one-smoothed
+    hashed-unigram bag models — positive = looks like the target
+    distribution, the resampling key of DSIR.
+
+    Plan shape: one exploded token pass builds BOTH histograms
+    (conditional agg over the same rows), the bucket->weight dim is
+    ``buckets`` rows (broadcast), scoring is a partial-agg'd groupBy —
+    the only corpus-sized shuffle is the per-doc sum. Top-k by weight
+    desc, ties on doc id.
+    """
+    from ..functions.text import tokens
+    from .sampling import sample_hash
+
+    base = (docs.filter(F.col(text_col).isNotNull())
+            .withColumn("__tgt", target_pred.cast("int")))
+    tok = base.select(
+        F.col(id_col).alias("id"), F.col("lang"), F.col("__tgt"),
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).select("id", "lang", "__tgt",
+             (sample_hash("w", salt) % buckets).alias("b"))
+    hist = (tok.groupBy("b")
+            .agg(F.count(F.lit(1)).alias("raw_b"),
+                 F.sum("__tgt").alias("tgt_b")))
+    tot = hist.agg(F.sum("raw_b").alias("r_tot"),
+                   F.sum("tgt_b").alias("t_tot"))
+    dim = (hist.crossJoin(F.broadcast(tot))
+           .select("b",
+                   (F.log((F.col("tgt_b") + 1).cast("double")
+                          / (F.col("t_tot") + buckets).cast("double"))
+                    - F.log((F.col("raw_b") + 1).cast("double")
+                            / (F.col("r_tot") + buckets)
+                            .cast("double"))).alias("lw")))
+    return (tok.join(F.broadcast(dim), "b")
+            .groupBy(F.col("id").alias(id_col), "lang")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.sum("lw"), 6).alias("dsir_logw"))
+            .orderBy(F.desc("dsir_logw"), F.asc(id_col))
+            .limit(k))
