@@ -3844,9 +3844,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # preference-pair construction for reward-model training over
         # implicit feedback: per user, (chosen, rejected) = the
         # highest- vs lowest-value event, deterministic ties on
-        # event_id, kept only when a strict margin exists. Both rank
-        # windows share ONE hash-partitioning on user_id (a single
-        # exchange feeds both sorts).
+        # event_id, kept only when a strict margin exists. Catalyst
+        # pushes the rank filter into WindowGroupLimit on BOTH sides
+        # (map-side top-1 per user BEFORE each exchange), so the
+        # shuffles move ~n_users rows, not all events, and the final
+        # join broadcasts — verified in the executed plan.
         ev = _load(spark, sf, "events")
         w_hi = Window.partitionBy("user_id").orderBy(
             F.desc("value"), F.asc("event_id"))

@@ -99,9 +99,13 @@ def dsir_log_weights(docs: DataFrame, target_pred,
         F.explode(tokens(F.col(text_col))).alias("w")
     ).select("id", "lang", "__tgt",
              (sample_hash("w", salt) % buckets).alias("b"))
+    # 64-row histogram: localCheckpoint so the corpus-sized token pass
+    # behind it runs ONCE (it feeds both `tot` and `dim`; without the
+    # pin Catalyst re-derives each subtree from the scan — measured as
+    # an extra full token explode+shuffle)
     hist = (tok.groupBy("b")
             .agg(F.count(F.lit(1)).alias("raw_b"),
-                 F.sum("__tgt").alias("tgt_b")))
+                 F.sum("__tgt").alias("tgt_b"))).localCheckpoint()
     tot = hist.agg(F.sum("raw_b").alias("r_tot"),
                    F.sum("tgt_b").alias("t_tot"))
     dim = (hist.crossJoin(F.broadcast(tot))
