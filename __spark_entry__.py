@@ -57,6 +57,56 @@ def _toks_sql(col: str) -> str:
             "t -> t <> '')")
 
 
+def _bpe_unrolled_sql(n_merges: int) -> str:
+    """Unrolled-SQL replay of ``operators/tokenizer.py::learn_bpe``:
+    per merge step k, a pair-count + deterministic top-1 pick, then a
+    per-word recursive CTE that splices out the LEFTMOST (a,b)
+    occurrence until none remains. Repeated-leftmost ≡ one
+    left-to-right non-overlapping pass: a merge can't create a new
+    occurrence of its own pair on either side (that would need
+    a = a||b or b = a||b)."""
+    parts = [f"""wf AS (
+          SELECT w, count(*) AS freq
+          FROM (SELECT unnest({_toks_sql('text')}) AS w
+                FROM documents WHERE text IS NOT NULL)
+          GROUP BY 1),
+        vocab0 AS (
+          SELECT w, [w[i] for i in range(1, len(w)+1)] AS syms, freq
+          FROM wf)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""pc{k} AS (
+          SELECT syms[CAST(i AS INT)] AS a,
+                 syms[CAST(i AS INT)+1] AS b,
+                 sum(freq)::BIGINT AS pair_count
+          FROM vocab{k - 1},
+               unnest(generate_series(1, len(syms)-1)) t(i)
+          GROUP BY 1, 2),
+        best{k} AS (SELECT {k} AS step, a, b, pair_count FROM pc{k}
+                    ORDER BY pair_count DESC, a, b LIMIT 1),
+        v{k} AS (
+          SELECT w, syms, freq, 0 AS it FROM vocab{k - 1}
+          UNION ALL
+          SELECT w, syms[1:CAST(fm AS INT)-1] || [ma || mb]
+                    || syms[CAST(fm AS INT)+2:], freq, it + 1
+          FROM (SELECT w, syms, freq, it, ma, mb,
+                       list_min([i for i in range(1, len(syms))
+                                 if syms[CAST(i AS INT)] = ma
+                                AND syms[CAST(i AS INT)+1] = mb])
+                         AS fm
+                FROM v{k}, (SELECT a AS ma, b AS mb FROM best{k}) m) s
+          WHERE fm IS NOT NULL),
+        vocab{k} AS (
+          SELECT w, syms, freq FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY w ORDER BY it DESC) AS rn
+            FROM v{k}) WHERE rn = 1)""")
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT step, a, b, pair_count FROM best{k}"
+        for k in range(1, n_merges + 1))
+    return ("WITH RECURSIVE " + ",\n        ".join(parts)
+            + "\n        " + union)
+
+
 # corpus-mix rates / split weights for `domain_mix_split` — shared by
 # the Spark query and its DuckDB oracle so both embed the SAME
 # precomputed integer thresholds (see operators/sampling.py)
@@ -3823,6 +3873,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def tok_bpe_learn_merges(spark, sf):
+        # the ITERATIVE BPE learner itself, driver-oracled: 3 learned
+        # merges (step, a, b, pair_count). Spark runs the real loop
+        # (pair-count top-1 → codegen'd array-fold merge over the
+        # distributed vocab, operators/tokenizer.py); the oracle
+        # replays it as 3 unrolled SQL stages where each merge
+        # application is a per-word recursive CTE splicing out the
+        # leftmost occurrence until none remains — provably equal to
+        # the left-to-right non-overlapping pass (a merge never
+        # creates a new occurrence of its own pair to either side).
+        from fashion_knowledge_graph_spark.operators.tokenizer import (
+            learn_bpe,
+        )
+        merges = learn_bpe(_load(spark, sf, "documents"), 3)
+        return spark.createDataFrame(
+            [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+            "step int, a string, b string, pair_count long")
+
     def select_dsir_weights(spark, sf):
         # DSIR-shaped data selection (Xie et al. 2023): hashed-unigram
         # importance weights log p_target(doc)/p_raw(doc), target =
@@ -4109,6 +4177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_rendezvous_shards": j_rendezvous_shards,
         "dq_table_profile": dq_table_profile,
         "tok_bpe_pair_counts": tok_bpe_pair_counts,
+        "tok_bpe_learn_merges": tok_bpe_learn_merges,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
         "text_ppl_buckets": text_ppl_buckets,
@@ -8088,6 +8157,8 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs GROUP BY 1, 2
         ORDER BY pair_count DESC, a ASC, b ASC LIMIT 20
     """
+
+    sql["tok_bpe_learn_merges"] = _bpe_unrolled_sql(3)
 
     sql["select_dsir_weights"] = f"""
         WITH tok AS (
