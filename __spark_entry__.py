@@ -3873,6 +3873,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def mm_phash_near_dup(spark, sf):
+        # IMAGE near-dup dedup: 64-bit mean-threshold perceptual hash
+        # over exact scaled-integer pooled pixel sums (bit-identical
+        # across engines — no float sign boundaries), 4×16-bit banded
+        # LSH candidates, exact Hamming verify ≤ 8
+        # (operators/multimodal.py). Input = clustered synthetic media
+        # (base payload per id%40 + one perturbed nibble); the oracle
+        # replays content bytes, pooling, bit packing, banding, and
+        # popcount verification end-to-end in SQL.
+        from fashion_knowledge_graph_spark.operators import multimodal as mm
+        docs = _load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        media = mm.synthesize_media_clustered(docs)
+        codes = mm.phash64(mm.pixel_pool_sums(media))
+        return mm.phash_near_dup(codes, max_hamming=8)
+
     def tok_bpe_learn_merges(spark, sf):
         # the ITERATIVE BPE learner itself, driver-oracled: 3 learned
         # merges (step, a, b, pair_count). Spark runs the real loop
@@ -4178,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_table_profile": dq_table_profile,
         "tok_bpe_pair_counts": tok_bpe_pair_counts,
         "tok_bpe_learn_merges": tok_bpe_learn_merges,
+        "mm_phash_near_dup": mm_phash_near_dup,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
         "text_ppl_buckets": text_ppl_buckets,
@@ -8159,6 +8175,69 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["tok_bpe_learn_merges"] = _bpe_unrolled_sql(3)
+
+    # pHash near-dup: w=48, h=32 fixed -> L=lcm(32,48)=96; u = 3*colSum
+    # (48 of them) then 2*rowSum (first 16); bit_j = u_j*64 > sum(u)
+    sql["mm_phash_near_dup"] = """
+        WITH refs AS (
+          SELECT printf('img://doc%08d', doc_id) AS mid,
+                 printf('img://base%08d', doc_id % 40) AS base
+          FROM documents WHERE doc_id < 200),
+        mc AS (SELECT mid,
+                 (('0x' || substr(md5(mid || ':p'), 1, 15))::BIGINT
+                   % 128)::INT AS p,
+                 repeat(md5(base), 8) AS hx0,
+                 substr(md5(mid), 1, 1) AS nb
+               FROM refs),
+        m AS (SELECT mid,
+                substr(hx0, 1, 2*p + 1) || nb || substr(hx0, 2*p + 3)
+                  AS hx
+              FROM mc),
+        lb AS (SELECT mid,
+                 list_transform(range(128),
+                   i -> ('0x' || substr(hx, (2*i)::INT + 1, 2))::BIGINT)
+                   AS lb
+               FROM m),
+        u AS (SELECT mid, list_concat(
+                list_transform(range(48), c ->
+                  3 * list_sum(list_transform(range(32),
+                    r -> lb[((r*48 + c) % 128)::INT + 1]))::BIGINT),
+                list_transform(range(16), r ->
+                  2 * list_sum(list_transform(range(48),
+                    c -> lb[((r*48 + c) % 128)::INT + 1]))::BIGINT))
+                AS u
+              FROM lb),
+        ut AS (SELECT mid, u, list_sum(u)::BIGINT AS tot FROM u),
+        codes AS (SELECT mid,
+            list_sum([CASE WHEN u[(0*16 + i)::INT + 1] * 64 > tot
+                      THEN (1::BIGINT << i::INT) ELSE 0 END
+                      for i in range(16)])::BIGINT AS b0,
+            list_sum([CASE WHEN u[(1*16 + i)::INT + 1] * 64 > tot
+                      THEN (1::BIGINT << i::INT) ELSE 0 END
+                      for i in range(16)])::BIGINT AS b1,
+            list_sum([CASE WHEN u[(2*16 + i)::INT + 1] * 64 > tot
+                      THEN (1::BIGINT << i::INT) ELSE 0 END
+                      for i in range(16)])::BIGINT AS b2,
+            list_sum([CASE WHEN u[(3*16 + i)::INT + 1] * 64 > tot
+                      THEN (1::BIGINT << i::INT) ELSE 0 END
+                      for i in range(16)])::BIGINT AS b3
+          FROM ut),
+        eb AS (SELECT mid, k,
+                 CASE k WHEN 0 THEN b0 WHEN 1 THEN b1
+                        WHEN 2 THEN b2 ELSE b3 END AS v
+               FROM codes, unnest([0, 1, 2, 3]) t(k)),
+        cand AS (SELECT DISTINCT a.mid AS src, b.mid AS dst
+                 FROM eb a JOIN eb b ON a.k = b.k AND a.v = b.v
+                                    AND a.mid < b.mid)
+        SELECT src, dst, hamming FROM (
+          SELECT c.src, c.dst,
+                 (bit_count(xor(s.b0, d.b0)) + bit_count(xor(s.b1, d.b1))
+                + bit_count(xor(s.b2, d.b2)) + bit_count(xor(s.b3, d.b3))
+                 )::INT AS hamming
+          FROM cand c JOIN codes s ON c.src = s.mid
+                      JOIN codes d ON c.dst = d.mid) z
+        WHERE hamming <= 8
+    """
 
     sql["select_dsir_weights"] = f"""
         WITH tok AS (

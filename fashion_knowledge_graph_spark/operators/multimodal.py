@@ -196,3 +196,119 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 2000,
             .select("media_id", "chunk_idx", "start_ms",
                     F.least(F.col("start_ms") + F.lit(chunk_ms),
                             F.col("dur")).alias("end_ms")))
+
+
+def synthesize_media_clustered(docs_df: DataFrame, n_bases: int = 40,
+                               id_col: str = "doc_id",
+                               width: int = 48,
+                               height: int = 32) -> DataFrame:
+    """Near-dup media synthesis (test/bench input for perceptual-hash
+    dedup): every instance repeats its cluster's base payload
+    (cluster = id mod ``n_bases``) with ONE md5-chosen low nibble
+    perturbed — the deterministic stand-in for "same image, tiny
+    re-encode jitter". Fixed dims so cluster members are pixel-aligned.
+    Every byte is replayable in ANSI SQL (string ops over md5 hex)."""
+    base = F.format_string("img://base%08d",
+                           F.pmod(F.col(id_col), F.lit(n_bases)))
+    mid = F.format_string("img://doc%08d", F.col(id_col))
+    hx0 = F.repeat(F.md5(base), 8)               # 256 hex = 128 bytes
+    p = F.pmod(_md5_int(mid, ":p"), F.lit(128))  # perturbed byte
+    hx = F.concat(F.substring(hx0, 1, 2 * p + 1),
+                  F.substring(F.md5(mid), 1, 1),
+                  F.substring(hx0, 2 * p + 3, F.lit(256)))
+    content = F.to_binary(hx, F.lit("hex"))
+    return docs_df.select(
+        mid.alias("media_id"),
+        F.lit("image/png").alias("mime"),
+        content.alias("content"),
+        F.struct(F.lit(width).cast("int").alias("width"),
+                 F.lit(height).cast("int").alias("height"),
+                 F.lit(None).cast("int").alias("duration_ms"),
+                 F.length(content).cast("long").alias("n_bytes"),
+                 ).alias("meta"))
+
+
+def pixel_pool_sums(media: DataFrame, fake: bool = True,
+                    dim: int = FEATURE_DIM) -> DataFrame:
+    """media → (media_id, psums:array<long>): EXACT scaled-integer
+    pooled pixel sums — the perceptual-hash input.
+
+    Same pooling layout as ``extract_features`` (first min(w, dim)
+    column sums, then row sums to fill), but kept in integers scaled
+    to the common denominator L = lcm(h, w): col j carries
+    S_col(j)·L/h, row j carries S_row(j)·L/w, so u_j/L is the pooled
+    mean. Downstream sign tests are pure BIGINT comparisons —
+    bit-identical across Spark, numpy, and the DuckDB oracle, immune
+    to float summation order."""
+    import math
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("psums", T.ArrayType(T.LongType())),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                px = decode_image(bytes(content), w, h,
+                                  fake=fake).astype(np.int64)
+                lcm = math.lcm(h, w)
+                cols = px.sum(axis=0) * (lcm // h)
+                rows = px.sum(axis=1) * (lcm // w)
+                u = np.concatenate([cols[:dim], rows])[:dim]
+                out.append(u)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "psums": out})
+
+    return media.mapInPandas(kernel, out_schema)
+
+
+def phash64(psums: DataFrame, sums_col: str = "psums") -> DataFrame:
+    """64-bit perceptual hash as 4×16-bit band integers (b0..b3).
+
+    bit_j = [u_j·64 > Σ_k u_k] — "this pooled region is brighter than
+    the image mean", the classic mean-threshold pHash, evaluated in
+    exact BIGINT arithmetic (see pixel_pool_sums). Band k packs bits
+    16k..16k+15 little-endian; bands double as the LSH blocking keys."""
+    with_tot = psums.withColumn(
+        "__tot", F.aggregate(F.col(sums_col), F.lit(0).cast("long"),
+                             lambda a, x: a + x))
+    band = lambda k: F.expr(
+        f"aggregate(sequence(0, 15), cast(0 as bigint), (acc, i) -> "
+        f"acc + if(element_at({sums_col}, {16 * k} + i + 1) * 64 "
+        f"         > __tot, shiftleft(cast(1 as bigint), i), "
+        f"         cast(0 as bigint)))")
+    return with_tot.select(
+        "media_id", band(0).alias("b0"), band(1).alias("b1"),
+        band(2).alias("b2"), band(3).alias("b3"))
+
+
+def phash_near_dup(codes: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Banded-LSH near-dup pairs over 64-bit pHash codes.
+
+    Candidates = pairs agreeing EXACTLY on ≥1 of the 4 bands (an
+    equi-join per band — never an all-pairs scan; at 10^12 media the
+    shuffle is keyed on (band_idx, band_value) like the SimHash path,
+    operators/dedup.py), then verified with the exact Hamming distance
+    (bit_count over per-band XORs). Returns (src, dst, hamming),
+    hamming ≤ ``max_hamming``."""
+    eb = codes.select(
+        "media_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "v"))
+    a = eb.select(F.col("media_id").alias("src"), "k", "v")
+    b = eb.select(F.col("media_id").alias("dst"), "k", "v")
+    cand = (a.join(b, ["k", "v"])
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst").distinct())
+    s = codes.select(F.col("media_id").alias("src"),
+                     *[F.col(c).alias(c + "s") for c in
+                       ("b0", "b1", "b2", "b3")])
+    d = codes.select(F.col("media_id").alias("dst"),
+                     *[F.col(c).alias(c + "d") for c in
+                       ("b0", "b1", "b2", "b3")])
+    ham = sum(F.bit_count(F.expr(f"b{i}s ^ b{i}d")) for i in range(4))
+    return (cand.join(s, "src").join(d, "dst")
+            .select("src", "dst", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -97,3 +97,55 @@ def test_audio_chunk_plan(spark):
     assert "img" not in got
     with _pytest.raises(ValueError, match="overlap"):
         mm.audio_chunk_plan(media, chunk_ms=500, overlap_ms=500)
+
+
+def test_phash_pipeline_matches_numpy_replay(spark):
+    """Clustered synthesis -> integer pool sums -> pHash -> banded
+    near-dup, each stage replayed bit-for-bit in numpy."""
+    import hashlib
+    import itertools
+
+    import numpy as np
+
+    docs = spark.createDataFrame([(i,) for i in range(40)],
+                                 "doc_id long")
+    media = mm.synthesize_media_clustered(docs, n_bases=8)
+    sums = mm.pixel_pool_sums(media)
+    codes = mm.phash64(sums)
+    pairs = mm.phash_near_dup(codes, max_hamming=8)
+
+    def md5hex(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def ref_code(i):
+        base, mid = f"img://base{i % 8:08d}", f"img://doc{i:08d}"
+        hx0 = md5hex(base) * 8
+        p = int(md5hex(mid + ":p")[:15], 16) % 128
+        hx = hx0[:2 * p + 1] + md5hex(mid)[0] + hx0[2 * p + 2:]
+        b = np.array([int(hx[2 * j:2 * j + 2], 16) for j in range(128)],
+                     dtype=np.int64)
+        px = b[np.arange(32 * 48) % 128].reshape(32, 48)
+        u = np.concatenate([px.sum(axis=0) * 3, px.sum(axis=1)[:16] * 2])
+        bits = (u * 64 > u.sum())
+        return [int(sum(int(bits[16 * k + i]) << i for i in range(16)))
+                for k in range(4)], mid
+
+    ref = {mid: bands for bands, mid in
+           (ref_code(i) for i in range(40))}
+    got_codes = {r["media_id"]: [r["b0"], r["b1"], r["b2"], r["b3"]]
+                 for r in codes.collect()}
+    assert got_codes == ref
+
+    # reference pairs: band-blocked candidates, Hamming <= 8
+    def ham(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
+
+    want = set()
+    for a, b in itertools.combinations(sorted(ref), 2):
+        if any(x == y for x, y in zip(ref[a], ref[b])) \
+                and ham(ref[a], ref[b]) <= 8:
+            want.add((a, b, ham(ref[a], ref[b])))
+    got = {(r["src"], r["dst"], r["hamming"]) for r in pairs.collect()}
+    assert got == want
+    # clusters exist: at least one exact-duplicate-grade pair
+    assert any(h <= 2 for _, _, h in got)
