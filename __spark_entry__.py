@@ -3873,6 +3873,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def ml_logreg_irls(spark, sf):
+        # quality-classifier training (the GPT-3-style LR filter),
+        # Spark-first: 2 IRLS/Newton iterations, each ONE map-side-
+        # combined 9-moment pass (X'WX + X'(y-p)); the 3×3 Cramer
+        # solve runs on the driver (operators/regression.py). Output =
+        # the full optimization trace; the oracle replays both Newton
+        # steps as unrolled SQL with the identical association order.
+        from fashion_knowledge_graph_spark.operators.regression import (
+            logreg_irls,
+        )
+        ev = _load(spark, sf, "events").select(
+            (F.col("event_type") == "purchase").cast("double")
+            .alias("y"),
+            (F.col("value") / F.lit(100.0)).alias("x1"),
+            (F.hour("ts") / F.lit(24.0)).alias("x2"))
+        fit = logreg_irls(ev, "y", "x1", "x2", n_iter=2)
+        return fit.select("step", F.round("b0", 6).alias("b0"),
+                          F.round("b1", 6).alias("b1"),
+                          F.round("b2", 6).alias("b2"))
+
+    def events_rolling_distinct_users(spark, sf):
+        # exact sliding-window COUNT DISTINCT (7-day active users):
+        # the fan-out form — each (day, user) contributes itself to
+        # the 7 windows it falls in (sequence+explode, map-side), then
+        # one groupBy(window_day) distinct count. This is the shape
+        # that scales: no per-day user arrays in window state, no
+        # quadratic self-join; restricted to days that actually occur.
+        ev = _load(spark, sf, "events")
+        du = ev.select(F.to_date("ts").alias("day"), "user_id") \
+            .distinct()
+        days = du.select("day").distinct()
+        fan = du.select(
+            F.explode(F.sequence("day", F.date_add("day", 6)))
+            .alias("wday"), "user_id")
+        return (fan.join(days, fan.wday == days.day, "left_semi")
+                .groupBy("wday")
+                .agg(F.countDistinct("user_id").alias("users_7d"))
+                .select(F.date_format("wday", "yyyy-MM-dd")
+                        .alias("day"), "users_7d"))
+
     def mm_phash_near_dup(spark, sf):
         # IMAGE near-dup dedup: 64-bit mean-threshold perceptual hash
         # over exact scaled-integer pooled pixel sums (bit-identical
@@ -4194,6 +4234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_bpe_pair_counts": tok_bpe_pair_counts,
         "tok_bpe_learn_merges": tok_bpe_learn_merges,
         "mm_phash_near_dup": mm_phash_near_dup,
+        "ml_logreg_irls": ml_logreg_irls,
+        "events_rolling_distinct_users": events_rolling_distinct_users,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
         "text_ppl_buckets": text_ppl_buckets,
@@ -8175,6 +8217,68 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["tok_bpe_learn_merges"] = _bpe_unrolled_sql(3)
+
+    # IRLS logistic regression, 2 Newton steps unrolled. det3/solve
+    # textual expansion keeps the association order IDENTICAL to
+    # operators/regression.py::_det3_f, so engines diverge only at ulp
+    # level under the 6-digit rounding.
+    def _d3(a, b, c, d, e, f_, g, h, i):
+        return (f"({a}*({e}*{i} - {f_}*{h}) - {b}*({d}*{i} - {f_}*{g})"
+                f" + {c}*({d}*{h} - {e}*{g}))")
+
+    def _newton(src, b0, b1, b2, out):
+        det = _d3("sw", "swx1", "swx2", "swx1", "swx11", "swx12",
+                  "swx2", "swx12", "swx22")
+        d0 = _d3("g0", "swx1", "swx2", "g1", "swx11", "swx12",
+                 "g2", "swx12", "swx22")
+        d1 = _d3("sw", "g0", "swx2", "swx1", "g1", "swx12",
+                 "swx2", "g2", "swx22")
+        d2 = _d3("sw", "swx1", "g0", "swx1", "swx11", "g1",
+                 "swx2", "swx12", "g2")
+        return (f"{out} AS (SELECT {b0} + {d0} / {det} AS b0, "
+                f"{b1} + {d1} / {det} AS b1, "
+                f"{b2} + {d2} / {det} AS b2 FROM {src})")
+
+    _moms = ("sum(w) AS sw, sum(w*x1) AS swx1, sum(w*x2) AS swx2, "
+             "sum(w*x1*x1) AS swx11, sum(w*x1*x2) AS swx12, "
+             "sum(w*x2*x2) AS swx22, sum(y - p) AS g0, "
+             "sum((y - p)*x1) AS g1, sum((y - p)*x2) AS g2")
+    sql["ml_logreg_irls"] = f"""
+        WITH d AS (
+          SELECT (event_type = 'purchase')::INT::DOUBLE AS y,
+                 value / 100.0 AS x1,
+                 extract(hour FROM ts) / 24.0 AS x2
+          FROM events),
+        p1 AS (SELECT y, x1, x2,
+                      1.0 / (1.0 + exp(-(0.0 + 0.0*x1 + 0.0*x2))) AS p
+               FROM d),
+        m1 AS (SELECT {_moms}
+               FROM (SELECT y, x1, x2, p, p * (1.0 - p) AS w FROM p1)),
+        {_newton('m1', '0.0', '0.0', '0.0', 'bb1')},
+        p2 AS (SELECT y, x1, x2,
+                      1.0 / (1.0 + exp(-(b0 + b1*x1 + b2*x2))) AS p
+               FROM d, bb1),
+        m2 AS (SELECT {_moms}
+               FROM (SELECT y, x1, x2, p, p * (1.0 - p) AS w FROM p2)),
+        {_newton('m2', '(SELECT b0 FROM bb1)', '(SELECT b1 FROM bb1)',
+                 '(SELECT b2 FROM bb1)', 'bb2')}
+        SELECT 1 AS step, round(b0, 6) AS b0, round(b1, 6) AS b1,
+               round(b2, 6) AS b2 FROM bb1
+        UNION ALL
+        SELECT 2, round(b0, 6), round(b1, 6), round(b2, 6) FROM bb2
+    """
+
+    sql["events_rolling_distinct_users"] = """
+        WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id
+                    FROM events),
+        days AS (SELECT DISTINCT day FROM du),
+        fan AS (SELECT day + i::INT AS wday, user_id
+                FROM du, unnest(generate_series(0, 6)) t(i))
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               count(DISTINCT f.user_id) AS users_7d
+        FROM days d JOIN fan f ON f.wday = d.day
+        GROUP BY 1
+    """
 
     # pHash near-dup: w=48, h=32 fixed -> L=lcm(32,48)=96; u = 3*colSum
     # (48 of them) then 2*rowSum (first 16); bit_j = u_j*64 > sum(u)

@@ -100,3 +100,70 @@ def ols_fit(df: DataFrame, y_col: str, x1_col: str,
         F.when(ok, b1).alias("beta1"),
         F.when(ok, b2).alias("beta2"),
         F.when(ok, 1 - sse / sst).alias("r2"))
+
+
+def _det3_f(a, b, c, d, e, f, g, h, i):
+    """Python-float twin of _det3 — SAME association order, so the
+    driver-side Newton solve diverges from the SQL oracle's only at
+    ulp level (absorbed by the 6-digit output rounding)."""
+    return (a * (e * i - f * h)
+            - b * (d * i - f * g)
+            + c * (d * h - e * g))
+
+
+def logreg_irls(df: DataFrame, y_col: str, x1_col: str, x2_col: str,
+                n_iter: int = 2) -> DataFrame:
+    """Distributed logistic regression via IRLS / Newton-Raphson — the
+    quality-classifier trainer of LLM data pipelines (GPT-3-style LR
+    quality filters), done Spark-first.
+
+    Each iteration is ONE partial-agg'd moment pass over the corpus:
+    with p = sigmoid(b0 + b1·x1 + b2·x2) and w = p(1-p), it collects
+    the 6 Hessian moments (X'WX) and 3 gradient sums (X'(y-p)) — nine
+    doubles, map-side combined, nothing else shuffles. The driver
+    holds the 3 coefficients and applies the Newton step
+    β += H⁻¹g via the explicit 3×3 Cramer solve (same shape as
+    ``ols_fit``). O(n_iter) jobs; per-row work is a codegen'd scalar
+    expression, no UDF.
+
+    Returns one row per iteration: (step, b0, b1, b2) — the whole
+    optimization trace, so convergence is inspectable and the driver
+    oracle replays every step as unrolled SQL.
+    """
+    y = F.col(y_col).cast("double")
+    x1 = F.col(x1_col).cast("double")
+    x2 = F.col(x2_col).cast("double")
+    beta = (0.0, 0.0, 0.0)
+    out = []
+    for step in range(1, n_iter + 1):
+        z = F.lit(beta[0]) + F.lit(beta[1]) * x1 + F.lit(beta[2]) * x2
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w = p * (F.lit(1.0) - p)
+        m = df.agg(
+            F.sum(w).alias("sw"),
+            F.sum(w * x1).alias("swx1"), F.sum(w * x2).alias("swx2"),
+            F.sum(w * x1 * x1).alias("swx11"),
+            F.sum(w * x1 * x2).alias("swx12"),
+            F.sum(w * x2 * x2).alias("swx22"),
+            F.sum(y - p).alias("g0"),
+            F.sum((y - p) * x1).alias("g1"),
+            F.sum((y - p) * x2).alias("g2")).first()
+        det = _det3_f(m["sw"], m["swx1"], m["swx2"],
+                      m["swx1"], m["swx11"], m["swx12"],
+                      m["swx2"], m["swx12"], m["swx22"])
+        d0 = _det3_f(m["g0"], m["swx1"], m["swx2"],
+                     m["g1"], m["swx11"], m["swx12"],
+                     m["g2"], m["swx12"], m["swx22"])
+        d1 = _det3_f(m["sw"], m["g0"], m["swx2"],
+                     m["swx1"], m["g1"], m["swx12"],
+                     m["swx2"], m["g2"], m["swx22"])
+        d2 = _det3_f(m["sw"], m["swx1"], m["g0"],
+                     m["swx1"], m["swx11"], m["g1"],
+                     m["swx2"], m["swx12"], m["g2"])
+        beta = (beta[0] + d0 / det, beta[1] + d1 / det,
+                beta[2] + d2 / det)
+        out.append((step, beta[0], beta[1], beta[2]))
+    # full precision out; callers round with F.round (HALF_UP — python
+    # round() is banker's and would diverge from the SQL oracle)
+    return df.sparkSession.createDataFrame(
+        out, "step int, b0 double, b1 double, b2 double")

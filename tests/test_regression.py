@@ -52,3 +52,33 @@ def test_ols_degenerate_constant_feature_yields_nulls(spark):
     pdf = _data().assign(x1=5.0)  # collinear with the intercept
     row = ols_fit(spark.createDataFrame(pdf), "y", "x1", "x2").first()
     assert row.intercept is None and row.beta1 is None
+
+
+def test_logreg_irls_matches_numpy_newton(spark):
+    import numpy as np
+    from fashion_knowledge_graph_spark.operators.regression import (
+        logreg_irls,
+    )
+    rng = np.random.RandomState(7)
+    n = 400
+    x1 = rng.uniform(-2, 2, n)
+    x2 = rng.uniform(-2, 2, n)
+    logit = 0.5 + 1.5 * x1 - 2.0 * x2
+    y = (rng.uniform(0, 1, n) < 1 / (1 + np.exp(-logit))).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(y, x1, x2)],
+        "y double, x1 double, x2 double")
+    got = {r["step"]: (r["b0"], r["b1"], r["b2"])
+           for r in logreg_irls(df, "y", "x1", "x2", n_iter=3).collect()}
+
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta = np.zeros(3)
+    for step in range(1, 4):
+        p = 1 / (1 + np.exp(-X @ beta))
+        W = p * (1 - p)
+        H = X.T @ (X * W[:, None])
+        g = X.T @ (y - p)
+        beta = beta + np.linalg.solve(H, g)
+        assert np.allclose(got[step], beta, rtol=1e-9, atol=1e-9), step
+    # after 3 Newton steps the fit approaches the generating process
+    assert abs(got[3][1] - 1.5) < 0.6 and got[3][2] < -1.0
