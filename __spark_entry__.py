@@ -3873,6 +3873,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def dq_k_anonymity(spark, sf):
+        # privacy audit before data release: equivalence classes over
+        # the quasi-identifier (event_type, day) with k-anonymity
+        # (class size ≥ 25) and l-diversity (≥ 10 distinct sensitive
+        # user_ids) verdicts — ONE partial-agg'd pass; at 10^12 rows
+        # this is a word-count-shaped plan
+        ev = _load(spark, sf, "events")
+        return (ev.groupBy("event_type",
+                           F.to_date("ts").alias("d"))
+                .agg(F.count(F.lit(1)).alias("class_size"),
+                     F.countDistinct("user_id").alias("n_sensitive"))
+                .select("event_type",
+                        F.date_format("d", "yyyy-MM-dd").alias("day"),
+                        "class_size", "n_sensitive",
+                        (F.col("class_size") >= 25).alias("k25_ok"),
+                        (F.col("n_sensitive") >= 10).alias("l10_ok")))
+
+    def dp_noisy_counts(spark, sf):
+        # DP-SHAPED noisy release (mechanism plumbing, not privacy:
+        # the Laplace draw is a DETERMINISTIC md5 inverse-CDF so the
+        # oracle replays it bit-for-bit; swap in a real RNG for
+        # production): per (event_type, day) count + Laplace(1/ε)
+        # noise, ε=1 — count from one partial-agg'd pass, noise a
+        # pure codegen expression of the group key
+        ev = _load(spark, sf, "events")
+        g = ev.groupBy("event_type", F.to_date("ts").alias("d")) \
+            .agg(F.count(F.lit(1)).alias("n"))
+        key = F.concat_ws(":", F.lit("dp"), F.col("event_type"),
+                          F.col("d").cast("string"))
+        u = ((F.conv(F.substring(F.md5(key), 1, 15), 16, 10)
+              .cast("bigint") % 1000000000).cast("double")
+             + 0.5) / 1000000000.0
+        s = u - 0.5
+        noise = -F.signum(s) * F.log(1.0 - 2.0 * F.abs(s))  # b = 1/ε = 1
+        return g.select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("n") + noise, 6).alias("noisy_n"))
+
     def ml_logreg_irls(spark, sf):
         # quality-classifier training (the GPT-3-style LR filter),
         # Spark-first: 2 IRLS/Newton iterations, each ONE map-side-
@@ -4236,6 +4275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_near_dup": mm_phash_near_dup,
         "ml_logreg_irls": ml_logreg_irls,
         "events_rolling_distinct_users": events_rolling_distinct_users,
+        "dq_k_anonymity": dq_k_anonymity,
+        "dp_noisy_counts": dp_noisy_counts,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
         "text_ppl_buckets": text_ppl_buckets,
@@ -8266,6 +8307,31 @@ def oracle_sql() -> dict[str, str]:
                round(b2, 6) AS b2 FROM bb1
         UNION ALL
         SELECT 2, round(b0, 6), round(b1, 6), round(b2, 6) FROM bb2
+    """
+
+    sql["dq_k_anonymity"] = """
+        SELECT event_type, strftime(ts::DATE, '%Y-%m-%d') AS day,
+               count(*) AS class_size,
+               count(DISTINCT user_id) AS n_sensitive,
+               count(*) >= 25 AS k25_ok,
+               count(DISTINCT user_id) >= 10 AS l10_ok
+        FROM events GROUP BY event_type, ts::DATE
+    """
+
+    sql["dp_noisy_counts"] = """
+        WITH g AS (SELECT event_type, ts::DATE AS d, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        h AS (SELECT event_type, d, n,
+                ((('0x' || substr(md5('dp:' || event_type || ':'
+                                      || strftime(d, '%Y-%m-%d')),
+                             1, 15))::BIGINT % 1000000000)::DOUBLE
+                 + 0.5) / 1000000000.0 AS u
+              FROM g)
+        SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+               round(n + (-sign(u - 0.5)
+                          * ln(1.0 - 2.0 * abs(u - 0.5))), 6)
+                 AS noisy_n
+        FROM h
     """
 
     sql["events_rolling_distinct_users"] = """

@@ -598,3 +598,57 @@ def test_topn_rank_queries_use_ordered_limit_not_global_window(spark):
                 if "SinglePartition" in s]
     for s in sections:
         assert "key" not in s, s
+
+
+def test_preference_pairs_rank_limit_pushes_before_exchange(spark):
+    """Both top-1 rank filters must compile to WindowGroupLimit (map-
+    side per-group limit BEFORE the exchange) — without it the window
+    sorts ALL events per user; with it the shuffles move ~n_users
+    rows. The final chosen×rejected join must broadcast."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["rlhf_preference_pairs"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_distinct_has_no_window_state(spark):
+    """The 7-day distinct-actives query must use the fan-out form: a
+    Generate (explode) + aggregates, NEVER a Window carrying per-day
+    user collections (unbounded state at 10^12 events)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["events_rolling_distinct_users"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Generate" in plan and "explode(sequence" in plan, plan
+    assert "Window" not in plan, plan
+    assert "collect_set" not in plan, plan
+
+
+def test_phash_near_dup_is_banded_equi_join(spark):
+    """pHash candidate generation must be an equi-join on the banded
+    keys — any nested-loop/cartesian fallback is the all-pairs scan
+    the banding exists to avoid."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["mm_phash_near_dup"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dsir_dim_joins_broadcast(spark):
+    """DSIR's bucket-weight dim (64 rows) must broadcast into the
+    scoring join — a SortMergeJoin there would shuffle every token of
+    the corpus on the hash bucket."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["select_dsir_weights"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
