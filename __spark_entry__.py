@@ -3873,6 +3873,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def events_ewma_smooth(spark, sf):
+        # truncated exponentially-weighted moving average of the
+        # daily volume per event type (pandas ewm(adjust=True) shape,
+        # window 14, α=0.3): the rollup is the only corpus-sized pass;
+        # smoothing is a banded self-join on datediff ∈ [0,13] over
+        # the ~|days|·|types| daily table with closed-form weights
+        # pow(0.7, lag) — no recursion, no window state
+        ev = _load(spark, sf, "events")
+        daily = ev.groupBy("event_type",
+                           F.to_date("ts").alias("d")) \
+            .agg(F.count(F.lit(1)).alias("n"))
+        a = daily.select("event_type", F.col("d").alias("da"))
+        b = daily.select(F.col("event_type").alias("et2"),
+                         F.col("d").alias("db"), "n")
+        lag = F.datediff("da", "db")
+        w = F.pow(F.lit(0.7), lag)
+        return (a.join(b, (a.event_type == b.et2)
+                       & (lag >= 0) & (lag <= 13))
+                .groupBy("event_type", "da")
+                .agg(F.round(F.sum(w * F.col("n")) / F.sum(w), 6)
+                     .alias("ewma"))
+                .select("event_type",
+                        F.date_format("da", "yyyy-MM-dd").alias("day"),
+                        "ewma"))
+
+    def events_cusum_changepoint(spark, sf):
+        # one-sided CUSUM change-point statistic over daily volumes:
+        # S_d = max_{k≤d} Σ_{i=k..d}(x_i − mean − slack) computed in
+        # CLOSED FORM as cumsum_d − min(0, running-min of cumsum) —
+        # two windows over one per-type partitioning, no recursion.
+        # Flags days where the drift statistic exceeds h = 3·stddev.
+        ev = _load(spark, sf, "events")
+        daily = ev.groupBy("event_type",
+                           F.to_date("ts").alias("d")) \
+            .agg(F.count(F.lit(1)).alias("n"))
+        stats = daily.groupBy("event_type").agg(
+            F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd"))
+        wrun = Window.partitionBy("event_type").orderBy("d") \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        y = F.col("n") - F.col("mu") - 0.5 * F.col("sd")
+        cs = F.sum(y).over(wrun)
+        joined = daily.join(F.broadcast(stats), "event_type") \
+            .withColumn("cs", cs)
+        smin = F.min(F.least(F.col("cs"), F.lit(0.0))).over(wrun)
+        stat = F.col("cs") - smin
+        return (joined.select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(stat, 6).alias("cusum"),
+            (stat > 3.0 * F.col("sd")).alias("drift")))
+
     def dq_k_anonymity(spark, sf):
         # privacy audit before data release: equivalence classes over
         # the quasi-identifier (event_type, day) with k-anonymity
@@ -4277,6 +4328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_distinct_users": events_rolling_distinct_users,
         "dq_k_anonymity": dq_k_anonymity,
         "dp_noisy_counts": dp_noisy_counts,
+        "events_ewma_smooth": events_ewma_smooth,
+        "events_cusum_changepoint": events_cusum_changepoint,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
         "text_ppl_buckets": text_ppl_buckets,
@@ -8307,6 +8360,39 @@ def oracle_sql() -> dict[str, str]:
                round(b2, 6) AS b2 FROM bb1
         UNION ALL
         SELECT 2, round(b0, 6), round(b1, 6), round(b2, 6) FROM bb2
+    """
+
+    sql["events_ewma_smooth"] = """
+        WITH daily AS (SELECT event_type, ts::DATE AS d, count(*) AS n
+                       FROM events GROUP BY 1, 2)
+        SELECT a.event_type, strftime(a.d, '%Y-%m-%d') AS day,
+               round(sum(pow(0.7, (a.d - b.d)) * b.n)
+                     / sum(pow(0.7, (a.d - b.d))), 6) AS ewma
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type
+         AND a.d - b.d BETWEEN 0 AND 13
+        GROUP BY a.event_type, a.d
+    """
+
+    sql["events_cusum_changepoint"] = """
+        WITH daily AS (SELECT event_type, ts::DATE AS d, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+        stats AS (SELECT event_type, avg(n) AS mu,
+                         stddev_pop(n) AS sd
+                  FROM daily GROUP BY 1),
+        j AS (SELECT daily.event_type, d, n, mu, sd,
+                sum(n - mu - 0.5 * sd) OVER (
+                  PARTITION BY daily.event_type ORDER BY d
+                  ROWS UNBOUNDED PRECEDING) AS cs
+              FROM daily JOIN stats USING (event_type)),
+        k AS (SELECT *, min(least(cs, 0)) OVER (
+                PARTITION BY event_type ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS smin
+              FROM j)
+        SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+               round(cs - smin, 6) AS cusum,
+               (cs - smin) > 3.0 * sd AS drift
+        FROM k
     """
 
     sql["dq_k_anonymity"] = """

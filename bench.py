@@ -71,6 +71,12 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "text_rake_keyphrases",
+    # round-4 session additions (tokenizer training, data selection,
+    # media near-dup, classifier training)
+    "tok_bpe_pair_counts",
+    "select_dsir_weights",
+    "mm_phash_near_dup",
+    "ml_logreg_irls",
 ]
 
 
