@@ -3873,6 +3873,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def ml_psi_drift(spark, sf):
+        # model/feature monitoring: population-stability index of the
+        # value distribution, first-15-days reference vs the rest,
+        # per event type. Fixed 10-bucket binning (value/100 clamped),
+        # add-one smoothing over the FULL bin grid (types × 10 bins
+        # fanned in so empty bins still contribute their smoothed
+        # term), PSI = Σ (p−q)·ln(p/q). Two word-count-shaped passes;
+        # the bin grid is dim-sized and broadcast.
+        ev = _load(spark, sf, "events")
+        split = ev.agg(F.date_add(F.min(F.to_date("ts")), 15)
+                       .alias("cut"))
+        binned = ev.crossJoin(F.broadcast(split)).select(
+            "event_type",
+            F.least(F.floor(F.col("value") / 100), F.lit(9))
+            .cast("int").alias("bin"),
+            F.when(F.to_date("ts") < F.col("cut"), 1).otherwise(0)
+            .alias("is_ref"))
+        counts = binned.groupBy("event_type", "bin").agg(
+            F.sum("is_ref").alias("r_b"),
+            F.sum(1 - F.col("is_ref")).alias("c_b"))
+        grid = (binned.select("event_type").distinct()
+                .crossJoin(spark.range(10)
+                           .select(F.col("id").cast("int")
+                                   .alias("bin"))))
+        full = grid.join(counts, ["event_type", "bin"], "left") \
+            .fillna(0, subset=["r_b", "c_b"])
+        tot = full.groupBy("event_type").agg(
+            F.sum("r_b").alias("r_tot"), F.sum("c_b").alias("c_tot"))
+        p = (F.col("r_b") + 1).cast("double") / (F.col("r_tot") + 10)
+        q = (F.col("c_b") + 1).cast("double") / (F.col("c_tot") + 10)
+        term = (p - q) * F.log(p / q)
+        return (full.join(F.broadcast(tot), "event_type")
+                .groupBy("event_type")
+                .agg(F.round(F.sum(term), 6).alias("psi"))
+                .select("event_type", "psi",
+                        (F.col("psi") > 0.2).alias("drift")))
+
     def events_ewma_smooth(spark, sf):
         # truncated exponentially-weighted moving average of the
         # daily volume per event type (pandas ewm(adjust=True) shape,
@@ -4330,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noisy_counts": dp_noisy_counts,
         "events_ewma_smooth": events_ewma_smooth,
         "events_cusum_changepoint": events_cusum_changepoint,
+        "ml_psi_drift": ml_psi_drift,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
         "text_ppl_buckets": text_ppl_buckets,
@@ -8360,6 +8398,43 @@ def oracle_sql() -> dict[str, str]:
                round(b2, 6) AS b2 FROM bb1
         UNION ALL
         SELECT 2, round(b0, 6), round(b1, 6), round(b2, 6) FROM bb2
+    """
+
+    sql["ml_psi_drift"] = """
+        WITH cut AS (SELECT min(ts::DATE) + 15 AS cut FROM events),
+        binned AS (
+          SELECT event_type,
+                 least(floor(value / 100), 9)::INT AS bin,
+                 CASE WHEN ts::DATE < (SELECT cut FROM cut)
+                      THEN 1 ELSE 0 END AS is_ref
+          FROM events),
+        counts AS (SELECT event_type, bin,
+                          sum(is_ref)::BIGINT AS r_b,
+                          sum(1 - is_ref)::BIGINT AS c_b
+                   FROM binned GROUP BY 1, 2),
+        grid AS (SELECT event_type, i::INT AS bin
+                 FROM (SELECT DISTINCT event_type FROM binned),
+                      unnest(generate_series(0, 9)) t(i)),
+        full_g AS (SELECT g.event_type, g.bin,
+                          coalesce(c.r_b, 0) AS r_b,
+                          coalesce(c.c_b, 0) AS c_b
+                   FROM grid g LEFT JOIN counts c
+                     ON g.event_type = c.event_type
+                    AND g.bin = c.bin),
+        tot AS (SELECT event_type, sum(r_b)::BIGINT AS r_tot,
+                       sum(c_b)::BIGINT AS c_tot
+                FROM full_g GROUP BY 1),
+        terms AS (
+          SELECT f.event_type,
+                 ((f.r_b + 1)::DOUBLE / (t.r_tot + 10)
+                  - (f.c_b + 1)::DOUBLE / (t.c_tot + 10))
+                 * ln(((f.r_b + 1)::DOUBLE / (t.r_tot + 10))
+                      / ((f.c_b + 1)::DOUBLE / (t.c_tot + 10)))
+                   AS term
+          FROM full_g f JOIN tot t USING (event_type))
+        SELECT event_type, round(sum(term), 6) AS psi,
+               round(sum(term), 6) > 0.2 AS drift
+        FROM terms GROUP BY 1
     """
 
     sql["events_ewma_smooth"] = """
