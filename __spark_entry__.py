@@ -3910,6 +3910,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("event_type", "psi",
                         (F.col("psi") > 0.2).alias("drift")))
 
+    def ml_ks_drift(spark, sf):
+        # two-sample Kolmogorov–Smirnov drift test on the value
+        # distribution (same ref/current split as ml_psi_drift):
+        # D = max_v |F_ref(v) − F_cur(v)| via per-(type, value) counts
+        # + one running-sum window over distinct values — every ratio
+        # is exact-integer-over-integer so both engines compute
+        # bit-identical CDF gaps. Rejects at the α=0.05 large-sample
+        # critical value 1.358·√((n+m)/(n·m)).
+        ev = _load(spark, sf, "events")
+        split = ev.agg(F.date_add(F.min(F.to_date("ts")), 15)
+                       .alias("cut"))
+        marked = ev.crossJoin(F.broadcast(split)).select(
+            "event_type", "value",
+            F.when(F.to_date("ts") < F.col("cut"), 1).otherwise(0)
+            .alias("is_ref"))
+        pv = marked.groupBy("event_type", "value").agg(
+            F.sum("is_ref").alias("r"),
+            F.sum(1 - F.col("is_ref")).alias("c"))
+        wrun = Window.partitionBy("event_type").orderBy("value") \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        tot = Window.partitionBy("event_type")
+        gap = F.abs(F.sum("r").over(wrun).cast("double")
+                    / F.sum("r").over(tot)
+                    - F.sum("c").over(wrun).cast("double")
+                    / F.sum("c").over(tot))
+        stat = pv.select("event_type",
+                         gap.alias("g"),
+                         F.sum("r").over(tot).alias("n"),
+                         F.sum("c").over(tot).alias("m"))
+        return (stat.groupBy("event_type", "n", "m")
+                .agg(F.max("g").alias("d"))
+                .select("event_type",
+                        F.round(F.col("d"), 6).alias("ks_d"),
+                        (F.col("d") > 1.358 * F.sqrt(
+                            (F.col("n") + F.col("m")).cast("double")
+                            / (F.col("n") * F.col("m"))))
+                        .alias("drift")))
+
     def events_ewma_smooth(spark, sf):
         # truncated exponentially-weighted moving average of the
         # daily volume per event type (pandas ewm(adjust=True) shape,
@@ -4368,6 +4406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma_smooth": events_ewma_smooth,
         "events_cusum_changepoint": events_cusum_changepoint,
         "ml_psi_drift": ml_psi_drift,
+        "ml_ks_drift": ml_ks_drift,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
         "text_ppl_buckets": text_ppl_buckets,
@@ -8435,6 +8474,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, round(sum(term), 6) AS psi,
                round(sum(term), 6) > 0.2 AS drift
         FROM terms GROUP BY 1
+    """
+
+    sql["ml_ks_drift"] = """
+        WITH cut AS (SELECT min(ts::DATE) + 15 AS cut FROM events),
+        marked AS (
+          SELECT event_type, value,
+                 CASE WHEN ts::DATE < (SELECT cut FROM cut)
+                      THEN 1 ELSE 0 END AS is_ref
+          FROM events),
+        pv AS (SELECT event_type, value,
+                      sum(is_ref)::BIGINT AS r,
+                      sum(1 - is_ref)::BIGINT AS c
+               FROM marked GROUP BY 1, 2),
+        runs AS (
+          SELECT event_type,
+                 abs(sum(r) OVER (PARTITION BY event_type ORDER BY value
+                                  ROWS UNBOUNDED PRECEDING)::DOUBLE
+                     / sum(r) OVER (PARTITION BY event_type)
+                   - sum(c) OVER (PARTITION BY event_type ORDER BY value
+                                  ROWS UNBOUNDED PRECEDING)::DOUBLE
+                     / sum(c) OVER (PARTITION BY event_type)) AS g,
+                 sum(r) OVER (PARTITION BY event_type) AS n,
+                 sum(c) OVER (PARTITION BY event_type) AS m
+          FROM pv)
+        SELECT event_type, round(max(g), 6) AS ks_d,
+               max(g) > 1.358 * sqrt((n + m)::DOUBLE / (n * m))
+                 AS drift
+        FROM runs GROUP BY event_type, n, m
     """
 
     sql["events_ewma_smooth"] = """
