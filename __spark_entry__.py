@@ -3873,6 +3873,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def ml_calibration_bins(spark, sf):
+        # classifier evaluation: reliability diagram of the 2-step
+        # IRLS fit — score every row with the learned β, bin predicted
+        # p into 10 fixed buckets, report per-bin volume, mean
+        # prediction, and observed positive rate (exact integer
+        # ratio). Scoring is one codegen'd map pass; the oracle
+        # re-derives β through the same unrolled Newton SQL and bins
+        # identically.
+        from fashion_knowledge_graph_spark.operators.regression import (
+            logreg_irls,
+        )
+        ev = _load(spark, sf, "events").select(
+            (F.col("event_type") == "purchase").cast("double")
+            .alias("y"),
+            (F.col("value") / F.lit(100.0)).alias("x1"),
+            (F.hour("ts") / F.lit(24.0)).alias("x2"))
+        fit = {r["step"]: r for r in
+               logreg_irls(ev, "y", "x1", "x2", n_iter=2).collect()}
+        b0, b1, b2 = (fit[2]["b0"], fit[2]["b1"], fit[2]["b2"])
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(
+            -(F.lit(b0) + F.lit(b1) * F.col("x1")
+              + F.lit(b2) * F.col("x2"))))
+        return (ev.select("y", p.alias("p"))
+                .groupBy(F.least(F.floor(F.col("p") * 10), F.lit(9))
+                         .cast("int").alias("bin"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.avg("p"), 6).alias("mean_p"),
+                     F.round(F.sum("y") / F.count(F.lit(1)), 6)
+                     .alias("frac_pos")))
+
     def ml_psi_drift(spark, sf):
         # model/feature monitoring: population-stability index of the
         # value distribution, first-15-days reference vs the rest,
@@ -4407,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_changepoint": events_cusum_changepoint,
         "ml_psi_drift": ml_psi_drift,
         "ml_ks_drift": ml_ks_drift,
+        "ml_calibration_bins": ml_calibration_bins,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
         "text_ppl_buckets": text_ppl_buckets,
@@ -8414,7 +8445,7 @@ def oracle_sql() -> dict[str, str]:
              "sum(w*x1*x1) AS swx11, sum(w*x1*x2) AS swx12, "
              "sum(w*x2*x2) AS swx22, sum(y - p) AS g0, "
              "sum((y - p)*x1) AS g1, sum((y - p)*x2) AS g2")
-    sql["ml_logreg_irls"] = f"""
+    _irls_prefix = f"""
         WITH d AS (
           SELECT (event_type = 'purchase')::INT::DOUBLE AS y,
                  value / 100.0 AS x1,
@@ -8432,11 +8463,23 @@ def oracle_sql() -> dict[str, str]:
         m2 AS (SELECT {_moms}
                FROM (SELECT y, x1, x2, p, p * (1.0 - p) AS w FROM p2)),
         {_newton('m2', '(SELECT b0 FROM bb1)', '(SELECT b1 FROM bb1)',
-                 '(SELECT b2 FROM bb1)', 'bb2')}
+                 '(SELECT b2 FROM bb1)', 'bb2')}"""
+
+    sql["ml_logreg_irls"] = _irls_prefix + """
         SELECT 1 AS step, round(b0, 6) AS b0, round(b1, 6) AS b1,
                round(b2, 6) AS b2 FROM bb1
         UNION ALL
         SELECT 2, round(b0, 6), round(b1, 6), round(b2, 6) FROM bb2
+    """
+
+    sql["ml_calibration_bins"] = _irls_prefix + """,
+        scored AS (SELECT y,
+                     1.0 / (1.0 + exp(-(b0 + b1*x1 + b2*x2))) AS p
+                   FROM d, bb2)
+        SELECT least(floor(p * 10), 9)::INT AS bin,
+               count(*) AS n, round(avg(p), 6) AS mean_p,
+               round(sum(y) / count(*), 6) AS frac_pos
+        FROM scored GROUP BY 1
     """
 
     sql["ml_psi_drift"] = """
