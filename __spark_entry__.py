@@ -3873,6 +3873,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def sketch_hll_distinct(spark, sf):
+        # the canonical distinct-count sketch, bit-replayable:
+        # HyperLogLog with m=64 registers over the portable 60-bit md5
+        # (j = h mod 64, w = h div 64 in 54 bits, rank = 54 −
+        # bitlen(w) + 1 via length(bin(w)) — INTEGER leading-zero
+        # count, no float log2 boundary). Registers are a per-type
+        # max aggregate (mergeable state, word-count-shaped); the full
+        # 64-register grid is fanned in so empty registers contribute
+        # 2^0 and count toward the small-range correction V. Estimate
+        # α·m²/Σ2^(−M_j) with linear counting below 2.5m, next to the
+        # exact companion.
+        ev = _load(spark, sf, "events")
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit("hll"), F.col("user_id").cast("string"))),
+            1, 15), 16, 10).cast("bigint")
+        hashed = ev.select("event_type", h.alias("h")).select(
+            "event_type", (F.col("h") % 64).cast("int").alias("j"),
+            # integer div — floor(h/64.0) would round through a double
+            # and corrupt hashes above 2^53
+            F.expr("h div 64").alias("w"))
+        rank = F.when(F.col("w") == 0, F.lit(55)).otherwise(
+            54 - F.length(F.bin("w")) + 1).cast("int")
+        regs = hashed.select("event_type", "j", rank.alias("r")) \
+            .groupBy("event_type", "j").agg(F.max("r").alias("m_j"))
+        grid = (regs.select("event_type").distinct()
+                .crossJoin(spark.range(64)
+                           .select(F.col("id").cast("int").alias("j"))))
+        full = grid.join(regs, ["event_type", "j"], "left") \
+            .fillna(0, subset=["m_j"])
+        agg = full.groupBy("event_type").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z"),
+            F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0))
+            .alias("v"))
+        raw = F.lit(0.709 * 64.0 * 64.0) / F.col("z")
+        est = F.when((raw <= 2.5 * 64) & (F.col("v") > 0),
+                     F.lit(64.0) * F.log(F.lit(64.0)
+                                         / F.col("v"))).otherwise(raw)
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_exact"))
+        return (agg.join(exact, "event_type")
+                .select("event_type", "n_exact", "v",
+                        F.round(est, 4).alias("hll_est")))
+
     def ml_calibration_bins(spark, sf):
         # classifier evaluation: reliability diagram of the 2-step
         # IRLS fit — score every row with the learned β, bin predicted
@@ -4438,6 +4481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_psi_drift": ml_psi_drift,
         "ml_ks_drift": ml_ks_drift,
         "ml_calibration_bins": ml_calibration_bins,
+        "sketch_hll_distinct": sketch_hll_distinct,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
         "text_ppl_buckets": text_ppl_buckets,
@@ -8517,6 +8561,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, round(sum(term), 6) AS psi,
                round(sum(term), 6) > 0.2 AS drift
         FROM terms GROUP BY 1
+    """
+
+    sql["sketch_hll_distinct"] = """
+        WITH hashed AS (
+          SELECT event_type,
+                 (('0x' || substr(md5('hll:' || user_id::VARCHAR),
+                                  1, 15))::BIGINT % 64)::INT AS j,
+                 ('0x' || substr(md5('hll:' || user_id::VARCHAR),
+                                 1, 15))::BIGINT // 64 AS w
+          FROM events),
+        ranked AS (SELECT event_type, j,
+                          CASE WHEN w = 0 THEN 55
+                               ELSE (54 - length(bin(w)) + 1)::INT
+                          END AS r
+                   FROM hashed),
+        regs AS (SELECT event_type, j, max(r) AS m_j
+                 FROM ranked GROUP BY 1, 2),
+        grid AS (SELECT event_type, i::INT AS j
+                 FROM (SELECT DISTINCT event_type FROM regs),
+                      unnest(generate_series(0, 63)) t(i)),
+        full_g AS (SELECT g.event_type, g.j,
+                          coalesce(r.m_j, 0) AS m_j
+                   FROM grid g LEFT JOIN regs r
+                     ON g.event_type = r.event_type AND g.j = r.j),
+        agg AS (SELECT event_type,
+                       sum(pow(2.0, -m_j)) AS z,
+                       sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END)
+                         ::BIGINT AS v
+                FROM full_g GROUP BY 1),
+        exact AS (SELECT event_type,
+                         count(DISTINCT user_id) AS n_exact
+                  FROM events GROUP BY 1)
+        SELECT a.event_type, e.n_exact, a.v,
+               round(CASE WHEN (0.709 * 64.0 * 64.0) / a.z <= 2.5 * 64
+                           AND a.v > 0
+                          THEN 64.0 * ln(64.0 / a.v)
+                          ELSE (0.709 * 64.0 * 64.0) / a.z END, 4)
+                 AS hll_est
+        FROM agg a JOIN exact e USING (event_type)
     """
 
     sql["ml_ks_drift"] = """
