@@ -3873,6 +3873,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def er_fs_link(spark, sf):
+        # probabilistic record linkage (Fellegi–Sunter 1969, Winkler
+        # EM): q-gram-blocked candidates compared on 3 binary
+        # comparators (brand token, edit distance ≤ 1, token count),
+        # ONE EM iteration re-estimates (π, m, u) in a single
+        # partial-agg'd pass, pairs scored with the learned log2
+        # agreement weights (operators/er.py::fs_em_step/fs_score).
+        # The oracle replays blocking, E-step (bit-exact literal
+        # products), M-step, and weights as one SQL chain.
+        from fashion_knowledge_graph_spark.operators.er import (
+            fs_em_step, fs_score, fuzzy_join,
+        )
+        part = _load(spark, sf, "part")
+        men2 = _er_dirty_mentions(spark, sf)
+        cat = (part.select(F.concat(F.col("p_brand"), F.lit(" "),
+                                    F.col("p_name")).alias("cat_name"))
+               .distinct()
+               .withColumn("cat_id", F.md5(F.col("cat_name"))))
+        cand = fuzzy_join(men2, cat, "mention_id", "mention_text",
+                          "cat_id", "cat_name",
+                          q=3, max_distance=3, max_gram_df=100)
+        first_tok = lambda c: F.element_at(F.split(F.col(c), " "), 1)
+        n_tok = lambda c: F.size(F.split(F.col(c), " "))
+        gcols = ["g1", "g2", "g3"]
+        pairs = cand.select(
+            "mention_id", "mention_text", "cat_name",
+            (first_tok("mention_text") == first_tok("cat_name"))
+            .cast("int").alias("g1"),
+            (F.col("distance") <= 1).cast("int").alias("g2"),
+            (n_tok("mention_text") == n_tok("cat_name"))
+            .cast("int").alias("g3"))
+        params = fs_em_step(pairs, gcols)
+        w = fs_score(pairs, params, gcols)
+        return (pairs.select("mention_id", "mention_text", "cat_name",
+                             F.round(w, 6).alias("fs_weight"))
+                .orderBy(F.desc("fs_weight"), F.asc("mention_id"),
+                         F.asc("cat_name"))
+                .limit(50))
+
+    def stat_eb_shrinkage(spark, sf):
+        # empirical-Bayes rate smoothing (beta-binomial, the CTR
+        # denoiser): per-user purchase rates shrunk toward the corpus
+        # prior fit by method of moments on the observed rates —
+        # (k+α)/(n+α+β). One rollup pass + a 2-row broadcast prior;
+        # low-volume users move most, exactly the James–Stein story.
+        ev = _load(spark, sf, "events")
+        per = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .alias("k"))
+        rates = per.withColumn(
+            "p", F.col("k").cast("double") / F.col("n"))
+        mom = rates.agg(F.avg("p").alias("m"),
+                        F.var_pop("p").alias("v"))
+        common = (F.col("m") * (1.0 - F.col("m")) / F.col("v")) - 1.0
+        prior = mom.select(
+            F.col("m"), F.col("v"),
+            F.when(F.col("v") > 0, F.col("m") * common).alias("alpha"),
+            F.when(F.col("v") > 0, (1.0 - F.col("m")) * common)
+            .alias("beta"))
+        shrunk = F.when(
+            F.col("alpha").isNotNull(),
+            (F.col("k") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta"))
+        ).otherwise(F.col("p"))
+        return (rates.crossJoin(F.broadcast(prior))
+                .select("user_id", "n", "k",
+                        F.round("p", 6).alias("raw_rate"),
+                        F.round(shrunk, 6).alias("eb_rate")))
+
     def sketch_hll_distinct(spark, sf):
         # the canonical distinct-count sketch, bit-replayable:
         # HyperLogLog with m=64 registers over the portable 60-bit md5
@@ -4482,6 +4552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_ks_drift": ml_ks_drift,
         "ml_calibration_bins": ml_calibration_bins,
         "sketch_hll_distinct": sketch_hll_distinct,
+        "stat_eb_shrinkage": stat_eb_shrinkage,
+        "er_fs_link": er_fs_link,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
         "text_ppl_buckets": text_ppl_buckets,
@@ -8561,6 +8633,114 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, round(sum(term), 6) AS psi,
                round(sum(term), 6) > 0.2 AS drift
         FROM terms GROUP BY 1
+    """
+
+    sql["er_fs_link"] = """
+        WITH cat AS (SELECT DISTINCT p_brand || ' ' || p_name
+                       AS cat_name FROM part),
+        men AS (
+          SELECT p_partkey AS mention_id,
+                 p_brand || ' ' || p_name AS fullname,
+                 ('0x' || substr(md5('er:' ||
+                    CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM part),
+        men2 AS (
+          SELECT mention_id,
+                 CASE WHEN h % 10 < 4 THEN
+                   substr(fullname, 1,
+                          ((h % (length(fullname)-1)) + 2) - 1) ||
+                   substr(fullname,
+                          ((h % (length(fullname)-1)) + 2) + 1)
+                 ELSE fullname END AS mention_text
+          FROM men),
+        lg AS (SELECT mention_id,
+                      unnest(list_distinct(list_transform(
+                        range(1, greatest(length(mention_text)-2,1)+1),
+                        i -> substr(mention_text, i, 3)))) AS gram
+               FROM men2),
+        rg AS (SELECT cat_name,
+                      unnest(list_distinct(list_transform(
+                        range(1, greatest(length(cat_name)-2,1)+1),
+                        i -> substr(cat_name, i, 3)))) AS gram
+               FROM cat),
+        stops AS (SELECT gram FROM rg GROUP BY 1
+                  HAVING count(*) > 100),
+        lg2 AS (SELECT * FROM lg
+                WHERE gram NOT IN (SELECT gram FROM stops)),
+        rg2 AS (SELECT * FROM rg
+                WHERE gram NOT IN (SELECT gram FROM stops)),
+        bpairs AS (SELECT DISTINCT mention_id, cat_name
+                   FROM lg2 JOIN rg2 USING (gram)),
+        cand AS (
+          SELECT p.mention_id, m.mention_text, p.cat_name,
+                 levenshtein(m.mention_text, p.cat_name) AS distance
+          FROM bpairs p JOIN men2 m USING (mention_id)
+          WHERE levenshtein(m.mention_text, p.cat_name) <= 3),
+        g AS (SELECT mention_id, mention_text, cat_name,
+                (string_split(mention_text, ' ')[1]
+                 = string_split(cat_name, ' ')[1])::INT AS g1,
+                (distance <= 1)::INT AS g2,
+                (len(string_split(mention_text, ' '))
+                 = len(string_split(cat_name, ' ')))::INT AS g3
+              FROM cand),
+        e AS (SELECT *, pm / (pm + pu) AS p FROM (
+          SELECT *,
+            0.1 * (CASE WHEN g1 = 1 THEN 0.9 ELSE 0.1 END)
+                * (CASE WHEN g2 = 1 THEN 0.9 ELSE 0.1 END)
+                * (CASE WHEN g3 = 1 THEN 0.9 ELSE 0.1 END) AS pm,
+            0.9 * (CASE WHEN g1 = 1 THEN 0.1 ELSE 0.9 END)
+                * (CASE WHEN g2 = 1 THEN 0.1 ELSE 0.9 END)
+                * (CASE WHEN g3 = 1 THEN 0.1 ELSE 0.9 END) AS pu
+          FROM g) z),
+        mstep AS (SELECT sum(p) AS sp, count(*) AS n,
+                         sum(p * g1) AS spg1,
+                         sum((1.0 - p) * g1) AS sqg1,
+                         sum(p * g2) AS spg2,
+                         sum((1.0 - p) * g2) AS sqg2,
+                         sum(p * g3) AS spg3,
+                         sum((1.0 - p) * g3) AS sqg3
+                  FROM e),
+        par AS (SELECT spg1 / sp AS m1, sqg1 / (n - sp) AS u1,
+                       spg2 / sp AS m2, sqg2 / (n - sp) AS u2,
+                       spg3 / sp AS m3, sqg3 / (n - sp) AS u3
+                FROM mstep),
+        wts AS (
+          SELECT mention_id, mention_text, cat_name,
+            (CASE WHEN g1 = 1 THEN ln(m1 / u1) / ln(2.0)
+                  ELSE ln((1.0 - m1) / (1.0 - u1)) / ln(2.0) END)
+          + (CASE WHEN g2 = 1 THEN ln(m2 / u2) / ln(2.0)
+                  ELSE ln((1.0 - m2) / (1.0 - u2)) / ln(2.0) END)
+          + (CASE WHEN g3 = 1 THEN ln(m3 / u3) / ln(2.0)
+                  ELSE ln((1.0 - m3) / (1.0 - u3)) / ln(2.0) END)
+              AS fw
+          FROM g, par)
+        SELECT mention_id, mention_text, cat_name,
+               round(fw, 6) AS fs_weight
+        FROM wts
+        ORDER BY round(fw, 6) DESC, mention_id ASC, cat_name ASC
+        LIMIT 50
+    """
+
+    sql["stat_eb_shrinkage"] = """
+        WITH per AS (
+          SELECT user_id, count(*) AS n,
+                 sum((event_type = 'purchase')::INT)::BIGINT AS k
+          FROM events GROUP BY 1),
+        rates AS (SELECT user_id, n, k, k::DOUBLE / n AS p FROM per),
+        mom AS (SELECT avg(p) AS m, var_pop(p) AS v FROM rates),
+        prior AS (SELECT m, v,
+                    CASE WHEN v > 0
+                         THEN m * ((m * (1.0 - m) / v) - 1.0) END
+                      AS alpha,
+                    CASE WHEN v > 0
+                         THEN (1.0 - m) * ((m * (1.0 - m) / v) - 1.0)
+                    END AS beta
+                  FROM mom)
+        SELECT user_id, n, k, round(p, 6) AS raw_rate,
+               round(CASE WHEN alpha IS NOT NULL
+                          THEN (k + alpha) / (n + alpha + beta)
+                          ELSE p END, 6) AS eb_rate
+        FROM rates, prior
     """
 
     sql["sketch_hll_distinct"] = """

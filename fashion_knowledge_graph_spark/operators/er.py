@@ -153,3 +153,57 @@ def snm_pairs(df: DataFrame, id_col: str, key_col: str,
             "distance", F.levenshtein("key_a", "key_b")) \
             .filter(F.col("distance") <= max_distance)
     return pairs
+
+
+def fs_em_step(pairs: DataFrame, gamma_cols: list[str],
+               pi0: float = 0.1, m0: float = 0.9,
+               u0: float = 0.1) -> dict:
+    """One EM iteration of the Fellegi–Sunter record-linkage model
+    (Fellegi & Sunter 1969; Winkler's EM estimation).
+
+    ``pairs`` carries one binary agreement column per comparator.
+    E-step: P(match|γ) per pair from the current (π, m, u) — a pure
+    codegen expression of literals, bit-identical across engines.
+    M-step: the new m_i/u_i/π from ONE partial-agg'd pass (2·|γ|+1
+    sums). Driver state is the parameter dict only — the classic
+    many-EM-iterations loop is O(iters) word-count-shaped jobs.
+
+    Returns {"pi": π', "m": {γ: m'}, "u": {γ: u'}} — feed into
+    ``fs_weights`` for the log2 agreement weights.
+    """
+    pm = F.lit(pi0)
+    pu = F.lit(1.0 - pi0)
+    for g in gamma_cols:
+        pm = pm * F.when(F.col(g) == 1, F.lit(m0)) \
+                   .otherwise(F.lit(1.0 - m0))
+        pu = pu * F.when(F.col(g) == 1, F.lit(u0)) \
+                   .otherwise(F.lit(1.0 - u0))
+    p = (pm / (pm + pu)).alias("__p")
+    scored = pairs.select(*gamma_cols, p)
+    aggs = [F.sum("__p").alias("sp"),
+            F.count(F.lit(1)).alias("n")]
+    for g in gamma_cols:
+        aggs.append(F.sum(F.col("__p") * F.col(g)).alias(f"spg_{g}"))
+        aggs.append(F.sum((1.0 - F.col("__p")) * F.col(g))
+                    .alias(f"sqg_{g}"))
+    r = scored.agg(*aggs).first()
+    sp, n = r["sp"], r["n"]
+    sq = n - sp
+    return {"pi": sp / n,
+            "m": {g: r[f"spg_{g}"] / sp for g in gamma_cols},
+            "u": {g: r[f"sqg_{g}"] / sq for g in gamma_cols}}
+
+
+def fs_score(pairs: DataFrame, params: dict,
+             gamma_cols: list[str]):
+    """Fellegi–Sunter match weight column: Σ_i γ_i·log2(m/u) +
+    (1−γ_i)·log2((1−m)/(1−u)) with the given parameters."""
+    import math
+    w = F.lit(0.0)
+    for g in gamma_cols:
+        m, u = params["m"][g], params["u"][g]
+        w = w + F.when(F.col(g) == 1,
+                       F.lit(math.log(m / u) / math.log(2.0))) \
+                 .otherwise(F.lit(math.log((1.0 - m) / (1.0 - u))
+                                  / math.log(2.0)))
+    return w
