@@ -3873,6 +3873,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def stream_hll_distinct(spark, sf):
+        # 2.I × sketches: the HLL register table as REAL Structured
+        # Streaming state (64 mergeable max-rank rows per type FOREVER
+        # vs unbounded exact-distinct state; max commutes with any
+        # micro-batch split, complete mode ⇒ stream ≡ batch, so the
+        # BATCH HLL oracle value-hash-checks the streaming run
+        # verbatim) — streaming/incremental.py::stream_hll_once
+        from fashion_knowledge_graph_spark.streaming.incremental import (
+            stream_hll_once,
+        )
+        return stream_hll_once(
+            spark, os.path.join(sf, "events.parquet"))
+
     def er_fs_link(spark, sf):
         # probabilistic record linkage (Fellegi–Sunter 1969, Winkler
         # EM): q-gram-blocked candidates compared on 3 binary
@@ -4554,6 +4567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": sketch_hll_distinct,
         "stat_eb_shrinkage": stat_eb_shrinkage,
         "er_fs_link": er_fs_link,
+        "stream_hll_distinct": stream_hll_distinct,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
         "text_ppl_buckets": text_ppl_buckets,
@@ -8781,6 +8795,10 @@ def oracle_sql() -> dict[str, str]:
                  AS hll_est
         FROM agg a JOIN exact e USING (event_type)
     """
+
+    # stream ≡ batch: the streaming register table drains to exactly
+    # the batch aggregation, so the batch HLL oracle applies verbatim
+    sql["stream_hll_distinct"] = sql["sketch_hll_distinct"]
 
     sql["ml_ks_drift"] = """
         WITH cut AS (SELECT min(ts::DATE) + 15 AS cut FROM events),

@@ -528,3 +528,76 @@ def stream_cms_once(spark: SparkSession, docs_path: str,
     est = (probes.join(F.broadcast(drained), ["d", "bucket"])
            .groupBy("term").agg(F.min("bucket_n").alias("n_cms")))
     return exact.join(est, "term").select("term", "n_exact", "n_cms")
+
+
+def stream_hll_once(spark: SparkSession, events_path: str) -> DataFrame:
+    """Drain the events table through a REAL Structured Streaming
+    HyperLogLog: the streaming STATE is the m=64 register table per
+    event type — a ``groupBy(type, register).max(rank)`` stateful
+    aggregation, i.e. 64 rows per type FOREVER while an exact
+    streaming COUNT DISTINCT would hold every user id ever seen
+    (unbounded). ``max`` is the canonical mergeable-sketch fold, so
+    arbitrary micro-batch boundaries commute; complete mode ⇒ the
+    drained registers equal the batch aggregation exactly, and the
+    driver oracle for the BATCH HLL applies verbatim (stream ≡ batch).
+
+    Register math mirrors ``__spark_entry__.sketch_hll_distinct``:
+    portable 60-bit md5, j = h mod 64, integer leading-zero rank via
+    length(bin(w)), fanned-in grid, linear-counting correction.
+    """
+    import os
+    import tempfile
+
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="fkg_stream_src_")
+        os.symlink(events_path, os.path.join(
+            d, os.path.basename(events_path)))
+        events_path = d
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+
+    def registers_of(df):
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit("hll"), F.col("user_id").cast("string"))),
+            1, 15), 16, 10).cast("bigint")
+        hashed = df.select("event_type", h.alias("h")).select(
+            "event_type", (F.col("h") % 64).cast("int").alias("j"),
+            F.expr("h div 64").alias("w"))
+        rank = F.when(F.col("w") == 0, F.lit(55)).otherwise(
+            54 - F.length(F.bin("w")) + 1).cast("int")
+        return (hashed.select("event_type", "j", rank.alias("r"))
+                .groupBy("event_type", "j")
+                .agg(F.max("r").alias("m_j")))
+
+    src = spark.readStream.schema(schema).parquet(events_path)
+    _ONCE_SEQ[0] += 1
+    name = f"fkg_stream_hll_{_ONCE_SEQ[0]}"
+    q = (registers_of(src).writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="fkg_stream_cp_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # pin the drained state: the memory-sink view self-joins below
+    # (grid ← regs ← same view) and Spark's analyzer rejects the
+    # conflicting view references; the register table is 64·|types|
+    # rows, so the checkpoint is free
+    regs = spark.table(name).localCheckpoint(eager=True)
+
+    grid = (regs.select("event_type").distinct()
+            .crossJoin(spark.range(64)
+                       .select(F.col("id").cast("int").alias("j"))))
+    full = grid.join(regs, ["event_type", "j"], "left") \
+        .fillna(0, subset=["m_j"])
+    agg = full.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("v"))
+    raw = F.lit(0.709 * 64.0 * 64.0) / F.col("z")
+    est = F.when((raw <= 2.5 * 64) & (F.col("v") > 0),
+                 F.lit(64.0) * F.log(F.lit(64.0)
+                                     / F.col("v"))).otherwise(raw)
+    exact = spark.read.parquet(events_path).groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return (agg.join(exact, "event_type")
+            .select("event_type", "n_exact", "v",
+                    F.round(est, 4).alias("hll_est")))
