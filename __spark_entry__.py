@@ -3873,6 +3873,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def s_python_datasource(spark, sf):
+        # Spark 4 Python Data Source API (sources/pysource.py): a
+        # registered custom connector with REAL driver-side split
+        # planning (8 input partitions over the key range) and
+        # executor-side generation; the row contract is a pure md5
+        # function of the row id, so the oracle replays the ENTIRE
+        # source with generate_series + identical hash arithmetic —
+        # schema, options, partition planning and per-split reads are
+        # what this checks.
+        from fashion_knowledge_graph_spark.sources.pysource import (
+            register,
+        )
+        register(spark)
+        df = (spark.read.format("fkg_synth")
+              .option("n", 2000).option("partitions", 8).load())
+        return (df.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.round(F.sum("score"), 6).alias("score_sum"))
+                .orderBy("lang"))
+
+    def f_props_kv_udtf(spark, sf):
+        # Spark 4 Python UDTF: a user-defined TABLE function exploding
+        # the props JSON into (key, value) rows — the lateral-join
+        # generator surface (one UDTF eval per row, rows fan out).
+        # The oracle replays the parse with regexp extraction.
+        from pyspark.sql.functions import lit, udtf
+
+        @udtf(returnType="k string, v int")
+        class KVPairs:
+            def eval(self, props: str):
+                import json
+                if props:
+                    for k, v in sorted(json.loads(props).items()):
+                        yield k, int(v)
+
+        ev = _load(spark, sf, "events")
+        ev.createOrReplaceTempView("__ev_udtf")
+        spark.udtf.register("kv_pairs", KVPairs)
+        out = spark.sql("""
+            SELECT e.event_type, t.k, t.v
+            FROM __ev_udtf e, LATERAL kv_pairs(e.props) t
+        """)
+        return (out.groupBy("event_type", "k")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("v").alias("v_sum")))
+
     def stream_hll_distinct(spark, sf):
         # 2.I × sketches: the HLL register table as REAL Structured
         # Streaming state (64 mergeable max-rank rows per type FOREVER
@@ -4568,6 +4614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_eb_shrinkage": stat_eb_shrinkage,
         "er_fs_link": er_fs_link,
         "stream_hll_distinct": stream_hll_distinct,
+        "s_python_datasource": s_python_datasource,
+        "f_props_kv_udtf": f_props_kv_udtf,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
         "text_ppl_buckets": text_ppl_buckets,
@@ -8647,6 +8695,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, round(sum(term), 6) AS psi,
                round(sum(term), 6) > 0.2 AS drift
         FROM terms GROUP BY 1
+    """
+
+    sql["s_python_datasource"] = """
+        WITH langs AS (SELECT ['en','de','fr','es','zh'] AS ls),
+        rows_g AS (
+          SELECT i AS doc_id,
+                 ls[(('0x' || substr(md5('synth:lang:' || i::VARCHAR),
+                                     1, 15))::BIGINT % 5)::INT + 1]
+                   AS lang,
+                 (('0x' || substr(md5('synth:score:' || i::VARCHAR),
+                                  1, 15))::BIGINT % 1000000)::DOUBLE
+                   / 1000000.0 AS score
+          FROM unnest(generate_series(0, 1999)) t(i), langs)
+        SELECT lang, count(*) AS n_docs,
+               round(sum(score), 6) AS score_sum
+        FROM rows_g GROUP BY 1
+    """
+
+    sql["f_props_kv_udtf"] = """
+        SELECT event_type, 'k' AS k, count(*) AS n,
+               sum(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                        AS INT))::BIGINT AS v_sum
+        FROM events WHERE props IS NOT NULL
+        GROUP BY event_type
     """
 
     sql["er_fs_link"] = """
