@@ -130,3 +130,43 @@ def test_snm_pairs_window_and_determinism(spark):
     gd = {(r.id_a, r.id_b) for r in
           snm_pairs(dup, "id", "name", window=2).collect()}
     assert gd == {(7, 8), (8, 9)}
+
+
+def test_fs_em_step_matches_python_replay(spark):
+    """One EM iteration over a hand-built comparison-vector table,
+    replayed in pure python."""
+    from fashion_knowledge_graph_spark.operators.er import (
+        fs_em_step, fs_score,
+    )
+    rows = [(1, 1, 1), (1, 1, 0), (1, 0, 1), (0, 0, 0),
+            (0, 1, 0), (0, 0, 1), (1, 1, 1), (0, 0, 0)]
+    df = spark.createDataFrame(rows, "g1 int, g2 int, g3 int")
+    got = fs_em_step(df, ["g1", "g2", "g3"])
+
+    pi0, m0, u0 = 0.1, 0.9, 0.1
+    ps = []
+    for g in rows:
+        pm, pu = pi0, 1 - pi0
+        for gi in g:
+            pm *= m0 if gi == 1 else 1 - m0
+            pu *= u0 if gi == 1 else 1 - u0
+        ps.append(pm / (pm + pu))
+    sp = sum(ps)
+    n = len(rows)
+    want = {
+        "pi": sp / n,
+        "m": {f"g{i+1}": sum(p * g[i] for p, g in zip(ps, rows)) / sp
+              for i in range(3)},
+        "u": {f"g{i+1}": sum((1 - p) * g[i]
+                             for p, g in zip(ps, rows)) / (n - sp)
+              for i in range(3)},
+    }
+    assert abs(got["pi"] - want["pi"]) < 1e-12
+    for i in ("g1", "g2", "g3"):
+        assert abs(got["m"][i] - want["m"][i]) < 1e-12
+        assert abs(got["u"][i] - want["u"][i]) < 1e-12
+    # learned weights separate all-agree pairs from all-disagree pairs
+    w = fs_score(df, got, ["g1", "g2", "g3"])
+    scored = {tuple(r[:3]): r[3] for r in
+              df.select("g1", "g2", "g3", w.alias("w")).collect()}
+    assert scored[(1, 1, 1)] > scored[(0, 0, 0)]
