@@ -499,7 +499,11 @@ def main():
                           executors=executors)
     else:
         res = run_headline(sf_dir, cpus)
-    print(json.dumps(res))
+    # the driver tails stdout for this single JSON line — flush hard
+    # so it can never lose a race against buffered progress output
+    # (BENCH_r02 was lost exactly this way)
+    print(json.dumps(res), flush=True)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
