@@ -3873,6 +3873,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def geo_knn_grid(spark, sf):
+        # geospatial K-nearest-neighbors, grid-blocked: md5-derived
+        # (lat, lon) per customer, probes = the supplier fleet; each
+        # probe fans out to its 3×3 block of 5° grid cells (map-side
+        # explode) and joins points on the integer cell key — never an
+        # all-pairs cross join, the geo twin of the LSH band join.
+        # Exact haversine verify, top-5 per probe on the ROUNDED
+        # distance with id tiebreaks so selection is engine-portable.
+        cust = _load(spark, sf, "customer")
+
+        def h60(prefix, key):
+            return F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit(prefix), key.cast("string"))), 1, 15),
+                16, 10).cast("bigint")
+
+        def geo(df, key):
+            lat = (h60("lat", key) % 120000000).cast("double") \
+                / 1000000.0 - 60.0
+            lon = (h60("lon", key) % 360000000).cast("double") \
+                / 1000000.0 - 180.0
+            return df.select(key.alias("id"), lat.alias("lat"),
+                             lon.alias("lon"),
+                             F.floor(lon / 5).cast("int").alias("cx"),
+                             F.floor(lat / 5).cast("int").alias("cy"))
+        pts = geo(cust, F.col("c_custkey"))
+        sup = _load(spark, sf, "supplier").filter(F.col("s_suppkey") <= 10)
+        probes = geo(sup, F.col("s_suppkey")).select(
+            F.col("id").alias("probe_id"), F.col("lat").alias("plat"),
+            F.col("lon").alias("plon"), "cx", "cy")
+        off = F.expr("explode(transform(sequence(-1, 1), x -> x))")
+        fan = (probes.select("probe_id", "plat", "plon", "cx", "cy",
+                             off.alias("dx"))
+               .select("probe_id", "plat", "plon",
+                       (F.col("cx") + F.col("dx")).alias("cx"), "cy",
+                       off.alias("dy"))
+               .select("probe_id", "plat", "plon", "cx",
+                       (F.col("cy") + F.col("dy")).alias("cy")))
+        cand = fan.join(pts, ["cx", "cy"])
+        dphi = F.radians(F.col("lat") - F.col("plat")) / 2
+        dlmb = F.radians(F.col("lon") - F.col("plon")) / 2
+        a = (F.sin(dphi) * F.sin(dphi)
+             + F.cos(F.radians("plat")) * F.cos(F.radians("lat"))
+             * F.sin(dlmb) * F.sin(dlmb))
+        d = F.round(2.0 * 6371.0 * F.asin(F.sqrt(a)), 6)
+        scored = cand.select("probe_id", F.col("id").alias("cust_id"),
+                             d.alias("dist_km"))
+        wk = Window.partitionBy("probe_id").orderBy(
+            F.asc("dist_km"), F.asc("cust_id"))
+        return (scored.withColumn("rnk", F.row_number().over(wk))
+                .filter(F.col("rnk") <= 5)
+                .select("probe_id", "cust_id", "dist_km", "rnk"))
+
     def s_python_datasource(spark, sf):
         # Spark 4 Python Data Source API (sources/pysource.py): a
         # registered custom connector with REAL driver-side split
@@ -4615,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_link": er_fs_link,
         "stream_hll_distinct": stream_hll_distinct,
         "s_python_datasource": s_python_datasource,
+        "geo_knn_grid": geo_knn_grid,
         "f_props_kv_udtf": f_props_kv_udtf,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
@@ -8695,6 +8748,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, round(sum(term), 6) AS psi,
                round(sum(term), 6) > 0.2 AS drift
         FROM terms GROUP BY 1
+    """
+
+    sql["geo_knn_grid"] = """
+        WITH pts AS (
+          SELECT c_custkey AS id,
+                 (('0x' || substr(md5('lat:' || c_custkey::VARCHAR),
+                                  1, 15))::BIGINT % 120000000)::DOUBLE
+                   / 1000000.0 - 60.0 AS lat,
+                 (('0x' || substr(md5('lon:' || c_custkey::VARCHAR),
+                                  1, 15))::BIGINT % 360000000)::DOUBLE
+                   / 1000000.0 - 180.0 AS lon
+          FROM customer),
+        pts2 AS (SELECT id, lat, lon,
+                        floor(lon / 5)::INT AS cx,
+                        floor(lat / 5)::INT AS cy
+                 FROM pts),
+        pr AS (
+          SELECT s_suppkey AS probe_id,
+                 (('0x' || substr(md5('lat:' || s_suppkey::VARCHAR),
+                                  1, 15))::BIGINT % 120000000)::DOUBLE
+                   / 1000000.0 - 60.0 AS plat,
+                 (('0x' || substr(md5('lon:' || s_suppkey::VARCHAR),
+                                  1, 15))::BIGINT % 360000000)::DOUBLE
+                   / 1000000.0 - 180.0 AS plon
+          FROM supplier WHERE s_suppkey <= 10),
+        fan AS (SELECT probe_id, plat, plon,
+                       floor(plon / 5)::INT + dx::INT AS cx,
+                       floor(plat / 5)::INT + dy::INT AS cy
+                FROM pr,
+                     unnest(generate_series(-1, 1)) t1(dx),
+                     unnest(generate_series(-1, 1)) t2(dy)),
+        cand AS (SELECT f.probe_id, f.plat, f.plon,
+                        p.id AS cust_id, p.lat, p.lon
+                 FROM fan f JOIN pts2 p USING (cx, cy)),
+        scored AS (
+          SELECT probe_id, cust_id,
+                 round(2.0 * 6371.0 * asin(sqrt(
+                   sin(radians(lat - plat) / 2)
+                     * sin(radians(lat - plat) / 2)
+                   + cos(radians(plat)) * cos(radians(lat))
+                     * sin(radians(lon - plon) / 2)
+                     * sin(radians(lon - plon) / 2))), 6) AS dist_km
+          FROM cand)
+        SELECT probe_id, cust_id, dist_km, rnk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY probe_id
+            ORDER BY dist_km ASC, cust_id ASC) AS rnk
+          FROM scored) z
+        WHERE rnk <= 5
     """
 
     sql["s_python_datasource"] = """
