@@ -3971,6 +3971,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.sum("v").alias("v_sum")))
 
+    def stream_static_enrich(spark, sf):
+        # 2.I stream-static join: the streaming fact broadcast-joins a
+        # batch dimension (slowly-refreshing-dim pattern; a static
+        # side is never late, so no watermark), then a stateful
+        # per-segment rollup; complete mode ⇒ stream ≡ batch and the
+        # plain SQL join+rollup oracle applies
+        # (streaming/incremental.py::stream_static_enrich_once)
+        from fashion_knowledge_graph_spark.streaming.incremental import (
+            stream_static_enrich_once,
+        )
+        return stream_static_enrich_once(
+            spark, os.path.join(sf, "events.parquet"),
+            os.path.join(sf, "customer.parquet"))
+
     def stream_hll_distinct(spark, sf):
         # 2.I × sketches: the HLL register table as REAL Structured
         # Streaming state (64 mergeable max-rank rows per type FOREVER
@@ -4666,6 +4680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_eb_shrinkage": stat_eb_shrinkage,
         "er_fs_link": er_fs_link,
         "stream_hll_distinct": stream_hll_distinct,
+        "stream_static_enrich": stream_static_enrich,
         "s_python_datasource": s_python_datasource,
         "geo_knn_grid": geo_knn_grid,
         "f_props_kv_udtf": f_props_kv_udtf,
@@ -8748,6 +8763,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, round(sum(term), 6) AS psi,
                round(sum(term), 6) > 0.2 AS drift
         FROM terms GROUP BY 1
+    """
+
+    sql["stream_static_enrich"] = """
+        SELECT c.c_mktsegment, count(*) AS n_events,
+               round(sum(e.value::DECIMAL(18,6)), 4)::DOUBLE
+                 AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
     """
 
     sql["geo_knn_grid"] = """

@@ -601,3 +601,40 @@ def stream_hll_once(spark: SparkSession, events_path: str) -> DataFrame:
     return (agg.join(exact, "event_type")
             .select("event_type", "n_exact", "v",
                     F.round(est, 4).alias("hll_est")))
+
+
+def stream_static_enrich_once(spark: SparkSession, events_path: str,
+                              customer_path: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment: the streaming fact joins a
+    batch dimension table (re-read per micro-batch, broadcast-sized —
+    the canonical slowly-refreshing-dim pattern), then a stateful
+    per-segment rollup. No watermark needed: a static side can never
+    be late. Complete mode ⇒ stream ≡ batch, so the driver's plain
+    SQL join+rollup oracle value-hash-checks the streaming run."""
+    import os
+    import tempfile
+
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="fkg_stream_src_")
+        os.symlink(events_path, os.path.join(
+            d, os.path.basename(events_path)))
+        events_path = d
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    src = spark.readStream.schema(schema).parquet(events_path)
+    dim = spark.read.parquet(customer_path).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    joined = src.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double").alias("total_value"))
+    _ONCE_SEQ[0] += 1
+    name = f"fkg_stream_enrich_{_ONCE_SEQ[0]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="fkg_stream_cp_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
