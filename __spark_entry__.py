@@ -3873,6 +3873,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def market_basket_triples(spark, sf):
+        # Apriori level-wise frequent-triple mining (Agrawal &
+        # Srikant): L1 (frequent items) prunes the basket table, L2
+        # (frequent pairs) prunes the triple space via THREE left-semi
+        # joins BEFORE the triple aggregation — the candidate
+        # explosion never materializes, which is the entire algorithm
+        # at 10^12 baskets. Deterministic top-20 by support.
+        li = _load(spark, sf, "lineitem")
+        minsup = 2
+        b = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("p")).distinct()
+        l1 = b.groupBy("p").agg(F.count(F.lit(1)).alias("n"))             .filter(F.col("n") >= minsup).select("p")
+        b1 = b.join(l1, "p", "left_semi")
+        pa = b1.select("ok", F.col("p").alias("x"))
+        pb = b1.select("ok", F.col("p").alias("y"))
+        l2 = (pa.join(pb, "ok").filter(F.col("x") < F.col("y"))
+              .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") >= minsup).select("x", "y")
+              .localCheckpoint(eager=True))
+        pc = b1.select("ok", F.col("p").alias("z"))
+        tri = (pa.join(pb, "ok").filter(F.col("x") < F.col("y"))
+               .join(pc, "ok").filter(F.col("y") < F.col("z")))
+        pruned = (tri.join(l2, ["x", "y"], "left_semi")
+                  .join(l2.select(F.col("x").alias("y"),
+                                  F.col("y").alias("z")),
+                        ["y", "z"], "left_semi")
+                  .join(l2.select(F.col("x"),
+                                  F.col("y").alias("z")),
+                        ["x", "z"], "left_semi"))
+        return (pruned.groupBy("x", "y", "z")
+                .agg(F.count(F.lit(1)).alias("support"))
+                .filter(F.col("support") >= minsup)
+                .orderBy(F.desc("support"), F.asc("x"), F.asc("y"),
+                         F.asc("z"))
+                .limit(20))
+
     def geo_knn_grid(spark, sf):
         # geospatial K-nearest-neighbors, grid-blocked: md5-derived
         # (lat, lon) per customer, probes = the supplier fleet; each
@@ -4683,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": stream_static_enrich,
         "s_python_datasource": s_python_datasource,
         "geo_knn_grid": geo_knn_grid,
+        "market_basket_triples": market_basket_triples,
         "f_props_kv_udtf": f_props_kv_udtf,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
@@ -8771,6 +8808,31 @@ def oracle_sql() -> dict[str, str]:
                  AS total_value
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1
+    """
+
+    sql["market_basket_triples"] = """
+        WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                   FROM lineitem),
+        l1 AS (SELECT p FROM b GROUP BY p HAVING count(*) >= 2),
+        b1 AS (SELECT ok, p FROM b WHERE p IN (SELECT p FROM l1)),
+        l2 AS (SELECT a.p AS x, c.p AS y
+               FROM b1 a JOIN b1 c ON a.ok = c.ok AND a.p < c.p
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        tri AS (SELECT a.p AS x, c.p AS y, d.p AS z, a.ok
+                FROM b1 a
+                JOIN b1 c ON a.ok = c.ok AND a.p < c.p
+                JOIN b1 d ON a.ok = d.ok AND c.p < d.p),
+        pruned AS (
+          SELECT t.* FROM tri t
+          WHERE EXISTS (SELECT 1 FROM l2
+                        WHERE l2.x = t.x AND l2.y = t.y)
+            AND EXISTS (SELECT 1 FROM l2
+                        WHERE l2.x = t.y AND l2.y = t.z)
+            AND EXISTS (SELECT 1 FROM l2
+                        WHERE l2.x = t.x AND l2.y = t.z))
+        SELECT x, y, z, count(*) AS support
+        FROM pruned GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        ORDER BY support DESC, x, y, z LIMIT 20
     """
 
     sql["geo_knn_grid"] = """
