@@ -3873,6 +3873,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def q_skyline_2d(spark, sf):
+        # Pareto frontier (skyline) over (price low, size high): the
+        # 2-D case collapses to ONE sort + running-max window — order
+        # by (price asc, size desc) and keep points whose size beats
+        # every preceding point's — vs the textbook NOT-EXISTS O(n²)
+        # self-join, which is exactly what the oracle runs, so the
+        # check is cross-ALGORITHM, not just cross-engine. Scale
+        # shape: the sweep runs FIRST inside hash buckets (a local
+        # skyline over ANY partitioning is a superset of the global
+        # one), so the only global sort sees the tiny survivor set —
+        # a global-window-only form would serialize 10^12 points into
+        # one task.
+        part = _load(spark, sf, "part")
+        pts = (part.groupBy(
+            F.round(F.col("p_retailprice"), 2).alias("price"),
+            F.col("p_size").alias("size"))
+            .agg(F.count(F.lit(1)).alias("n_parts")))
+
+        def sweep(df, *partition):
+            w = Window.partitionBy(*partition) \
+                .orderBy(F.asc("price"), F.desc("size")) \
+                .rowsBetween(Window.unboundedPreceding, -1)
+            return (df.withColumn("__b", F.max("size").over(w))
+                    .filter(F.col("__b").isNull()
+                            | (F.col("size") > F.col("__b")))
+                    .drop("__b"))
+
+        local = sweep(pts.withColumn(
+            "__bkt", F.pmod(F.hash("price", "size"), F.lit(32))),
+            "__bkt").drop("__bkt")
+        return sweep(local).select("price", "size", "n_parts")
+
     def market_basket_triples(spark, sf):
         # Apriori level-wise frequent-triple mining (Agrawal &
         # Srikant): L1 (frequent items) prunes the basket table, L2
@@ -4720,6 +4752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_python_datasource": s_python_datasource,
         "geo_knn_grid": geo_knn_grid,
         "market_basket_triples": market_basket_triples,
+        "q_skyline_2d": q_skyline_2d,
         "f_props_kv_udtf": f_props_kv_udtf,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
@@ -8808,6 +8841,17 @@ def oracle_sql() -> dict[str, str]:
                  AS total_value
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1
+    """
+
+    sql["q_skyline_2d"] = """
+        WITH pts AS (SELECT round(p_retailprice, 2) AS price,
+                            p_size AS size, count(*) AS n_parts
+                     FROM part GROUP BY 1, 2)
+        SELECT price, size, n_parts FROM pts a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts b
+          WHERE b.price <= a.price AND b.size >= a.size
+            AND (b.price < a.price OR b.size > a.size))
     """
 
     sql["market_basket_triples"] = """
