@@ -3873,6 +3873,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return char_pair_counts(_load(spark, sf, "documents"), k=20)
 
+    def rank_eval_mrr(spark, sf):
+        # retrieval eval #2: MRR and precision@5 from the SAME
+        # gate-proven cosine retriever (integer ranks cross the
+        # boundary, never float scores); rr = 1/first-relevant-rank,
+        # 0 when nothing relevant lands in the top 10
+        from fashion_knowledge_graph_spark.operators import (
+            similarity as sim,
+        )
+        emb = _load(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 20)
+        top = sim.cosine_topk(qs, emb, k=10)             .select("query_id", "corpus_id", "rank")
+        lab = emb.select("vec_id", "label")
+        rel = (top
+               .join(F.broadcast(lab.withColumnRenamed("vec_id",
+                                                       "query_id")
+                                 .withColumnRenamed("label",
+                                                    "q_label")),
+                     "query_id")
+               .join(lab.withColumnRenamed("vec_id", "corpus_id")
+                     .withColumnRenamed("label", "c_label"),
+                     "corpus_id")
+               .withColumn("rel",
+                           (F.col("q_label") == F.col("c_label"))
+                           .cast("long")))
+        g = rel.groupBy("query_id").agg(
+            F.min(F.when(F.col("rel") == 1, F.col("rank")))
+            .alias("first_hit"),
+            (F.sum(F.when(F.col("rank") <= 5, F.col("rel"))
+                   .otherwise(F.lit(0))) / 5.0).alias("p_at_5"),
+            F.sum("rel").alias("hits_at_10"))
+        rr = F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0))
+        return g.select("query_id", F.round(rr, 6).alias("rr"),
+                        "p_at_5", "hits_at_10")
+
     def q_skyline_2d(spark, sf):
         # Pareto frontier (skyline) over (price low, size high): the
         # 2-D case collapses to ONE sort + running-max window — order
@@ -4753,6 +4787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn_grid": geo_knn_grid,
         "market_basket_triples": market_basket_triples,
         "q_skyline_2d": q_skyline_2d,
+        "rank_eval_mrr": rank_eval_mrr,
         "f_props_kv_udtf": f_props_kv_udtf,
         "select_dsir_weights": select_dsir_weights,
         "rlhf_preference_pairs": rlhf_preference_pairs,
@@ -8841,6 +8876,30 @@ def oracle_sql() -> dict[str, str]:
                  AS total_value
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1
+    """
+
+    sql["rank_eval_mrr"] = """
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, q.label AS q_label,
+                 c.vec_id AS corpus_id, c.label AS c_label,
+                 list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]) AS s
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 20),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY s DESC, corpus_id ASC) AS rank
+          FROM scored)
+        SELECT query_id,
+               round(coalesce(
+                 1.0 / min(CASE WHEN q_label = c_label
+                                THEN rank END), 0.0), 6) AS rr,
+               sum(CASE WHEN rank <= 5 AND q_label = c_label
+                        THEN 1 ELSE 0 END) / 5.0 AS p_at_5,
+               sum(CASE WHEN q_label = c_label THEN 1 ELSE 0 END)
+                 ::BIGINT AS hits_at_10
+        FROM ranked WHERE rank <= 10 GROUP BY 1
     """
 
     sql["q_skyline_2d"] = """
