@@ -652,3 +652,44 @@ def test_dsir_dim_joins_broadcast(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_apriori_triples_prune_with_semi_joins(spark):
+    """The L2 prune must compile to left-semi joins BEFORE the triple
+    aggregation — re-expanding candidates through inner joins (or
+    skipping the prune) is the combinatorial explosion Apriori
+    exists to avoid."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["market_basket_triples"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("LeftSemi") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_geo_knn_is_cell_equi_join(spark):
+    """Grid-blocked KNN must join on the integer cell key — any
+    nested-loop fallback is the all-pairs distance scan the grid
+    exists to avoid."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["geo_knn_grid"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_skyline_buckets_before_global_sweep(spark):
+    """The skyline must run its first sweep inside hash buckets (a
+    partitioned window) so the only global sort sees local-skyline
+    survivors — a single global window serializes all points into
+    one task."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_skyline_2d"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Window") >= 2, plan
+    assert "hashpartitioning(__bkt" in plan, plan
