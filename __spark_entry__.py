@@ -107,6 +107,17 @@ def _bpe_unrolled_sql(n_merges: int) -> str:
             + "\n        " + union)
 
 
+def _bpe_segmented_sql(n_merges: int, k: int) -> str:
+    """Same unrolled learner, but the final select returns the top-k
+    SUBWORD tokens of the fully-merged vocabulary (frequency-weighted)
+    — i.e. the learned tokenizer APPLIED to the corpus."""
+    base = _bpe_unrolled_sql(n_merges)
+    head = base.rsplit("SELECT step, a, b, pair_count FROM best1", 1)[0]
+    return (head + f"""SELECT tok, sum(freq)::BIGINT AS n
+        FROM (SELECT unnest(syms) AS tok, freq FROM vocab{n_merges}) z
+        GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT {k}""")
+
+
 # corpus-mix rates / split weights for `domain_mix_split` — shared by
 # the Spark query and its DuckDB oracle so both embed the SAME
 # precomputed integer thresholds (see operators/sampling.py)
@@ -4481,6 +4492,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
             "step int, a string, b string, pair_count long")
 
+    def tok_bpe_segment_corpus(spark, sf):
+        # the learned tokenizer APPLIED: segment the corpus vocabulary
+        # with the 3 learned merges (codegen'd array folds) and report
+        # the top-10 frequency-weighted subword tokens — train AND
+        # apply, both driver-oracled (the oracle re-learns the merges
+        # through the same unrolled recursive replay and segments
+        # identically).
+        from fashion_knowledge_graph_spark.operators.tokenizer import (
+            apply_merges, learn_bpe, word_freqs,
+        )
+        docs = _load(spark, sf, "documents")
+        merges = learn_bpe(docs, 3)
+        vocab = word_freqs(docs).select(
+            F.expr("transform(sequence(1, length(w)), "
+                   "i -> substring(w, i, 1))").alias("syms"),
+            "freq")
+        seg = apply_merges(vocab, merges)
+        return (seg.select(F.explode("syms").alias("tok"), "freq")
+                .groupBy("tok")
+                .agg(F.sum("freq").cast("long").alias("n"))
+                .orderBy(F.desc("n"), F.asc("tok")).limit(10))
+
     def select_dsir_weights(spark, sf):
         # DSIR-shaped data selection (Xie et al. 2023): hashed-unigram
         # importance weights log p_target(doc)/p_raw(doc), target =
@@ -4768,6 +4801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_table_profile": dq_table_profile,
         "tok_bpe_pair_counts": tok_bpe_pair_counts,
         "tok_bpe_learn_merges": tok_bpe_learn_merges,
+        "tok_bpe_segment_corpus": tok_bpe_segment_corpus,
         "mm_phash_near_dup": mm_phash_near_dup,
         "ml_logreg_irls": ml_logreg_irls,
         "events_rolling_distinct_users": events_rolling_distinct_users,
@@ -8770,6 +8804,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["tok_bpe_learn_merges"] = _bpe_unrolled_sql(3)
+    sql["tok_bpe_segment_corpus"] = _bpe_segmented_sql(3, 10)
 
     # IRLS logistic regression, 2 Newton steps unrolled. det3/solve
     # textual expansion keeps the association order IDENTICAL to
