@@ -4150,6 +4150,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.asc("cat_name"))
                 .limit(50))
 
+    def stat_anova_f(spark, sf):
+        # one-way ANOVA across event types: F = (SSB/(k−1))/(SSW/(n−k))
+        # from ONE partial-agg'd pass of per-group (n, Σx, Σx²) — the
+        # textbook decomposition SSW = Σx² − Σ(Σx)²/n_g, SSB from the
+        # same moments; nothing but k moment rows crosses the exchange
+        ev = _load(spark, sf, "events")
+        g = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("value").alias("s_g"),
+            F.sum(F.col("value") * F.col("value")).alias("ss_g"))
+        tot = g.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("n_g").alias("n"),
+            F.sum("s_g").alias("s"),
+            F.sum("ss_g").alias("ss"),
+            F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g"))
+            .alias("sq"))
+        ssb = F.col("sq") - F.col("s") * F.col("s") / F.col("n")
+        ssw = F.col("ss") - F.col("sq")
+        fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n")
+                                                   - F.col("k")))
+        return tot.select(
+            "k", "n", F.round(ssb, 4).alias("ss_between"),
+            F.round(ssw, 4).alias("ss_within"),
+            F.round(fstat, 6).alias("f_stat"))
+
+    def stat_mannwhitney_u(spark, sf):
+        # Mann–Whitney U (purchase vs view values): midrank per tied
+        # value = rows-before + (ties+1)/2, computed on the DISTINCT-
+        # VALUE table — one partial-agg'd rollup shuffles the corpus,
+        # the only global sort sees |distinct values| rows (the oracle
+        # ranks every row with (min+max)/2 windows instead — same
+        # midranks exactly, a cross-formulation check). U and the
+        # normal-approximation z.
+        ev = _load(spark, sf, "events").filter(
+            F.col("event_type").isin("purchase", "view"))
+        vc = ev.groupBy("value").agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .alias("n_p"))
+        wv = Window.orderBy("value") \
+            .rowsBetween(Window.unboundedPreceding, -1)
+        mid = (F.coalesce(F.sum("n_all").over(wv), F.lit(0))
+               .cast("double")
+               + (F.col("n_all") + 1).cast("double") / 2)
+        tg = vc.select("n_all", "n_p", mid.alias("midrank")) \
+            .groupBy().agg(
+                F.sum(F.col("n_p") * F.col("midrank")).alias("r1"),
+                F.sum("n_p").alias("n1"),
+                F.sum(F.col("n_all") - F.col("n_p")).alias("n2"))
+        u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+        mu = F.col("n1") * F.col("n2") / 2
+        sigma = F.sqrt(F.col("n1") * F.col("n2")
+                       * (F.col("n1") + F.col("n2") + 1) / 12.0)
+        return tg.select(
+            "n1", "n2", F.round(u1, 4).alias("u1"),
+            F.round((u1 - mu) / sigma, 6).alias("z"))
+
     def stat_eb_shrinkage(spark, sf):
         # empirical-Bayes rate smoothing (beta-binomial, the CTR
         # denoiser): per-user purchase rates shrunk toward the corpus
@@ -4814,6 +4872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_calibration_bins": ml_calibration_bins,
         "sketch_hll_distinct": sketch_hll_distinct,
         "stat_eb_shrinkage": stat_eb_shrinkage,
+        "stat_anova_f": stat_anova_f,
+        "stat_mannwhitney_u": stat_mannwhitney_u,
         "er_fs_link": er_fs_link,
         "stream_hll_distinct": stream_hll_distinct,
         "stream_static_enrich": stream_static_enrich,
@@ -9130,6 +9190,48 @@ def oracle_sql() -> dict[str, str]:
         FROM wts
         ORDER BY round(fw, 6) DESC, mention_id ASC, cat_name ASC
         LIMIT 50
+    """
+
+    sql["stat_anova_f"] = """
+        WITH g AS (SELECT event_type, count(*) AS n_g,
+                          sum(value) AS s_g,
+                          sum(value * value) AS ss_g
+                   FROM events GROUP BY 1),
+        tot AS (SELECT count(*) AS k,
+                       sum(n_g)::BIGINT AS n, sum(s_g) AS s,
+                       sum(ss_g) AS ss,
+                       sum(s_g * s_g / n_g) AS sq
+                FROM g)
+        SELECT k, n,
+               round(sq - s * s / n, 4) AS ss_between,
+               round(ss - sq, 4) AS ss_within,
+               round(((sq - s * s / n) / (k - 1))
+                     / ((ss - sq) / (n - k)), 6) AS f_stat
+        FROM tot
+    """
+
+    sql["stat_mannwhitney_u"] = """
+        WITH f AS (SELECT event_type, value FROM events
+                   WHERE event_type IN ('purchase', 'view')),
+        rn AS (SELECT event_type, value,
+                      row_number() OVER (ORDER BY value) AS r
+               FROM f),
+        mr AS (SELECT event_type, value,
+                      (min(r) OVER (PARTITION BY value)
+                       + max(r) OVER (PARTITION BY value))::DOUBLE / 2
+                        AS midrank
+               FROM rn),
+        tg AS (SELECT
+                 sum(CASE WHEN event_type = 'purchase'
+                          THEN midrank END) AS r1,
+                 sum((event_type = 'purchase')::INT)::BIGINT AS n1,
+                 sum((event_type = 'view')::INT)::BIGINT AS n2
+               FROM mr)
+        SELECT n1, n2,
+               round(r1 - n1 * (n1 + 1) / 2, 4) AS u1,
+               round((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+                     / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 6) AS z
+        FROM tg
     """
 
     sql["stat_eb_shrinkage"] = """
