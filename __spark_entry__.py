@@ -672,6 +672,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert len(t.snapshots()) == 1
         return t.read(spark)
 
+    def s_gdpr_erasure(spark, sf):
+        # right-to-be-forgotten, end-to-end: erase ONE user from the
+        # fact table (copy-on-write DELETE) AND from its derived
+        # rollup (recomputed + overwrite-committed), then expire the
+        # pre-delete snapshots so the bytes are PHYSICALLY reclaimed —
+        # erasure isn't done while time travel can still resurrect the
+        # user (asserted in-query: visible before, gone after, files
+        # reclaimed). The oracle is the surviving rollup.
+        from fashion_knowledge_graph_spark.sources.tables import (
+            SnapshotTable,
+        )
+        ev = _load(spark, sf, "events").select(
+            "event_id", "user_id", "event_type",
+            F.round("value", 6).alias("value"))
+        facts = SnapshotTable(tempfile.mkdtemp(prefix="fkg_gdpr_f_"))
+        facts.write(ev, mode="overwrite", stage="load")
+        rollup = SnapshotTable(tempfile.mkdtemp(prefix="fkg_gdpr_r_"))
+
+        def _rollup(df):
+            return (df.groupBy("user_id", "event_type")
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.round(F.sum(F.col("value")
+                                       .cast("decimal(18,6)")), 4)
+                         .cast("double").alias("total_value")))
+        rollup.write(_rollup(facts.read(spark)), mode="overwrite",
+                     stage="load")
+        subject = 7
+        pre = facts.read(spark).filter(
+            F.col("user_id") == subject).count()
+        assert pre > 0, "erasure subject must exist before the delete"
+        facts.delete_where(spark, F.col("user_id") == subject)
+        rollup.write(_rollup(facts.read(spark)), mode="overwrite",
+                     stage="erase")
+        for t in (facts, rollup):
+            res = t.expire_snapshots(keep_last=1)
+            assert res["bytes"] > 0, res       # physically reclaimed
+            assert len(t.snapshots()) == 1     # no resurrecting travel
+        assert facts.read(spark).filter(
+            F.col("user_id") == subject).count() == 0
+        return rollup.read(spark)
+
     def s_merge_upsert(spark, sf):
         # generic MERGE INTO (upsert): matched keys take the source
         # row, unmatched source rows insert, committed as one
@@ -4821,6 +4862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences,
         "s_minmax_skipping": s_minmax_skipping,
         "s_merge_upsert": s_merge_upsert,
+        "s_gdpr_erasure": s_gdpr_erasure,
         "s_compact_optimize": s_compact_optimize,
         "mv_incremental_refresh": mv_incremental_refresh,
         "mv_kmv_distinct": mv_kmv_distinct,
@@ -9190,6 +9232,14 @@ def oracle_sql() -> dict[str, str]:
         FROM wts
         ORDER BY round(fw, 6) DESC, mention_id ASC, cat_name ASC
         LIMIT 50
+    """
+
+    sql["s_gdpr_erasure"] = """
+        SELECT user_id, event_type, count(*) AS n,
+               round(sum(round(value, 6)::DECIMAL(18,6)), 4)::DOUBLE
+                 AS total_value
+        FROM events WHERE user_id <> 7
+        GROUP BY 1, 2
     """
 
     sql["stat_anova_f"] = """
