@@ -4191,6 +4191,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.asc("cat_name"))
                 .limit(50))
 
+    def w_interval_union(spark, sf):
+        # interval-union length (total ACTIVE time from overlapping
+        # activity windows, per user): sweep in start order, a new
+        # island begins when start exceeds the running max of prior
+        # ends, covered time = Σ per-island (max end − min start) —
+        # two windows sharing one per-user sort, exact integer epoch
+        # seconds end to end (interval = [ts, ts + ⌊value⌋ s])
+        ev = _load(spark, sf, "events")
+        iv = ev.select(
+            "user_id", "event_id",
+            F.unix_timestamp("ts").alias("s"),
+            (F.unix_timestamp("ts")
+             + F.floor("value").cast("long")).alias("e"))
+        w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+        prev_max = F.max("e").over(
+            w.rowsBetween(Window.unboundedPreceding, -1))
+        flagged = iv.withColumn(
+            "is_new",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+            .otherwise(0))
+        isl = flagged.withColumn(
+            "island", F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+        per = isl.groupBy("user_id", "island").agg(
+            (F.max("e") - F.min("s")).alias("covered"))
+        return per.groupBy("user_id").agg(
+            F.sum("covered").alias("active_seconds"),
+            F.count(F.lit(1)).alias("n_islands"))
+
+    def stat_welch_ttest(spark, sf):
+        # Welch's unequal-variance t-test (purchase vs view values):
+        # t and the Welch–Satterthwaite df from TWO moment rows (n,
+        # mean, sample variance per group) — one partial-agg'd pass,
+        # closed form after
+        ev = _load(spark, sf, "events").filter(
+            F.col("event_type").isin("purchase", "view"))
+        g = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"))
+        a = g.filter(F.col("event_type") == "purchase")             .select(F.col("n").alias("n1"), F.col("m").alias("m1"),
+                    F.col("v").alias("v1"))
+        b = g.filter(F.col("event_type") == "view")             .select(F.col("n").alias("n2"), F.col("m").alias("m2"),
+                    F.col("v").alias("v2"))
+        j = a.crossJoin(b)
+        se1 = F.col("v1") / F.col("n1")
+        se2 = F.col("v2") / F.col("n2")
+        t = (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)
+        df_ws = ((se1 + se2) * (se1 + se2))             / (se1 * se1 / (F.col("n1") - 1)
+               + se2 * se2 / (F.col("n2") - 1))
+        return j.select("n1", "n2", F.round(t, 6).alias("t_stat"),
+                        F.round(df_ws, 4).alias("df"))
+
     def stat_anova_f(spark, sf):
         # one-way ANOVA across event types: F = (SSB/(k−1))/(SSW/(n−k))
         # from ONE partial-agg'd pass of per-group (n, Σx, Σx²) — the
@@ -4915,6 +4968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": sketch_hll_distinct,
         "stat_eb_shrinkage": stat_eb_shrinkage,
         "stat_anova_f": stat_anova_f,
+        "stat_welch_ttest": stat_welch_ttest,
+        "w_interval_union": w_interval_union,
         "stat_mannwhitney_u": stat_mannwhitney_u,
         "er_fs_link": er_fs_link,
         "stream_hll_distinct": stream_hll_distinct,
@@ -9240,6 +9295,55 @@ def oracle_sql() -> dict[str, str]:
                  AS total_value
         FROM events WHERE user_id <> 7
         GROUP BY 1, 2
+    """
+
+    sql["w_interval_union"] = """
+        WITH iv AS (SELECT user_id, event_id,
+                           floor(epoch(ts))::BIGINT AS s,
+                           floor(epoch(ts))::BIGINT
+                             + floor(value)::BIGINT AS e
+                    FROM events),
+        f AS (SELECT *,
+                CASE WHEN max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, e, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) IS NULL
+                       OR s > max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, e, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS is_new
+              FROM iv),
+        isl AS (SELECT *, sum(is_new) OVER (
+                  PARTITION BY user_id ORDER BY s, e, event_id
+                  ROWS UNBOUNDED PRECEDING) AS island
+                FROM f),
+        per AS (SELECT user_id, island,
+                       max(e) - min(s) AS covered
+                FROM isl GROUP BY 1, 2)
+        SELECT user_id, sum(covered)::BIGINT AS active_seconds,
+               count(*) AS n_islands
+        FROM per GROUP BY 1
+    """
+
+    sql["stat_welch_ttest"] = """
+        WITH g AS (SELECT event_type, count(*) AS n, avg(value) AS m,
+                          var_samp(value) AS v
+                   FROM events
+                   WHERE event_type IN ('purchase', 'view')
+                   GROUP BY 1),
+        a AS (SELECT n AS n1, m AS m1, v AS v1 FROM g
+              WHERE event_type = 'purchase'),
+        b AS (SELECT n AS n2, m AS m2, v AS v2 FROM g
+              WHERE event_type = 'view')
+        SELECT n1, n2,
+               round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6)
+                 AS t_stat,
+               round(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+                     / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                        + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4)
+                 AS df
+        FROM a, b
     """
 
     sql["stat_anova_f"] = """
