@@ -4220,6 +4220,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("covered").alias("active_seconds"),
             F.count(F.lit(1)).alias("n_islands"))
 
+    def a_grouping_sets(spark, sf):
+        # explicit GROUPING SETS with the grouping_id disambiguator:
+        # ((flag, status), (flag), ()) over lineitem revenue — one
+        # Expand + one aggregation, NOT three scans; grouping_id keys
+        # NULL-as-grouped vs NULL-as-value apart (exact DECIMAL sums)
+        li = _load(spark, sf, "lineitem")
+        li.createOrReplaceTempView("__li_gs")
+        return spark.sql("""
+            SELECT l_returnflag, l_linestatus,
+                   grouping(l_returnflag) + 2 * grouping(l_linestatus)
+                     AS gid,
+                   count(*) AS n,
+                   CAST(round(sum(CAST(l_extendedprice
+                                       AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS revenue
+            FROM __li_gs
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """)
+
     def stat_welch_ttest(spark, sf):
         # Welch's unequal-variance t-test (purchase vs view values):
         # t and the Welch–Satterthwaite df from TWO moment rows (n,
@@ -4969,6 +4989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_eb_shrinkage": stat_eb_shrinkage,
         "stat_anova_f": stat_anova_f,
         "stat_welch_ttest": stat_welch_ttest,
+        "a_grouping_sets": a_grouping_sets,
         "w_interval_union": w_interval_union,
         "stat_mannwhitney_u": stat_mannwhitney_u,
         "er_fs_link": er_fs_link,
@@ -9324,6 +9345,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, sum(covered)::BIGINT AS active_seconds,
                count(*) AS n_islands
         FROM per GROUP BY 1
+    """
+
+    sql["a_grouping_sets"] = """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) + 2 * grouping(l_linestatus)
+                 AS gid,
+               count(*) AS n,
+               round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE
+                 AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
     """
 
     sql["stat_welch_ttest"] = """
