@@ -4220,6 +4220,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("covered").alias("active_seconds"),
             F.count(F.lit(1)).alias("n_islands"))
 
+    def stat_wilson_ci(spark, sf):
+        # Wilson score interval for per-type conversion rates — the
+        # binomial CI that behaves at small n and extreme p (unlike
+        # the Wald interval): closed form from (k, n) integer counts,
+        # z = 1.96
+        ev = _load(spark, sf, "events")
+        g = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") > 500).cast("long")).alias("k"))
+        z2 = 1.96 * 1.96
+        p = F.col("k").cast("double") / F.col("n")
+        denom = 1.0 + z2 / F.col("n")
+        center = (p + z2 / (2 * F.col("n"))) / denom
+        half = (F.lit(1.96) * F.sqrt(
+            p * (1.0 - p) / F.col("n")
+            + z2 / (4 * F.col("n") * F.col("n"))) / denom)
+        return g.select("event_type", "n", "k",
+                        F.round(p, 6).alias("rate"),
+                        F.round(center - half, 6).alias("ci_lo"),
+                        F.round(center + half, 6).alias("ci_hi"))
+
+    def events_autocorr(spark, sf):
+        # time-series diagnostic: lag-1 autocorrelation of the daily
+        # volume per event type — one rollup, one lag window on the
+        # tiny daily table, moments of the aligned pairs (the
+        # Pearson-on-lagged-pairs estimator, exact pair alignment on
+        # consecutive calendar days only)
+        ev = _load(spark, sf, "events")
+        daily = ev.groupBy("event_type",
+                           F.to_date("ts").alias("d"))             .agg(F.count(F.lit(1)).alias("n"))
+        wl = Window.partitionBy("event_type").orderBy("d")
+        lagged = daily.select(
+            "event_type", "d", "n",
+            F.lag("n").over(wl).alias("pn"),
+            F.lag("d").over(wl).alias("pd"))
+        pairs = lagged.filter(
+            F.col("pn").isNotNull()
+            & (F.datediff("d", "pd") == 1))
+        m = pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum("n").alias("sx"), F.sum("pn").alias("sy"),
+            F.sum(F.col("n") * F.col("n")).alias("sxx"),
+            F.sum(F.col("pn") * F.col("pn")).alias("syy"),
+            F.sum(F.col("n") * F.col("pn")).alias("sxy"))
+        npc = F.col("np").cast("double")
+        cov = F.col("sxy") - F.col("sx") * F.col("sy") / npc
+        vx = F.col("sxx") - F.col("sx") * F.col("sx") / npc
+        vy = F.col("syy") - F.col("sy") * F.col("sy") / npc
+        return m.select("event_type", F.col("np").alias("n_pairs"),
+                        F.round(cov / F.sqrt(vx * vy), 6)
+                        .alias("lag1_autocorr"))
+
     def a_grouping_sets(spark, sf):
         # explicit GROUPING SETS with the grouping_id disambiguator:
         # ((flag, status), (flag), ()) over lineitem revenue — one
@@ -4990,6 +5042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_anova_f": stat_anova_f,
         "stat_welch_ttest": stat_welch_ttest,
         "a_grouping_sets": a_grouping_sets,
+        "stat_wilson_ci": stat_wilson_ci,
+        "events_autocorr": events_autocorr,
         "w_interval_union": w_interval_union,
         "stat_mannwhitney_u": stat_mannwhitney_u,
         "er_fs_link": er_fs_link,
@@ -9345,6 +9399,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, sum(covered)::BIGINT AS active_seconds,
                count(*) AS n_islands
         FROM per GROUP BY 1
+    """
+
+    sql["stat_wilson_ci"] = """
+        WITH g AS (SELECT event_type, count(*) AS n,
+                          sum((value > 500)::INT)::BIGINT AS k
+                   FROM events GROUP BY 1)
+        SELECT event_type, n, k,
+               round(k::DOUBLE / n, 6) AS rate,
+               round(((k::DOUBLE / n + 3.8416 / (2 * n))
+                      / (1.0 + 3.8416 / n))
+                     - (1.96 * sqrt((k::DOUBLE / n)
+                                    * (1.0 - k::DOUBLE / n) / n
+                                    + 3.8416 / (4 * n * n))
+                        / (1.0 + 3.8416 / n)), 6) AS ci_lo,
+               round(((k::DOUBLE / n + 3.8416 / (2 * n))
+                      / (1.0 + 3.8416 / n))
+                     + (1.96 * sqrt((k::DOUBLE / n)
+                                    * (1.0 - k::DOUBLE / n) / n
+                                    + 3.8416 / (4 * n * n))
+                        / (1.0 + 3.8416 / n)), 6) AS ci_hi
+        FROM g
+    """
+
+    sql["events_autocorr"] = """
+        WITH daily AS (SELECT event_type, ts::DATE AS d,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+        lagged AS (SELECT event_type, d, n,
+                          lag(n) OVER (PARTITION BY event_type
+                                       ORDER BY d) AS pn,
+                          lag(d) OVER (PARTITION BY event_type
+                                       ORDER BY d) AS pd
+                   FROM daily),
+        pairs AS (SELECT * FROM lagged
+                  WHERE pn IS NOT NULL AND d - pd = 1),
+        m AS (SELECT event_type, count(*) AS np,
+                     sum(n) AS sx, sum(pn) AS sy,
+                     sum(n * n) AS sxx, sum(pn * pn) AS syy,
+                     sum(n * pn) AS sxy
+              FROM pairs GROUP BY 1)
+        SELECT event_type, np AS n_pairs,
+               round((sxy - sx * sy / np::DOUBLE)
+                     / sqrt((sxx - sx * sx / np::DOUBLE)
+                            * (syy - sy * sy / np::DOUBLE)), 6)
+                 AS lag1_autocorr
+        FROM m
     """
 
     sql["a_grouping_sets"] = """
