@@ -4220,6 +4220,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("covered").alias("active_seconds"),
             F.count(F.lit(1)).alias("n_islands"))
 
+    def text_burstiness(spark, sf):
+        # lexical burstiness: Fano factor (variance/mean of per-doc
+        # counts, zero docs included) for the 10 highest-df terms —
+        # bursty content words score ≫ 1, uniformly sprinkled function
+        # words ≈ 1. Zero-doc inclusion comes free from the moment
+        # form (Σc, Σc², N) — no dense doc×term matrix materializes.
+        from fashion_knowledge_graph_spark.functions import text as txf
+        docs = _load(spark, sf, "documents")             .filter(F.col("text").isNotNull())
+        n_docs = docs.count()
+        tok = docs.select("doc_id",
+                          F.explode(txf.tokens(F.col("text")))
+                          .alias("w"))
+        per = tok.groupBy("w", "doc_id").agg(
+            F.count(F.lit(1)).alias("c"))
+        stats = per.groupBy("w").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).alias("scc"))
+        nd = F.lit(float(n_docs))
+        mean = F.col("sc") / nd
+        var = F.col("scc") / nd - mean * mean
+        return (stats
+                .select("w", "df",
+                        F.round(var / mean, 6).alias("fano"))
+                .orderBy(F.desc("df"), F.asc("w")).limit(10))
+
+    def events_stickiness(spark, sf):
+        # product-analytics stickiness: DAU / trailing-7-day WAU per
+        # day — BOTH distinct counts from one fan-out pass (lag 0 =
+        # the DAU window), ratio on exact integers
+        ev = _load(spark, sf, "events")
+        du = ev.select(F.to_date("ts").alias("day"), "user_id")             .distinct()
+        days = du.select(F.col("day").alias("dday")).distinct()
+        fan = du.select(
+            F.explode(F.sequence("day", F.date_add("day", 6)))
+            .alias("wday"), "day", "user_id")
+        agg = (fan.join(days, fan.wday == days.dday, "left_semi")
+               .groupBy("wday")
+               .agg(F.countDistinct("user_id").alias("wau"),
+                    F.countDistinct(
+                        F.when(F.col("day") == F.col("wday"),
+                               F.col("user_id"))).alias("dau")))
+        return agg.select(
+            F.date_format("wday", "yyyy-MM-dd").alias("day"),
+            "dau", "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6)
+            .alias("stickiness"))
+
     def stat_wilson_ci(spark, sf):
         # Wilson score interval for per-type conversion rates — the
         # binomial CI that behaves at small n and extreme p (unlike
@@ -5043,6 +5091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_welch_ttest": stat_welch_ttest,
         "a_grouping_sets": a_grouping_sets,
         "stat_wilson_ci": stat_wilson_ci,
+        "text_burstiness": text_burstiness,
+        "events_stickiness": events_stickiness,
         "events_autocorr": events_autocorr,
         "w_interval_union": w_interval_union,
         "stat_mannwhitney_u": stat_mannwhitney_u,
@@ -9399,6 +9449,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, sum(covered)::BIGINT AS active_seconds,
                count(*) AS n_islands
         FROM per GROUP BY 1
+    """
+
+    sql["text_burstiness"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({toks}) AS w
+                     FROM documents WHERE text IS NOT NULL),
+        nd AS (SELECT count(*)::DOUBLE AS n FROM documents
+               WHERE text IS NOT NULL),
+        per AS (SELECT w, doc_id, count(*) AS c
+                FROM tok GROUP BY 1, 2),
+        stats AS (SELECT w, count(*) AS df, sum(c) AS sc,
+                         sum(c * c) AS scc
+                  FROM per GROUP BY 1)
+        SELECT w, df,
+               round((scc / nd.n - (sc / nd.n) * (sc / nd.n))
+                     / (sc / nd.n), 6) AS fano
+        FROM stats, nd
+        ORDER BY df DESC, w ASC LIMIT 10
+    """
+
+    sql["events_stickiness"] = """
+        WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id
+                    FROM events),
+        days AS (SELECT DISTINCT day FROM du),
+        fan AS (SELECT day + i::INT AS wday, day, user_id
+                FROM du, unnest(generate_series(0, 6)) t(i)),
+        agg AS (SELECT wday,
+                       count(DISTINCT user_id) AS wau,
+                       count(DISTINCT CASE WHEN day = wday
+                                           THEN user_id END) AS dau
+                FROM fan
+                WHERE wday IN (SELECT day FROM days)
+                GROUP BY 1)
+        SELECT strftime(wday, '%Y-%m-%d') AS day, dau, wau,
+               round(dau::DOUBLE / wau, 6) AS stickiness
+        FROM agg
     """
 
     sql["stat_wilson_ci"] = """
