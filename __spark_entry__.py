@@ -4220,6 +4220,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("covered").alias("active_seconds"),
             F.count(F.lit(1)).alias("n_islands"))
 
+    def stat_herfindahl(spark, sf):
+        # market-concentration HHI per nation: Σ (supplier share)² of
+        # account balance mass — two word-count-shaped rollups, exact
+        # DECIMAL shares (complements the Gini query: HHI weights the
+        # head, Gini the whole curve)
+        sup = _load(spark, sf, "supplier")
+        per = sup.groupBy("s_nationkey", "s_suppkey").agg(
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .alias("bal"))
+        tot = per.groupBy("s_nationkey").agg(
+            F.sum("bal").alias("tot"),
+            F.count(F.lit(1)).alias("n_suppliers"))
+        shares = per.join(tot, "s_nationkey").select(
+            "s_nationkey", "n_suppliers",
+            (F.col("bal").cast("double")
+             / F.col("tot").cast("double")).alias("sh"))
+        return (shares.groupBy("s_nationkey", "n_suppliers")
+                .agg(F.round(F.sum(F.col("sh") * F.col("sh")), 6)
+                     .alias("hhi")))
+
+    def q_pareto_coverage(spark, sf):
+        # Pareto 80/20: how many customers cover 80% of revenue —
+        # cumulative share sweep over the per-customer rollup (exact
+        # DECIMAL revenue, deterministic (revenue desc, key) order),
+        # reporting the crossing count and its exact cumulative share
+        orders = _load(spark, sf, "orders")
+        per = orders.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .alias("rev"))
+        w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))             .rowsBetween(Window.unboundedPreceding, 0)
+        tot = per.agg(F.sum("rev").alias("t"))
+        cum = per.crossJoin(F.broadcast(tot)).select(
+            "o_custkey",
+            (F.sum("rev").over(w).cast("double")
+             / F.col("t").cast("double")).alias("cum_share"))
+        hit = cum.filter(F.col("cum_share") >= 0.8).agg(
+            F.min("cum_share").alias("share_at_cross"))
+        n80 = cum.filter(F.col("cum_share") < 0.8).agg(
+            (F.count(F.lit(1)) + 1).alias("n_customers_80"))
+        total_c = per.agg(F.count(F.lit(1)).alias("n_customers"))
+        return (n80.crossJoin(hit).crossJoin(total_c)
+                .select("n_customers_80", "n_customers",
+                        F.round("share_at_cross", 6)
+                        .alias("share_at_cross"),
+                        F.round(F.col("n_customers_80").cast("double")
+                                / F.col("n_customers"), 6)
+                        .alias("frac_customers")))
+
+    def events_user_entropy(spark, sf):
+        # behavioral diversity: Shannon entropy of each user's
+        # event-type distribution — exact integer count ratios inside
+        # every ln, one rollup + one per-user aggregation; top-20 most
+        # diverse users, ties on user_id
+        ev = _load(spark, sf, "events")
+        c = ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"))
+        t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+        p = F.col("n").cast("double") / F.col("tot").cast("double")
+        ent = c.join(t, "user_id").groupBy("user_id").agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.count(F.lit(1)).alias("n_types"))
+        return ent.orderBy(F.desc("entropy"), F.asc("user_id"))             .limit(20)
+
     def text_burstiness(spark, sf):
         # lexical burstiness: Fano factor (variance/mean of per-doc
         # counts, zero docs included) for the 10 highest-df terms —
@@ -5092,6 +5155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_grouping_sets": a_grouping_sets,
         "stat_wilson_ci": stat_wilson_ci,
         "text_burstiness": text_burstiness,
+        "stat_herfindahl": stat_herfindahl,
+        "q_pareto_coverage": q_pareto_coverage,
+        "events_user_entropy": events_user_entropy,
         "events_stickiness": events_stickiness,
         "events_autocorr": events_autocorr,
         "w_interval_union": w_interval_union,
@@ -9449,6 +9515,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, sum(covered)::BIGINT AS active_seconds,
                count(*) AS n_islands
         FROM per GROUP BY 1
+    """
+
+    sql["stat_herfindahl"] = """
+        WITH per AS (SELECT s_nationkey, s_suppkey,
+                            sum(s_acctbal::DECIMAL(18,2)) AS bal
+                     FROM supplier GROUP BY 1, 2),
+        tot AS (SELECT s_nationkey, sum(bal) AS tot,
+                       count(*) AS n_suppliers
+                FROM per GROUP BY 1)
+        SELECT per.s_nationkey, tot.n_suppliers,
+               round(sum((per.bal::DOUBLE / tot.tot::DOUBLE)
+                         * (per.bal::DOUBLE / tot.tot::DOUBLE)), 6)
+                 AS hhi
+        FROM per JOIN tot USING (s_nationkey)
+        GROUP BY 1, 2
+    """
+
+    sql["q_pareto_coverage"] = """
+        WITH per AS (SELECT o_custkey,
+                            sum(o_totalprice::DECIMAL(18,2)) AS rev
+                     FROM orders GROUP BY 1),
+        tot AS (SELECT sum(rev) AS t, count(*) AS n_customers
+                FROM per),
+        cum AS (SELECT o_custkey,
+                       (sum(rev) OVER (
+                          ORDER BY rev DESC, o_custkey ASC
+                          ROWS UNBOUNDED PRECEDING))::DOUBLE
+                       / (SELECT t FROM tot)::DOUBLE AS cum_share
+                FROM per)
+        SELECT (SELECT count(*) + 1 FROM cum WHERE cum_share < 0.8)
+                 AS n_customers_80,
+               (SELECT n_customers FROM tot) AS n_customers,
+               round((SELECT min(cum_share) FROM cum
+                      WHERE cum_share >= 0.8), 6) AS share_at_cross,
+               round((SELECT count(*) + 1 FROM cum
+                      WHERE cum_share < 0.8)::DOUBLE
+                     / (SELECT n_customers FROM tot), 6)
+                 AS frac_customers
+    """
+
+    sql["events_user_entropy"] = """
+        WITH c AS (SELECT user_id, event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        t AS (SELECT user_id, sum(n)::BIGINT AS tot
+              FROM c GROUP BY 1)
+        SELECT user_id,
+               round(-sum((n::DOUBLE / tot) * ln(n::DOUBLE / tot)),
+                     6) AS entropy,
+               count(*) AS n_types
+        FROM c JOIN t USING (user_id)
+        GROUP BY user_id
+        ORDER BY entropy DESC, user_id ASC LIMIT 20
     """
 
     sql["text_burstiness"] = f"""
