@@ -4220,6 +4220,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("covered").alias("active_seconds"),
             F.count(F.lit(1)).alias("n_islands"))
 
+    def text_zipf_fit(spark, sf):
+        # corpus-law diagnostic: Zipf exponent via closed-form OLS of
+        # ln(freq) on ln(rank) over the top-200 terms — ranks from a
+        # top-k sweep (TakeOrderedAndProject, ties on term), the fit
+        # from five moment sums; slope ≈ −1 is the Zipf signature
+        from fashion_knowledge_graph_spark.functions import text as txf
+        docs = _load(spark, sf, "documents")             .filter(F.col("text").isNotNull())
+        tf = docs.select(F.explode(txf.tokens(F.col("text")))
+                         .alias("w"))             .groupBy("w").agg(F.count(F.lit(1)).alias("n"))             .orderBy(F.desc("n"), F.asc("w")).limit(200)
+        wr = Window.orderBy(F.desc("n"), F.asc("w"))
+        xy = tf.select(
+            F.log(F.row_number().over(wr).cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"))
+        m = xy.agg(F.count(F.lit(1)).alias("k"),
+                   F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                   F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                   F.sum(F.col("x") * F.col("y")).alias("sxy"))
+        kf = F.col("k").cast("double")
+        slope = (F.col("sxy") - F.col("sx") * F.col("sy") / kf)             / (F.col("sxx") - F.col("sx") * F.col("sx") / kf)
+        intercept = F.col("sy") / kf - slope * F.col("sx") / kf
+        return m.select("k", F.round(slope, 6).alias("zipf_slope"),
+                        F.round(intercept, 6).alias("intercept"))
+
+    def events_dow_seasonality(spark, sf):
+        # weekly seasonality: day-of-week volume profile + the
+        # chi-square uniformity statistic (expected = n/7, exact
+        # integer counts inside the ratio)
+        ev = _load(spark, sf, "events")
+        dow = ev.groupBy(F.dayofweek("ts").alias("dow"))             .agg(F.count(F.lit(1)).alias("n"))
+        tot = dow.agg(F.sum("n").alias("t"),
+                      F.count(F.lit(1)).alias("k"))
+        j = dow.crossJoin(F.broadcast(tot))
+        exp = F.col("t").cast("double") / F.col("k")
+        chi = F.sum((F.col("n") - exp) * (F.col("n") - exp) / exp)
+        prof = j.groupBy("t", "k").agg(
+            F.round(chi, 6).alias("chi2_uniformity"))
+        return (j.select("dow", "n",
+                         F.round(F.col("n") / exp, 6).alias("idx"))
+                .crossJoin(F.broadcast(
+                    prof.select("chi2_uniformity"))))
+
     def stat_herfindahl(spark, sf):
         # market-concentration HHI per nation: Σ (supplier share)² of
         # account balance mass — two word-count-shaped rollups, exact
@@ -5156,6 +5197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_wilson_ci": stat_wilson_ci,
         "text_burstiness": text_burstiness,
         "stat_herfindahl": stat_herfindahl,
+        "text_zipf_fit": text_zipf_fit,
+        "events_dow_seasonality": events_dow_seasonality,
         "q_pareto_coverage": q_pareto_coverage,
         "events_user_entropy": events_user_entropy,
         "events_stickiness": events_stickiness,
@@ -9515,6 +9558,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, sum(covered)::BIGINT AS active_seconds,
                count(*) AS n_islands
         FROM per GROUP BY 1
+    """
+
+    sql["text_zipf_fit"] = f"""
+        WITH tf AS (
+          SELECT w, count(*) AS n
+          FROM (SELECT unnest({toks}) AS w
+                FROM documents WHERE text IS NOT NULL)
+          GROUP BY 1 ORDER BY n DESC, w ASC LIMIT 200),
+        xy AS (SELECT ln(row_number() OVER (
+                         ORDER BY n DESC, w ASC)::DOUBLE) AS x,
+                      ln(n::DOUBLE) AS y
+               FROM tf),
+        m AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM xy)
+        SELECT k,
+               round((sxy - sx * sy / k::DOUBLE)
+                     / (sxx - sx * sx / k::DOUBLE), 6) AS zipf_slope,
+               round(sy / k::DOUBLE
+                     - ((sxy - sx * sy / k::DOUBLE)
+                        / (sxx - sx * sx / k::DOUBLE))
+                       * sx / k::DOUBLE, 6) AS intercept
+        FROM m
+    """
+
+    sql["events_dow_seasonality"] = """
+        WITH dow AS (SELECT dayofweek(ts) + 1 AS dow, count(*) AS n
+                     FROM events GROUP BY 1),
+        tot AS (SELECT sum(n)::BIGINT AS t, count(*) AS k FROM dow),
+        chi AS (SELECT round(sum((n - t::DOUBLE / k)
+                                 * (n - t::DOUBLE / k)
+                                 / (t::DOUBLE / k)), 6) AS c
+                FROM dow, tot)
+        SELECT dow.dow, dow.n,
+               round(dow.n / (tot.t::DOUBLE / tot.k), 6) AS idx,
+               chi.c AS chi2_uniformity
+        FROM dow, tot, chi
     """
 
     sql["stat_herfindahl"] = """
