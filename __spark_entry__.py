@@ -1785,6 +1785,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id_a", "id_b",
                           F.round("jaccard", 6).alias("jaccard"))
 
+    def dedup_minhash_estimate(spark, sf):
+        # sketch-accuracy datasheet for the dedup path: per verified
+        # duplicate pair, the MinHash lane-agreement ESTIMATE of
+        # Jaccard next to the exact value and the signed error — both
+        # exact rationals (k/128 and integer set ratios), so the hash
+        # check is bit-for-bit. The lane compare is a 128-element
+        # array fold per PAIR (pairs are few; the corpus-sized work
+        # stayed in the Arrow signature kernel).
+        docs = _docs_split(spark, sf)
+        pairs = dd.minhash_lsh_pairs(docs, threshold=0.35,
+                                     num_hashes=128, bands=32)
+        sig = dd.minhash_signature(docs, "doc_id", "text",
+                                   n=3, num_hashes=128)
+        sa = sig.select(F.col("id").alias("id_a"),
+                        F.col("sig").alias("siga"))
+        sb = sig.select(F.col("id").alias("id_b"),
+                        F.col("sig").alias("sigb"))
+        j = pairs.join(sa, "id_a").join(sb, "id_b")
+        # 128.0 would parse as a DECIMAL literal in the SQL string
+        # (int/decimal -> decimal, breaking double parity) — cast
+        mh = F.expr("aggregate(zip_with(siga, sigb, "
+                    "(x, y) -> if(x = y, 1, 0)), 0, "
+                    "(a, x) -> a + x) / cast(128 as double)")
+        # err from the ROUNDED operands: the exact-jaccard verify
+        # differs between engines below 1e-6 (different but equivalent
+        # expression trees), so the difference must not resurface it
+        return j.select(
+            "id_a", "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round(mh, 6).alias("mh_est"),
+            F.round(F.round(mh, 6) - F.round("jaccard", 6), 6)
+            .alias("err"))
+
     def dedup_simhash(spark, sf):
         return dd.simhash_pairs(_docs_split(spark, sf), max_hamming=8)
 
@@ -5059,6 +5092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hard_negatives": ann_hard_negatives,
         "zorder_events_key": zorder_events_key,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_minhash_estimate": dedup_minhash_estimate,
         "dedup_simhash": dedup_simhash,
         "dedup_clusters": dedup_clusters,
         "embedding_near_dup": embedding_near_dup,
@@ -8201,6 +8235,28 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = i.id_a
         JOIN sizes sb ON sb.id = i.id_b
         WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35
+    """
+
+    sql["dedup_minhash_estimate"] = f"""
+        WITH {minhash_ctes},
+        ver AS (SELECT i.id_a, i.id_b,
+                       inter / (sa.sz + sb.sz - inter)::DOUBLE AS jac
+                FROM inter i
+                JOIN cand USING (id_a, id_b)
+                JOIN sizes sa ON sa.id = i.id_a
+                JOIN sizes sb ON sb.id = i.id_b
+                WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE
+                      >= 0.35),
+        est AS (SELECT v.id_a, v.id_b,
+                       sum((la.hv = lb.hv)::INT)::DOUBLE / 128 AS mh
+                FROM ver v
+                JOIN lanes la ON la.id = v.id_a
+                JOIN lanes lb ON lb.id = v.id_b AND la.j = lb.j
+                GROUP BY 1, 2)
+        SELECT e.id_a, e.id_b, round(v.jac, 6) AS jaccard,
+               round(e.mh, 6) AS mh_est,
+               round(round(e.mh, 6) - round(v.jac, 6), 6) AS err
+        FROM est e JOIN ver v USING (id_a, id_b)
     """
 
     # LSH pairs → transitive closure → min-id survivor per duplicate
