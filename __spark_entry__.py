@@ -1732,6 +1732,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_lang_id(spark, sf):
         return tx.lang_id(_load(spark, sf, "documents"))
 
+    def text_langid_confusion(spark, sf):
+        # self-evaluation of the lang-ID heuristic against the ground-
+        # truth lang column: the full confusion matrix (true × pred)
+        # with per-cell counts and per-true-language recall — the
+        # eval loop a production lang filter tunes against
+        pred = tx.lang_id(_load(spark, sf, "documents"))             .select("doc_id", "lang_pred")
+        truth = _load(spark, sf, "documents").select("doc_id", "lang")
+        cm = (truth.join(pred, "doc_id")
+              .groupBy(F.col("lang").alias("lang_true"), "lang_pred")
+              .agg(F.count(F.lit(1)).alias("n")))
+        tot = cm.groupBy("lang_true").agg(F.sum("n").alias("t"))
+        return (cm.join(tot, "lang_true")
+                .select("lang_true", "lang_pred", "n",
+                        F.round(F.col("n").cast("double")
+                                / F.col("t"), 6).alias("recall")))
+
     def text_fingerprint(spark, sf):
         docs = _load(spark, sf, "documents")
         return docs.select(
@@ -5068,6 +5084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
+        "text_langid_confusion": text_langid_confusion,
         "text_fingerprint": text_fingerprint,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -6262,6 +6279,33 @@ def oracle_sql() -> dict[str, str]:
                coalesce(b.lang_hits, 0) AS lang_hits
         FROM documents d
         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """
+
+    sql["text_langid_confusion"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({toks}) AS token FROM documents),
+        sw(lang, token) AS (VALUES {_stopword_values()}),
+        hits AS (
+          SELECT doc_id, lang, count(*) AS lang_hits
+          FROM tok JOIN sw USING (token) GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, lang, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY lang_hits DESC, lang ASC) AS rn
+          FROM hits),
+        pred AS (
+          SELECT d.doc_id, d.lang AS lang_true,
+                 coalesce(b.lang, 'und') AS lang_pred
+          FROM documents d
+          LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+            USING (doc_id)),
+        cm AS (SELECT lang_true, lang_pred, count(*) AS n
+               FROM pred GROUP BY 1, 2),
+        tot AS (SELECT lang_true, sum(n)::BIGINT AS t
+                FROM cm GROUP BY 1)
+        SELECT cm.lang_true, cm.lang_pred, cm.n,
+               round(cm.n::DOUBLE / tot.t, 6) AS recall
+        FROM cm JOIN tot USING (lang_true)
     """
 
     sql["text_fingerprint"] = f"""
