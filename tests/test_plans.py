@@ -693,3 +693,32 @@ def test_skyline_buckets_before_global_sweep(spark):
     plan = _plan(df)
     assert plan.count("Window") >= 2, plan
     assert "hashpartitioning(__bkt" in plan, plan
+
+
+def test_interval_union_is_one_exchange_two_windows(spark):
+    """Interval-union: both sweep windows and both rollups must reuse
+    ONE hash partitioning on user_id (the (user_id, island) grouping
+    is satisfied by the user_id exchange via the subset rule) — a
+    second shuffle would double the corpus movement."""
+    import __spark_entry__ as entry
+
+    import re
+
+    df = entry.queries()["w_interval_union"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_stickiness_has_no_window_state(spark):
+    """DAU/WAU must come from the fan-out form (Generate + distinct
+    aggregates), never a window holding per-day user collections."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["events_stickiness"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Generate" in plan, plan
+    assert "Window" not in plan, plan
+    assert "collect_set" not in plan, plan
