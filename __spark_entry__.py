@@ -4292,6 +4292,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return m.select("k", F.round(slope, 6).alias("zipf_slope"),
                         F.round(intercept, 6).alias("intercept"))
 
+    def events_moving_median(spark, sf):
+        # robust trailing-7-day median of daily volume per type — the
+        # outlier-immune twin of events_ewma_smooth: daily rollup,
+        # fan-out into trailing windows (map-side), EXACT percentile
+        # per ≤7-row group (both engines interpolate (n+1)/2 the same
+        # way on integer counts); only days that exist report
+        ev = _load(spark, sf, "events")
+        daily = ev.groupBy("event_type",
+                           F.to_date("ts").alias("d"))             .agg(F.count(F.lit(1)).alias("n"))
+        days = daily.select("event_type",
+                            F.col("d").alias("dd")).distinct()
+        fan = daily.select(
+            "event_type", "n",
+            F.explode(F.sequence("d", F.date_add("d", 6)))
+            .alias("wd"))
+        j = fan.join(days,
+                     (fan.event_type == days.event_type)
+                     & (fan.wd == days.dd), "left_semi")
+        return (j.groupBy("event_type", "wd")
+                .agg(F.round(F.expr("percentile(n, 0.5)"), 4)
+                     .alias("med7"))
+                .select("event_type",
+                        F.date_format("wd", "yyyy-MM-dd")
+                        .alias("day"), "med7"))
+
     def events_dow_seasonality(spark, sf):
         # weekly seasonality: day-of-week volume profile + the
         # chi-square uniformity statistic (expected = n/7, exact
@@ -5250,6 +5275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_herfindahl": stat_herfindahl,
         "text_zipf_fit": text_zipf_fit,
         "events_dow_seasonality": events_dow_seasonality,
+        "events_moving_median": events_moving_median,
         "q_pareto_coverage": q_pareto_coverage,
         "events_user_entropy": events_user_entropy,
         "events_stickiness": events_stickiness,
@@ -9681,6 +9707,19 @@ def oracle_sql() -> dict[str, str]:
                         / (sxx - sx * sx / k::DOUBLE))
                        * sx / k::DOUBLE, 6) AS intercept
         FROM m
+    """
+
+    sql["events_moving_median"] = """
+        WITH daily AS (SELECT event_type, ts::DATE AS d, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+        days AS (SELECT DISTINCT event_type, d FROM daily),
+        fan AS (SELECT event_type, n, d + i::INT AS wd
+                FROM daily, unnest(generate_series(0, 6)) t(i))
+        SELECT f.event_type, strftime(f.wd, '%Y-%m-%d') AS day,
+               round(quantile_cont(f.n, 0.5), 4) AS med7
+        FROM fan f JOIN days dy
+          ON dy.event_type = f.event_type AND dy.d = f.wd
+        GROUP BY 1, 2
     """
 
     sql["events_dow_seasonality"] = """
