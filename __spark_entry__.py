@@ -4292,6 +4292,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return m.select("k", F.round(slope, 6).alias("zipf_slope"),
                         F.round(intercept, 6).alias("intercept"))
 
+    def orders_interarrival(spark, sf):
+        # demand periodicity: per-customer order inter-arrival gaps
+        # (lag window on integer dates — exact day counts), rolled up
+        # to per-segment mean/median/max via one broadcast dim join
+        orders = _load(spark, sf, "orders")
+        cust = _load(spark, sf, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+        w = Window.partitionBy("o_custkey").orderBy(
+            "o_orderdate", "o_orderkey")
+        gaps = orders.select(
+            "o_custkey",
+            F.datediff("o_orderdate",
+                       F.lag("o_orderdate").over(w)).alias("gap"))             .filter(F.col("gap").isNotNull())
+        return (gaps.join(F.broadcast(cust), "o_custkey")
+                .groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_gaps"),
+                     F.round(F.avg("gap"), 6).alias("mean_gap_days"),
+                     F.round(F.expr("percentile(gap, 0.5)"), 4)
+                     .alias("median_gap_days"),
+                     F.max("gap").alias("max_gap_days")))
+
     def events_moving_median(spark, sf):
         # robust trailing-7-day median of daily volume per type — the
         # outlier-immune twin of events_ewma_smooth: daily rollup,
@@ -5276,6 +5297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_fit": text_zipf_fit,
         "events_dow_seasonality": events_dow_seasonality,
         "events_moving_median": events_moving_median,
+        "orders_interarrival": orders_interarrival,
         "q_pareto_coverage": q_pareto_coverage,
         "events_user_entropy": events_user_entropy,
         "events_stickiness": events_stickiness,
@@ -9707,6 +9729,22 @@ def oracle_sql() -> dict[str, str]:
                         / (sxx - sx * sx / k::DOUBLE))
                        * sx / k::DOUBLE, 6) AS intercept
         FROM m
+    """
+
+    sql["orders_interarrival"] = """
+        WITH g AS (
+          SELECT o_custkey,
+                 o_orderdate::DATE - lag(o_orderdate::DATE) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS gap
+          FROM orders),
+        gg AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL)
+        SELECT c.c_mktsegment, count(*) AS n_gaps,
+               round(avg(gap), 6) AS mean_gap_days,
+               round(quantile_cont(gap, 0.5), 4) AS median_gap_days,
+               max(gap) AS max_gap_days
+        FROM gg JOIN customer c ON gg.o_custkey = c.c_custkey
+        GROUP BY 1
     """
 
     sql["events_moving_median"] = """
