@@ -4419,6 +4419,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_types"))
         return ent.orderBy(F.desc("entropy"), F.asc("user_id"))             .limit(20)
 
+    def text_ngram_novelty(spark, sf):
+        # corpus novelty curve (dedup-adjacent redundancy scoring):
+        # per doc, the fraction of its distinct word trigrams FIRST
+        # seen in this doc (arrival order = doc_id) — one shingle
+        # explode, one min-aggregate over the posting list, exact
+        # integer ratios
+        from fashion_knowledge_graph_spark.functions import text as txf
+        docs = _load(spark, sf, "documents")             .filter(F.col("text").isNotNull())
+        sh = docs.select(
+            "doc_id",
+            F.explode(txf.shingles(F.col("text"), 3)).alias("g"))
+        first = sh.groupBy("g").agg(F.min("doc_id").alias("fd"))
+        return (sh.join(first, "g")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_grams"),
+                     F.sum((F.col("fd") == F.col("doc_id"))
+                           .cast("long")).alias("n_novel"))
+                .select("doc_id", "n_grams", "n_novel",
+                        F.round(F.col("n_novel").cast("double")
+                                / F.col("n_grams"), 6)
+                        .alias("novelty")))
+
     def text_burstiness(spark, sf):
         # lexical burstiness: Fano factor (variance/mean of per-doc
         # counts, zero docs included) for the 10 highest-df terms —
@@ -5293,6 +5315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_grouping_sets": a_grouping_sets,
         "stat_wilson_ci": stat_wilson_ci,
         "text_burstiness": text_burstiness,
+        "text_ngram_novelty": text_ngram_novelty,
         "stat_herfindahl": stat_herfindahl,
         "text_zipf_fit": text_zipf_fit,
         "events_dow_seasonality": events_dow_seasonality,
@@ -9824,6 +9847,27 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN t USING (user_id)
         GROUP BY user_id
         ORDER BY entropy DESC, user_id ASC LIMIT 20
+    """
+
+    sql["text_ngram_novelty"] = f"""
+        WITH toks AS (SELECT doc_id AS id, {toks} AS tk
+                      FROM documents WHERE text IS NOT NULL),
+        sh AS (
+          SELECT id, CASE
+            WHEN len(tk) >= 3 THEN list_distinct(list_transform(
+                   range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+            WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+            ELSE []::VARCHAR[] END AS shs
+          FROM toks),
+        post AS (SELECT id, unnest(shs) AS g FROM sh),
+        first AS (SELECT g, min(id) AS fd FROM post GROUP BY 1)
+        SELECT id AS doc_id, count(*) AS n_grams,
+               sum((fd = id)::INT)::BIGINT AS n_novel,
+               round(sum((fd = id)::INT)::DOUBLE / count(*), 6)
+                 AS novelty
+        FROM post JOIN first USING (g)
+        GROUP BY 1
     """
 
     sql["text_burstiness"] = f"""
