@@ -4292,6 +4292,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return m.select("k", F.round(slope, 6).alias("zipf_slope"),
                         F.round(intercept, 6).alias("intercept"))
 
+    def orders_cohort_ltv(spark, sf):
+        # finance view of cohorting: cumulative revenue per customer
+        # (LTV curve) by cohort month × age — first-order cohort, one
+        # rollup on (cohort, age), a running sum over the tiny curve
+        # table; exact DECIMAL revenue, month arithmetic on truncated
+        # dates so both engines count whole months identically
+        orders = _load(spark, sf, "orders")
+        m = F.trunc("o_orderdate", "month")
+        first = orders.groupBy("o_custkey").agg(
+            F.min(m).alias("cohort"))
+        j = orders.join(first, "o_custkey").select(
+            "o_custkey", F.col("cohort"),
+            F.months_between(m, F.col("cohort")).cast("int")
+            .alias("age"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("rev"))
+        sizes = first.groupBy("cohort").agg(
+            F.countDistinct("o_custkey").alias("n_cust"))
+        curve = j.groupBy("cohort", "age").agg(
+            F.sum("rev").alias("rev"))
+        wc = Window.partitionBy("cohort").orderBy("age")             .rowsBetween(Window.unboundedPreceding, 0)
+        return (curve.withColumn("cum", F.sum("rev").over(wc))
+                .join(F.broadcast(sizes), "cohort")
+                .select(F.date_format("cohort", "yyyy-MM")
+                        .alias("cohort"), "age", "n_cust",
+                        F.round(F.col("cum").cast("double")
+                                / F.col("n_cust"), 6)
+                        .alias("ltv_per_customer")))
+
     def orders_interarrival(spark, sf):
         # demand periodicity: per-customer order inter-arrival gaps
         # (lag window on integer dates — exact day counts), rolled up
@@ -5321,6 +5349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dow_seasonality": events_dow_seasonality,
         "events_moving_median": events_moving_median,
         "orders_interarrival": orders_interarrival,
+        "orders_cohort_ltv": orders_cohort_ltv,
         "q_pareto_coverage": q_pareto_coverage,
         "events_user_entropy": events_user_entropy,
         "events_stickiness": events_stickiness,
@@ -9752,6 +9781,32 @@ def oracle_sql() -> dict[str, str]:
                         / (sxx - sx * sx / k::DOUBLE))
                        * sx / k::DOUBLE, 6) AS intercept
         FROM m
+    """
+
+    sql["orders_cohort_ltv"] = """
+        WITH f AS (SELECT o_custkey,
+                          min(date_trunc('month', o_orderdate))
+                            AS cohort
+                   FROM orders GROUP BY 1),
+        j AS (SELECT o.o_custkey, f.cohort,
+                     date_diff('month', f.cohort,
+                               date_trunc('month', o.o_orderdate))
+                       ::INT AS age,
+                     o.o_totalprice::DECIMAL(18,2) AS rev
+              FROM orders o JOIN f USING (o_custkey)),
+        sizes AS (SELECT cohort, count(DISTINCT o_custkey) AS n_cust
+                  FROM f GROUP BY 1),
+        curve AS (SELECT cohort, age, sum(rev) AS rev
+                  FROM j GROUP BY 1, 2),
+        cum AS (SELECT cohort, age, sum(rev) OVER (
+                  PARTITION BY cohort ORDER BY age
+                  ROWS UNBOUNDED PRECEDING) AS cum
+                FROM curve)
+        SELECT strftime(c.cohort, '%Y-%m') AS cohort, c.age,
+               s.n_cust,
+               round(c.cum::DOUBLE / s.n_cust, 6)
+                 AS ltv_per_customer
+        FROM cum c JOIN sizes s USING (cohort)
     """
 
     sql["orders_interarrival"] = """
