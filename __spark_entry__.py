@@ -4447,6 +4447,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_types"))
         return ent.orderBy(F.desc("entropy"), F.asc("user_id"))             .limit(20)
 
+    def text_readability(spark, sf):
+        # Flesch-style readability as a quality feature: words from
+        # the shared tokenizer, sentences = [.!?] runs in the RAW
+        # text (min 1), syllables ≈ vowel groups in the normalized
+        # text — every count a codegen'd regexp, the score a pure
+        # projection; the classic reading-ease formula
+        docs = _load(spark, sf, "documents")             .filter(F.col("text").isNotNull())
+        from fashion_knowledge_graph_spark.functions import text as txf
+        words = txf.token_count(F.col("text")).cast("double")
+        sents = F.greatest(
+            F.coalesce(F.regexp_count(F.col("text"),
+                                      F.lit("[.!?]+")), F.lit(0)),
+            F.lit(1)).cast("double")
+        syll = F.greatest(
+            F.coalesce(F.regexp_count(txf.norm_text(F.col("text")),
+                                      F.lit("[aeiou]+")), F.lit(0)),
+            F.lit(1)).cast("double")
+        score = (F.lit(206.835) - F.lit(1.015) * (words / sents)
+                 - F.lit(84.6) * (syll / words))
+        return (docs.select(
+            "doc_id", words.cast("long").alias("n_words"),
+            sents.cast("long").alias("n_sents"),
+            syll.cast("long").alias("n_syll"),
+            F.round(score, 6).alias("flesch"))
+            .filter(F.col("n_words") > 0))
+
     def text_ngram_novelty(spark, sf):
         # corpus novelty curve (dedup-adjacent redundancy scoring):
         # per doc, the fraction of its distinct word trigrams FIRST
@@ -5344,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_wilson_ci": stat_wilson_ci,
         "text_burstiness": text_burstiness,
         "text_ngram_novelty": text_ngram_novelty,
+        "text_readability": text_readability,
         "stat_herfindahl": stat_herfindahl,
         "text_zipf_fit": text_zipf_fit,
         "events_dow_seasonality": events_dow_seasonality,
@@ -9902,6 +9929,23 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN t USING (user_id)
         GROUP BY user_id
         ORDER BY entropy DESC, user_id ASC LIMIT 20
+    """
+
+    sql["text_readability"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 len({_toks_sql('text')})::DOUBLE AS words,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')),
+                          1)::DOUBLE AS sents,
+                 greatest(len(regexp_extract_all(
+                            {_norm_sql('text')}, '[aeiou]+')),
+                          1)::DOUBLE AS syll
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id, words::BIGINT AS n_words,
+               sents::BIGINT AS n_sents, syll::BIGINT AS n_syll,
+               round(206.835 - 1.015 * (words / sents)
+                     - 84.6 * (syll / words), 6) AS flesch
+        FROM d WHERE words > 0
     """
 
     sql["text_ngram_novelty"] = f"""
