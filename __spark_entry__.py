@@ -4447,6 +4447,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_types"))
         return ent.orderBy(F.desc("entropy"), F.asc("user_id"))             .limit(20)
 
+    def events_max_silence(spark, sf):
+        # ops/SLA view: the longest silent gap per event type (lag
+        # window on integer epoch seconds, exact), with when it
+        # happened — the "did the pipeline stall" primitive
+        ev = _load(spark, sf, "events")
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        g = ev.select(
+            "event_type", "ts",
+            (F.unix_timestamp("ts")
+             - F.unix_timestamp(F.lag("ts").over(w))).alias("gap"))
+        gaps = g.filter(F.col("gap").isNotNull())
+        wm = Window.partitionBy("event_type").orderBy(
+            F.desc("gap"), F.asc("ts"))
+        return (gaps.withColumn("rn", F.row_number().over(wm))
+                .filter(F.col("rn") == 1)
+                .select("event_type", F.col("gap").alias("max_gap_s"),
+                        F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                        .alias("gap_end")))
+
+    def text_heaps_curve(spark, sf):
+        # Heaps'-law vocabulary growth: distinct-token count over 5
+        # doc-id-prefix checkpoints, from each token's FIRST document
+        # only (one min-aggregate — the curve never rescans the
+        # corpus per checkpoint); integer threshold arithmetic is
+        # engine-identical
+        from fashion_knowledge_graph_spark.functions import text as txf
+        docs = _load(spark, sf, "documents")             .filter(F.col("text").isNotNull())
+        first = docs.select(
+            "doc_id", F.explode(txf.tokens(F.col("text")))
+            .alias("w"))             .groupBy("w").agg(F.min("doc_id").alias("fd"))
+        mx = docs.agg(F.max("doc_id").alias("m"))
+        ck = mx.select(F.explode(F.array(
+            *[F.lit(i) for i in range(1, 6)])).alias("i"), "m")             .select("i", ((F.col("i") * (F.col("m") + 1)) / 5)
+                    .cast("long").alias("cut"))
+        return (first.crossJoin(F.broadcast(ck))
+                .groupBy("i", "cut")
+                .agg(F.sum((F.col("fd") < F.col("cut")).cast("long"))
+                     .alias("vocab"))
+                .select(F.col("i").alias("checkpoint"), "cut",
+                        "vocab"))
+
     def text_readability(spark, sf):
         # Flesch-style readability as a quality feature: words from
         # the shared tokenizer, sentences = [.!?] runs in the RAW
@@ -5371,6 +5412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_burstiness": text_burstiness,
         "text_ngram_novelty": text_ngram_novelty,
         "text_readability": text_readability,
+        "events_max_silence": events_max_silence,
+        "text_heaps_curve": text_heaps_curve,
         "stat_herfindahl": stat_herfindahl,
         "text_zipf_fit": text_zipf_fit,
         "events_dow_seasonality": events_dow_seasonality,
@@ -9929,6 +9972,40 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN t USING (user_id)
         GROUP BY user_id
         ORDER BY entropy DESC, user_id ASC LIMIT 20
+    """
+
+    sql["events_max_silence"] = """
+        WITH g AS (
+          SELECT event_type, ts,
+                 floor(epoch(ts))::BIGINT
+                 - floor(epoch(lag(ts) OVER (
+                     PARTITION BY event_type
+                     ORDER BY ts, event_id)))::BIGINT AS gap
+          FROM events),
+        gg AS (SELECT * FROM g WHERE gap IS NOT NULL)
+        SELECT event_type, gap AS max_gap_s,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS gap_end
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY gap DESC, ts ASC) AS rn
+              FROM gg) z
+        WHERE rn = 1
+    """
+
+    sql["text_heaps_curve"] = f"""
+        WITH first AS (
+          SELECT w, min(doc_id) AS fd
+          FROM (SELECT doc_id, unnest({toks}) AS w
+                FROM documents WHERE text IS NOT NULL)
+          GROUP BY 1),
+        mx AS (SELECT max(doc_id) AS m FROM documents
+               WHERE text IS NOT NULL),
+        ck AS (SELECT i, ((i * (m + 1)) // 5)::BIGINT AS cut
+               FROM unnest(generate_series(1, 5)) t(i), mx)
+        SELECT ck.i AS checkpoint, ck.cut,
+               sum((f.fd < ck.cut)::INT)::BIGINT AS vocab
+        FROM first f CROSS JOIN ck
+        GROUP BY 1, 2
     """
 
     sql["text_readability"] = f"""
