@@ -2242,6 +2242,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id_a", "id_b",
                           F.round("cosine", 6).alias("cosine"))
 
+    def emb_anisotropy(spark, sf):
+        # embedding-space health: the pairwise-cosine distribution on
+        # a deterministic sample (vec_id < 100 → 4950 pairs) — mean
+        # cosine far above 0 is the anisotropy/hubness failure mode
+        # that silently wrecks cosine retrieval; moments + a high-sim
+        # mass fraction, all from one pair join
+        emb = _load(spark, sf, "embeddings").filter(
+            F.col("vec_id") < 100)
+        a = emb.select(F.col("vec_id").alias("ia"),
+                       F.col("embedding").alias("va"))
+        b = emb.select(F.col("vec_id").alias("ib"),
+                       F.col("embedding").alias("vb"))
+        from fashion_knowledge_graph_spark.functions.embeddings import (
+            cosine_col,
+        )
+        pairs = a.join(b, F.col("ia") < F.col("ib"))
+        c = cosine_col(F.col("va"), F.col("vb"))
+        return pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(c), 6).alias("mean_cos"),
+            F.round(F.stddev_pop(c), 6).alias("std_cos"),
+            F.round(F.avg((c > 0.8).cast("double")), 6)
+            .alias("frac_above_08"))
+
     def ann_cosine_topk(spark, sf):
         emb = _load(spark, sf, "embeddings")
         q = emb.filter(F.col("vec_id") < 20)
@@ -5279,6 +5303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_dbscan": cluster_dbscan,
         "semdedup_pairs": semdedup_pairs,
         "ann_cosine_topk": ann_cosine_topk,
+        "emb_anisotropy": emb_anisotropy,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "w5_top1_then_threshold": w5_top1_then_threshold,
@@ -8692,6 +8717,20 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY s DESC, corpus_id ASC) AS rank
           FROM scored)
     """
+    sql["emb_anisotropy"] = """
+        WITH p AS (
+          SELECT list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]) AS c
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE a.vec_id < 100 AND b.vec_id < 100)
+        SELECT count(*) AS n_pairs,
+               round(avg(c), 6) AS mean_cos,
+               round(stddev_pop(c), 6) AS std_cos,
+               round(avg((c > 0.8)::INT::DOUBLE), 6)
+                 AS frac_above_08
+        FROM p
+    """
+
     sql["ann_cosine_topk"] = f"""
         WITH {topk_cte.format(qmax=20)}
         SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 5
