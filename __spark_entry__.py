@@ -4198,6 +4198,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.sum("v").alias("v_sum")))
 
+    def stream_quality_filter(spark, sf):
+        # 2.I stateless streaming transform: the quality gate as an
+        # append-mode stream with ZERO state (pure codegen projection
+        # + filter — the ingest-time document filter shape); stream ≡
+        # batch trivially, oracled by the batch scoring SQL
+        from fashion_knowledge_graph_spark.streaming.incremental import (
+            stream_quality_filter_once,
+        )
+        return stream_quality_filter_once(
+            spark, os.path.join(sf, "documents.parquet"))
+
     def stream_static_enrich(spark, sf):
         # 2.I stream-static join: the streaming fact broadcast-joins a
         # batch dimension (slowly-refreshing-dim pattern; a static
@@ -5454,6 +5465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_link": er_fs_link,
         "stream_hll_distinct": stream_hll_distinct,
         "stream_static_enrich": stream_static_enrich,
+        "stream_quality_filter": stream_quality_filter,
         "s_python_datasource": s_python_datasource,
         "geo_knn_grid": geo_knn_grid,
         "market_basket_triples": market_basket_triples,
@@ -9604,6 +9616,11 @@ def oracle_sql() -> dict[str, str]:
                round(sum(term), 6) > 0.2 AS drift
         FROM terms GROUP BY 1
     """
+
+    # composes the ALREADY-GREEN batch scoring oracle — stream ≡ batch
+    sql["stream_quality_filter"] = (
+        "SELECT doc_id, quality FROM (" + sql["text_quality"]
+        + ") z WHERE quality >= 0.75")
 
     sql["stream_static_enrich"] = """
         SELECT c.c_mktsegment, count(*) AS n_events,

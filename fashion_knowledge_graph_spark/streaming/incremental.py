@@ -638,3 +638,39 @@ def stream_static_enrich_once(spark: SparkSession, events_path: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name).localCheckpoint(eager=True)
+
+
+def stream_quality_filter_once(spark: SparkSession,
+                               docs_path: str,
+                               min_quality: float = 0.75) -> DataFrame:
+    """Stateless streaming quality gate: the C4/Gopher-style score is
+    a pure codegen projection, so the stream runs in append mode with
+    ZERO state — the shape of an ingest-time document filter (score,
+    gate, pass through). Stream ≡ batch trivially (no aggregation to
+    re-order), so the batch scoring SQL oracles the run."""
+    import os
+    import tempfile
+
+    from ..functions.text import quality_score
+
+    if os.path.isfile(docs_path):
+        d = tempfile.mkdtemp(prefix="fkg_stream_src_")
+        os.symlink(docs_path, os.path.join(
+            d, os.path.basename(docs_path)))
+        docs_path = d
+    schema = ("doc_id bigint, text string, lang string, "
+              "source string, n_chars bigint")
+    src = spark.readStream.schema(schema).parquet(docs_path)
+    scored = src.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality")) \
+        .filter(F.col("quality") >= min_quality)
+    _ONCE_SEQ[0] += 1
+    name = f"fkg_stream_qgate_{_ONCE_SEQ[0]}"
+    q = (scored.writeStream.outputMode("append").format("memory")
+         .queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="fkg_stream_cp_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
