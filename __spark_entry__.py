@@ -4715,6 +4715,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return j.select("n1", "n2", F.round(t, 6).alias("t_stat"),
                         F.round(df_ws, 4).alias("df"))
 
+    def stat_grouped_pearson(spark, sf):
+        # grouped correlation: Pearson r between part size and retail
+        # price per brand, from one pass of exact per-group moments
+        # (n, Σx, Σy, Σx², Σy², Σxy — integers and DECIMAL-exact sums)
+        part = _load(spark, sf, "part")
+        x = F.col("p_size").cast("double")
+        y = F.col("p_retailprice").cast("double")
+        m = part.groupBy("p_brand").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"))
+        nf = F.col("n").cast("double")
+        cov = F.col("sxy") - F.col("sx") * F.col("sy") / nf
+        vx = F.col("sxx") - F.col("sx") * F.col("sx") / nf
+        vy = F.col("syy") - F.col("sy") * F.col("sy") / nf
+        return m.select("p_brand", "n",
+                        F.round(cov / F.sqrt(vx * vy), 6)
+                        .alias("pearson_r"))
+
+    def stat_spearman(spark, sf):
+        # Spearman rank correlation between per-user event volume and
+        # active-day breadth: tie-aware midranks for BOTH variables
+        # via the distinct-value form (rows-before + (ties+1)/2 — the
+        # corpus never global-sorts), then Pearson on the ranks
+        ev = _load(spark, sf, "events")
+        per = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("x"),
+            F.countDistinct(F.to_date("ts")).alias("y"))
+
+        def midranks(df, col):
+            vc = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+            w = Window.orderBy(col)                 .rowsBetween(Window.unboundedPreceding, -1)
+            return vc.select(
+                col,
+                (F.coalesce(F.sum("c").over(w), F.lit(0))
+                 .cast("double")
+                 + (F.col("c") + 1).cast("double") / 2)
+                .alias(f"r_{col}"))
+        r = per.join(midranks(per, "x"), "x")                .join(midranks(per, "y"), "y")
+        m = r.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("r_x").alias("sx"), F.sum("r_y").alias("sy"),
+                  F.sum(F.col("r_x") * F.col("r_x")).alias("sxx"),
+                  F.sum(F.col("r_y") * F.col("r_y")).alias("syy"),
+                  F.sum(F.col("r_x") * F.col("r_y")).alias("sxy"))
+        nf = F.col("n").cast("double")
+        cov = F.col("sxy") - F.col("sx") * F.col("sy") / nf
+        vx = F.col("sxx") - F.col("sx") * F.col("sx") / nf
+        vy = F.col("syy") - F.col("sy") * F.col("sy") / nf
+        return m.select("n", F.round(cov / F.sqrt(vx * vy), 6)
+                        .alias("spearman_rho"))
+
     def stat_anova_f(spark, sf):
         # one-way ANOVA across event types: F = (SSB/(k−1))/(SSW/(n−k))
         # from ONE partial-agg'd pass of per-group (n, Σx, Σx²) — the
@@ -5442,6 +5494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": sketch_hll_distinct,
         "stat_eb_shrinkage": stat_eb_shrinkage,
         "stat_anova_f": stat_anova_f,
+        "stat_grouped_pearson": stat_grouped_pearson,
+        "stat_spearman": stat_spearman,
         "stat_welch_ttest": stat_welch_ttest,
         "a_grouping_sets": a_grouping_sets,
         "stat_wilson_ci": stat_wilson_ci,
@@ -10213,6 +10267,57 @@ def oracle_sql() -> dict[str, str]:
                         + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4)
                  AS df
         FROM a, b
+    """
+
+    sql["stat_grouped_pearson"] = """
+        WITH m AS (SELECT p_brand, count(*) AS n,
+                          sum(p_size::DOUBLE) AS sx,
+                          sum(p_retailprice::DOUBLE) AS sy,
+                          sum(p_size::DOUBLE * p_size::DOUBLE)
+                            AS sxx,
+                          sum(p_retailprice::DOUBLE
+                              * p_retailprice::DOUBLE) AS syy,
+                          sum(p_size::DOUBLE * p_retailprice::DOUBLE)
+                            AS sxy
+                   FROM part GROUP BY 1)
+        SELECT p_brand, n,
+               round((sxy - sx * sy / n::DOUBLE)
+                     / sqrt((sxx - sx * sx / n::DOUBLE)
+                            * (syy - sy * sy / n::DOUBLE)), 6)
+                 AS pearson_r
+        FROM m
+    """
+
+    sql["stat_spearman"] = """
+        WITH per AS (SELECT user_id, count(*) AS x,
+                            count(DISTINCT ts::DATE) AS y
+                     FROM events GROUP BY 1),
+        vcx AS (SELECT x, count(*) AS c FROM per GROUP BY 1),
+        rx AS (SELECT x,
+                      coalesce(sum(c) OVER (
+                        ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)::DOUBLE
+                      + (c + 1)::DOUBLE / 2 AS r_x
+               FROM vcx),
+        vcy AS (SELECT y, count(*) AS c FROM per GROUP BY 1),
+        ry AS (SELECT y,
+                      coalesce(sum(c) OVER (
+                        ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)::DOUBLE
+                      + (c + 1)::DOUBLE / 2 AS r_y
+               FROM vcy),
+        r AS (SELECT p.user_id, rx.r_x, ry.r_y
+              FROM per p JOIN rx USING (x) JOIN ry USING (y)),
+        m AS (SELECT count(*) AS n, sum(r_x) AS sx, sum(r_y) AS sy,
+                     sum(r_x * r_x) AS sxx, sum(r_y * r_y) AS syy,
+                     sum(r_x * r_y) AS sxy
+              FROM r)
+        SELECT n,
+               round((sxy - sx * sy / n::DOUBLE)
+                     / sqrt((sxx - sx * sx / n::DOUBLE)
+                            * (syy - sy * sy / n::DOUBLE)), 6)
+                 AS spearman_rho
+        FROM m
     """
 
     sql["stat_anova_f"] = """
