@@ -4715,6 +4715,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return j.select("n1", "n2", F.round(t, 6).alias("t_stat"),
                         F.round(df_ws, 4).alias("df"))
 
+    def supplier_lead_time(spark, sf):
+        # fulfillment datasheet: per-supplier order→ship latency
+        # (integer days from the order date to each line's ship
+        # date), slow-ship fraction (> 90 days), and volume — the
+        # fact-fact join shuffles on orderkey once, the rollup is
+        # partial-agg'd; top-20 worst with deterministic ties
+        li = _load(spark, sf, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate")
+        o = _load(spark, sf, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+        j = li.join(o, "l_orderkey")
+        lead = F.datediff("l_shipdate", "o_orderdate")
+        m = j.groupBy("l_suppkey").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg(lead), 6).alias("avg_lead_days"),
+            F.max(lead).alias("max_lead_days"),
+            F.round(F.avg((lead > 90).cast("double")), 6)
+            .alias("slow_frac"))
+        return m.orderBy(F.desc("slow_frac"), F.desc("n_lines"),
+                         F.asc("l_suppkey")).limit(20)
+
     def stat_grouped_pearson(spark, sf):
         # grouped correlation: Pearson r between part size and retail
         # price per brand, from one pass of exact per-group moments
@@ -5495,6 +5516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_eb_shrinkage": stat_eb_shrinkage,
         "stat_anova_f": stat_anova_f,
         "stat_grouped_pearson": stat_grouped_pearson,
+        "supplier_lead_time": supplier_lead_time,
         "stat_spearman": stat_spearman,
         "stat_welch_ttest": stat_welch_ttest,
         "a_grouping_sets": a_grouping_sets,
@@ -10267,6 +10289,22 @@ def oracle_sql() -> dict[str, str]:
                         + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4)
                  AS df
         FROM a, b
+    """
+
+    sql["supplier_lead_time"] = """
+        WITH m AS (
+          SELECT l_suppkey, count(*) AS n_lines,
+                 round(avg(l_shipdate::DATE - o_orderdate::DATE),
+                       6) AS avg_lead_days,
+                 max(l_shipdate::DATE - o_orderdate::DATE)
+                   AS max_lead_days,
+                 round(avg(((l_shipdate::DATE - o_orderdate::DATE)
+                            > 90)::INT::DOUBLE), 6) AS slow_frac
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1)
+        SELECT * FROM m
+        ORDER BY slow_frac DESC, n_lines DESC, l_suppkey ASC
+        LIMIT 20
     """
 
     sql["stat_grouped_pearson"] = """
