@@ -4715,6 +4715,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return j.select("n1", "n2", F.round(t, 6).alias("t_stat"),
                         F.round(df_ws, 4).alias("df"))
 
+    def events_peak_concurrency(spark, sf):
+        # peak concurrency: the classic ±1 boundary sweep — each
+        # activity interval [ts, ts+⌊value⌋s) emits (+1 at start, −1
+        # at end), ends sort before starts at the same instant (half-
+        # open semantics), running sum per type, argmax with
+        # deterministic ties; exact integer epochs end to end
+        ev = _load(spark, sf, "events")
+        st = F.unix_timestamp("ts")
+        en = st + F.floor("value").cast("long")
+        pts = ev.select("event_type", st.alias("t"),
+                        F.lit(1).alias("d"))             .unionByName(ev.select("event_type", en.alias("t"),
+                                   F.lit(-1).alias("d")))
+        w = Window.partitionBy("event_type").orderBy("t", "d")             .rowsBetween(Window.unboundedPreceding, 0)
+        run = pts.withColumn("conc", F.sum("d").over(w))
+        wm = Window.partitionBy("event_type").orderBy(
+            F.desc("conc"), F.asc("t"))
+        return (run.withColumn("rn", F.row_number().over(wm))
+                .filter(F.col("rn") == 1)
+                .select("event_type",
+                        F.col("conc").alias("peak_concurrency"),
+                        F.from_unixtime("t", "yyyy-MM-dd HH:mm:ss")
+                        .alias("peak_at")))
+
     def supplier_lead_time(spark, sf):
         # fulfillment datasheet: per-supplier order→ship latency
         # (integer days from the order date to each line's ship
@@ -5517,6 +5540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_anova_f": stat_anova_f,
         "stat_grouped_pearson": stat_grouped_pearson,
         "supplier_lead_time": supplier_lead_time,
+        "events_peak_concurrency": events_peak_concurrency,
         "stat_spearman": stat_spearman,
         "stat_welch_ttest": stat_welch_ttest,
         "a_grouping_sets": a_grouping_sets,
@@ -10289,6 +10313,30 @@ def oracle_sql() -> dict[str, str]:
                         + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4)
                  AS df
         FROM a, b
+    """
+
+    sql["events_peak_concurrency"] = """
+        WITH pts AS (
+          SELECT event_type, floor(epoch(ts))::BIGINT AS t, 1 AS d
+          FROM events
+          UNION ALL
+          SELECT event_type,
+                 floor(epoch(ts))::BIGINT + floor(value)::BIGINT, -1
+          FROM events),
+        run AS (SELECT event_type, t, d,
+                       sum(d) OVER (PARTITION BY event_type
+                                    ORDER BY t, d
+                                    ROWS UNBOUNDED PRECEDING)
+                         AS conc
+                FROM pts)
+        SELECT event_type, conc::BIGINT AS peak_concurrency,
+               strftime(to_timestamp(t), '%Y-%m-%d %H:%M:%S')
+                 AS peak_at
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY conc DESC, t ASC) AS rn
+              FROM run) z
+        WHERE rn = 1
     """
 
     sql["supplier_lead_time"] = """
