@@ -152,7 +152,7 @@ _KG_TABLES = ("linked", "canonical", "edges", "triples", "nodes")
 # only hashes the datagen/hash modules, so e.g. the round-3 edge
 # `source` change or a new materialized artifact needs this token to
 # invalidate cached worlds in /tmp
-_KG_WORLD_V = "w3"
+_KG_WORLD_V = "w4"
 
 
 def _kg_paths(sf_dir: str) -> dict[str, str]:
@@ -169,6 +169,8 @@ def _kg_paths(sf_dir: str) -> dict[str, str]:
         "wh": os.path.join(fix_dir, "warehouse"),
         "docs": os.path.join(fix_dir, "docs_interleaved.parquet"),
         "qembs": os.path.join(fix_dir, "qembs.parquet"),
+        "qdocs": os.path.join(fix_dir, "query_docs.parquet"),
+        "qimg": os.path.join(fix_dir, "query_mentions.parquet"),
         "pregate": os.path.join(fix_dir, "mentions_pregate.parquet"),
         "done": os.path.join(fix_dir, "_WORLD_COMPLETE"),
     }
@@ -233,6 +235,23 @@ def _kg_world(spark: SparkSession, sf_dir: str) -> dict:
                   clip_text_embed_udf("text").alias("q_img"),
                   text_embed_udf("text").alias("q_style")) \
             .write.mode("overwrite").parquet(p["qembs"])
+        # outfit-from-image query fixture (recommender.py:204-325):
+        # a deterministic slice of the interleaved docs plays the
+        # user-uploaded outfit photos; their detected-mention
+        # embeddings are materialized so the oracle can replay the
+        # linking join (metadata filters → cosine → W5 gate) in SQL
+        from fashion_knowledge_graph_spark.operators.mentions import (
+            image_mentions,
+        )
+        qdocs = docs.filter(F.col("doc_id") % 7 == 3)
+        qdocs.write.mode("overwrite").parquet(p["qdocs"])
+        image_mentions(spark.read.parquet(p["qdocs"])) \
+            .select("doc_id", "span_idx",
+                    F.col("attrs.type").alias("m_type"),
+                    F.col("attrs.color").alias("m_color"),
+                    F.col("attrs.gender").alias("m_gender"),
+                    "embedding") \
+            .write.mode("overwrite").parquet(p["qimg"])
         with open(p["done"], "w") as f:
             f.write(datagen.content_version())
     else:
@@ -2496,6 +2515,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r = Q.outfit_from_text(qt, out["catalog"], top_k=5)
         return r.select("query_id", "product_id",
                         F.round("rrf_score", 6).alias("rrf_score"))
+
+    def kg_outfit_from_image(spark, sf):
+        # The §3.3 image entry point END TO END (reference
+        # src/inference/recommender.py:204-325): query media docs →
+        # segment → embed → link against the catalog with the
+        # metadata filters + top-1-then-threshold gate at 0.7. The
+        # oracle replays the linking join in SQL over the
+        # materialized query-mention embeddings; segmentation +
+        # embedding are the deterministic stand-ins, identical on
+        # both sides by construction.
+        from fashion_knowledge_graph_spark.plans import queries as Q
+        out = _kg_world(spark, sf)
+        qdocs = spark.read.parquet(_kg_paths(sf)["qdocs"])
+        r = Q.outfit_from_image(qdocs, out["catalog"], threshold=0.7,
+                                strategy="exact")
+        return r.select("doc_id", "span_idx", "product_id", "category",
+                        F.round("score", 6).alias("score"))
 
     def attribution_position(spark, sf):
         # U-shaped multi-touch attribution (40/20/40): each purchase
@@ -5428,6 +5464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ctl_filtered": kg_ctl_filtered,
         "kg_lineage_metrics": kg_lineage_metrics,
         "kg_outfit_from_text": kg_outfit_from_text,
+        "kg_outfit_from_image": kg_outfit_from_image,
         "text_pii_redact": text_pii_redact,
         "text_chunking": text_chunking,
         "events_session_window": events_session_window,
@@ -10779,6 +10816,7 @@ def _kg_oracle_sql() -> dict[str, str]:
     linked_glob = os.path.join(p["wh"], "linked", "data", "*", "*.parquet")
     docs_glob = os.path.join(p["docs"], "*.parquet")
     qembs_glob = os.path.join(p["qembs"], "*.parquet")
+    qimg_glob = os.path.join(p["qimg"], "*.parquet")
 
     # shared base: catalog, near-dup pairs, CC via recursive min-label
     # reachability, linked mentions, canonicalized pairs, edges
@@ -11158,6 +11196,33 @@ def _kg_oracle_sql() -> dict[str, str]:
                 ORDER BY rrf_score DESC, product_id ASC) AS rn
               FROM f) z
         WHERE rn <= 5
+    """
+
+    # outfit_from_image: replay the linking join over the materialized
+    # query-mention embeddings — metadata filters (type/color equality,
+    # gender ∈ {unisex, mention gender}), exact cosine (inputs are
+    # unit-norm so dot ≡ cosine, double products of float32 inputs are
+    # exact on both engines), then the W5 top-1-then-threshold gate at
+    # 0.7 with product_id-asc tie-break.
+    sql["kg_outfit_from_image"] = f"""
+        WITH RECURSIVE {base},
+        qm AS (SELECT doc_id, span_idx, m_type, m_color, m_gender,
+                      embedding::DOUBLE[] AS q_emb
+               FROM read_parquet('{qimg_glob}')),
+        cand AS (SELECT qm.doc_id, qm.span_idx, k.product_id,
+                        k.category,
+                        list_inner_product(k.embedding::DOUBLE[],
+                                           qm.q_emb) AS score
+                 FROM qm JOIN cat k
+                   ON k.type = qm.m_type AND k.color = qm.m_color
+                  AND (k.gender = 'unisex' OR k.gender = qm.m_gender)),
+        ranked AS (SELECT *, row_number() OVER (
+                     PARTITION BY doc_id, span_idx
+                     ORDER BY score DESC, product_id ASC) AS rn
+                   FROM cand)
+        SELECT doc_id, span_idx, product_id, category,
+               round(score, 6) AS score
+        FROM ranked WHERE rn = 1 AND score >= 0.7
     """
 
     sql["kg_lineage_metrics"] = f"""
