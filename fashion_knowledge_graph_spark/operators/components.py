@@ -137,7 +137,8 @@ def _cc_label_propagation(edges: DataFrame, vertices: DataFrame,
 
 def canonical_mapping(catalog: DataFrame,
                       threshold: float = DUP_COSINE,
-                      driver_threshold: int = 20_000) -> DataFrame:
+                      driver_threshold: int = 20_000,
+                      cc_driver_threshold: int = 200_000) -> DataFrame:
     """catalog → (product_id, canonical_id) — identity for singletons.
 
     Dim-sized catalogs (≤ ``driver_threshold``) run entirely on the
@@ -179,7 +180,8 @@ def canonical_mapping(catalog: DataFrame,
         return catalog.sparkSession.createDataFrame(
             out, "product_id string, canonical_id string")
     pairs = near_duplicate_pairs(catalog, threshold)
-    labels = connected_components(pairs, catalog, id_col="product_id")
+    labels = connected_components(pairs, catalog, id_col="product_id",
+                                  driver_threshold=cc_driver_threshold)
     return labels.select(F.col("id").alias("product_id"),
                          F.col("component").alias("canonical_id"))
 

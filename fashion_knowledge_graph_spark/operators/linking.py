@@ -409,6 +409,40 @@ def detect_and_link_fused(docs: DataFrame, catalog: DataFrame,
     return spans.mapInArrow(kernel, out_schema)
 
 
+# Driver-broadcast budget for the packed-catalog fast paths
+# (_pack_catalog → link_broadcast_matmul / detect_and_link_fused).
+# A row gate alone is not a memory contract: 100k rows × 512-d
+# float64 is ~410 MB of packed numpy on the driver AND inside every
+# executor Python worker — the BYTES are what OOM, not the rows, and
+# a 4096-d catalog must fall back to LSH long before 100k rows.
+# Estimated packed size = rows × (dim × 8 + per-row overhead for the
+# three object arrays: product_id/category/gender strings).
+BROADCAST_MAX_ROWS = 100_000
+BROADCAST_BUDGET_MB = 256
+_PACK_ROW_OVERHEAD = 160
+
+
+def est_packed_bytes(catalog: DataFrame) -> tuple[int, int]:
+    """(rows, estimated packed bytes) for the broadcast fast path —
+    ONE agg job (count + max embedding length; both metadata-cheap on
+    parquet/Iceberg scans with column pruning)."""
+    row = catalog.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("embedding")).alias("dim")).first()
+    n = row["n"]
+    dim = row["dim"] or 0
+    return n, n * (dim * 8 + _PACK_ROW_OVERHEAD)
+
+
+def fits_driver_broadcast(catalog: DataFrame,
+                          max_rows: int = BROADCAST_MAX_ROWS,
+                          budget_mb: int = BROADCAST_BUDGET_MB) -> bool:
+    """True iff the catalog fits the packed driver-broadcast fast
+    path, asserted in BYTES (estimated packed size), not just rows."""
+    n, est = est_packed_bytes(catalog)
+    return n <= max_rows and est <= budget_mb << 20
+
+
 def link_mentions(mentions: DataFrame, catalog: DataFrame,
                   strategy: str = "auto", **kw) -> DataFrame:
     """Pick the physical strategy: broadcast-exact while the catalog is
@@ -421,10 +455,9 @@ def link_mentions(mentions: DataFrame, catalog: DataFrame,
         return link_broadcast_matmul(mentions, catalog, **kw)
     if strategy == "lsh":
         return link_lsh(mentions, catalog, **kw)
-    # auto: cheap dim-size probe (catalog counts are metadata-cheap
-    # for parquet/Iceberg sources). Dim-sized catalog → broadcast
-    # matmul kernel (exact, zero-shuffle); big catalog → LSH blocking.
-    n = catalog.count()
-    if n <= 100_000:
+    # auto: dim-size probe in rows AND bytes. Dim-sized catalog →
+    # broadcast matmul kernel (exact, zero-shuffle); big or wide
+    # catalog → LSH blocking.
+    if fits_driver_broadcast(catalog):
         return link_broadcast_matmul(mentions, catalog, **kw)
     return link_lsh(mentions, catalog, **kw)

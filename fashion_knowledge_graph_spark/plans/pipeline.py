@@ -49,6 +49,13 @@ class KGPipeline:
     link_threshold: float = tx.LINK_THRESHOLD
     link_top_k: int = tx.LINK_TOP_K
     dup_threshold: float = cc.DUP_COSINE
+    # scale knobs — the three gates that pick driver fast paths over
+    # the distributed (100 TB) branches. Production defaults; tests
+    # set them to 0 to force the at-scale plans end-to-end
+    # (tests/test_pipeline.py::test_at_scale_branches_full_build).
+    broadcast_budget_mb: int = lk.BROADCAST_BUDGET_MB
+    canon_driver_threshold: int = 20_000
+    cc_driver_threshold: int = 200_000
     tables: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -91,7 +98,9 @@ class KGPipeline:
         if resuming and todo.isEmpty():
             return t.read(spark)
         if self.link_strategy in ("auto", "matmul", "fused") and (
-                self.link_strategy != "auto" or catalog.count() <= 100_000):
+                self.link_strategy != "auto"
+                or lk.fits_driver_broadcast(
+                    catalog, budget_mb=self.broadcast_budget_mb)):
             # dim-sized catalog: one fused mapInArrow pass (detect +
             # embed + link) — no 512-d embedding column ever crosses
             # the Arrow/JVM boundary (linking.detect_and_link_fused)
@@ -100,8 +109,14 @@ class KGPipeline:
                 threshold=self.link_threshold)
         else:
             mentions = mn.image_mentions(todo)
+            # the budget decision was already made above — "auto"
+            # falling through means the catalog is too big or too wide
+            # for the packed broadcast, so go straight to LSH instead
+            # of letting link_mentions re-probe with its default budget
+            strat = "lsh" if self.link_strategy == "auto" \
+                else self.link_strategy
             linked = lk.link_mentions(
-                mentions, catalog, strategy=self.link_strategy,
+                mentions, catalog, strategy=strat,
                 top_k=self.link_top_k, threshold=self.link_threshold)
         flat = linked.select(
             "doc_id", "span_idx", "product_id", "category", "score",
@@ -148,7 +163,10 @@ class KGPipeline:
         spark = catalog.sparkSession
         t = self.table("canonical")
         if not t.exists():
-            t.write(cc.canonical_mapping(catalog, self.dup_threshold),
+            t.write(cc.canonical_mapping(
+                        catalog, self.dup_threshold,
+                        driver_threshold=self.canon_driver_threshold,
+                        cc_driver_threshold=self.cc_driver_threshold),
                     mode="overwrite", stage="canonicalize")
         return t.read(spark)
 
