@@ -321,15 +321,19 @@ def run_scaling(sf_dir: str, levels=(1, 4), replicate: int = 320) -> dict:
     lo, hi = min(levels), max(levels)
     tput = {c: results[c]["docs_per_sec"] for c in levels}
     eff = (tput_ratio := tput_hi_lo(tput, hi, lo)) / (hi / lo)
+    # bracket the measurement: the start probe alone can't certify a
+    # ~12-minute run on a box with steal waves — probe again at the
+    # end so a calm verdict covers the whole window
+    ctl_end = machine_control()
     out = {
         "metric": "scaling_efficiency", "value": round(eff, 3),
         "unit": "ratio",
         "levels": {str(c): results[c] for c in levels},
         "throughput": {str(c): tput[c] for c in levels},
         "speedup": round(tput_ratio, 3), "sf": results[lo].get("sf"),
-        "machine_control": ctl,
+        "machine_control": ctl, "machine_control_end": ctl_end,
     }
-    if ctl["eff_4_to_16"] < 0.85:
+    if min(ctl["eff_4_to_16"], ctl_end["eff_4_to_16"]) < 0.85:
         out["window_contended"] = True
     return out
 
