@@ -297,7 +297,11 @@ def run_scaling(sf_dir: str, levels=(1, 4), replicate: int = 320) -> dict:
 
     ctl = machine_control()
     results = {}
-    for execs in levels:
+    # measure the HIGH-parallelism level first: it is the
+    # contention-sensitive one (the 1-executor level is nearly
+    # steal-immune), so it should run while the just-probed calm
+    # window is freshest
+    for execs in sorted(levels, reverse=True):
         best = None
         # Best-of-N per level, N larger at high parallelism: the 1N
         # (4-core) runs repeat within ±5%, but the 4N (16-core) level
