@@ -2332,6 +2332,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_canonical(spark, sf):
         return _kg_world(spark, sf)["canonical"]
 
+    def kg_canonical_incremental(spark, sf):
+        # Incremental canonicalization — the maintenance path a
+        # 10^12-row catalog actually runs: seed the mapping from ~70%
+        # of the catalog, then fold the remaining items in via the
+        # probe-restricted LSH pair join + CC over (old star edges ∪
+        # new incident edges), never re-pairing existing items
+        # (components.update_canonical_mapping). Must equal the
+        # from-scratch mapping the oracle replays.
+        from fashion_knowledge_graph_spark.operators import (
+            components as cc,
+        )
+        catalog = _kg_world(spark, sf)["catalog"]
+        old = cc.canonical_mapping(
+            catalog.filter(F.crc32("product_id") % 10 < 7))
+        return cc.update_canonical_mapping(catalog, old)
+
     def kg_complete_the_look(spark, sf):
         from fashion_knowledge_graph_spark.plans import queries as Q
         out = _kg_world(spark, sf)
@@ -5453,6 +5469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": kg_triples,
         "kg_edges": kg_edges,
         "kg_canonical": kg_canonical,
+        "kg_canonical_incremental": kg_canonical_incremental,
         "kg_complete_the_look": kg_complete_the_look,
         "kg_2hop_recs": kg_2hop_recs,
         "kg_negative_samples": kg_negative_samples,
@@ -10918,6 +10935,10 @@ def _kg_oracle_sql() -> dict[str, str]:
         WITH RECURSIVE {base}
         SELECT product_id, canonical_id FROM canon
     """
+
+    # incremental update must land on the SAME mapping a from-scratch
+    # recompute produces (update_canonical_mapping's growth contract)
+    sql["kg_canonical_incremental"] = sql["kg_canonical"]
 
     sql["kg_edges"] = f"""
         WITH RECURSIVE {base}

@@ -29,34 +29,59 @@ DUP_COSINE = 0.98
 
 def near_duplicate_pairs(catalog: DataFrame,
                          threshold: float = DUP_COSINE,
-                         nbits: int = 64, nbands: int = 8) -> DataFrame:
+                         nbits: int = 64, nbands: int = 8,
+                         probe: DataFrame | None = None) -> DataFrame:
     """LSH-blocked self-join of the catalog embedding space →
     (src, dst) candidate duplicate pairs with cosine ≥ threshold.
 
     Blocking key = (type, color, band, bsig) exactly like the linking
     join; id1 < id2 halves the candidate set.
+
+    ``probe``: optional subset of catalog rows — restricts the output
+    to pairs with at least one endpoint in ``probe`` (the incremental
+    canonicalization path: pair generation costs O(|new| × block)
+    instead of O(|catalog| × block); src < dst still canonical).
     """
     planes = hyperplanes(tx.IMG_DIM, nbits, seed_key="dedup-img")
     sig = make_signature_udf(planes, nbands)
-    c = catalog.select("product_id", "type", "color", "embedding") \
-        .withColumn("sigs", sig("embedding"))
-    e = c.select("*", F.posexplode("sigs").alias("band", "bsig")).drop("sigs")
-    a = e.select(*[F.col(x).alias(f"a_{x}") for x in e.columns])
+
+    def banded(df):
+        c = df.select("product_id", "type", "color", "embedding") \
+            .withColumn("sigs", sig("embedding"))
+        return c.select("*", F.posexplode("sigs").alias("band", "bsig")) \
+            .drop("sigs")
+
+    e = banded(catalog)
+    a_side = banded(probe) if probe is not None else e
+    a = a_side.select(*[F.col(x).alias(f"a_{x}") for x in a_side.columns])
     b = e.select(*[F.col(x).alias(f"b_{x}") for x in e.columns])
-    cand = a.join(
-        b,
-        (F.col("a_band") == F.col("b_band"))
-        & (F.col("a_bsig") == F.col("b_bsig"))
-        & (F.col("a_type") == F.col("b_type"))
+    on = (F.col("a_band") == F.col("b_band")) \
+        & (F.col("a_bsig") == F.col("b_bsig")) \
+        & (F.col("a_type") == F.col("b_type")) \
         & (F.col("a_color") == F.col("b_color"))
-        & (F.col("a_product_id") < F.col("b_product_id")),
-        "inner",
-    ).dropDuplicates(["a_product_id", "b_product_id"])
+    if probe is None:
+        cand = a.join(
+            on=on & (F.col("a_product_id") < F.col("b_product_id")),
+            other=b, how="inner",
+        ).dropDuplicates(["a_product_id", "b_product_id"])
+        scored = cand.withColumn(
+            "score", cosine_col("a_embedding", "b_embedding"))
+        return scored.filter(F.col("score") >= threshold).select(
+            F.col("a_product_id").alias("src"),
+            F.col("b_product_id").alias("dst"), "score")
+    # probe side may collide either way round — orient the pair
+    # (least, greatest) BEFORE the dedup so probe×probe pairs are
+    # emitted once
+    cand = a.join(
+        on=on & (F.col("a_product_id") != F.col("b_product_id")),
+        other=b, how="inner",
+    ).withColumn("src", F.least("a_product_id", "b_product_id")) \
+     .withColumn("dst", F.greatest("a_product_id", "b_product_id")) \
+     .dropDuplicates(["src", "dst"])
     scored = cand.withColumn(
         "score", cosine_col("a_embedding", "b_embedding"))
-    return scored.filter(F.col("score") >= threshold).select(
-        F.col("a_product_id").alias("src"),
-        F.col("b_product_id").alias("dst"), "score")
+    return scored.filter(F.col("score") >= threshold) \
+        .select("src", "dst", "score")
 
 
 def connected_components(edges: DataFrame, vertices: DataFrame,
@@ -181,6 +206,49 @@ def canonical_mapping(catalog: DataFrame,
             out, "product_id string, canonical_id string")
     pairs = near_duplicate_pairs(catalog, threshold)
     labels = connected_components(pairs, catalog, id_col="product_id",
+                                  driver_threshold=cc_driver_threshold)
+    return labels.select(F.col("id").alias("product_id"),
+                         F.col("component").alias("canonical_id"))
+
+
+def update_canonical_mapping(catalog: DataFrame, old_mapping: DataFrame,
+                             threshold: float = DUP_COSINE,
+                             cc_driver_threshold: int = 200_000
+                             ) -> DataFrame:
+    """Fold NEW catalog items into an existing canonical mapping
+    without re-generating pairs for the whole catalog — the
+    incremental path a 10^12-row catalog actually runs (from-scratch
+    pair generation is the expensive stage; folding additions costs
+    O(|new| × block), not O(|catalog| × block)).
+
+    Correctness argument: embeddings of existing items are immutable
+    (ids are content-addressed, F9), so the from-scratch near-dup
+    graph over the grown catalog is exactly (old connectivity) ∪
+    (edges incident to a new item). Old connectivity is preserved by
+    the old mapping's (member → canonical) star edges; the incident
+    edges come from one probe-restricted LSH join. Components — and
+    therefore min-id canonical labels — match a full recompute up to
+    the banded join's recall (≈0.999 at the 0.98 duplicate threshold;
+    the same approximation the from-scratch >20k path makes). Pinned
+    exactly equal on fixtures by tests/test_components.py, including
+    a new item BRIDGING two previously separate components.
+
+    Contract: supports catalog GROWTH only. Star edges stand in for
+    pairwise connectivity inside old components, so with deletions
+    the caller must rebuild from scratch (``KGPipeline.
+    stage_canonical`` detects removals and does exactly that).
+    """
+    new_items = catalog.join(
+        old_mapping.select("product_id"), "product_id", "left_anti")
+    if new_items.isEmpty():
+        return old_mapping
+    pairs = near_duplicate_pairs(catalog, threshold, probe=new_items)
+    old_edges = old_mapping \
+        .filter(F.col("product_id") != F.col("canonical_id")) \
+        .select(F.col("product_id").alias("src"),
+                F.col("canonical_id").alias("dst"))
+    edges = pairs.select("src", "dst").union(old_edges)
+    labels = connected_components(edges, catalog, id_col="product_id",
                                   driver_threshold=cc_driver_threshold)
     return labels.select(F.col("id").alias("product_id"),
                          F.col("component").alias("canonical_id"))

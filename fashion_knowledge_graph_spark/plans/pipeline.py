@@ -162,10 +162,35 @@ class KGPipeline:
     def stage_canonical(self, catalog: DataFrame) -> DataFrame:
         spark = catalog.sparkSession
         t = self.table("canonical")
-        if not t.exists():
+
+        def rebuild():
             t.write(cc.canonical_mapping(
                         catalog, self.dup_threshold,
                         driver_threshold=self.canon_driver_threshold,
+                        cc_driver_threshold=self.cc_driver_threshold),
+                    mode="overwrite", stage="canonicalize")
+
+        if not t.exists():
+            rebuild()
+            return t.read(spark)
+        # resumed build: the committed mapping is stale if the catalog
+        # changed. ONE full-outer probe job classifies the change:
+        # additions fold in incrementally (probe-restricted pair join
+        # — the 10^12-catalog path never re-pairs existing items);
+        # removals force a rebuild (old components' star edges can't
+        # distinguish pairwise from via-deleted connectivity).
+        old = t.read(spark)
+        d = catalog.select("product_id").withColumn("_c", F.lit(1)).join(
+            old.select("product_id").withColumn("_o", F.lit(1)),
+            "product_id", "full_outer").agg(
+            F.count(F.when(F.col("_o").isNull(), 1)).alias("added"),
+            F.count(F.when(F.col("_c").isNull(), 1)).alias("removed"),
+        ).first()
+        if d["removed"] > 0:
+            rebuild()
+        elif d["added"] > 0:
+            t.write(cc.update_canonical_mapping(
+                        catalog, old, self.dup_threshold,
                         cc_driver_threshold=self.cc_driver_threshold),
                     mode="overwrite", stage="canonicalize")
         return t.read(spark)
