@@ -147,6 +147,60 @@ def hyperplanes(dim: int, nbits: int, seed_key: str) -> np.ndarray:
     return (u * 2.0 - 1.0).astype(np.float32)
 
 
+def banding_recall(cos_threshold: float, bits_per_band: int,
+                   nbands: int) -> float:
+    """P(a pair at exactly ``cos_threshold`` becomes a candidate)
+    under sign-LSH banding: per-bit agreement p = 1 − θ/π
+    (Goemans–Williamson), a band matches with p^b, and the pair
+    collides in at least one of k bands with 1 − (1 − p^b)^k. Recall
+    for pairs ABOVE the threshold is strictly higher (p is monotone
+    in cosine), so this is the conservative design number."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, cos_threshold))) / math.pi
+    return 1.0 - (1.0 - p ** bits_per_band) ** nbands
+
+
+def lsh_params_for(cos_threshold: float, target_recall: float = 0.99,
+                   max_nbits: int = 4096) -> tuple[int, int]:
+    """(nbits, nbands) meeting ``target_recall`` at ``cos_threshold``
+    with the FEWEST expected random collisions.
+
+    Design trade: longer bands (more bits) cut random-pair collisions
+    ~2× per bit (a random pair agrees on a bit with p≈0.5) but need
+    more bands to keep recall — expected random-collision work per
+    pair ∝ k·2^(−b). Scan b, take the minimal k that clears the
+    recall target, keep the (b, k) with the least collision mass.
+    Replaces magic banding constants with the closed form the
+    operator docstrings cite (components.near_duplicate_pairs,
+    linking.link_lsh)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, cos_threshold))) / math.pi
+    best = None
+    for b in range(1, 33):
+        pb = p ** b
+        if pb >= 1.0:          # threshold 1.0 — any single band works
+            cand = (b, 1)
+        elif pb <= 0.0:
+            continue
+        else:
+            k = math.ceil(math.log(1.0 - target_recall)
+                          / math.log(1.0 - pb))
+            cand = (b, k)
+        if cand[0] * cand[1] > max_nbits:
+            continue
+        noise = cand[1] * 0.5 ** cand[0]
+        if best is None or noise < best[0]:
+            best = (noise, cand)
+    if best is None:
+        raise ValueError(
+            f"no banding within {max_nbits} bits reaches recall "
+            f"{target_recall} at cosine {cos_threshold}")
+    b, k = best[1]
+    return b * k, k
+
+
 def make_signature_udf(planes: np.ndarray, nbands: int):
     """vec → array<int> of ``nbands`` band signatures (packed sign
     bits). Runs as an Arrow-batched matmul — one BLAS call per batch."""

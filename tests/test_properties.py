@@ -114,3 +114,35 @@ def test_int8_quantization_error_bound_and_range(vec):
     err = np.abs(recon - v)
     # half-step bound with a float-arithmetic epsilon
     assert (err <= scale / 127.0 / 2.0 + 1e-9 * max(scale, 1.0)).all()
+
+
+@given(st.floats(min_value=0.5, max_value=0.999),
+       st.floats(min_value=0.9, max_value=0.9999))
+@settings(max_examples=60, deadline=None)
+def test_lsh_params_meet_recall_target(threshold, target):
+    from fashion_knowledge_graph_spark.functions.embeddings import (
+        banding_recall,
+        lsh_params_for,
+    )
+
+    nbits, nbands = lsh_params_for(threshold, target)
+    assert nbits % nbands == 0 and nbits <= 4096
+    b = nbits // nbands
+    assert banding_recall(threshold, b, nbands) >= target
+    # one band fewer must MISS the target (k was minimal for this b)
+    if nbands > 1:
+        assert banding_recall(threshold, b, nbands - 1) < target
+
+
+def test_banding_recall_matches_repo_constants():
+    """The numbers the operator docstrings cite: 16×16 at the 0.98
+    dup threshold ≈ 0.999; 8×8 (near_duplicate_pairs defaults) even
+    higher."""
+    from fashion_knowledge_graph_spark.functions.embeddings import (
+        banding_recall,
+    )
+
+    assert banding_recall(0.98, 16, 16) > 0.995
+    assert banding_recall(0.98, 8, 8) > 0.999
+    # recall is monotone in the cosine threshold
+    assert banding_recall(0.99, 16, 16) > banding_recall(0.97, 16, 16)
