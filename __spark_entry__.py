@@ -1820,6 +1820,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id_a", "id_b",
                           F.round("jaccard", 6).alias("jaccard"))
 
+    def dedup_minhash_incremental(spark, sf):
+        # continuous-crawl maintenance path: duplicate pairs for a
+        # grown corpus = committed pairs (seeded from ~70% of docs) ∪
+        # pairs incident to the new docs via the probe-restricted band
+        # join (dedup.minhash_lsh_pairs_incremental). Signatures are
+        # per-doc deterministic, so the union EXACTLY equals the
+        # from-scratch run the oracle replays over the full corpus.
+        docs = _docs_split(spark, sf)
+        seed = docs.filter(
+            F.crc32(F.col("doc_id").cast("string")) % 10 < 7)
+        new = docs.filter(
+            F.crc32(F.col("doc_id").cast("string")) % 10 >= 7)
+        kw = dict(threshold=0.35, num_hashes=128, bands=32)
+        old_pairs = dd.minhash_lsh_pairs(seed, **kw)
+        out = dd.minhash_lsh_pairs_incremental(docs, new, old_pairs,
+                                               **kw)
+        return out.select("id_a", "id_b",
+                          F.round("jaccard", 6).alias("jaccard"))
+
     def dedup_minhash_estimate(spark, sf):
         # sketch-accuracy datasheet for the dedup path: per verified
         # duplicate pair, the MinHash lane-agreement ESTIMATE of
@@ -5455,6 +5474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hard_negatives": ann_hard_negatives,
         "zorder_events_key": zorder_events_key,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_minhash_incremental": dedup_minhash_incremental,
         "dedup_minhash_estimate": dedup_minhash_estimate,
         "dedup_simhash": dedup_simhash,
         "dedup_clusters": dedup_clusters,
@@ -8641,6 +8661,10 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.id = i.id_b
         WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35
     """
+
+    # the incremental (seed + fold-in) run must equal from-scratch —
+    # same replay as dedup_minhash_lsh
+    sql["dedup_minhash_incremental"] = sql["dedup_minhash_lsh"]
 
     sql["dedup_minhash_estimate"] = f"""
         WITH {minhash_ctes},

@@ -395,7 +395,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5,
                       verify: bool = True,
-                      hash_family: str = "portable") -> DataFrame:
+                      hash_family: str = "portable",
+                      probe: DataFrame | None = None) -> DataFrame:
     """Banded-LSH candidate pairs, then exact-Jaccard verification.
 
     bands=16 × rows=4 ⇒ pair-recall at J=0.5: 1-(1-0.5^4)^16 ≈ 0.645,
@@ -406,6 +407,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     "portable"`` (default) the lane hashes and band keys are pure md5
     → the full candidate set + verification is reproducible in DuckDB
     (the driver's oracle); ``"fast"`` swaps in xxhash64 lanes.
+
+    ``probe``: optional subset of corpus rows (same ``id_col``) —
+    restricts output to pairs with at least one endpoint in ``probe``
+    (the continuous-ingest incremental path; see
+    ``minhash_lsh_pairs_incremental``). Band join and verification
+    then cost O(|probe| × block), not O(corpus × block).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -439,9 +446,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     banded = sig.select(
         "id", F.posexplode(F.array(*band_keys)).alias("band", "bkey"))
     a = banded.select(F.col("id").alias("id_a"), "band", "bkey")
+    if probe is not None:
+        a = a.join(probe.select(F.col(id_col).alias("id_a")),
+                   "id_a", "left_semi")
     b = banded.select(F.col("id").alias("id_b"), "band", "bkey")
-    cand = a.join(b, ["band", "bkey"]).filter(F.col("id_a") < F.col("id_b")) \
-        .select("id_a", "id_b").distinct()
+    if probe is None:
+        cand = a.join(b, ["band", "bkey"]) \
+            .filter(F.col("id_a") < F.col("id_b")) \
+            .select("id_a", "id_b").distinct()
+    else:
+        # probe×probe collisions arrive in both orders — orient the
+        # pair (least, greatest) so output matches the self-join form
+        cand = a.join(b, ["band", "bkey"]) \
+            .filter(F.col("id_a") != F.col("id_b")) \
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b")) \
+            .distinct()
     if not verify:
         return cand
     if post_all is None:
@@ -474,6 +494,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
     return j.filter(F.col("jaccard") >= threshold) \
         .select("id_a", "id_b", "jaccard")
+
+
+def minhash_lsh_pairs_incremental(df: DataFrame, new_docs: DataFrame,
+                                  old_pairs: DataFrame,
+                                  **kw) -> DataFrame:
+    """Fold newly ingested docs into an existing duplicate-pair set —
+    the continuous-crawl maintenance path: committed ``old_pairs`` ∪
+    pairs incident to ``new_docs`` (probe-restricted band join).
+
+    EXACTLY equals a from-scratch ``minhash_lsh_pairs`` over the grown
+    corpus: signatures are per-document deterministic, so an old-old
+    pair collides in the grown corpus iff it collided before — the two
+    unioned sets are disjoint and jointly exhaustive (pinned by
+    tests/test_dedup.py). Candidate generation and verification cost
+    O(|new| × block); the signature kernel over existing docs is a
+    scan-speed map pass here and a materialized signature table in
+    production (the stage with quadratic risk is the band join, which
+    this restricts).
+    """
+    inc = minhash_lsh_pairs(df, probe=new_docs, **kw)
+    return old_pairs.unionByName(inc)
 
 
 # ------------------------------------------------------------- SimHash

@@ -469,3 +469,24 @@ def test_jaccard_prefix_length_filter_prunes_but_stays_exact(spark):
            a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
            .select("id_a", "id_b").distinct().collect()}
     assert (1, 2) in raw
+
+
+def test_minhash_incremental_equals_from_scratch(spark, corpus):
+    """Seed pairs from part of the corpus, fold the rest in via the
+    probe-restricted band join — the union must EXACTLY equal a
+    from-scratch run over the full corpus (deterministic signatures:
+    old-old collisions are unaffected by growth)."""
+    from pyspark.sql import functions as F
+
+    kw = dict(threshold=0.5, num_hashes=128, bands=32)
+    seed = corpus.filter(F.crc32(F.col("doc_id").cast("string")) % 3 < 2)
+    new = corpus.filter(F.crc32(F.col("doc_id").cast("string")) % 3 >= 2)
+    assert 0 < new.count() < corpus.count()
+    old_pairs = dd.minhash_lsh_pairs(seed, **kw)
+    got = dd.minhash_lsh_pairs_incremental(corpus, new, old_pairs, **kw)
+    exp = dd.minhash_lsh_pairs(corpus, **kw)
+    g = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+         for r in got.collect()}
+    e = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+         for r in exp.collect()}
+    assert g == e and e
