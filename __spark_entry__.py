@@ -2348,6 +2348,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _kg_world(spark, sf)["edges"]
         return out.select("src", "dst", "rel_type", "weight", "source")
 
+    def kg_edges_incremental(spark, sf):
+        # Neo4j-MERGE-shaped edge maintenance (edges.merge_edge_delta):
+        # edges for a grown corpus = committed edges (from ~70% of
+        # docs) MERGE the delta aggregated over ONLY the new docs'
+        # linked rows — weight++, sorted evidence append, last-write
+        # source. Must equal the full re-aggregation the oracle
+        # replays (same SQL as kg_edges); evidence lists are compared
+        # via their joined string so the merge itself is hash-checked.
+        from fashion_knowledge_graph_spark.operators import (
+            components as cc,
+        )
+        from fashion_knowledge_graph_spark.operators import edges as ed
+        out = _kg_world(spark, sf)
+        narrow = out["linked"].select("doc_id", "span_idx",
+                                      "product_id", "category")
+        lc = cc.canonicalize(narrow, out["canonical"], ["product_id"])
+        split = F.crc32(F.col("doc_id").cast("string")) % 10
+        merged = ed.merge_edge_delta(
+            ed.aggregate_edges(ed.cooccurrence_pairs(
+                lc.filter(split < 7))),
+            ed.aggregate_edges(ed.cooccurrence_pairs(
+                lc.filter(split >= 7))))
+        return merged.select(
+            "src", "dst", "rel_type", "weight", "source",
+            F.array_join(
+                F.transform("images", lambda x: x.cast("string")),
+                ",").alias("evidence"))
+
     def kg_canonical(spark, sf):
         return _kg_world(spark, sf)["canonical"]
 
@@ -5490,6 +5518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": kg_edges,
         "kg_canonical": kg_canonical,
         "kg_canonical_incremental": kg_canonical_incremental,
+        "kg_edges_incremental": kg_edges_incremental,
         "kg_complete_the_look": kg_complete_the_look,
         "kg_2hop_recs": kg_2hop_recs,
         "kg_negative_samples": kg_negative_samples,
@@ -10967,6 +10996,19 @@ def _kg_oracle_sql() -> dict[str, str]:
     sql["kg_edges"] = f"""
         WITH RECURSIVE {base}
         SELECT src, dst, rel_type, weight, source FROM edges
+    """
+
+    # committed-edges MERGE new-docs delta must equal the full
+    # re-aggregation — kg_edges' replay plus the sorted evidence
+    # string, so the list merge itself is hash-checked
+    sql["kg_edges_incremental"] = f"""
+        WITH RECURSIVE {base},
+        ev AS (SELECT src, dst, rel_type,
+                      string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                        AS evidence
+               FROM prs GROUP BY 1, 2, 3)
+        SELECT e.src, e.dst, e.rel_type, e.weight, e.source, v.evidence
+        FROM edges e JOIN ev v USING (src, dst, rel_type)
     """
 
     sql["kg_triples"] = f"""

@@ -94,6 +94,51 @@ def aggregate_edges(pairs: DataFrame) -> DataFrame:
     )
 
 
+def merge_edge_delta(old_edges: DataFrame,
+                     delta_edges: DataFrame) -> DataFrame:
+    """MERGE an edge delta (aggregated over NEW docs only) into the
+    committed edges table — the batch form of the reference's per-
+    observation Neo4j MERGE (graph_database.py:173-196: weight++,
+    evidence append, scalar overwrite), costing O(delta) instead of
+    re-aggregating every linked row ever seen:
+
+    - weight: sum (counts are mergeable)
+    - images: sorted merge (sorted ∪ sorted = sort of concat)
+    - source: last-write-wins — the side holding the globally max
+      evidence key wins; within a side ``aggregate_edges`` already
+      picked the max_by, so comparing the two last list elements is
+      exact. Precondition: evidence keys are disjoint across sides
+      (delta built from docs absent from the old table), which also
+      rules out cross-side ties.
+
+    Exactly equals ``aggregate_edges`` over the union of the
+    observations (pinned by tests/test_edges.py and the
+    ``kg_edges_incremental`` driver oracle).
+    """
+    key = ["src", "dst", "rel_type"]
+    o = old_edges.select(
+        *key, F.col("weight").alias("w_o"), F.col("images").alias("im_o"),
+        F.col("source").alias("s_o"))
+    d = delta_edges.select(
+        *key, F.col("weight").alias("w_d"), F.col("images").alias("im_d"),
+        F.col("source").alias("s_d"))
+    j = o.join(d, key, "full_outer")
+    both = F.col("w_o").isNotNull() & F.col("w_d").isNotNull()
+    source = F.when(F.col("w_d").isNull(), F.col("s_o")) \
+        .when(F.col("w_o").isNull(), F.col("s_d")) \
+        .otherwise(F.when(F.element_at("im_d", -1)
+                          > F.element_at("im_o", -1),
+                          F.col("s_d")).otherwise(F.col("s_o")))
+    images = F.when(both, F.sort_array(F.concat("im_o", "im_d"))) \
+        .otherwise(F.coalesce("im_o", "im_d"))
+    return j.select(
+        *key,
+        (F.coalesce("w_o", F.lit(0))
+         + F.coalesce("w_d", F.lit(0))).alias("weight"),
+        images.alias("images"),
+        source.alias("source"))
+
+
 def complements_triples(edges: DataFrame) -> DataFrame:
     """Edge rows → (subj, complements, obj) triples (north_rule's
     fourth predicate). One triple per canonical direction."""

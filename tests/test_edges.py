@@ -30,3 +30,29 @@ def test_rel_type_rule(spark, docs_df, catalog_df):
         "(cat1 = cat2 AND rel_type != 'COMPLEMENTED_BY') OR "
         "(cat1 != cat2 AND rel_type != 'WORN_WITH')")
     assert bad.count() == 0
+
+
+def test_merge_edge_delta_equals_full_aggregation(spark, docs_df,
+                                                  catalog_df):
+    """Committed edges (from ~70% of docs) MERGE a new-docs delta must
+    equal aggregating all observations at once — weight sums, sorted
+    evidence merge, and the last-write source all mergeable."""
+    from pyspark.sql import functions as F
+
+    linked = _linked(docs_df, catalog_df)
+    old = linked.filter(F.crc32(F.col("doc_id").cast("string")) % 10 < 7)
+    new = linked.filter(F.crc32(F.col("doc_id").cast("string")) % 10 >= 7)
+    assert 0 < new.count() < linked.count()
+    got = ed.merge_edge_delta(
+        ed.aggregate_edges(ed.cooccurrence_pairs(old)),
+        ed.aggregate_edges(ed.cooccurrence_pairs(new)))
+    exp = ed.aggregate_edges(ed.cooccurrence_pairs(linked))
+    cols = ["src", "dst", "rel_type", "weight", "images", "source"]
+    assert rows_set(got, cols) == rows_set(exp, cols)
+    # both merge branches exercised: some keys exist on both sides,
+    # some only on one
+    k_old = {(r["src"], r["dst"], r["rel_type"]) for r in
+             ed.aggregate_edges(ed.cooccurrence_pairs(old)).collect()}
+    k_new = {(r["src"], r["dst"], r["rel_type"]) for r in
+             ed.aggregate_edges(ed.cooccurrence_pairs(new)).collect()}
+    assert k_old & k_new and (k_old - k_new or k_new - k_old)
