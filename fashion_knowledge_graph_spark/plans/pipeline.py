@@ -64,6 +64,14 @@ class KGPipeline:
         # table() is called from concurrent stage threads in build()
         self._lock = threading.Lock()
         self._deferred: list = []
+        # incremental-resume state, refreshed per build: the linked
+        # rows / docs a resumed build ADDED (None ⇒ fresh build or
+        # nothing new) and whether the canonical mapping changed —
+        # edges/triples switch to O(new) delta maintenance only when
+        # growth happened under an unchanged mapping
+        self._inc_new_linked = None
+        self._inc_new_docs = None
+        self._canon_changed = True
 
     def table(self, name: str) -> SnapshotTable:
         with self._lock:
@@ -86,6 +94,8 @@ class KGPipeline:
         t = self.table("linked")
         seen = self.table("processed_docs")
         todo = docs
+        self._inc_new_linked = None
+        self._inc_new_docs = None
         resuming = resume and seen.exists()
         if resuming:
             # anti-join against the *processed* doc set — docs whose
@@ -148,6 +158,13 @@ class KGPipeline:
                            stage="link")
             self._deferred.append(ex.submit(_commit_linked))
             return flat_cp
+        if resuming:
+            # resumed growth: checkpoint the NEW rows once — the
+            # append commit and the edges/triples delta paths below
+            # both consume the blocks instead of re-running the kernel
+            flat = flat.localCheckpoint(eager=True)
+            self._inc_new_linked = flat
+            self._inc_new_docs = todo
         t.write(flat, mode="append", stage="link")
         # same ordering constraint as above; nothing downstream depends
         # on processed_docs, so with an executor it overlaps the
@@ -170,6 +187,7 @@ class KGPipeline:
                         cc_driver_threshold=self.cc_driver_threshold),
                     mode="overwrite", stage="canonicalize")
 
+        self._canon_changed = True
         if not t.exists():
             rebuild()
             return t.read(spark)
@@ -193,6 +211,8 @@ class KGPipeline:
                         catalog, old, self.dup_threshold,
                         cc_driver_threshold=self.cc_driver_threshold),
                     mode="overwrite", stage="canonicalize")
+        else:
+            self._canon_changed = False
         return t.read(spark)
 
     def _edges_df(self, linked: DataFrame, canon: DataFrame) -> DataFrame:
@@ -212,10 +232,33 @@ class KGPipeline:
         linked_canon = cc.canonicalize(narrow, canon, ["product_id"])
         return ed.aggregate_edges(ed.cooccurrence_pairs(linked_canon))
 
+    def _incremental_ok(self, *table_names: str) -> bool:
+        """True iff this resumed build may maintain the named derived
+        tables by delta: docs grew, the canonical mapping did not
+        change (a changed mapping rewrites OLD rows' endpoints), and
+        the tables to merge into actually exist."""
+        return (self._inc_new_linked is not None
+                and not self._canon_changed
+                and all(self.table(n).exists() for n in table_names))
+
+    def _edges_plan(self, linked: DataFrame, canon: DataFrame) -> DataFrame:
+        """Full re-aggregation, or — when the resumed build only GREW
+        under an unchanged mapping — the committed edges MERGE the
+        delta aggregated over just the new docs' linked rows
+        (edges.merge_edge_delta): O(new), not O(all linked ever)."""
+        if self._incremental_ok("edges"):
+            narrow = self._inc_new_linked.select(
+                "doc_id", "span_idx", "product_id", "category")
+            delta = ed.aggregate_edges(ed.cooccurrence_pairs(
+                cc.canonicalize(narrow, canon, ["product_id"])))
+            return ed.merge_edge_delta(
+                self.table("edges").read(linked.sparkSession), delta)
+        return self._edges_df(linked, canon)
+
     def stage_edges(self, linked: DataFrame, canon: DataFrame) -> DataFrame:
         spark = linked.sparkSession
         t = self.table("edges")
-        t.write(self._edges_df(linked, canon), mode="overwrite",
+        t.write(self._edges_plan(linked, canon), mode="overwrite",
                 stage="edges")
         return t.read(spark)
 
@@ -223,7 +266,20 @@ class KGPipeline:
                            canon: DataFrame) -> None:
         """Attr + text triples — the bulk (≈12× the linked row count).
         Depends only on (linked, canon), NOT on edges, so build() runs
-        this write concurrently with the edges stage."""
+        this write concurrently with the edges stage.
+
+        Incremental resume (growth under an unchanged mapping): attr +
+        text triples are per-doc, so only the NEW docs' triples are
+        computed and APPENDED; the stale complements rows are deleted
+        first (copy-on-write, touches only their snapshot's files) and
+        re-appended from the refreshed edges by stage_triples_comp —
+        O(new docs + edge table), never O(corpus)."""
+        incremental = self._incremental_ok("triples")
+        if incremental:
+            spark = docs.sparkSession
+            docs, linked = self._inc_new_docs, self._inc_new_linked
+            self.table("triples").delete_where(
+                spark, F.col("pred") == "complements")
         attrs_struct = F.struct(*[F.col(a).alias(a)
                                   for a in (*tx.SCALAR_ATTRS, *tx.MULTI_ATTRS)])
         linked_canon = cc.canonicalize(linked, canon, ["product_id"]) \
@@ -235,7 +291,9 @@ class KGPipeline:
             .withColumn("span_idx", F.lit(-1)) \
             .withColumn("score", F.lit(1.0))
         allt = t_attr.unionByName(t_text.select(t_attr.columns))
-        self.table("triples").write(allt, mode="overwrite", stage="triples")
+        self.table("triples").write(
+            allt, mode="append" if incremental else "overwrite",
+            stage="triples")
 
     def stage_triples_comp(self, edges: DataFrame) -> DataFrame:
         """Append the (tiny) complements triples once edges exist."""
@@ -319,7 +377,7 @@ class KGPipeline:
             # (edges write → comp append as back-to-back commits) now
             # overlaps fully
             t_edges = self.table("edges")
-            edges_df = self._edges_df(linked, canon) \
+            edges_df = self._edges_plan(linked, canon) \
                 .localCheckpoint(eager=True)
             f_ewrite = ex.submit(t_edges.write, edges_df, "overwrite",
                                  "edges")

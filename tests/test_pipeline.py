@@ -242,3 +242,27 @@ def test_pipeline_budget_knob_forces_lsh(spark, docs_df, catalog_df,
     linked = pipe.stage_linked(docs_df, catalog_df)
     assert linked.count() > 0
     assert "lsh" in calls and "fused" not in calls
+
+
+def test_resume_uses_delta_maintenance(spark, docs_df, catalog_df,
+                                       tmp_path, monkeypatch):
+    """Growth under an unchanged mapping must take the O(new) paths:
+    merge_edge_delta for edges, delete+append for triples — not the
+    full re-aggregation."""
+    from fashion_knowledge_graph_spark.operators import edges as ed_mod
+
+    calls = []
+    real = ed_mod.merge_edge_delta
+    monkeypatch.setattr(
+        ed_mod, "merge_edge_delta",
+        lambda *a, **k: calls.append(1) or real(*a, **k))
+
+    half = docs_df.filter(F.crc32(F.col("doc_id")) % 2 == 0)
+    pipe = KGPipeline(warehouse=str(tmp_path / "wh"))
+    pipe.build(half, catalog_df)
+    assert not calls                       # fresh build: full path
+    pipe.build(docs_df, catalog_df)
+    assert calls                           # resumed growth: delta MERGE
+    # triples took delete(complements)+append, not overwrite
+    stages = [r["stage"] for r in pipe.table("triples").lineage()]
+    assert "delete" in stages
