@@ -2510,6 +2510,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return a.join(b, "subj").join(opt, "subj", "left") \
             .select("subj", "gender")
 
+    def kg_taxonomy_closure(spark, sf):
+        # Transitive closure of the taxonomy subClassOf DAG via
+        # path-doubling self-joins (O(log depth) shuffle rounds —
+        # the property that survives a deep ontology; the oracle
+        # replays it as a recursive CTE). Dimension-sized input; the
+        # operator also backs kg_rdfs_entailment's broadcast side.
+        from fashion_knowledge_graph_spark.operators import (
+            ontology as onto,
+        )
+        return onto.transitive_closure(onto.hierarchy_df(spark)) \
+            .select("child", "parent",
+                    F.col("depth").cast("int").alias("depth"))
+
+    def kg_rdfs_entailment(spark, sf):
+        # RDFS-style entailment over the triple stream: hasColor /
+        # hasMaterial objects are classified by the taxonomy hierarchy
+        # and every ancestor is emitted as an inferred
+        # hasColorClass / hasMaterialClass triple. The closure is
+        # taxonomy-sized and BROADCAST — the 10^12-row triple side is
+        # map-joined once, never shuffled (operators/ontology.py)
+        from fashion_knowledge_graph_spark.operators import (
+            ontology as onto,
+        )
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred",
+                     F.col("obj").cast("string").alias("obj")))
+        cl = onto.transitive_closure(onto.hierarchy_df(spark))
+        return onto.entail_ancestors(t, cl)
+
+    def kg_shacl_report(spark, sf):
+        # SHACL-lite shape validation over the KG triples: per shaped
+        # predicate — distinct triples, subjects, functional-property
+        # violations (>1 object where the vocabulary says scalar:
+        # doc-subject text mentions legitimately trip this, canonical
+        # merges can too) and closed-range violations. Two
+        # partial-agg'd shuffles of (pred,subj) cardinality; ranges
+        # ride broadcast joins (operators/ontology.py::shacl_report)
+        from fashion_knowledge_graph_spark.operators import (
+            ontology as onto,
+        )
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred",
+                     F.col("obj").cast("string").alias("obj")))
+        return onto.shacl_report(t, onto.kg_shapes())
+
+    def kg_symmetric_closure(spark, sf):
+        # Symmetric completion of `complements`: the reference writes
+        # both directions imperatively (process_social_media_images
+        # .py:135-146); the batch engine stores canonical sorted pairs
+        # and derives the inverses relationally — one anti-join on the
+        # pair key, no full-table state
+        from fashion_knowledge_graph_spark.operators import (
+            ontology as onto,
+        )
+        ed = _kg_world(spark, sf)["edges"] \
+            .select(F.col("src").alias("subj"),
+                    F.col("dst").alias("obj"))
+        return onto.symmetric_closure(ed)
+
     def kg_motif_wedge(spark, sf):
         # GraphFrames-style motif query over the KG edge table: open
         # wedges "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)" on the
@@ -5524,6 +5585,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": kg_negative_samples,
         "kg_pred_stats": kg_pred_stats,
         "kg_star_join": kg_star_join,
+        "kg_taxonomy_closure": kg_taxonomy_closure,
+        "kg_rdfs_entailment": kg_rdfs_entailment,
+        "kg_shacl_report": kg_shacl_report,
+        "kg_symmetric_closure": kg_symmetric_closure,
         "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
@@ -11328,5 +11393,84 @@ def _kg_oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'edges', 'edges', (SELECT count(*) FROM edges)
         UNION ALL SELECT 'triples', 'triples', (SELECT n FROM tr)
         UNION ALL SELECT 'nodes', 'nodes', (SELECT count(*) FROM nodes)
+    """
+
+    # --- ontology layer (operators/ontology.py), hierarchy VALUES
+    # generated from the SAME taxonomy constants the Spark side uses ---
+    hier_values = ", ".join(f"('{c}', '{p}')"
+                            for c, p in ktx.hierarchy_edges())
+    hier_ctes = f"""
+        hier(child, parent) AS (VALUES {hier_values}),
+        reach2(child, parent, depth) AS (
+          SELECT child, parent, 1 FROM hier
+          UNION ALL
+          SELECT reach2.child, h.parent, reach2.depth + 1
+          FROM reach2 JOIN hier h ON h.child = reach2.parent)
+    """
+
+    sql["kg_taxonomy_closure"] = f"""
+        WITH RECURSIVE {hier_ctes}
+        SELECT child, parent, CAST(min(depth) AS INT) AS depth
+        FROM reach2 GROUP BY 1, 2
+    """
+
+    pm_values = ", ".join(
+        f"('{k}', '{v}')"
+        for k, v in sorted(ktx.ENTAILED_PREDICATES.items()))
+    sql["kg_rdfs_entailment"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        {hier_ctes},
+        pm(pred_in, pred_out) AS (VALUES {pm_values})
+        SELECT DISTINCT t.subj, pm.pred_out AS pred,
+               r.parent AS obj
+        FROM tri t
+        JOIN pm ON pm.pred_in = t.pred
+        JOIN reach2 r ON r.child = t.obj
+    """
+
+    # shape suite mirrors operators/ontology.py::kg_shapes()
+    shape_rows, rng_rows = [], []
+    for attr, values in ktx.SCALAR_ATTRS.items():
+        shape_rows.append((ktx.PREDICATES[attr], "true", "true"))
+        rng_rows += [(ktx.PREDICATES[attr], v) for v in values]
+    for attr, values in ktx.MULTI_ATTRS.items():
+        shape_rows.append((ktx.PREDICATES[attr], "false", "true"))
+        rng_rows += [(ktx.PREDICATES[attr], v) for v in values]
+    shape_rows.append(("complements", "false", "false"))
+    shape_values = ", ".join(f"('{p}', {f}, {h})"
+                             for p, f, h in shape_rows)
+    rng_values = ", ".join(f"('{p}', '{v}')" for p, v in rng_rows)
+    sql["kg_shacl_report"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        sh(pred, functional, has_range) AS (VALUES {shape_values}),
+        rng(pred, allowed) AS (VALUES {rng_values}),
+        ps AS (
+          SELECT t.pred, t.subj,
+                 count(DISTINCT t.obj) AS k,
+                 max(CASE WHEN sh.functional THEN 1 ELSE 0 END)
+                   AS functional,
+                 sum(CASE WHEN sh.has_range AND rg.allowed IS NULL
+                          THEN 1 ELSE 0 END) AS n_oor
+          FROM tri t
+          JOIN sh ON sh.pred = t.pred
+          LEFT JOIN rng rg
+            ON rg.pred = t.pred AND rg.allowed = t.obj
+          GROUP BY 1, 2)
+        SELECT pred,
+               CAST(sum(k) AS BIGINT) AS n_triples,
+               CAST(count(*) AS BIGINT) AS n_subjects,
+               CAST(sum(CASE WHEN functional = 1 AND k > 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_functional_violations,
+               CAST(sum(n_oor) AS BIGINT) AS n_range_violations
+        FROM ps GROUP BY 1
+    """
+
+    sql["kg_symmetric_closure"] = f"""
+        WITH RECURSIVE {base},
+        fw AS (SELECT DISTINCT src AS s, dst AS d FROM edges)
+        SELECT r.d AS subj, r.s AS obj FROM fw r
+        WHERE NOT EXISTS (SELECT 1 FROM fw x
+                          WHERE x.s = r.d AND x.d = r.s)
     """
     return sql

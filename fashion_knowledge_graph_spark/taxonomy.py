@@ -92,6 +92,49 @@ IMG_DIM = 512    # CLIP image space  (scripts/setup_pinecone.py:35-39)
 TXT_DIM = 384    # MiniLM text space (scripts/setup_pinecone.py:40-44)
 
 
+# --- ontology hierarchy (graft extension; the reference's taxonomy is
+# flat — src/utils/prompts.py:4-13 — so the class hierarchy below is a
+# deterministic grouping of those same closed values, used by the RDFS
+# entailment / transitive-closure operators in operators/ontology.py) ---
+COLOR_GROUPS = {
+    "red": "warm", "orange": "warm", "yellow": "warm", "pink": "warm",
+    "brown": "warm",
+    "blue": "cool", "green": "cool", "purple": "cool",
+    "black": "neutral", "white": "neutral", "gray": "neutral",
+    "beige": "neutral",
+    "multi-color": "multi",
+}
+MATERIAL_GROUPS = {
+    "cotton": "plant-fiber", "denim": "plant-fiber",
+    "linen": "plant-fiber", "canvas": "plant-fiber",
+    "leather": "animal", "silk": "animal", "wool": "animal",
+    "cashmere": "animal", "fur": "animal", "suede": "animal",
+    "polyester": "synthetic", "nylon": "synthetic", "satin": "synthetic",
+    "lace": "synthetic", "velvet": "synthetic",
+}
+# predicate whose objects the hierarchy classifies -> entailed predicate
+ENTAILED_PREDICATES = {
+    "hasColor": "hasColorClass",
+    "hasMaterial": "hasMaterialClass",
+}
+
+
+def hierarchy_edges() -> list[tuple[str, str]]:
+    """Direct subClassOf edges (child, parent): every color/material
+    value -> its group, every group -> its attribute root. Depth-2 DAG;
+    transitive closure entails value -> root as well."""
+    edges: list[tuple[str, str]] = []
+    for v, g in sorted(COLOR_GROUPS.items()):
+        edges.append((v, g))
+    for g in sorted(set(COLOR_GROUPS.values())):
+        edges.append((g, "color"))
+    for v, g in sorted(MATERIAL_GROUPS.items()):
+        edges.append((v, g))
+    for g in sorted(set(MATERIAL_GROUPS.values())):
+        edges.append((g, "material"))
+    return edges
+
+
 def taxonomy_rows() -> list[tuple[str, str, list[str]]]:
     """(pred, value, aliases) rows for every closed-vocabulary value.
 
