@@ -45,10 +45,15 @@ def transitive_closure(edges: DataFrame, child: str = "child",
     is a dimension; each round's count() is a cheap fixpoint probe on
     a broadcast-sized frame, not a data-stream action.
     """
+    # localCheckpoint each round: the doubling plan references the
+    # previous round TWICE, so without truncation the logical plan
+    # grows exponentially in rounds (and leaks into every downstream
+    # consumer's plan). Dimension-sized data — the checkpoint is
+    # pennies; same per-iteration pattern as graph.pagerank.
     closure = (edges.select(F.col(child).alias("child"),
                             F.col(parent).alias("parent"),
                             F.lit(1).alias("depth"))
-               .distinct().cache())
+               .distinct().localCheckpoint())
     n = closure.count()
     for _ in range(max_rounds):
         a, b = closure.alias("a"), closure.alias("b")
@@ -57,12 +62,11 @@ def transitive_closure(edges: DataFrame, child: str = "child",
                            F.col("b.parent").alias("parent"),
                            (F.col("a.depth") + F.col("b.depth"))
                            .alias("depth")))
-        nxt = (closure.unionByName(doubled)
-               .groupBy("child", "parent")
-               .agg(F.min("depth").alias("depth")).cache())
-        m = nxt.count()
-        closure.unpersist()
-        closure = nxt
+        closure = (closure.unionByName(doubled)
+                   .groupBy("child", "parent")
+                   .agg(F.min("depth").alias("depth"))
+                   .localCheckpoint())
+        m = closure.count()
         if m == n:       # no new reachable pair -> fixpoint
             break
         n = m

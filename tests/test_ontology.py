@@ -129,3 +129,49 @@ def test_hierarchy_covers_vocabulary(attr, vocab):
     # every closed-vocabulary value is classified by the hierarchy
     values = dict(tax.SCALAR_ATTRS, **tax.MULTI_ATTRS)[attr]
     assert set(vocab) == set(values)
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _triples_parquet(spark, tmp_path):
+    p = str(tmp_path / "triples.parquet")
+    spark.createDataFrame(
+        [(f"p{i}", "hasColor", ["red", "blue", "black"][i % 3])
+         for i in range(50)],
+        "subj string, pred string, obj string") \
+        .write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_entailment_plan_broadcasts_closure(spark, tmp_path):
+    """The triple stream must never shuffle on its own: both the
+    pred-map and the closure ride BroadcastExchange; the only shuffle
+    is the final distinct's single hash exchange (over the already
+    vocabulary-bounded entailed rows)."""
+    import re
+    t = _triples_parquet(spark, tmp_path)
+    closure = onto.transitive_closure(onto.hierarchy_df(spark))
+    plan = _plan(onto.entail_ancestors(t, closure))
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_shacl_plan_joins_are_broadcast_only(spark, tmp_path):
+    """Shapes and ranges are vocabulary dims: every join in the report
+    plan must be broadcast — a shuffled join here would drag the full
+    triple stream through an exchange keyed on predicate (massive
+    skew: a handful of predicates carry 10^12 rows)."""
+    import re
+    t = _triples_parquet(spark, tmp_path)
+    plan = _plan(onto.shacl_report(t, onto.kg_shapes()))
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
