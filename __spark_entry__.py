@@ -2571,6 +2571,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("dst").alias("obj"))
         return onto.symmetric_closure(ed)
 
+    def kg_bgp_query(spark, sf):
+        # SPARQL-style basic-graph-pattern over the triple table,
+        # compiled (not hand-written) by operators/bgp.py: complement
+        # pairs sharing a style, with the first item's gender OPTIONAL
+        # — constants pushed into each arm before any join, greedy
+        # most-selective-first join order, left join for OPTIONAL
+        from fashion_knowledge_graph_spark.operators import bgp
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred",
+                     F.col("obj").cast("string").alias("obj")))
+        return bgp.bgp_query(
+            t,
+            [("?a", "complements", "?b"),
+             ("?a", "hasStyle", "?s"),
+             ("?b", "hasStyle", "?s")],
+            optionals=[("?a", "gender", "?g")]) \
+            .select("a", "b", "s", "g")
+
     def kg_motif_wedge(spark, sf):
         # GraphFrames-style motif query over the KG edge table: open
         # wedges "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)" on the
@@ -5589,6 +5608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_entailment": kg_rdfs_entailment,
         "kg_shacl_report": kg_shacl_report,
         "kg_symmetric_closure": kg_symmetric_closure,
+        "kg_bgp_query": kg_bgp_query,
         "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
@@ -11472,5 +11492,19 @@ def _kg_oracle_sql() -> dict[str, str]:
         SELECT r.d AS subj, r.s AS obj FROM fw r
         WHERE NOT EXISTS (SELECT 1 FROM fw x
                           WHERE x.s = r.d AND x.d = r.s)
+    """
+
+    # BGP compiler replay: same pattern as hand-written self-joins
+    sql["kg_bgp_query"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte}
+        SELECT DISTINCT e.subj AS a, e.obj AS b, s1.obj AS s,
+               g.obj AS g
+        FROM tri e
+        JOIN tri s1 ON s1.pred = 'hasStyle' AND s1.subj = e.subj
+        JOIN tri s2 ON s2.pred = 'hasStyle' AND s2.subj = e.obj
+                   AND s2.obj = s1.obj
+        LEFT JOIN (SELECT subj, obj FROM tri
+                   WHERE pred = 'gender') g ON g.subj = e.subj
+        WHERE e.pred = 'complements'
     """
     return sql

@@ -1,0 +1,112 @@
+"""SPARQL-style basic-graph-pattern (BGP) queries compiled to
+DataFrame self-joins over the (subj, pred, obj) triple table.
+
+The reference queries its graph through hand-written Cypher MATCH
+strings (/root/reference/src/database/graph_database.py:307-326);
+`motif.motif_find` covers the edge-pattern side of that surface.
+This module covers the TRIPLE-pattern side: a list of
+``(subject, predicate, object)`` patterns — terms starting with ``?``
+are variables, everything else is a constant — compiled into one
+filtered projection of the triple scan per pattern, joined on shared
+variables. SPARQL ``OPTIONAL`` blocks become left joins after all
+required patterns.
+
+Scale shape: constants are pushed into each arm's `Filter` BEFORE any
+join (predicate+object pushdown reaching the parquet scan is what
+keeps a 10^12-triple BGP feasible — each arm reads only its
+predicate's slice). Join order is chosen greedily: most-constant
+(most selective) arm first, then always an arm sharing a variable
+with the bound set — a disconnected required pattern is a cartesian
+product and raises instead. k patterns ⇒ k−1 equi-joins shuffling
+(subj-or-obj)-keyed rows, exactly the hand-written star-join plan
+(kg_star_join) generalized.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_VAR_RX = re.compile(r"^\?[A-Za-z_]\w*$")
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def _check(term: str) -> str:
+    if _is_var(term) and not _VAR_RX.match(term):
+        raise ValueError(f"invalid variable name: {term!r}")
+    return term
+
+
+def _arm(triples: DataFrame, pattern) -> tuple[DataFrame, set]:
+    """One pattern -> a filtered projection whose columns are the
+    pattern's variable names (sans '?'). Duplicate variables inside a
+    pattern become equality filters, not duplicate columns."""
+    s, p, o = (_check(t) for t in pattern)
+    cols = dict(zip(("subj", "pred", "obj"), (s, p, o)))
+    df = triples
+    for col, term in cols.items():
+        if not _is_var(term):
+            df = df.filter(F.col(col) == F.lit(term))
+    # within-pattern repeated variables: equality constraints
+    byvar: dict[str, list[str]] = {}
+    for col, term in cols.items():
+        if _is_var(term):
+            byvar.setdefault(term[1:], []).append(col)
+    for cs in byvar.values():
+        for extra in cs[1:]:
+            df = df.filter(F.col(cs[0]) == F.col(extra))
+    if not byvar:
+        raise ValueError(f"pattern {pattern!r} binds no variable")
+    df = df.select(*[F.col(cs[0]).alias(v) for v, cs in byvar.items()])
+    return df, set(byvar)
+
+
+def bgp_query(triples: DataFrame,
+              patterns: list[tuple[str, str, str]],
+              optionals: list[tuple[str, str, str]] | None = None,
+              distinct: bool = True) -> DataFrame:
+    """Match a basic graph pattern; returns one column per variable.
+
+    ``patterns`` are required (inner joins); ``optionals`` are
+    SPARQL-OPTIONAL (left joins, unmatched -> NULL). With
+    ``distinct=True`` (default) the result is the set of variable
+    bindings; ``False`` keeps bag semantics (duplicate triples
+    multiply matches, as in SPARQL without DISTINCT).
+    """
+    if not patterns:
+        raise ValueError("BGP needs at least one required pattern")
+    arms = [_arm(triples, p) for p in patterns]
+    # greedy planner: start at the most-constant arm, then always take
+    # a connected arm (shares >=1 bound variable)
+    order = sorted(range(len(arms)),
+                   key=lambda i: (-sum(not _is_var(t)
+                                       for t in patterns[i]), i))
+    pending = list(order)
+    first = pending.pop(0)
+    out, bound = arms[first]
+    while pending:
+        nxt = next((i for i in pending if arms[i][1] & bound), None)
+        if nxt is None:
+            raise ValueError(
+                "disconnected required pattern (cartesian product): "
+                f"{[patterns[i] for i in pending]} share no variable "
+                f"with {sorted(bound)}")
+        pending.remove(nxt)
+        df, vs = arms[nxt]
+        out = out.join(df, on=sorted(vs & bound), how="inner")
+        bound |= vs
+    for pat in optionals or []:
+        df, vs = _arm(triples, pat)
+        shared = sorted(vs & bound)
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL pattern {pat!r} shares no variable with "
+                "the required block")
+        out = out.join(df, on=shared, how="left")
+        bound |= vs
+    return out.distinct() if distinct else out

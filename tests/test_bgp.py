@@ -1,0 +1,123 @@
+"""SPARQL-style BGP compiler: variable binding, constant pushdown,
+join planning, OPTIONAL semantics — pinned on a hand-computable
+triple fixture."""
+
+import pytest
+
+from fashion_knowledge_graph_spark.operators import bgp
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("p1", "type", "dress"), ("p1", "hasColor", "black"),
+        ("p1", "hasStyle", "party"), ("p1", "gender", "women"),
+        ("p2", "type", "shoes"), ("p2", "hasColor", "black"),
+        ("p2", "hasStyle", "party"),
+        ("p3", "type", "shoes"), ("p3", "hasColor", "red"),
+        ("p3", "hasStyle", "casual"),
+        ("p4", "type", "dress"), ("p4", "hasColor", "red"),
+        ("p4", "hasStyle", "casual"), ("p4", "gender", "unisex"),
+        ("p1", "complements", "p2"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_star_pattern(triples):
+    out = bgp.bgp_query(triples, [("?x", "type", "dress"),
+                                  ("?x", "hasColor", "black")])
+    assert _rows(out) == {("p1",)}
+
+
+def test_shared_variable_join(triples):
+    # items of different kinds sharing a style
+    out = bgp.bgp_query(triples, [("?x", "type", "dress"),
+                                  ("?y", "type", "shoes"),
+                                  ("?x", "hasStyle", "?s"),
+                                  ("?y", "hasStyle", "?s")])
+    got = _rows(out.select("x", "y", "s"))
+    assert got == {("p1", "p2", "party"), ("p4", "p3", "casual")}
+
+
+def test_optional_left_join(triples):
+    out = bgp.bgp_query(triples, [("?x", "type", "dress")],
+                        optionals=[("?x", "gender", "?g")])
+    assert _rows(out.select("x", "g")) == {("p1", "women"),
+                                           ("p4", "unisex")}
+    out2 = bgp.bgp_query(triples, [("?x", "type", "shoes")],
+                         optionals=[("?x", "gender", "?g")])
+    assert _rows(out2.select("x", "g")) == {("p2", None), ("p3", None)}
+
+
+def test_variable_predicate(triples):
+    out = bgp.bgp_query(triples, [("p1", "?p", "?o")])
+    assert ("hasColor", "black") in _rows(out.select("p", "o"))
+    assert out.count() == 5
+
+
+def test_path_pattern(triples):
+    # ?a complements ?b, both with their colors bound
+    out = bgp.bgp_query(triples, [("?a", "complements", "?b"),
+                                  ("?a", "hasColor", "?ca"),
+                                  ("?b", "hasColor", "?cb")])
+    assert _rows(out.select("a", "b", "ca", "cb")) == {
+        ("p1", "p2", "black", "black")}
+
+
+def test_repeated_variable_in_pattern(spark):
+    t = spark.createDataFrame([("a", "sameAs", "a"), ("a", "sameAs", "b")],
+                              "subj string, pred string, obj string")
+    out = bgp.bgp_query(t, [("?x", "sameAs", "?x")])
+    assert _rows(out) == {("a",)}
+
+
+def test_disconnected_raises(triples):
+    with pytest.raises(ValueError, match="disconnected"):
+        bgp.bgp_query(triples, [("?x", "type", "dress"),
+                                ("?y", "hasColor", "red")])
+
+
+def test_optional_must_share_raises(triples):
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        bgp.bgp_query(triples, [("?x", "type", "dress")],
+                      optionals=[("?z", "hasColor", "?c")])
+
+
+def test_no_variable_pattern_raises(triples):
+    with pytest.raises(ValueError, match="binds no variable"):
+        bgp.bgp_query(triples, [("p1", "type", "dress")])
+
+
+def test_bag_vs_set_semantics(spark):
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "p", "x")],  # duplicate triple
+        "subj string, pred string, obj string")
+    assert bgp.bgp_query(t, [("?s", "p", "x")]).count() == 1
+    assert bgp.bgp_query(t, [("?s", "p", "x")],
+                         distinct=False).count() == 2
+
+
+def test_constants_pushed_before_joins(spark, tmp_path):
+    """Every arm's constant filters must reach its scan as
+    PushedFilters — no post-join filtering of pattern constants."""
+    import contextlib
+    import io
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [("p1", "type", "dress"), ("p1", "hasColor", "black")],
+        "subj string, pred string, obj string") \
+        .write.mode("overwrite").parquet(p)
+    t = spark.read.parquet(p)
+    out = bgp.bgp_query(t, [("?x", "type", "dress"),
+                            ("?x", "hasColor", "black")])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "EqualTo(pred,type)" in plan.replace(" ", ""), plan
+    assert "EqualTo(pred,hasColor)" in plan.replace(" ", ""), plan
