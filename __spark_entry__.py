@@ -152,7 +152,7 @@ _KG_TABLES = ("linked", "canonical", "edges", "triples", "nodes")
 # only hashes the datagen/hash modules, so e.g. the round-3 edge
 # `source` change or a new materialized artifact needs this token to
 # invalidate cached worlds in /tmp
-_KG_WORLD_V = "w4"
+_KG_WORLD_V = "w5"   # w5: + ie/docs.parquet (templated open-IE corpus)
 
 
 def _kg_paths(sf_dir: str) -> dict[str, str]:
@@ -172,6 +172,7 @@ def _kg_paths(sf_dir: str) -> dict[str, str]:
         "qdocs": os.path.join(fix_dir, "query_docs.parquet"),
         "qimg": os.path.join(fix_dir, "query_mentions.parquet"),
         "pregate": os.path.join(fix_dir, "mentions_pregate.parquet"),
+        "ie_docs": os.path.join(fix_dir, "ie", "docs.parquet"),
         "done": os.path.join(fix_dir, "_WORLD_COMPLETE"),
     }
 
@@ -205,6 +206,12 @@ def _kg_world(spark: SparkSession, sf_dir: str) -> dict:
     p = _kg_paths(sf_dir)
     if not os.path.exists(p["catalog"]):
         datagen.write_fixtures(p["fix"], n_docs=1,
+                               n_products=_KG_N_PRODUCTS, seed=42)
+    if not os.path.exists(p["ie_docs"]):
+        # templated fashion-phrase docs for the open-IE query (the
+        # driver documents table carries no fashion vocabulary)
+        datagen.write_fixtures(os.path.join(p["fix"], "ie"),
+                               n_docs=300,
                                n_products=_KG_N_PRODUCTS, seed=42)
     catalog = spark.read.parquet(p["catalog"])
     pipe = KGPipeline(warehouse=p["wh"], link_strategy="exact")
@@ -2589,6 +2596,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ("?b", "hasStyle", "?s")],
             optionals=[("?a", "gender", "?g")]) \
             .select("a", "b", "s", "g")
+
+    def kg_open_ie(spark, sf):
+        # Span-level open IE: each text span that names exactly one
+        # garment type becomes a content-addressed item instance
+        # (doc_id:md5(text)); its color/material/style hits attach to
+        # the instance, not the doc (operators/attributes.py::
+        # open_ie_triples — zero-shuffle lexicon scan + one gate agg)
+        from fashion_knowledge_graph_spark.operators.attributes import (
+            open_ie_triples,
+        )
+        _kg_world(spark, sf)
+        docs = spark.read.parquet(_kg_paths(sf)["ie_docs"])
+        return open_ie_triples(docs)
 
     def kg_motif_wedge(spark, sf):
         # GraphFrames-style motif query over the KG edge table: open
@@ -5609,6 +5629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_report": kg_shacl_report,
         "kg_symmetric_closure": kg_symmetric_closure,
         "kg_bgp_query": kg_bgp_query,
+        "kg_open_ie": kg_open_ie,
         "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
@@ -11506,5 +11527,31 @@ def _kg_oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT subj, obj FROM tri
                    WHERE pred = 'gender') g ON g.subj = e.subj
         WHERE e.pred = 'complements'
+    """
+
+    # span-level open IE: lexicon incl. the type vocabulary; a span is
+    # an instance iff it names exactly one type
+    lex_ie_values = lex_values + ", " + ", ".join(
+        f"('{v}', 'type', '{v}')" for v in ktx.TYPES)
+    sql["kg_open_ie"] = f"""
+        WITH tspans AS (
+          SELECT doc_id, (unnest(spans)).kind AS kind,
+                 (unnest(spans)).text AS text
+          FROM read_parquet('{p["ie_docs"]}')),
+        txt AS (
+          SELECT doc_id, doc_id || ':' || md5(text) AS inst,
+                 ' ' || regexp_replace(lower(text),
+                                       '[^a-z0-9\\-]+', ' ', 'g')
+                     || ' ' AS ptxt
+          FROM tspans WHERE kind = 'text' AND text IS NOT NULL),
+        lex(token, pred, obj) AS (VALUES {lex_ie_values}),
+        hits AS (
+          SELECT DISTINCT t.inst, t.doc_id, l.pred, l.obj
+          FROM txt t JOIN lex l
+            ON contains(t.ptxt, ' ' || l.token || ' ')),
+        ok AS (SELECT inst FROM hits WHERE pred = 'type'
+               GROUP BY inst HAVING count(DISTINCT obj) = 1)
+        SELECT h.inst AS subj, h.pred, h.obj, h.doc_id
+        FROM hits h JOIN ok USING (inst)
     """
     return sql

@@ -172,3 +172,42 @@ def lexicon_triples(text_df: DataFrame, subj_col: str,
         "subj", *keep, F.explode(matched).alias("token"))
     out = toks.join(lex, "token").select("subj", "pred", "obj", *keep)
     return out.distinct()
+
+
+def open_ie_triples(docs: DataFrame) -> DataFrame:
+    """Open-IE-lite: bind attribute words to a SPAN-LEVEL item
+    instance instead of the whole document.
+
+    ``lexicon_triples`` attributes every vocabulary hit to the doc —
+    correct for doc-level predicates but coarse when one document
+    describes several items. Here each text span becomes a candidate
+    item instance (``doc_id:md5(text)`` — content-addressed, so
+    identical spans collapse identically everywhere); a span is
+    accepted as an instance iff it names EXACTLY ONE garment type
+    (the reference's closed `type` vocabulary,
+    src/utils/prompts.py:4), and then every color/material/style hit
+    in that span attaches to the instance, plus the typing triple
+    itself.
+
+    Plan shape: the same zero-shuffle codegen scan as
+    ``lexicon_triples`` (padded-contains against the broadcast
+    lexicon), one (inst)-keyed aggregation for the exactly-one-type
+    gate, one broadcast-able semi-join back. No Python, no
+    re-tokenization pass.
+    """
+    from .mentions import text_mentions
+
+    t = text_mentions(docs).select(
+        F.concat(F.col("doc_id"), F.lit(":"),
+                 F.md5(F.col("text"))).alias("inst"),
+        "doc_id", "text")
+    preds = dict(tx.LEXICON_PREDS)
+    preds["type"] = tx.TYPES
+    # lexicon_triples exports the subject column as "subj"
+    hits = lexicon_triples(t, "inst", preds=preds, keep=["doc_id"])
+    ok = (hits.filter(F.col("pred") == "type")
+          .groupBy("subj")
+          .agg(F.countDistinct("obj").alias("n_types"))
+          .filter(F.col("n_types") == 1)
+          .select("subj"))
+    return hits.join(ok, "subj").select("subj", "pred", "obj", "doc_id")
