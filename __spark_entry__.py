@@ -2597,6 +2597,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             optionals=[("?a", "gender", "?g")]) \
             .select("a", "b", "s", "g")
 
+    def kg_property_path(spark, sf):
+        # SPARQL property path `complements+` bounded at 3 hops:
+        # frontier BFS (per-round work proportional to NEW pairs —
+        # the data-scale shape; the dimension-scale doubling closure
+        # is deliberately not used here, see operators/bgp.py::
+        # property_path). Oracle replays it as a depth-bounded
+        # recursive CTE
+        from fashion_knowledge_graph_spark.operators import bgp
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred",
+                     F.col("obj").cast("string").alias("obj")))
+        return bgp.bgp_query(t, [("?x", "complements+", "?y")],
+                             path_hops=3) \
+            .select(F.col("x").alias("subj"), F.col("y").alias("obj"))
+
     def kg_open_ie(spark, sf):
         # Span-level open IE: each text span that names exactly one
         # garment type becomes a content-addressed item instance
@@ -5630,6 +5646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_symmetric_closure": kg_symmetric_closure,
         "kg_bgp_query": kg_bgp_query,
         "kg_open_ie": kg_open_ie,
+        "kg_property_path": kg_property_path,
         "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
@@ -11553,5 +11570,18 @@ def _kg_oracle_sql() -> dict[str, str]:
                GROUP BY inst HAVING count(DISTINCT obj) = 1)
         SELECT h.inst AS subj, h.pred, h.obj, h.doc_id
         FROM hits h JOIN ok USING (inst)
+    """
+
+    # property path complements+ bounded at 3 hops (depth-bounded
+    # recursive CTE twin of the frontier BFS)
+    sql["kg_property_path"] = f"""
+        WITH RECURSIVE {base},
+        e AS (SELECT DISTINCT src AS s, dst AS o FROM edges),
+        r(s, o, d) AS (
+          SELECT s, o, 1 FROM e
+          UNION ALL
+          SELECT r.s, e.o, r.d + 1 FROM r JOIN e ON e.s = r.o
+          WHERE r.d < 3)
+        SELECT DISTINCT s AS subj, o AS obj FROM r
     """
     return sql

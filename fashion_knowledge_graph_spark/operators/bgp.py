@@ -66,21 +66,91 @@ def _arm(triples: DataFrame, pattern) -> tuple[DataFrame, set]:
     return df, set(byvar)
 
 
+def property_path(triples: DataFrame, pred: str, max_hops: int,
+                  start: str | None = None) -> DataFrame:
+    """All (s, o) pairs connected by 1..max_hops consecutive ``pred``
+    triples — SPARQL ``pred+`` with a bounded hop count.
+
+    Frontier BFS, NOT path-doubling: `transitive_closure` (doubling)
+    is right for dimension-sized hierarchies where O(log depth) rounds
+    matter; a DATA-scale relation's closure is itself data-sized, so
+    each round here joins only the NEW frontier against the base edges
+    and anti-joins the seen set — per-round work proportional to newly
+    reached pairs, the only shape that survives 10^12 triples. A
+    constant ``start`` subject seeds the frontier instead of
+    filtering afterwards (the difference between touching one
+    component and closing the whole graph).
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    base = (triples.filter(F.col("pred") == F.lit(pred))
+            .select(F.col("subj").alias("s"), F.col("obj").alias("o"))
+            .distinct())
+    frontier = base.filter(F.col("s") == F.lit(start)) if start is not None \
+        else base
+    frontier = frontier.localCheckpoint()
+    reach = frontier
+    for _ in range(max_hops - 1):
+        b = base.select(F.col("s").alias("__m"), "o")
+        nxt = (frontier.select("s", F.col("o").alias("__m"))
+               .join(b, "__m").select("s", "o").distinct())
+        new = nxt.join(reach, ["s", "o"], "left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        reach = reach.unionByName(new).localCheckpoint()
+        frontier = new
+    return reach
+
+
+_PATH_RX = re.compile(r"^(?P<pred>[^?\s+]+)\+$")
+
+
+def _path_arm(triples: DataFrame, pattern,
+              max_hops: int) -> tuple[DataFrame, set]:
+    """``(s, pred+, o)`` pattern -> bounded-reachability pairs arm."""
+    s, p, o = (_check(t) for t in pattern)
+    pred = _PATH_RX.match(p)["pred"]
+    pairs = property_path(triples, pred, max_hops,
+                          start=None if _is_var(s) else s)
+    byvar: dict[str, list[str]] = {}
+    for col, term in (("s", s), ("o", o)):
+        if _is_var(term):
+            byvar.setdefault(term[1:], []).append(col)
+        else:
+            pairs = pairs.filter(F.col(col) == F.lit(term))
+    if not byvar:
+        raise ValueError(f"pattern {pattern!r} binds no variable")
+    for cs in byvar.values():
+        for extra in cs[1:]:
+            pairs = pairs.filter(F.col(cs[0]) == F.col(extra))
+    pairs = pairs.select(*[F.col(cs[0]).alias(v)
+                           for v, cs in byvar.items()])
+    return pairs, set(byvar)
+
+
 def bgp_query(triples: DataFrame,
               patterns: list[tuple[str, str, str]],
               optionals: list[tuple[str, str, str]] | None = None,
-              distinct: bool = True) -> DataFrame:
+              distinct: bool = True,
+              path_hops: int = 8) -> DataFrame:
     """Match a basic graph pattern; returns one column per variable.
 
     ``patterns`` are required (inner joins); ``optionals`` are
-    SPARQL-OPTIONAL (left joins, unmatched -> NULL). With
-    ``distinct=True`` (default) the result is the set of variable
-    bindings; ``False`` keeps bag semantics (duplicate triples
-    multiply matches, as in SPARQL without DISTINCT).
+    SPARQL-OPTIONAL (left joins, unmatched -> NULL). A predicate
+    written ``pred+`` is a SPARQL property path (1..``path_hops``
+    consecutive hops, bounded frontier BFS). With ``distinct=True``
+    (default) the result is the set of variable bindings; ``False``
+    keeps bag semantics (duplicate triples multiply matches, as in
+    SPARQL without DISTINCT).
     """
     if not patterns:
         raise ValueError("BGP needs at least one required pattern")
-    arms = [_arm(triples, p) for p in patterns]
+
+    def build(p):
+        return _path_arm(triples, p, path_hops) \
+            if _PATH_RX.match(p[1]) else _arm(triples, p)
+
+    arms = [build(p) for p in patterns]
     # greedy planner: start at the most-constant arm, then always take
     # a connected arm (shares >=1 bound variable)
     order = sorted(range(len(arms)),
@@ -101,7 +171,7 @@ def bgp_query(triples: DataFrame,
         out = out.join(df, on=sorted(vs & bound), how="inner")
         bound |= vs
     for pat in optionals or []:
-        df, vs = _arm(triples, pat)
+        df, vs = build(pat)
         shared = sorted(vs & bound)
         if not shared:
             raise ValueError(

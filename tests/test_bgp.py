@@ -121,3 +121,58 @@ def test_constants_pushed_before_joins(spark, tmp_path):
     plan = buf.getvalue()
     assert "EqualTo(pred,type)" in plan.replace(" ", ""), plan
     assert "EqualTo(pred,hasColor)" in plan.replace(" ", ""), plan
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    return spark.createDataFrame(
+        [("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d"),
+         ("a", "hasColor", "red"), ("d", "hasColor", "blue")],
+        "subj string, pred string, obj string")
+
+
+def test_property_path_all_pairs(chain):
+    out = bgp.property_path(chain, "next", max_hops=3)
+    assert _rows(out) == {("a", "b"), ("b", "c"), ("c", "d"),
+                          ("a", "c"), ("b", "d"), ("a", "d")}
+
+
+def test_property_path_hop_bound(chain):
+    out = bgp.property_path(chain, "next", max_hops=2)
+    assert ("a", "d") not in _rows(out)
+    assert ("a", "c") in _rows(out)
+
+
+def test_property_path_seeded_start(chain):
+    out = bgp.property_path(chain, "next", max_hops=3, start="b")
+    assert _rows(out) == {("b", "c"), ("b", "d")}
+
+
+def test_path_pattern_in_bgp(chain):
+    # everything transitively after ?x=a, with its color OPTIONAL
+    out = bgp.bgp_query(chain, [("a", "next+", "?y")],
+                        optionals=[("?y", "hasColor", "?c")])
+    assert _rows(out.select("y", "c")) == {("b", None), ("c", None),
+                                           ("d", "blue")}
+
+
+def test_path_pattern_joins_with_plain_pattern(chain):
+    # reachable pairs whose endpoints both have a color
+    out = bgp.bgp_query(chain, [("?x", "next+", "?y"),
+                                ("?x", "hasColor", "?cx"),
+                                ("?y", "hasColor", "?cy")])
+    assert _rows(out.select("x", "y", "cx", "cy")) == {
+        ("a", "d", "red", "blue")}
+
+
+def test_path_hops_parameter(chain):
+    out = bgp.bgp_query(chain, [("?x", "next+", "?y")], path_hops=1)
+    assert _rows(out.select("x", "y")) == {("a", "b"), ("b", "c"),
+                                           ("c", "d")}
+
+
+def test_path_cycle_terminates(spark):
+    t = spark.createDataFrame([("a", "next", "b"), ("b", "next", "a")],
+                              "subj string, pred string, obj string")
+    out = bgp.property_path(t, "next", max_hops=10)
+    assert _rows(out) == {("a", "b"), ("b", "a"),
+                          ("a", "a"), ("b", "b")}
