@@ -2613,6 +2613,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              path_hops=3) \
             .select(F.col("x").alias("subj"), F.col("y").alias("obj"))
 
+    def kg_forward_chain(spark, sf):
+        # Datalog-lite forward chaining (operators/rules.py): the KG
+        # triples plus the taxonomy hierarchy as subClassOf triples,
+        # closed under four rules — subClassOf transitivity, color and
+        # material class typing, and complements symmetry. The oracle
+        # replays the fixpoint in closed form (recursive-CTE closure +
+        # one arm per rule head), so the engine's convergence itself
+        # is hash-checked
+        from fashion_knowledge_graph_spark import taxonomy as ktx
+        from fashion_knowledge_graph_spark.operators.rules import (
+            forward_chain,
+        )
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred",
+                     F.col("obj").cast("string").alias("obj")))
+        hier = spark.createDataFrame(
+            [(c, "subClassOf", p) for c, p in ktx.hierarchy_edges()],
+            "subj string, pred string, obj string")
+        return forward_chain(t.unionByName(hier), [
+            ([("?a", "subClassOf", "?b"), ("?b", "subClassOf", "?c")],
+             [("?a", "subClassOf", "?c")]),
+            ([("?x", "hasColor", "?c"), ("?c", "subClassOf", "?g")],
+             [("?x", "hasColorClass", "?g")]),
+            ([("?x", "hasMaterial", "?m"), ("?m", "subClassOf", "?g")],
+             [("?x", "hasMaterialClass", "?g")]),
+            ([("?a", "complements", "?b")],
+             [("?b", "complements", "?a")]),
+        ])
+
     def kg_open_ie(spark, sf):
         # Span-level open IE: each text span that names exactly one
         # garment type becomes a content-addressed item instance
@@ -5647,6 +5677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_query": kg_bgp_query,
         "kg_open_ie": kg_open_ie,
         "kg_property_path": kg_property_path,
+        "kg_forward_chain": kg_forward_chain,
         "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
@@ -11583,5 +11614,30 @@ def _kg_oracle_sql() -> dict[str, str]:
           SELECT r.s, e.o, r.d + 1 FROM r JOIN e ON e.s = r.o
           WHERE r.d < 3)
         SELECT DISTINCT s AS subj, o AS obj FROM r
+    """
+
+    # forward-chain fixpoint in closed form: this rule set's closure
+    # is exactly closure(subClassOf) + the two typing arms + the
+    # complements flip — derived predicates never feed rule bodies
+    # except subClassOf, whose recursion the CTE replays
+    sql["kg_forward_chain"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        {hier_ctes}
+        SELECT DISTINCT subj, pred, obj FROM (
+          SELECT subj, pred, obj FROM tri
+          UNION ALL
+          SELECT child AS subj, 'subClassOf' AS pred, parent AS obj
+          FROM reach2
+          UNION ALL
+          SELECT t.subj, 'hasColorClass' AS pred, r.parent AS obj
+          FROM tri t JOIN reach2 r ON r.child = t.obj
+          WHERE t.pred = 'hasColor'
+          UNION ALL
+          SELECT t.subj, 'hasMaterialClass' AS pred, r.parent AS obj
+          FROM tri t JOIN reach2 r ON r.child = t.obj
+          WHERE t.pred = 'hasMaterial'
+          UNION ALL
+          SELECT obj AS subj, 'complements' AS pred, subj AS obj
+          FROM tri WHERE pred = 'complements') u
     """
     return sql

@@ -1,0 +1,84 @@
+"""Datalog-lite forward chaining over the triple table.
+
+A rule is ``(body, head)``: the body is a BGP pattern list (compiled
+by ``operators/bgp.py`` — joins on shared variables, constants pushed
+to the scan), the head is a list of triple templates whose terms are
+either body variables or constants (SPARQL ``CONSTRUCT``).
+``forward_chain`` applies all rules, anti-joins the derived triples
+against everything known, and repeats until no rule derives anything
+new — semi-naive-ish evaluation: the fixpoint loop's per-round cost is
+bounded by the NEW triples, and every round truncates lineage with a
+localCheckpoint so the plan stays flat no matter how many iterations
+run.
+
+This subsumes the hand-written inference operators as rules:
+symmetric completion is ``(?a complements ?b) => (?b complements ?a)``
+and RDFS entailment is ``(?x hasColor ?c)(?c subClassOf ?g) =>
+(?x hasColorClass ?g)`` plus subClassOf transitivity — the dedicated
+operators in ``ontology.py`` remain the fast path (single broadcast
+join, no fixpoint) when the rule shape is known statically.
+
+The reference has no inference layer at all (its Cypher queries read
+back only stored edges); this is the graft's ontology-reasoning
+extension over the same triple model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bgp import _is_var, bgp_query
+
+
+def construct(bindings: DataFrame,
+              head: list[tuple[str, str, str]]) -> DataFrame:
+    """SPARQL CONSTRUCT: rewrite variable bindings into triples.
+
+    Each head template term is a ``?var`` (must be a binding column)
+    or a constant. Pure projection + union — no shuffle beyond the
+    trailing distinct.
+    """
+    cols = set(bindings.columns)
+    parts = []
+    for s, p, o in head:
+        exprs = []
+        for name, term in zip(("subj", "pred", "obj"), (s, p, o)):
+            if _is_var(term):
+                if term[1:] not in cols:
+                    raise ValueError(
+                        f"head variable {term!r} not bound by the body "
+                        f"(have {sorted(cols)})")
+                exprs.append(F.col(term[1:]).alias(name))
+            else:
+                exprs.append(F.lit(term).alias(name))
+        parts.append(bindings.select(*exprs))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.distinct()
+
+
+def forward_chain(triples: DataFrame,
+                  rules: list[tuple[list, list]],
+                  max_iters: int = 10,
+                  path_hops: int = 8) -> DataFrame:
+    """Apply ``rules`` = [(body_patterns, head_templates), ...] to the
+    triple set until fixpoint (or ``max_iters``). Returns the closed
+    triple set (originals + everything derived).
+    """
+    known = (triples.select("subj", "pred", "obj").distinct()
+             .localCheckpoint())
+    for _ in range(max_iters):
+        derived = None
+        for body, head in rules:
+            d = construct(bgp_query(known, body, path_hops=path_hops),
+                          head)
+            derived = d if derived is None else derived.unionByName(d)
+        new = (derived.distinct()
+               .join(known, ["subj", "pred", "obj"], "left_anti")
+               .localCheckpoint())
+        if new.isEmpty():
+            break
+        known = known.unionByName(new).localCheckpoint()
+    return known
