@@ -2613,6 +2613,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              path_hops=3) \
             .select(F.col("x").alias("subj"), F.col("y").alias("obj"))
 
+    def kg_open_ie_link(spark, sf):
+        # Ground span instances to catalog entities: (type, color)
+        # equi-join candidates, material/style-overlap scoring in the
+        # join projection, deterministic top-1 per instance
+        # (operators/attributes.py::link_open_ie — the relational twin
+        # of the reference's metadata-filtered vector queries)
+        from fashion_knowledge_graph_spark.operators.attributes import (
+            link_open_ie,
+            open_ie_triples,
+        )
+        world = _kg_world(spark, sf)
+        docs = spark.read.parquet(_kg_paths(sf)["ie_docs"])
+        return link_open_ie(open_ie_triples(docs), world["catalog"])
+
     def kg_forward_chain(spark, sf):
         # Datalog-lite forward chaining (operators/rules.py): the KG
         # triples plus the taxonomy hierarchy as subClassOf triples,
@@ -5678,6 +5692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_open_ie": kg_open_ie,
         "kg_property_path": kg_property_path,
         "kg_forward_chain": kg_forward_chain,
+        "kg_open_ie_link": kg_open_ie_link,
         "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
@@ -11601,6 +11616,65 @@ def _kg_oracle_sql() -> dict[str, str]:
                GROUP BY inst HAVING count(DISTINCT obj) = 1)
         SELECT h.inst AS subj, h.pred, h.obj, h.doc_id
         FROM hits h JOIN ok USING (inst)
+    """
+
+    # instance grounding: (type,color) candidates, material/style
+    # overlap score, deterministic top-1 (replays link_open_ie)
+    ie_ctes = f"""
+        tspans AS (
+          SELECT doc_id, (unnest(spans)).kind AS kind,
+                 (unnest(spans)).text AS text
+          FROM read_parquet('{p["ie_docs"]}')),
+        txt AS (
+          SELECT doc_id, doc_id || ':' || md5(text) AS inst,
+                 ' ' || regexp_replace(lower(text),
+                                       '[^a-z0-9\\-]+', ' ', 'g')
+                     || ' ' AS ptxt
+          FROM tspans WHERE kind = 'text' AND text IS NOT NULL),
+        lex(token, pred, obj) AS (VALUES {lex_ie_values}),
+        hits AS (
+          SELECT DISTINCT t.inst, t.doc_id, l.pred, l.obj
+          FROM txt t JOIN lex l
+            ON contains(t.ptxt, ' ' || l.token || ' ')),
+        ok AS (SELECT inst FROM hits WHERE pred = 'type'
+               GROUP BY inst HAVING count(DISTINCT obj) = 1),
+        okh AS (SELECT h.* FROM hits h JOIN ok USING (inst))
+    """
+    sql["kg_open_ie_link"] = f"""
+        WITH RECURSIVE {base}, {ie_ctes},
+        it AS (SELECT inst, obj AS t FROM okh WHERE pred = 'type'),
+        ic AS (SELECT inst, obj AS c FROM okh WHERE pred = 'hasColor'),
+        cand AS (SELECT it.inst, k.product_id, k.material, k.style
+                 FROM it JOIN cat k ON k.type = it.t
+                 JOIN ic ON ic.inst = it.inst AND ic.c = k.color),
+        im AS (SELECT inst, obj AS m FROM okh
+               WHERE pred = 'hasMaterial'),
+        ist AS (SELECT inst, obj AS st FROM okh
+                WHERE pred = 'hasStyle'),
+        ms AS (SELECT cand.inst, cand.product_id,
+                      count(DISTINCT im.m) AS n
+               FROM cand JOIN im ON im.inst = cand.inst
+                AND list_contains(cand.material, im.m)
+               GROUP BY 1, 2),
+        ss AS (SELECT cand.inst, cand.product_id,
+                      count(DISTINCT ist.st) AS n
+               FROM cand JOIN ist ON ist.inst = cand.inst
+                AND list_contains(cand.style, ist.st)
+               GROUP BY 1, 2),
+        scored AS (SELECT cand.inst, cand.product_id,
+                          (coalesce(ms.n, 0) + coalesce(ss.n, 0))
+                            AS score
+                   FROM cand
+                   LEFT JOIN ms ON ms.inst = cand.inst
+                    AND ms.product_id = cand.product_id
+                   LEFT JOIN ss ON ss.inst = cand.inst
+                    AND ss.product_id = cand.product_id)
+        SELECT inst AS subj, product_id, CAST(score AS INT) AS score
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY inst
+                ORDER BY score DESC, product_id ASC) AS rn
+              FROM scored) z
+        WHERE rn = 1
     """
 
     # property path complements+ bounded at 3 hops (depth-bounded

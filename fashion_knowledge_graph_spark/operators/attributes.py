@@ -211,3 +211,46 @@ def open_ie_triples(docs: DataFrame) -> DataFrame:
           .filter(F.col("n_types") == 1)
           .select("subj"))
     return hits.join(ok, "subj").select("subj", "pred", "obj", "doc_id")
+
+
+def link_open_ie(instances: DataFrame, catalog: DataFrame) -> DataFrame:
+    """Ground open-IE span instances to catalog entities by attribute
+    compatibility — the relational twin of the reference's
+    metadata-filtered vector queries (type/gender `$in` filters,
+    process_social_media_images.py:78-82): candidates must match on
+    (type, color) exactly; ties are broken by material/style overlap,
+    then product_id.
+
+    Plan: one aggregation pivots the instance triples to typed rows
+    (subj-keyed, partial-agg'd); the candidate join is a plain
+    (type, color) equi-join — composite key keeps head-color skew an
+    order of magnitude below a color-only key, and AQE's skew split
+    covers the rest; overlap scores are array_intersect expressions in
+    the join projection (no extra shuffle); top-1 per instance via one
+    window. Emits (subj, product_id, score).
+    """
+    inst = (instances.groupBy("subj").agg(
+        F.max(F.when(F.col("pred") == "type", F.col("obj")))
+        .alias("i_type"),
+        F.collect_set(F.when(F.col("pred") == "hasColor", F.col("obj")))
+        .alias("i_colors"),
+        F.collect_set(F.when(F.col("pred") == "hasMaterial",
+                             F.col("obj"))).alias("i_materials"),
+        F.collect_set(F.when(F.col("pred") == "hasStyle", F.col("obj")))
+        .alias("i_styles")))
+    cand = (inst.select("subj", "i_type", "i_materials", "i_styles",
+                        F.explode("i_colors").alias("i_color"))
+            .join(catalog.select("product_id", "type", "color",
+                                 "material", "style"),
+                  on=[F.col("i_type") == F.col("type"),
+                      F.col("i_color") == F.col("color")])
+            .select("subj", "product_id",
+                    (F.size(F.array_intersect(
+                        F.col("material"), F.col("i_materials")))
+                     + F.size(F.array_intersect(
+                         F.col("style"), F.col("i_styles"))))
+                    .alias("score")))
+    from .topk import grouped_top_k
+    return grouped_top_k(cand, ["subj"], [F.desc("score")], 1,
+                         tie_breaks=[F.asc("product_id")]) \
+        .select("subj", "product_id", "score")

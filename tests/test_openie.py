@@ -66,3 +66,44 @@ def test_hyphen_alias_surfaces(spark):
     got = {(r.pred, r.obj) for r in open_ie_triples(docs).collect()}
     assert ("hasColor", "multi-color") in got
     assert ("type", "scarf") in got
+
+
+def test_link_open_ie(spark):
+    from fashion_knowledge_graph_spark.operators.attributes import (
+        link_open_ie,
+    )
+    inst = spark.createDataFrame(
+        [("i1", "type", "dress", "d1"),
+         ("i1", "hasColor", "red", "d1"),
+         ("i1", "hasMaterial", "silk", "d1"),
+         ("i1", "hasStyle", "party", "d1"),
+         ("i2", "type", "shoes", "d1"),
+         ("i2", "hasColor", "green", "d1")],
+        "subj string, pred string, obj string, doc_id string")
+    catalog = spark.createDataFrame(
+        [("p1", "dress", "red", ["silk", "lace"], ["party"]),
+         ("p2", "dress", "red", ["cotton"], ["casual"]),
+         ("p3", "dress", "blue", ["silk"], ["party"]),
+         ("p4", "shoes", "black", ["leather"], ["formal"])],
+        "product_id string, type string, color string, "
+        "material array<string>, style array<string>")
+    out = {(r.subj, r.product_id, r.score)
+           for r in link_open_ie(inst, catalog).collect()}
+    # i1: p1 and p2 are (type,color) candidates; p1 wins on overlap 2
+    # (silk + party); p3 fails the color gate. i2: no candidate.
+    assert out == {("i1", "p1", 2)}
+
+
+def test_link_open_ie_tiebreak(spark):
+    from fashion_knowledge_graph_spark.operators.attributes import (
+        link_open_ie,
+    )
+    inst = spark.createDataFrame(
+        [("i1", "type", "hat", "d1"), ("i1", "hasColor", "red", "d1")],
+        "subj string, pred string, obj string, doc_id string")
+    catalog = spark.createDataFrame(
+        [("p9", "hat", "red", [], []), ("p2", "hat", "red", [], [])],
+        "product_id string, type string, color string, "
+        "material array<string>, style array<string>")
+    out = link_open_ie(inst, catalog).collect()
+    assert len(out) == 1 and out[0].product_id == "p2"  # id-asc tie
