@@ -105,6 +105,33 @@ def property_path(triples: DataFrame, pred: str, max_hops: int,
 _PATH_RX = re.compile(r"^(?P<pred>[^?\s+]+)\+$")
 
 
+def join_arms(arms: list[tuple[DataFrame, set]],
+              patterns) -> tuple[DataFrame, set]:
+    """Greedy join planner over pre-built arms: start at the
+    most-constant (most selective) arm, then always take an arm
+    sharing >=1 bound variable. Raises on disconnected patterns
+    (cartesian products). Shared by ``bgp_query`` and the rule
+    engine's semi-naive body instantiation."""
+    order = sorted(range(len(arms)),
+                   key=lambda i: (-sum(not _is_var(t)
+                                       for t in patterns[i]), i))
+    pending = list(order)
+    first = pending.pop(0)
+    out, bound = arms[first]
+    while pending:
+        nxt = next((i for i in pending if arms[i][1] & bound), None)
+        if nxt is None:
+            raise ValueError(
+                "disconnected required pattern (cartesian product): "
+                f"{[patterns[i] for i in pending]} share no variable "
+                f"with {sorted(bound)}")
+        pending.remove(nxt)
+        df, vs = arms[nxt]
+        out = out.join(df, on=sorted(vs & bound), how="inner")
+        bound |= vs
+    return out, bound
+
+
 def _path_arm(triples: DataFrame, pattern,
               max_hops: int) -> tuple[DataFrame, set]:
     """``(s, pred+, o)`` pattern -> bounded-reachability pairs arm."""
@@ -151,25 +178,7 @@ def bgp_query(triples: DataFrame,
             if _PATH_RX.match(p[1]) else _arm(triples, p)
 
     arms = [build(p) for p in patterns]
-    # greedy planner: start at the most-constant arm, then always take
-    # a connected arm (shares >=1 bound variable)
-    order = sorted(range(len(arms)),
-                   key=lambda i: (-sum(not _is_var(t)
-                                       for t in patterns[i]), i))
-    pending = list(order)
-    first = pending.pop(0)
-    out, bound = arms[first]
-    while pending:
-        nxt = next((i for i in pending if arms[i][1] & bound), None)
-        if nxt is None:
-            raise ValueError(
-                "disconnected required pattern (cartesian product): "
-                f"{[patterns[i] for i in pending]} share no variable "
-                f"with {sorted(bound)}")
-        pending.remove(nxt)
-        df, vs = arms[nxt]
-        out = out.join(df, on=sorted(vs & bound), how="inner")
-        bound |= vs
+    out, bound = join_arms(arms, patterns)
     for pat in optionals or []:
         df, vs = build(pat)
         shared = sorted(vs & bound)

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bgp import _is_var, bgp_query
+from .bgp import _PATH_RX, _arm, _is_var, bgp_query, join_arms
 
 
 def construct(bindings: DataFrame,
@@ -59,6 +59,28 @@ def construct(bindings: DataFrame,
     return out.distinct()
 
 
+def _delta_bindings(known: DataFrame, delta: DataFrame, body,
+                    path_hops: int) -> DataFrame | None:
+    """Semi-naive body instantiation: a binding is NEW this round only
+    if >=1 body atom matches a DELTA triple, so evaluate the body once
+    per atom position with that position reading ``delta`` and the
+    rest reading ``known``, and union the variants — per-round join
+    input is delta-sized on one side instead of re-deriving every
+    binding from the full set. Falls back to None (caller evaluates
+    naively) when the body contains a property-path atom: a path can
+    newly connect through a MIX of old and new edges, which the
+    per-position substitution does not cover."""
+    if any(_PATH_RX.match(p[1]) for p in body):
+        return None
+    out = None
+    for i in range(len(body)):
+        arms = [_arm(delta if j == i else known, p)
+                for j, p in enumerate(body)]
+        b, _ = join_arms(arms, body)
+        out = b if out is None else out.unionByName(b)
+    return out.distinct()
+
+
 def forward_chain(triples: DataFrame,
                   rules: list[tuple[list, list]],
                   max_iters: int = 10,
@@ -66,19 +88,33 @@ def forward_chain(triples: DataFrame,
     """Apply ``rules`` = [(body_patterns, head_templates), ...] to the
     triple set until fixpoint (or ``max_iters``). Returns the closed
     triple set (originals + everything derived).
+
+    Round 0 evaluates every rule against the full set; later rounds
+    are SEMI-NAIVE — each body is instantiated once per atom with that
+    atom reading only the previous round's delta (see
+    ``_delta_bindings``), so steady-state per-round cost tracks the
+    new triples, not the accumulated set. Path-atom bodies fall back
+    to full evaluation (correctness over speed for mixed-age paths).
     """
     known = (triples.select("subj", "pred", "obj").distinct()
              .localCheckpoint())
+    delta = known
+    first = True
     for _ in range(max_iters):
         derived = None
         for body, head in rules:
-            d = construct(bgp_query(known, body, path_hops=path_hops),
-                          head)
+            b = None if first else _delta_bindings(known, delta, body,
+                                                   path_hops)
+            if b is None:
+                b = bgp_query(known, body, path_hops=path_hops)
+            d = construct(b, head)
             derived = d if derived is None else derived.unionByName(d)
+        first = False
         new = (derived.distinct()
                .join(known, ["subj", "pred", "obj"], "left_anti")
                .localCheckpoint())
         if new.isEmpty():
             break
         known = known.unionByName(new).localCheckpoint()
+        delta = new
     return known

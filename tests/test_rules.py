@@ -106,3 +106,37 @@ def test_max_iters_bounds_runaway(spark):
           [("?x", "sub", "?z")])],
         max_iters=1)
     assert out.count() < 28  # full closure of a 7-edge chain
+
+
+def test_semi_naive_equals_naive(spark):
+    """Semi-naive rounds must reach the same fixpoint as full
+    re-evaluation on a rule set that needs several rounds."""
+    rows = [(f"n{i}", "sub", f"n{i+1}") for i in range(6)] + \
+           [("n0", "complements", "n3")]
+    rules = [
+        ([("?x", "sub", "?y"), ("?y", "sub", "?z")],
+         [("?x", "sub", "?z")]),
+        ([("?a", "complements", "?b")],
+         [("?b", "complements", "?a")]),
+        # derived pred feeding another rule across rounds
+        ([("?x", "sub", "?y"), ("?y", "complements", "?z")],
+         [("?x", "nearTo", "?z")]),
+    ]
+    t = _t(spark, rows)
+    out = _rows(forward_chain(t, rules))
+    # independent naive reference: re-derive everything each round
+    from fashion_knowledge_graph_spark.operators.rules import construct
+    known = {tuple(r) for r in rows}
+    for _ in range(10):
+        new = set()
+        sub = {(s, o) for s, p, o in known if p == "sub"}
+        comp = {(s, o) for s, p, o in known if p == "complements"}
+        new |= {(a, "sub", c) for a, b in sub for b2, c in sub
+                if b == b2}
+        new |= {(b, "complements", a) for a, b in comp}
+        new |= {(x, "nearTo", z) for x, y in sub for y2, z in comp
+                if y == y2}
+        if new <= known:
+            break
+        known |= new
+    assert out == known
