@@ -2613,6 +2613,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              path_hops=3) \
             .select(F.col("x").alias("subj"), F.col("y").alias("obj"))
 
+    def kg_bgp_negation(spark, sf):
+        # FILTER NOT EXISTS through the BGP compiler: items that
+        # complement something and whose style set lacks 'formal' —
+        # the negated arm anti-joins on the shared variable
+        from fashion_knowledge_graph_spark.operators import bgp
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred",
+                     F.col("obj").cast("string").alias("obj")))
+        return bgp.bgp_query(
+            t,
+            [("?x", "complements", "?y"), ("?x", "type", "?t")],
+            negations=[("?x", "hasStyle", "formal")]) \
+            .select("x", "t").distinct()
+
     def kg_open_ie_link(spark, sf):
         # Ground span instances to catalog entities: (type, color)
         # equi-join candidates, material/style-overlap scoring in the
@@ -5693,6 +5708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_path": kg_property_path,
         "kg_forward_chain": kg_forward_chain,
         "kg_open_ie_link": kg_open_ie_link,
+        "kg_bgp_negation": kg_bgp_negation,
         "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
@@ -11675,6 +11691,19 @@ def _kg_oracle_sql() -> dict[str, str]:
                 ORDER BY score DESC, product_id ASC) AS rn
               FROM scored) z
         WHERE rn = 1
+    """
+
+    # BGP negation: NOT EXISTS anti-join replay
+    sql["kg_bgp_negation"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte}
+        SELECT DISTINCT e.subj AS x, t.obj AS t
+        FROM tri e
+        JOIN tri t ON t.subj = e.subj AND t.pred = 'type'
+        WHERE e.pred = 'complements'
+          AND NOT EXISTS (SELECT 1 FROM tri n
+                          WHERE n.subj = e.subj
+                            AND n.pred = 'hasStyle'
+                            AND n.obj = 'formal')
     """
 
     # property path complements+ bounded at 3 hops (depth-bounded

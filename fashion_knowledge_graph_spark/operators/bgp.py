@@ -158,17 +158,23 @@ def _path_arm(triples: DataFrame, pattern,
 def bgp_query(triples: DataFrame,
               patterns: list[tuple[str, str, str]],
               optionals: list[tuple[str, str, str]] | None = None,
+              negations: list[tuple[str, str, str]] | None = None,
+              filters: list | None = None,
               distinct: bool = True,
               path_hops: int = 8) -> DataFrame:
     """Match a basic graph pattern; returns one column per variable.
 
     ``patterns`` are required (inner joins); ``optionals`` are
-    SPARQL-OPTIONAL (left joins, unmatched -> NULL). A predicate
-    written ``pred+`` is a SPARQL property path (1..``path_hops``
-    consecutive hops, bounded frontier BFS). With ``distinct=True``
-    (default) the result is the set of variable bindings; ``False``
-    keeps bag semantics (duplicate triples multiply matches, as in
-    SPARQL without DISTINCT).
+    SPARQL-OPTIONAL (left joins, unmatched -> NULL); ``negations``
+    are SPARQL FILTER NOT EXISTS (anti-joins on the shared variables
+    — bindings with ANY match of the negated pattern are dropped);
+    ``filters`` are Column predicates over the bound variables,
+    applied after all joins. A predicate written ``pred+`` is a
+    SPARQL property path (1..``path_hops`` consecutive hops, bounded
+    frontier BFS). With ``distinct=True`` (default) the result is the
+    set of variable bindings; ``False`` keeps bag semantics
+    (duplicate triples multiply matches, as in SPARQL without
+    DISTINCT).
     """
     if not patterns:
         raise ValueError("BGP needs at least one required pattern")
@@ -179,6 +185,15 @@ def bgp_query(triples: DataFrame,
 
     arms = [build(p) for p in patterns]
     out, bound = join_arms(arms, patterns)
+    for pat in negations or []:
+        df, vs = build(pat)
+        shared = sorted(vs & bound)
+        if not shared:
+            raise ValueError(
+                f"negated pattern {pat!r} shares no variable with "
+                "the required block")
+        out = out.join(df.select(*shared).distinct(), on=shared,
+                       how="left_anti")
     for pat in optionals or []:
         df, vs = build(pat)
         shared = sorted(vs & bound)
@@ -188,4 +203,6 @@ def bgp_query(triples: DataFrame,
                 "the required block")
         out = out.join(df, on=shared, how="left")
         bound |= vs
+    for cond in filters or []:
+        out = out.filter(cond)
     return out.distinct() if distinct else out

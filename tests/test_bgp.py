@@ -176,3 +176,32 @@ def test_path_cycle_terminates(spark):
     out = bgp.property_path(t, "next", max_hops=10)
     assert _rows(out) == {("a", "b"), ("b", "a"),
                           ("a", "a"), ("b", "b")}
+
+
+def test_negation_not_exists(triples):
+    # dresses with NO gender triple: p1/p4 both have gender -> empty;
+    # shoes with no gender: p2, p3
+    from pyspark.sql import functions as F
+    out = bgp.bgp_query(triples, [("?x", "type", "dress")],
+                        negations=[("?x", "gender", "?g")])
+    assert _rows(out) == set()
+    out2 = bgp.bgp_query(triples, [("?x", "type", "shoes")],
+                         negations=[("?x", "gender", "?g")])
+    assert _rows(out2) == {("p2",), ("p3",)}
+    # negation with a constant object
+    out3 = bgp.bgp_query(triples, [("?x", "type", "dress")],
+                         negations=[("?x", "gender", "women")])
+    assert _rows(out3) == {("p4",)}
+
+
+def test_negation_must_share_raises(triples):
+    with pytest.raises(ValueError, match="negated"):
+        bgp.bgp_query(triples, [("?x", "type", "dress")],
+                      negations=[("?z", "gender", "?g")])
+
+
+def test_filters_over_bindings(triples):
+    from pyspark.sql import functions as F
+    out = bgp.bgp_query(triples, [("?x", "hasColor", "?c")],
+                        filters=[F.col("c") != "black"])
+    assert _rows(out.select("x", "c")) == {("p3", "red"), ("p4", "red")}
