@@ -2628,6 +2628,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             negations=[("?x", "hasStyle", "formal")]) \
             .select("x", "t").distinct()
 
+    def kg_bgp_aggregate(spark, sf):
+        # SPARQL GROUP BY / HAVING through the BGP compiler: per
+        # style, the number of complement pairs sharing it and the
+        # distinct first items — one hash aggregation (map-side
+        # partial) over the compiled pattern's solution set
+        from fashion_knowledge_graph_spark.operators import bgp
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred",
+                     F.col("obj").cast("string").alias("obj")))
+        return bgp.bgp_aggregate(
+            t,
+            [("?a", "complements", "?b"),
+             ("?a", "hasStyle", "?s"), ("?b", "hasStyle", "?s")],
+            group_by=["?s"],
+            aggs={"n_pairs": F.count(F.lit(1)).cast("long"),
+                  "n_items": F.countDistinct("a").cast("long")},
+            having=F.col("n_pairs") >= 2)
+
     def kg_open_ie_link(spark, sf):
         # Ground span instances to catalog entities: (type, color)
         # equi-join candidates, material/style-overlap scoring in the
@@ -5709,6 +5728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_forward_chain": kg_forward_chain,
         "kg_open_ie_link": kg_open_ie_link,
         "kg_bgp_negation": kg_bgp_negation,
+        "kg_bgp_aggregate": kg_bgp_aggregate,
         "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
@@ -11704,6 +11724,21 @@ def _kg_oracle_sql() -> dict[str, str]:
                           WHERE n.subj = e.subj
                             AND n.pred = 'hasStyle'
                             AND n.obj = 'formal')
+    """
+
+    # BGP aggregation: GROUP BY / HAVING over the solution set
+    sql["kg_bgp_aggregate"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        sol AS (
+          SELECT DISTINCT e.subj AS a, e.obj AS b, s1.obj AS s
+          FROM tri e
+          JOIN tri s1 ON s1.pred = 'hasStyle' AND s1.subj = e.subj
+          JOIN tri s2 ON s2.pred = 'hasStyle' AND s2.subj = e.obj
+                     AND s2.obj = s1.obj
+          WHERE e.pred = 'complements')
+        SELECT s, count(*) AS n_pairs,
+               count(DISTINCT a) AS n_items
+        FROM sol GROUP BY s HAVING count(*) >= 2
     """
 
     # property path complements+ bounded at 3 hops (depth-bounded

@@ -206,3 +206,49 @@ def bgp_query(triples: DataFrame,
     for cond in filters or []:
         out = out.filter(cond)
     return out.distinct() if distinct else out
+
+
+def bgp_aggregate(triples: DataFrame,
+                  patterns: list[tuple[str, str, str]],
+                  group_by: list[str],
+                  aggs: dict,
+                  having=None,
+                  optionals: list[tuple[str, str, str]] | None = None,
+                  negations: list[tuple[str, str, str]] | None = None,
+                  filters: list | None = None,
+                  distinct: bool = True,
+                  path_hops: int = 8) -> DataFrame:
+    """SPARQL ``SELECT ?g (agg(?x) AS name) ... GROUP BY ?g [HAVING]``
+    over a basic graph pattern.
+
+    ``group_by`` lists grouping variables (``?v`` or bare names);
+    ``aggs`` maps output column name -> aggregate Column over the
+    bound variable columns (e.g. ``F.countDistinct("a")``); ``having``
+    is an optional predicate over the aggregated columns. With
+    ``distinct=True`` (default, matching ``bgp_query``) aggregates run
+    over the solution SET; ``False`` keeps SPARQL's bag-of-solutions
+    semantics (duplicate triples multiply into the counts).
+
+    Scale shape: the grouping is one hash aggregation over the joined
+    pattern — Spark's partial (map-side) aggregation applies, so the
+    shuffle carries one row per (partition, group), not per solution;
+    HAVING prunes after the final merge. No new join machinery: the
+    pattern block reuses ``bgp_query``'s pushed-down, greedily-ordered
+    plan.
+    """
+    if not group_by:
+        raise ValueError("GROUP BY needs at least one variable")
+    if not aggs:
+        raise ValueError("bgp_aggregate needs at least one aggregate")
+    keys = [v[1:] if _is_var(v) else v for v in group_by]
+    sol = bgp_query(triples, patterns, optionals=optionals,
+                    negations=negations, filters=filters,
+                    distinct=distinct, path_hops=path_hops)
+    missing = [k for k in keys if k not in sol.columns]
+    if missing:
+        raise ValueError(
+            f"GROUP BY variables not bound by the pattern: {missing} "
+            f"(bound: {sorted(sol.columns)})")
+    out = sol.groupBy(*keys).agg(
+        *[c.alias(name) for name, c in aggs.items()])
+    return out.filter(having) if having is not None else out

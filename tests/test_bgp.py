@@ -205,3 +205,47 @@ def test_filters_over_bindings(triples):
     out = bgp.bgp_query(triples, [("?x", "hasColor", "?c")],
                         filters=[F.col("c") != "black"])
     assert _rows(out.select("x", "c")) == {("p3", "red"), ("p4", "red")}
+
+
+def test_aggregate_group_count(triples):
+    from pyspark.sql import functions as F
+    # per style: how many items carry it, and how many distinct colors
+    out = bgp.bgp_aggregate(
+        triples,
+        [("?x", "hasStyle", "?s"), ("?x", "hasColor", "?c")],
+        group_by=["?s"],
+        aggs={"n_items": F.countDistinct("x"),
+              "n_colors": F.countDistinct("c")})
+    assert _rows(out) == {("party", 2, 1), ("casual", 2, 1)}
+
+
+def test_aggregate_having(triples):
+    from pyspark.sql import functions as F
+    out = bgp.bgp_aggregate(
+        triples, [("?x", "hasColor", "?c")], group_by=["?c"],
+        aggs={"n": F.countDistinct("x")},
+        having=F.col("n") >= 2)
+    assert _rows(out) == {("black", 2), ("red", 2)}
+
+
+def test_aggregate_bag_semantics(spark):
+    from pyspark.sql import functions as F
+    dup = spark.createDataFrame(
+        [("a", "p", "v"), ("a", "p", "v")],
+        "subj string, pred string, obj string")
+    s = bgp.bgp_aggregate(dup, [("?x", "p", "v")], ["?x"],
+                          {"n": F.count(F.lit(1))})
+    b = bgp.bgp_aggregate(dup, [("?x", "p", "v")], ["?x"],
+                          {"n": F.count(F.lit(1))}, distinct=False)
+    assert _rows(s) == {("a", 1)}
+    assert _rows(b) == {("a", 2)}
+
+
+def test_aggregate_unbound_group_raises(triples):
+    from pyspark.sql import functions as F
+    with pytest.raises(ValueError, match="not bound"):
+        bgp.bgp_aggregate(triples, [("?x", "type", "dress")],
+                          ["?missing"], {"n": F.count(F.lit(1))})
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        bgp.bgp_aggregate(triples, [("?x", "type", "dress")],
+                          ["?x"], {})
