@@ -2647,6 +2647,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   "n_items": F.countDistinct("a").cast("long")},
             having=F.col("n_pairs") >= 2)
 
+    def kg_bgp_topk(spark, sf):
+        # SPARQL ORDER BY ... LIMIT over a grouped BGP: top-3 styles
+        # by complement-pair count (style tiebreak makes the order
+        # total). Compiles to TakeOrderedAndProject — per-partition
+        # k-row heaps, never a global sort (test_bgp pins the plan)
+        from fashion_knowledge_graph_spark.operators import bgp
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred",
+                     F.col("obj").cast("string").alias("obj")))
+        return bgp.bgp_topk(
+            t,
+            [("?a", "complements", "?b"),
+             ("?a", "hasStyle", "?s"), ("?b", "hasStyle", "?s")],
+            group_by=["?s"],
+            aggs={"n_pairs": F.count(F.lit(1)).cast("long")},
+            order_by=[F.desc("n_pairs"), "?s"], k=3)
+
     def kg_open_ie_link(spark, sf):
         # Ground span instances to catalog entities: (type, color)
         # equi-join candidates, material/style-overlap scoring in the
@@ -5729,6 +5747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_open_ie_link": kg_open_ie_link,
         "kg_bgp_negation": kg_bgp_negation,
         "kg_bgp_aggregate": kg_bgp_aggregate,
+        "kg_bgp_topk": kg_bgp_topk,
         "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
@@ -11739,6 +11758,21 @@ def _kg_oracle_sql() -> dict[str, str]:
         SELECT s, count(*) AS n_pairs,
                count(DISTINCT a) AS n_items
         FROM sol GROUP BY s HAVING count(*) >= 2
+    """
+
+    # BGP ORDER BY/LIMIT: total-order top-3 styles by pair count
+    sql["kg_bgp_topk"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        sol AS (
+          SELECT DISTINCT e.subj AS a, e.obj AS b, s1.obj AS s
+          FROM tri e
+          JOIN tri s1 ON s1.pred = 'hasStyle' AND s1.subj = e.subj
+          JOIN tri s2 ON s2.pred = 'hasStyle' AND s2.subj = e.obj
+                     AND s2.obj = s1.obj
+          WHERE e.pred = 'complements')
+        SELECT s, count(*) AS n_pairs
+        FROM sol GROUP BY s
+        ORDER BY n_pairs DESC, s ASC LIMIT 3
     """
 
     # property path complements+ bounded at 3 hops (depth-bounded

@@ -252,3 +252,51 @@ def bgp_aggregate(triples: DataFrame,
     out = sol.groupBy(*keys).agg(
         *[c.alias(name) for name, c in aggs.items()])
     return out.filter(having) if having is not None else out
+
+
+def bgp_topk(triples: DataFrame,
+             patterns: list[tuple[str, str, str]],
+             order_by: list,
+             k: int,
+             group_by: list[str] | None = None,
+             aggs: dict | None = None,
+             having=None,
+             optionals: list[tuple[str, str, str]] | None = None,
+             negations: list[tuple[str, str, str]] | None = None,
+             filters: list | None = None,
+             distinct: bool = True,
+             path_hops: int = 8) -> DataFrame:
+    """SPARQL solution modifiers ``ORDER BY ... LIMIT k`` over a BGP
+    (optionally grouped: pass ``group_by``+``aggs`` to rank aggregate
+    rows instead of raw solutions).
+
+    ``order_by`` entries are Columns (``F.desc("n")``) or ``?var`` /
+    bare column names (ascending). Callers should make the order total
+    (tiebreak on a key column) — LIMIT under a non-total order is
+    nondeterministic in SPARQL and in Spark alike.
+
+    Scale shape: ``orderBy(...).limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — each partition keeps a k-row heap and
+    the driver merges ONE k-row slice per partition; nothing global is
+    ever sorted. The global-window rank over an unpartitioned table
+    (the plan this repo's test_plans pins against) is exactly what
+    this avoids.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not order_by:
+        raise ValueError("ORDER BY needs at least one key")
+    if group_by or aggs:
+        sol = bgp_aggregate(triples, patterns, group_by or [],
+                            aggs or {}, having=having,
+                            optionals=optionals, negations=negations,
+                            filters=filters, distinct=distinct,
+                            path_hops=path_hops)
+    else:
+        sol = bgp_query(triples, patterns, optionals=optionals,
+                        negations=negations, filters=filters,
+                        distinct=distinct, path_hops=path_hops)
+    keys = [F.col(o[1:]) if isinstance(o, str) and _is_var(o)
+            else (F.col(o) if isinstance(o, str) else o)
+            for o in order_by]
+    return sol.orderBy(*keys).limit(k)

@@ -249,3 +249,31 @@ def test_aggregate_unbound_group_raises(triples):
     with pytest.raises(ValueError, match="at least one aggregate"):
         bgp.bgp_aggregate(triples, [("?x", "type", "dress")],
                           ["?x"], {})
+
+
+def test_topk_orders_and_limits(triples):
+    from pyspark.sql import functions as F
+    out = bgp.bgp_topk(
+        triples, [("?x", "hasColor", "?c")],
+        group_by=["?c"], aggs={"n": F.countDistinct("x")},
+        order_by=[F.desc("n"), "?c"], k=1)
+    assert [tuple(r) for r in out.collect()] == [("black", 2)]
+
+
+def test_topk_plan_is_take_ordered(triples):
+    from pyspark.sql import functions as F
+    out = bgp.bgp_topk(triples, [("?x", "hasColor", "?c")],
+                       order_by=["?c", "?x"], k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert [tuple(r) for r in out.collect()] == [
+        ("p1", "black"), ("p2", "black"), ("p3", "red")]
+
+
+def test_topk_contract_raises(triples):
+    with pytest.raises(ValueError, match="k must be"):
+        bgp.bgp_topk(triples, [("?x", "hasColor", "?c")],
+                     order_by=["?c"], k=0)
+    with pytest.raises(ValueError, match="ORDER BY"):
+        bgp.bgp_topk(triples, [("?x", "hasColor", "?c")],
+                     order_by=[], k=3)
