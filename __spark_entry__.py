@@ -2665,6 +2665,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             aggs={"n_pairs": F.count(F.lit(1)).cast("long")},
             order_by=[F.desc("n_pairs"), "?s"], k=3)
 
+    def kg_bgp_values(spark, sf):
+        # SPARQL VALUES: seed the pattern with an inline (style,
+        # color) relation — multi-variable blocks join as an
+        # explicitly-broadcast literal table; single-variable blocks
+        # become isin predicates pushed into the arm scans
+        # (test_bgp pins PushedFilters: In)
+        from fashion_knowledge_graph_spark.operators import bgp
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred",
+                     F.col("obj").cast("string").alias("obj")))
+        return bgp.bgp_query(
+            t,
+            [("?a", "complements", "?b"),
+             ("?a", "hasStyle", "?s"), ("?a", "hasColor", "?c")],
+            values=(["?s", "?c"],
+                    [("party", "black"), ("casual", "red"),
+                     ("formal", "white")])) \
+            .select("a", "b", "s", "c")
+
     def kg_open_ie_link(spark, sf):
         # Ground span instances to catalog entities: (type, color)
         # equi-join candidates, material/style-overlap scoring in the
@@ -5748,6 +5768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_negation": kg_bgp_negation,
         "kg_bgp_aggregate": kg_bgp_aggregate,
         "kg_bgp_topk": kg_bgp_topk,
+        "kg_bgp_values": kg_bgp_values,
         "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
@@ -11773,6 +11794,21 @@ def _kg_oracle_sql() -> dict[str, str]:
         SELECT s, count(*) AS n_pairs
         FROM sol GROUP BY s
         ORDER BY n_pairs DESC, s ASC LIMIT 3
+    """
+
+    # BGP VALUES: inline (style, color) seed relation
+    sql["kg_bgp_values"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        vals(s, c) AS (VALUES ('party', 'black'),
+                              ('casual', 'red'),
+                              ('formal', 'white'))
+        SELECT DISTINCT e.subj AS a, e.obj AS b, st.obj AS s,
+               co.obj AS c
+        FROM tri e
+        JOIN tri st ON st.pred = 'hasStyle' AND st.subj = e.subj
+        JOIN tri co ON co.pred = 'hasColor' AND co.subj = e.subj
+        JOIN vals ON vals.s = st.obj AND vals.c = co.obj
+        WHERE e.pred = 'complements'
     """
 
     # property path complements+ bounded at 3 hops (depth-bounded

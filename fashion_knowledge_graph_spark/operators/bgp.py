@@ -160,6 +160,7 @@ def bgp_query(triples: DataFrame,
               optionals: list[tuple[str, str, str]] | None = None,
               negations: list[tuple[str, str, str]] | None = None,
               filters: list | None = None,
+              values: tuple[list[str], list[tuple]] | None = None,
               distinct: bool = True,
               path_hops: int = 8) -> DataFrame:
     """Match a basic graph pattern; returns one column per variable.
@@ -169,12 +170,21 @@ def bgp_query(triples: DataFrame,
     are SPARQL FILTER NOT EXISTS (anti-joins on the shared variables
     — bindings with ANY match of the negated pattern are dropped);
     ``filters`` are Column predicates over the bound variables,
-    applied after all joins. A predicate written ``pred+`` is a
-    SPARQL property path (1..``path_hops`` consecutive hops, bounded
+    applied after all joins; ``values`` is a SPARQL VALUES block
+    ``(["?v", ...], [(row...), ...])`` constraining bound variables to
+    an inline relation. A predicate written ``pred+`` is a SPARQL
+    property path (1..``path_hops`` consecutive hops, bounded
     frontier BFS). With ``distinct=True`` (default) the result is the
     set of variable bindings; ``False`` keeps bag semantics
     (duplicate triples multiply matches, as in SPARQL without
     DISTINCT).
+
+    Scale shape of VALUES: a single-variable block becomes an `isin`
+    predicate — Catalyst pushes it through the joins into the arm
+    scans (`PushedFilters: In(...)`) so a 10^12-triple pattern seeded
+    with 20 entities reads only those slices. A multi-variable block
+    becomes an inner join with an explicitly `broadcast()` literal
+    relation (VALUES blocks are query-sized, never data-sized).
     """
     if not patterns:
         raise ValueError("BGP needs at least one required pattern")
@@ -203,6 +213,24 @@ def bgp_query(triples: DataFrame,
                 "the required block")
         out = out.join(df, on=shared, how="left")
         bound |= vs
+    if values is not None:
+        vvars, vrows = values
+        if not vvars or not vrows:
+            raise ValueError("VALUES needs variables and rows")
+        vcols = [v[1:] if _is_var(v) else v for v in vvars]
+        missing = [c for c in vcols if c not in bound]
+        if missing:
+            raise ValueError(
+                f"VALUES variables not bound by the pattern: {missing}"
+                f" (bound: {sorted(bound)})")
+        if len(vcols) == 1:
+            out = out.filter(
+                F.col(vcols[0]).isin([r[0] if isinstance(r, (tuple, list))
+                                      else r for r in vrows]))
+        else:
+            lit = triples.sparkSession.createDataFrame(
+                vrows, ", ".join(f"{c} string" for c in vcols)).distinct()
+            out = out.join(F.broadcast(lit), on=vcols, how="inner")
     for cond in filters or []:
         out = out.filter(cond)
     return out.distinct() if distinct else out
@@ -216,6 +244,7 @@ def bgp_aggregate(triples: DataFrame,
                   optionals: list[tuple[str, str, str]] | None = None,
                   negations: list[tuple[str, str, str]] | None = None,
                   filters: list | None = None,
+                  values: tuple[list[str], list[tuple]] | None = None,
                   distinct: bool = True,
                   path_hops: int = 8) -> DataFrame:
     """SPARQL ``SELECT ?g (agg(?x) AS name) ... GROUP BY ?g [HAVING]``
@@ -243,7 +272,8 @@ def bgp_aggregate(triples: DataFrame,
     keys = [v[1:] if _is_var(v) else v for v in group_by]
     sol = bgp_query(triples, patterns, optionals=optionals,
                     negations=negations, filters=filters,
-                    distinct=distinct, path_hops=path_hops)
+                    values=values, distinct=distinct,
+                    path_hops=path_hops)
     missing = [k for k in keys if k not in sol.columns]
     if missing:
         raise ValueError(
@@ -264,6 +294,7 @@ def bgp_topk(triples: DataFrame,
              optionals: list[tuple[str, str, str]] | None = None,
              negations: list[tuple[str, str, str]] | None = None,
              filters: list | None = None,
+             values: tuple[list[str], list[tuple]] | None = None,
              distinct: bool = True,
              path_hops: int = 8) -> DataFrame:
     """SPARQL solution modifiers ``ORDER BY ... LIMIT k`` over a BGP
@@ -290,12 +321,13 @@ def bgp_topk(triples: DataFrame,
         sol = bgp_aggregate(triples, patterns, group_by or [],
                             aggs or {}, having=having,
                             optionals=optionals, negations=negations,
-                            filters=filters, distinct=distinct,
-                            path_hops=path_hops)
+                            filters=filters, values=values,
+                            distinct=distinct, path_hops=path_hops)
     else:
         sol = bgp_query(triples, patterns, optionals=optionals,
                         negations=negations, filters=filters,
-                        distinct=distinct, path_hops=path_hops)
+                        values=values, distinct=distinct,
+                        path_hops=path_hops)
     keys = [F.col(o[1:]) if isinstance(o, str) and _is_var(o)
             else (F.col(o) if isinstance(o, str) else o)
             for o in order_by]

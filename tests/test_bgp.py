@@ -277,3 +277,50 @@ def test_topk_contract_raises(triples):
     with pytest.raises(ValueError, match="ORDER BY"):
         bgp.bgp_topk(triples, [("?x", "hasColor", "?c")],
                      order_by=[], k=3)
+
+
+def test_values_single_var_isin(triples):
+    out = bgp.bgp_query(triples, [("?x", "hasColor", "?c")],
+                        values=(["?c"], [("black",)]))
+    assert _rows(out.select("x")) == {("p1",), ("p2",)}
+
+
+def test_values_single_var_pushed_to_scan(spark, tmp_path):
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [("p1", "hasColor", "black"), ("p2", "hasColor", "red")],
+        "subj string, pred string, obj string").write.parquet(path)
+    t = spark.read.parquet(path)
+    out = bgp.bgp_query(t, [("?x", "hasColor", "?c")],
+                        values=(["?c"], [("black",), ("navy",)]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(obj" in plan
+    assert _rows(out) == {("p1", "black")}
+
+
+def test_values_multi_var_broadcast_join(triples):
+    out = bgp.bgp_query(
+        triples, [("?x", "hasColor", "?c"), ("?x", "hasStyle", "?s")],
+        values=(["?c", "?s"], [("black", "party"), ("red", "formal")]))
+    assert _rows(out.select("x", "c", "s")) == {
+        ("p1", "black", "party"), ("p2", "black", "party")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_values_contract_raises(triples):
+    with pytest.raises(ValueError, match="not bound"):
+        bgp.bgp_query(triples, [("?x", "hasColor", "?c")],
+                      values=(["?zzz"], [("a",)]))
+    with pytest.raises(ValueError, match="VALUES needs"):
+        bgp.bgp_query(triples, [("?x", "hasColor", "?c")],
+                      values=(["?c"], []))
+
+
+def test_values_composes_with_aggregate(triples):
+    from pyspark.sql import functions as F
+    out = bgp.bgp_aggregate(
+        triples, [("?x", "hasColor", "?c")], group_by=["?c"],
+        aggs={"n": F.countDistinct("x")},
+        values=(["?c"], [("black",), ("red",)]))
+    assert _rows(out) == {("black", 2), ("red", 2)}
