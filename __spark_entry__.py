@@ -4264,6 +4264,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_mentions long, n_catalog long, n_candidates long, "
             "reduction_ratio double, pairs_completeness double")
 
+    def er_key_blocking_metrics(spark, sf):
+        # Generic KEY-blocking datasheet (operators/er.py::
+        # blocking_metrics) — the dedup-shaped twin of
+        # er_blocking_eval's q-gram numbers: block documents on
+        # (lang, source), ground truth = exact 3-gram Jaccard ≥ 0.35
+        # pairs. Candidate counts come from block SIZES (Σ n·(n−1)/2,
+        # one groupBy — the candidate set itself is never
+        # materialized, the only shape that counts a usable blocker
+        # at 10^12 docs); matched counts from joining the truth pairs
+        # (label-sized) to the per-doc keys
+        from fashion_knowledge_graph_spark.operators.dedup import (
+            jaccard_pairs_exact,
+        )
+        from fashion_knowledge_graph_spark.operators.er import (
+            blocking_metrics,
+        )
+        docs = _load(spark, sf, "documents")
+        truth = jaccard_pairs_exact(docs, threshold=0.35) \
+            .select("id_a", "id_b")
+        return blocking_metrics(docs, truth, ["lang", "source"])
+
     def er_clusters(spark, sf):
         # ER canonicalization step 2: transitive closure of the fuzzy
         # pairs — blocked mention↔mention self-join (same q-gram +
@@ -5846,6 +5867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_running_analytics": w_running_analytics,
         "er_fuzzy_link": er_fuzzy_link,
         "er_snm_link": er_snm_link,
+        "er_key_blocking_metrics": er_key_blocking_metrics,
         "er_blocking_eval": er_blocking_eval,
         "events_hopping_agg": events_hopping_agg,
         "sketch_bloom_filter": sketch_bloom_filter,
@@ -8652,6 +8674,38 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = inter.id_a
         JOIN sizes sb ON sb.id = inter.id_b
         WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35
+    """
+
+    # generic key-blocking datasheet: truth = same brute-force
+    # Jaccard pairs; candidates counted from (lang, source) block sizes
+    sql["er_key_blocking_metrics"] = f"""
+        WITH {shingle_cte},
+        truth AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.id = inter.id_a
+          JOIN sizes sb ON sb.id = inter.id_b
+          WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.35),
+        keyed AS (SELECT doc_id, lang, source FROM documents
+                  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        bs AS (SELECT lang, source, count(*) AS nb FROM keyed
+               GROUP BY 1, 2),
+        c AS (SELECT CAST(coalesce(sum(nb * (nb - 1) / 2), 0) AS BIGINT)
+                       AS n_candidates,
+                     CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_docs
+              FROM bs),
+        m AS (SELECT count(*) AS n_matched FROM truth t
+              JOIN keyed a ON a.doc_id = t.id_a
+              JOIN keyed b ON b.doc_id = t.id_b
+               AND a.lang = b.lang AND a.source = b.source),
+        tt AS (SELECT count(*) AS n_true FROM truth)
+        SELECT n_docs, n_true, n_candidates, n_matched,
+               round(CASE WHEN n_true > 0
+                          THEN n_matched / n_true::DOUBLE
+                          ELSE 1.0 END, 6) AS pairs_completeness,
+               round(1.0 - n_candidates
+                     / (n_docs * (n_docs - 1) / 2.0), 6)
+                 AS reduction_ratio
+        FROM c, m, tt
     """
 
     # threshold sweep: same brute-force pairs, banded counts

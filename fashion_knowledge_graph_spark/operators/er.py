@@ -207,3 +207,56 @@ def fs_score(pairs: DataFrame, params: dict,
                  .otherwise(F.lit(math.log((1.0 - m) / (1.0 - u))
                                   / math.log(2.0)))
     return w
+
+
+def blocking_metrics(docs: DataFrame, truth_pairs: DataFrame,
+                     key_cols: list[str],
+                     id_col: str = "doc_id",
+                     pair_cols: tuple[str, str] = ("id_a", "id_b")
+                     ) -> DataFrame:
+    """Blocking-quality metrics for an entity-resolution blocker:
+    pairs completeness (recall of true matches inside the candidate
+    set) and reduction ratio (fraction of the n·(n−1)/2 comparison
+    space the blocker prunes).
+
+    The candidate set is "pairs sharing the composite ``key_cols``
+    block key" — but it is NEVER materialized: candidate counts come
+    from one groupBy (Σ n_b·(n_b−1)/2 per block, NULL keys excluded
+    as in standard blocking), and the matched count from joining the
+    TRUE pairs (the small side — ground truth is label-sized) to the
+    per-doc keys twice. At 10^12 docs the full candidate set of any
+    usable blocker is itself data-sized; counting it via block sizes
+    is the only shape that scales.
+
+    Returns one row: n_docs, n_true, n_candidates, n_matched,
+    pairs_completeness, reduction_ratio (both rounded to 6 places).
+    """
+    a, b = pair_cols
+    key = F.struct(*[F.col(c) for c in key_cols])
+    keyed = docs.select(F.col(id_col).alias("__id"),
+                        key.alias("__k")) \
+        .filter(F.col("__k").isNotNull())
+    for c in key_cols:
+        keyed = keyed.filter(F.col(f"__k.{c}").isNotNull())
+    sizes = keyed.groupBy("__k").agg(F.count(F.lit(1)).alias("nb"))
+    counts = sizes.agg(
+        F.coalesce(F.sum(F.col("nb") * (F.col("nb") - 1) / 2), F.lit(0))
+         .cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("n_docs"))
+    ka = keyed.select(F.col("__id").alias(a), F.col("__k").alias("__ka"))
+    kb = keyed.select(F.col("__id").alias(b), F.col("__k").alias("__kb"))
+    matched = (truth_pairs.select(a, b)
+               .join(ka, on=a).join(kb, on=b)
+               .filter(F.col("__ka") == F.col("__kb")))
+    m = matched.agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    t = truth_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    return (counts.crossJoin(m).crossJoin(t)
+            .select(
+                "n_docs", "n_true", "n_candidates", "n_matched",
+                F.round(F.when(F.col("n_true") > 0,
+                               F.col("n_matched") / F.col("n_true"))
+                        .otherwise(F.lit(1.0)), 6)
+                 .alias("pairs_completeness"),
+                F.round(F.lit(1.0) - F.col("n_candidates")
+                        / (F.col("n_docs") * (F.col("n_docs") - 1) / 2),
+                        6).alias("reduction_ratio")))

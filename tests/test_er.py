@@ -170,3 +170,36 @@ def test_fs_em_step_matches_python_replay(spark):
     scored = {tuple(r[:3]): r[3] for r in
               df.select("g1", "g2", "g3", w.alias("w")).collect()}
     assert scored[(1, 1, 1)] > scored[(0, 0, 0)]
+
+
+def test_blocking_metrics_hand_computed(spark):
+    from fashion_knowledge_graph_spark.operators.er import (
+        blocking_metrics,
+    )
+    # two blocks: {1,2,3} (en) and {4,5} (fr); doc 6 has a NULL key
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en"), (4, "fr"), (5, "fr"),
+         (6, None)],
+        "doc_id long, lang string")
+    # true matches: (1,2) inside a block, (3,4) across blocks
+    truth = spark.createDataFrame([(1, 2), (3, 4)],
+                                  "id_a long, id_b long")
+    row = blocking_metrics(docs, truth, ["lang"]).collect()[0]
+    # candidates: C(3,2)+C(2,2)=3+1=4 over n=5 keyed docs (10 pairs)
+    assert row.n_docs == 5 and row.n_candidates == 4
+    assert row.n_true == 2 and row.n_matched == 1
+    assert row.pairs_completeness == 0.5
+    assert row.reduction_ratio == 0.6
+
+
+def test_blocking_metrics_composite_key_and_empty_truth(spark):
+    from fashion_knowledge_graph_spark.operators.er import (
+        blocking_metrics,
+    )
+    docs = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", "web"), (3, "en", "book")],
+        "doc_id long, lang string, source string")
+    truth = spark.createDataFrame([], "id_a long, id_b long")
+    row = blocking_metrics(docs, truth, ["lang", "source"]).collect()[0]
+    assert row.n_candidates == 1 and row.n_true == 0
+    assert row.pairs_completeness == 1.0  # vacuous recall
