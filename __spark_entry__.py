@@ -2685,6 +2685,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      ("formal", "white")])) \
             .select("a", "b", "s", "c")
 
+    def kg_negative_samples(spark, sf):
+        # Link-prediction training negatives (operators/linkpred.py):
+        # 2 corrupted-tail draws per distinct attribute triple, drawn
+        # from the closed taxonomy vocabulary via the portable 60-bit
+        # md5 hash — vocab ships as a literal map (no join), the only
+        # exchange is the filtered-negative anti-join; the oracle
+        # replays every draw bit-for-bit
+        from fashion_knowledge_graph_spark import taxonomy as ktx
+        from fashion_knowledge_graph_spark.operators.linkpred import (
+            negative_samples,
+        )
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred",
+                     F.col("obj").cast("string").alias("obj")))
+        return negative_samples(
+            t, {"hasColor": ktx.COLORS, "hasMaterial": ktx.MATERIALS,
+                "hasStyle": ktx.STYLES}, k=2)
+
     def kg_open_ie_link(spark, sf):
         # Ground span instances to catalog entities: (type, color)
         # equi-join candidates, material/style-overlap scoring in the
@@ -5790,6 +5809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_aggregate": kg_bgp_aggregate,
         "kg_bgp_topk": kg_bgp_topk,
         "kg_bgp_values": kg_bgp_values,
+        "kg_negative_samples": kg_negative_samples,
         "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
@@ -11848,6 +11868,39 @@ def _kg_oracle_sql() -> dict[str, str]:
         SELECT s, count(*) AS n_pairs
         FROM sol GROUP BY s
         ORDER BY n_pairs DESC, s ASC LIMIT 3
+    """
+
+    # corrupted-tail negatives: every md5 draw replayed exactly
+    _np_vocab = ", ".join(
+        "('%s', [%s])" % (p, ", ".join(f"'{v}'" for v in vs))
+        for p, vs in (("hasColor", ktx.COLORS),
+                      ("hasMaterial", ktx.MATERIALS),
+                      ("hasStyle", ktx.STYLES)))
+    sql["kg_negative_samples"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        vocab(pred, arr) AS (VALUES {_np_vocab}),
+        pos AS (SELECT DISTINCT subj, pred, obj FROM tri
+                WHERE pred IN ('hasColor', 'hasMaterial', 'hasStyle')),
+        e AS (SELECT pos.subj, pos.pred, pos.obj, t.i AS neg_ix,
+                     v.arr, len(v.arr) AS n
+              FROM pos JOIN vocab v USING (pred),
+                   LATERAL unnest([0, 1]) AS t(i)),
+        h AS (SELECT *,
+                     CAST(('0x' || substr(md5('neg:' || neg_ix::VARCHAR
+                       || ':' || subj || ':' || pred || ':' || obj),
+                       1, 15))::BIGINT % n AS INT) AS idx
+              FROM e),
+        c AS (SELECT subj, pred, obj, neg_ix,
+                     CASE WHEN arr[idx + 1] = obj
+                          THEN arr[((idx + 1) % n) + 1]
+                          ELSE arr[idx + 1] END AS obj_neg
+              FROM h)
+        SELECT subj, pred, obj_neg, neg_ix
+        FROM c
+        WHERE obj_neg != obj
+          AND NOT EXISTS (SELECT 1 FROM pos p
+                          WHERE p.subj = c.subj AND p.pred = c.pred
+                            AND p.obj = c.obj_neg)
     """
 
     # BGP VALUES: inline (style, color) seed relation
