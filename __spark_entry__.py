@@ -1967,6 +1967,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return int8_cosine_topk(q, qz, k=5) \
             .select("query_id", "corpus_id", "rank")
 
+    def ann_int8_ranking_eval(spark, sf):
+        # Quantization-fidelity datasheet: does the int8 index still
+        # retrieve the EXACT float top-1? truth = float-cosine rank-1
+        # per query, ranked = int8 top-10; filtered MRR + hits@1/5/10
+        # via operators/similarity.py::ranking_eval (one truth-sized
+        # join + one aggregate — no windows beyond the rankers' own)
+        from fashion_knowledge_graph_spark.operators.quantize import (
+            int8_cosine_topk, quantize_int8,
+        )
+        from fashion_knowledge_graph_spark.operators.similarity import (
+            ranking_eval,
+        )
+        emb = _load(spark, sf, "embeddings")
+        fq = emb.filter(F.col("vec_id") < 20)
+        truth = sim.cosine_topk(fq, emb, k=1) \
+            .select("query_id", "corpus_id")
+        qz = quantize_int8(emb).select("id", "qvec")
+        iq = qz.filter(F.col("id") < 20)
+        ranked = int8_cosine_topk(iq, qz, k=10)
+        return ranking_eval(ranked, truth, ks=(1, 5, 10))
+
     def text_pmi_collocations(spark, sf):
         # collocation mining: pointwise mutual information of adjacent
         # word pairs, ln((c_ab/N_b) / ((c_a/N_u)(c_b/N_u))), min-count
@@ -5771,6 +5792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": events_cohort_retention,
         "emb_quantize_int8": emb_quantize_int8,
         "ann_int8_topk": ann_int8_topk,
+        "ann_int8_ranking_eval": ann_int8_ranking_eval,
         "ann_hard_negatives": ann_hard_negatives,
         "zorder_events_key": zorder_events_key,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -9291,6 +9313,66 @@ def oracle_sql() -> dict[str, str]:
     """
     # exhaustive sign-LSH (nbits=0 → single bucket) ⇒ exact top-k
     sql["ann_lsh_topk"] = sql["ann_cosine_topk"]
+
+    # int8 fidelity: float top-1 truth left-joined into the int8
+    # top-10 ranking; same quantization + integer-dot chain as
+    # ann_int8_topk, same float chain as ann_cosine_topk
+    sql["ann_int8_ranking_eval"] = f"""
+        WITH {topk_cte.format(qmax=20)},
+        truth AS (SELECT query_id, corpus_id FROM ranked
+                  WHERE rank = 1),
+        ie AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+        isc AS (SELECT vec_id, v,
+                       coalesce(list_max(list_transform(
+                           v, x -> abs(x))), 0.0) AS scale
+                FROM ie),
+        iq AS (SELECT vec_id,
+                      CASE WHEN scale = 0
+                           THEN list_transform(v,
+                                  x -> CAST(0 AS BIGINT))
+                           ELSE list_transform(v, x ->
+                             CAST(floor(x * 127.0 / scale + 0.5)
+                                  AS BIGINT)) END AS qv
+               FROM isc),
+        iqq AS (SELECT vec_id, qv,
+                       coalesce(list_sum(list_transform(
+                           qv, x -> x * x)), 0)::BIGINT AS nrm
+                FROM iq),
+        ipairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+                 coalesce(list_sum(list_transform(
+                     range(1, len(a.qv) + 1),
+                     i -> a.qv[i] * b.qv[i])), 0)::BIGINT AS dot,
+                 a.nrm AS qn, b.nrm AS cn
+          FROM iqq a JOIN iqq b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 20),
+        iscored AS (
+          SELECT query_id, corpus_id,
+                 dot / greatest(sqrt(qn) * sqrt(cn), 1e-300) AS sc
+          FROM ipairs),
+        iranked AS (
+          SELECT query_id, corpus_id, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sc DESC, corpus_id ASC) AS rank
+          FROM iscored),
+        j AS (SELECT t.query_id, ir.rank
+              FROM truth t
+              LEFT JOIN (SELECT * FROM iranked WHERE rank <= 10) ir
+                ON ir.query_id = t.query_id
+               AND ir.corpus_id = t.corpus_id)
+        SELECT count(*)::BIGINT AS n_truth,
+               round(avg(CASE WHEN rank IS NOT NULL
+                              THEN 1.0 / rank ELSE 0.0 END), 6)
+                 AS mrr,
+               round(avg(CASE WHEN rank <= 1 THEN 1.0
+                              ELSE 0.0 END), 6) AS hits_1,
+               round(avg(CASE WHEN rank <= 5 THEN 1.0
+                              ELSE 0.0 END), 6) AS hits_5,
+               round(avg(CASE WHEN rank <= 10 THEN 1.0
+                              ELSE 0.0 END), 6) AS hits_10
+        FROM j
+    """
 
     sql["w5_top1_then_threshold"] = f"""
         WITH {topk_cte.format(qmax=50)}

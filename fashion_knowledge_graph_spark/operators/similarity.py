@@ -174,3 +174,39 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         .filter(F.col("query_id") != F.col("corpus_id")) \
         .dropDuplicates(["query_id", "corpus_id"]).drop("cent")
     return _rerank(cand, k)
+
+
+def ranking_eval(ranked: DataFrame, truth: DataFrame,
+                 ks: tuple[int, ...] = (1, 5, 10),
+                 query_col: str = "query_id",
+                 cand_col: str = "corpus_id",
+                 rank_col: str = "rank") -> DataFrame:
+    """Retrieval-quality datasheet: filtered MRR and hits@k of the
+    true candidate(s) inside a ranked candidate list.
+
+    ``truth`` holds (query, true-candidate) rows — one or more per
+    query; ``ranked`` is any ranker's output (exact, LSH, IVF, PQ,
+    int8 — they all emit (query_id, corpus_id, rank) here). A truth
+    row absent from the ranked list contributes reciprocal rank 0 and
+    misses every hits@k, so metrics are comparable across rankers
+    with different candidate coverage.
+
+    Scale shape: one equi-join of the label-sized truth table against
+    the ranked list, one global aggregate — both partial-agg'd; no
+    windows, no per-query collects. Returns ONE row:
+    n_truth, mrr, hits_<k>... (all rates rounded to 6 places).
+    """
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError("ks must be positive ranks")
+    j = truth.select(query_col, cand_col).join(
+        ranked.select(query_col, cand_col, rank_col),
+        on=[query_col, cand_col], how="left")
+    r = F.col(rank_col)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.round(F.avg(F.when(r.isNotNull(), F.lit(1.0) / r)
+                          .otherwise(F.lit(0.0))), 6).alias("mrr")]
+    for k in ks:
+        aggs.append(F.round(F.avg(
+            F.when(r <= k, F.lit(1.0)).otherwise(F.lit(0.0))), 6)
+            .alias(f"hits_{k}"))
+    return j.agg(*aggs)

@@ -138,3 +138,25 @@ def test_hard_negatives_excludes_same_label(spark):
     for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
         got.setdefault(r["query_id"], []).append(r["corpus_id"])
     assert got == {k: v[:5] for k, v in by_q.items()}
+
+
+def test_ranking_eval_hand_computed(spark):
+    from fashion_knowledge_graph_spark.operators.similarity import (
+        ranking_eval,
+    )
+    ranked = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "c", 1), (2, "d", 2),
+         (3, "e", 1)],
+        "query_id long, corpus_id string, rank long")
+    # q1 truth at rank 2, q2 truth at rank 1, q3 truth NOT retrieved
+    truth = spark.createDataFrame(
+        [(1, "b"), (2, "c"), (3, "zz")],
+        "query_id long, corpus_id string")
+    row = ranking_eval(ranked, truth, ks=(1, 2)).collect()[0]
+    assert row.n_truth == 3
+    assert row.mrr == round((0.5 + 1.0 + 0.0) / 3, 6)
+    assert row.hits_1 == round(1 / 3, 6)
+    assert row.hits_2 == round(2 / 3, 6)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="positive"):
+        ranking_eval(ranked, truth, ks=())
