@@ -2725,6 +2725,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t, {"hasColor": ktx.COLORS, "hasMaterial": ktx.MATERIALS,
                 "hasStyle": ktx.STYLES}, k=2)
 
+    def kg_transe_eval(spark, sf):
+        # TransE-style filtered entity-ranking evaluation
+        # (operators/linkpred.py::transe_entity_ranking): every
+        # distinct attribute triple's true object ranked by
+        # ||h + r − t||² against its predicate's data-derived
+        # candidate vocabulary, same-(subj,pred) true objects
+        # filtered out first (Bordes et al.'s filtered protocol);
+        # per-predicate MRR / hits@1 / hits@3 / mean rank. The
+        # embeddings are the repo's deterministic hash-lane stand-ins,
+        # so every distance, rank, and tie-break replays exactly in
+        # the DuckDB oracle — candidate vocab broadcasts, lane hashes
+        # run in codegen, no pairwise work anywhere
+        from fashion_knowledge_graph_spark.operators.linkpred import (
+            transe_entity_ranking,
+        )
+        t = _kg_world(spark, sf)["triples"]
+        return transe_entity_ranking(t, dim=8)
+
     def kg_open_ie_link(spark, sf):
         # Ground span instances to catalog entities: (type, color)
         # equi-join candidates, material/style-overlap scoring in the
@@ -5832,6 +5850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_topk": kg_bgp_topk,
         "kg_bgp_values": kg_bgp_values,
         "kg_negative_samples": kg_negative_samples,
+        "kg_transe_eval": kg_transe_eval,
         "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
@@ -11983,6 +12002,61 @@ def _kg_oracle_sql() -> dict[str, str]:
           AND NOT EXISTS (SELECT 1 FROM pos p
                           WHERE p.subj = c.subj AND p.pred = c.pred
                             AND p.obj = c.obj_neg)
+    """
+
+    # TransE filtered entity-ranking eval: every hash lane, distance,
+    # rank, and tie-break replayed exactly (operators/linkpred.py::
+    # transe_entity_ranking — lane j of (role, s) is
+    # H60('te{{j}}:role:s')/2^60*2-1; same IEEE ops both engines)
+    def _te_lane(tag: str, s: str, j: int) -> str:
+        return (f"(('0x' || substr(md5('te{j}:{tag}:' || {s}), 1, 15))"
+                f"::BIGINT::DOUBLE / {float(1 << 60)!r} * 2.0 - 1.0)")
+
+    _te_dim = 8
+    _te_hr = ",\n               ".join(
+        f"({_te_lane('ent', 'subj', j)} + {_te_lane('rel', 'pred', j)})"
+        f" AS hr{j}" for j in range(_te_dim))
+    _te_o = ",\n               ".join(
+        f"{_te_lane('ent', 'obj', j)} AS o{j}" for j in range(_te_dim))
+    _te_c = ",\n               ".join(
+        f"{_te_lane('ent', 'cand', j)} AS c{j}" for j in range(_te_dim))
+    _te_dist_true = " + ".join(
+        f"(hr{j} - o{j}) * (hr{j} - o{j})" for j in range(_te_dim))
+    _te_dist = " + ".join(
+        f"(hr{j} - c{j}) * (hr{j} - c{j})" for j in range(_te_dim))
+    sql["kg_transe_eval"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        t AS (SELECT subj, pred, obj FROM tri
+              WHERE pred != 'complements'),
+        fan AS (SELECT subj, pred, list(DISTINCT obj) AS true_objs
+                FROM t GROUP BY 1, 2),
+        t2a AS (SELECT t.subj, t.pred, t.obj, fan.true_objs,
+               {_te_hr},
+               {_te_o}
+                FROM t JOIN fan USING (subj, pred)),
+        t2 AS (SELECT *, {_te_dist_true} AS dist_true FROM t2a),
+        cands AS (SELECT pred, cand,
+               {_te_c}
+                  FROM (SELECT DISTINCT pred, obj AS cand FROM t)),
+        scored AS (SELECT t2.subj, t2.pred, t2.obj, t2.dist_true,
+                          c.cand, {_te_dist} AS dist
+                   FROM t2 JOIN cands c USING (pred)
+                   WHERE c.cand = t2.obj
+                      OR NOT list_contains(t2.true_objs, c.cand)),
+        ranked AS (SELECT subj, pred, obj,
+                          1 + sum(CASE WHEN dist < dist_true
+                                         OR (dist = dist_true
+                                             AND cand < obj)
+                                       THEN 1 ELSE 0 END) AS rnk
+                   FROM scored GROUP BY 1, 2, 3)
+        SELECT pred, count(*) AS n_test,
+               round(avg(1.0 / rnk), 6) AS mrr,
+               round(avg(CASE WHEN rnk <= 1 THEN 1.0 ELSE 0.0 END),
+                     6) AS hits_at_1,
+               round(avg(CASE WHEN rnk <= 3 THEN 1.0 ELSE 0.0 END),
+                     6) AS hits_at_3,
+               round(avg(rnk::DOUBLE), 6) AS mean_rank
+        FROM ranked GROUP BY pred
     """
 
     # BGP VALUES: inline (style, color) seed relation

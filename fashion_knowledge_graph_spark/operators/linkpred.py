@@ -83,3 +83,101 @@ def negative_samples(triples: DataFrame,
     return out.join(
         pos.select("subj", "pred", F.col("obj").alias("obj_neg")),
         on=["subj", "pred", "obj_neg"], how="left_anti")
+
+
+def _lane(tag: str, col, j: int, salt: str):
+    """Deterministic embedding lane in [-1, 1): the portable 60-bit
+    md5 hash of (saltJ, role tag, string) scaled to the unit interval.
+    Same double in Spark and DuckDB: int64→double cast, /2^60, *2, −1
+    are all IEEE ops both engines perform identically."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(f"{salt}{j}"), F.lit(tag), col)), 1, 15),
+        16, 10).cast("bigint")
+    return h.cast("double") / F.lit(float(1 << 60)) * F.lit(2.0) \
+        - F.lit(1.0)
+
+
+def transe_entity_ranking(triples: DataFrame, dim: int = 8,
+                          salt: str = "te",
+                          exclude_preds=("complements",),
+                          subj_col: str = "subj",
+                          pred_col: str = "pred",
+                          obj_col: str = "obj") -> DataFrame:
+    """TransE-style filtered entity-ranking evaluation over the triple
+    table — the standard KG-embedding benchmark protocol (score each
+    positive's true object against every same-predicate candidate,
+    rank by ascending ||h + r − t||², report per-predicate MRR and
+    hits@k), run over deterministic hash-derived embeddings so the
+    whole evaluation is a pure function of the triple set that a SQL
+    oracle replays bit-for-bit.
+
+    Embeddings: lane j of entity/relation string s is
+    ``H60(saltJ:role:s) / 2^60 * 2 − 1`` (role ∈ ent|rel) — the
+    stand-in regime the repo's model stand-ins use throughout (a real
+    deployment swaps trained vectors in; every downstream op is
+    dimension-agnostic). Filtered protocol: candidates that are true
+    objects of the SAME (subj, pred) — other than the evaluated one —
+    are removed before ranking (Bordes et al.'s "filtered" setting),
+    via a per-(subj, pred) true-object set attached BEFORE the
+    candidate explode. Ties (exactly equal distances) break on the
+    candidate string, deterministically in both engines.
+
+    Scale shape: the candidate vocabulary per predicate is
+    attribute-taxonomy-sized → broadcast; lane hashes are whole-stage
+    codegen (md5 + conv, no Python); the per-triple work is one
+    |vocab|-wide explode. Shuffles: the distinct, the fan-out agg
+    (same key, co-partitioned join), and the rank aggregation — all
+    keyed on the triple stream, none pairwise. Output:
+    (pred, n_test, mrr, hits_at_1, hits_at_3, mean_rank).
+    """
+    import operator
+    from functools import reduce
+
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    t = (triples.filter(~F.col(pred_col).isin(*exclude_preds))
+         .select(F.col(subj_col).cast("string").alias("subj"),
+                 F.col(pred_col).alias("pred"),
+                 F.col(obj_col).cast("string").alias("obj"))
+         .distinct())
+    fan = t.groupBy("subj", "pred").agg(
+        F.collect_set("obj").alias("true_objs"))
+    # subject+relation lanes and the true object's distance, computed
+    # ONCE per positive (before the candidate explode carries them)
+    t2 = t.join(fan, ["subj", "pred"])
+    for j in range(dim):
+        t2 = t2.withColumn(
+            f"hr{j}", _lane("ent", F.col("subj"), j, salt)
+            + _lane("rel", F.col("pred"), j, salt))
+    dist_true = reduce(operator.add, [
+        (F.col(f"hr{j}") - _lane("ent", F.col("obj"), j, salt))
+        * (F.col(f"hr{j}") - _lane("ent", F.col("obj"), j, salt))
+        for j in range(dim)])
+    t2 = t2.withColumn("dist_true", dist_true)
+
+    cands = t.select("pred", F.col("obj").alias("cand")).distinct()
+    for j in range(dim):
+        cands = cands.withColumn(
+            f"c{j}", _lane("ent", F.col("cand"), j, salt))
+    rows = (t2.join(F.broadcast(cands), "pred")
+            .filter((F.col("cand") == F.col("obj"))
+                    | ~F.array_contains("true_objs", F.col("cand"))))
+    dist = reduce(operator.add, [
+        (F.col(f"hr{j}") - F.col(f"c{j}"))
+        * (F.col(f"hr{j}") - F.col(f"c{j}")) for j in range(dim)])
+    rows = rows.withColumn("dist", dist)
+    beats = F.when((F.col("dist") < F.col("dist_true"))
+                   | ((F.col("dist") == F.col("dist_true"))
+                      & (F.col("cand") < F.col("obj"))),
+                   F.lit(1)).otherwise(F.lit(0))
+    ranked = rows.groupBy("subj", "pred", "obj").agg(
+        (F.lit(1) + F.sum(beats)).alias("rnk"))
+    return (ranked.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(F.avg(F.lit(1.0) / F.col("rnk")), 6).alias("mrr"),
+        F.round(F.avg((F.col("rnk") <= 1).cast("double")), 6)
+        .alias("hits_at_1"),
+        F.round(F.avg((F.col("rnk") <= 3).cast("double")), 6)
+        .alias("hits_at_3"),
+        F.round(F.avg(F.col("rnk").cast("double")), 6)
+        .alias("mean_rank")))

@@ -71,3 +71,81 @@ def test_contracts(pos_triples):
         negative_samples(df, {"hasColor": []})
     with pytest.raises(ValueError, match="duplicate"):
         negative_samples(df, {"hasColor": ["red", "red"]})
+
+
+# ---------------------------------------------- TransE ranking eval
+def _lane_py(tag, s, j, salt="te"):
+    h = _h60(f"{salt}{j}", f"{tag}:{s}")
+    return h / float(1 << 60) * 2.0 - 1.0
+
+
+def _transe_replay(pos, dim=8):
+    pos = [(s, p, o) for s, p, o in pos if p != "complements"]
+    pos = sorted(set(pos))
+    cands = {}
+    for s, p, o in pos:
+        cands.setdefault(p, set()).add(o)
+    fan = {}
+    for s, p, o in pos:
+        fan.setdefault((s, p), set()).add(o)
+    per_pred = {}
+    for s, p, o in pos:
+        hr = [_lane_py("ent", s, j) + _lane_py("rel", p, j)
+              for j in range(dim)]
+        def dist(c):
+            acc = 0.0
+            for j in range(dim):
+                d = hr[j] - _lane_py("ent", c, j)
+                acc = acc + d * d
+            return acc
+        dt = dist(o)
+        rnk = 1
+        for c in cands[p]:
+            if c != o and c in fan[(s, p)]:
+                continue                      # filtered protocol
+            dc = dist(c)
+            if dc < dt or (dc == dt and c < o):
+                rnk += 1
+        per_pred.setdefault(p, []).append(rnk)
+    out = {}
+    for p, rnks in per_pred.items():
+        n = len(rnks)
+        out[p] = (n,
+                  round(sum(1.0 / r for r in rnks) / n, 6),
+                  round(sum(1 for r in rnks if r <= 1) / n, 6),
+                  round(sum(1 for r in rnks if r <= 3) / n, 6),
+                  round(sum(rnks) / n, 6))
+    return out
+
+
+def test_transe_ranking_matches_python_replay(spark):
+    from fashion_knowledge_graph_spark.operators.linkpred import (
+        transe_entity_ranking,
+    )
+    rows = [("p%d" % (i % 7), pred, vals[(i * 3 + k) % len(vals)])
+            for i in range(21) for k in range(2)
+            for pred, vals in (
+                ("hasColor", ["red", "blue", "black", "white", "green"]),
+                ("hasStyle", ["casual", "formal", "party"]))]
+    rows += [("p1", "complements", "p2")]   # excluded by default
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {r["pred"]: (r["n_test"], r["mrr"], r["hits_at_1"],
+                       r["hits_at_3"], r["mean_rank"])
+           for r in transe_entity_ranking(df).collect()}
+    assert got == _transe_replay(rows)
+    assert set(got) == {"hasColor", "hasStyle"}
+    for n, mrr, h1, h3, mr in got.values():
+        assert 0 < mrr <= 1 and 0 <= h1 <= h3 <= 1 and mr >= 1
+
+
+def test_transe_ranking_perfect_when_unique(spark):
+    # one object per (subj, pred) and per predicate → every candidate
+    # list is the filtered singleton → rank 1 everywhere
+    rows = [("a", "hasColor", "red"), ("b", "hasStyle", "formal")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    from fashion_knowledge_graph_spark.operators.linkpred import (
+        transe_entity_ranking,
+    )
+    for r in transe_entity_ranking(df, dim=4).collect():
+        assert r["mrr"] == 1.0 and r["hits_at_1"] == 1.0 \
+            and r["mean_rank"] == 1.0
