@@ -2743,6 +2743,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = _kg_world(spark, sf)["triples"]
         return transe_entity_ranking(t, dim=8)
 
+    def kg_transe_sampled(spark, sf):
+        # Sampled-negative TransE ranking — the protocol that scales
+        # to entity-sized vocabularies (DGL-KE/PBG style): each
+        # distinct triple's true object ranked against 20
+        # deterministic skip-one corrupted draws from its predicate's
+        # data-derived vocabulary (operators/linkpred.py::
+        # transe_sampled_ranking). Covers ALL predicates including
+        # complements (whose product vocabulary full-vocab ranking
+        # cannot explode at 10^12 docs); every draw, lane, distance,
+        # and tie-break replays exactly in the oracle
+        from fashion_knowledge_graph_spark.operators.linkpred import (
+            transe_sampled_ranking,
+        )
+        t = _kg_world(spark, sf)["triples"]
+        return transe_sampled_ranking(t, k=20, dim=8)
+
     def kg_open_ie_link(spark, sf):
         # Ground span instances to catalog entities: (type, color)
         # equi-join candidates, material/style-overlap scoring in the
@@ -5851,6 +5867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_values": kg_bgp_values,
         "kg_negative_samples": kg_negative_samples,
         "kg_transe_eval": kg_transe_eval,
+        "kg_transe_sampled": kg_transe_sampled,
         "kg_motif_wedge": kg_motif_wedge,
         "docs_span_audit": docs_span_audit,
         "kg_mention_gates": kg_mention_gates,
@@ -12008,8 +12025,8 @@ def _kg_oracle_sql() -> dict[str, str]:
     # rank, and tie-break replayed exactly (operators/linkpred.py::
     # transe_entity_ranking — lane j of (role, s) is
     # H60('te{{j}}:role:s')/2^60*2-1; same IEEE ops both engines)
-    def _te_lane(tag: str, s: str, j: int) -> str:
-        return (f"(('0x' || substr(md5('te{j}:{tag}:' || {s}), 1, 15))"
+    def _te_lane(tag: str, s: str, j: int, salt: str = "te") -> str:
+        return (f"(('0x' || substr(md5('{salt}{j}:{tag}:' || {s}), 1, 15))"
                 f"::BIGINT::DOUBLE / {float(1 << 60)!r} * 2.0 - 1.0)")
 
     _te_dim = 8
@@ -12056,6 +12073,70 @@ def _kg_oracle_sql() -> dict[str, str]:
                round(avg(CASE WHEN rnk <= 3 THEN 1.0 ELSE 0.0 END),
                      6) AS hits_at_3,
                round(avg(rnk::DOUBLE), 6) AS mean_rank
+        FROM ranked GROUP BY pred
+    """
+
+    # sampled-negative TransE ranking: the entity-vocabulary protocol
+    # (k=20 skip-one draws per positive, with replacement, raw) —
+    # draws, lanes, distances, ties all replayed
+    _ts_k = 20
+    _ts_hr = ",\n               ".join(
+        f"({_te_lane('ent', 'subj', j, 'ts')} + "
+        f"{_te_lane('rel', 'pred', j, 'ts')}) AS hr{j}"
+        for j in range(_te_dim))
+    _ts_o = ",\n               ".join(
+        f"{_te_lane('ent', 'obj', j, 'ts')} AS o{j}"
+        for j in range(_te_dim))
+    _ts_n = ",\n                   ".join(
+        f"{_te_lane('ent', 'neg_obj', j, 'ts')} AS g{j}"
+        for j in range(_te_dim))
+    _ts_dist_neg = " + ".join(
+        f"(hr{j} - g{j}) * (hr{j} - g{j})" for j in range(_te_dim))
+    sql["kg_transe_sampled"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        vocab AS (SELECT pred, obj,
+                         row_number() OVER (PARTITION BY pred
+                                            ORDER BY obj) AS rnk,
+                         count(*) OVER (PARTITION BY pred) AS vsz
+                  FROM (SELECT DISTINCT pred, obj FROM tri)),
+        pos0 AS (SELECT t.subj, t.pred, t.obj, v.rnk, v.vsz
+                 FROM tri t JOIN vocab v USING (pred, obj)
+                 WHERE v.vsz >= 2),
+        posh AS (SELECT pos0.*,
+               {_ts_hr},
+               {_ts_o}
+                 FROM pos0),
+        pos AS (SELECT *, {_te_dist_true} AS dist_true FROM posh),
+        e AS (SELECT pos.*, t.i AS draw
+              FROM pos, LATERAL unnest(
+                [{", ".join(str(i) for i in range(_ts_k))}]) AS t(i)),
+        hx AS (SELECT *,
+                      (('0x' || substr(md5('ts:' || draw::VARCHAR
+                        || ':' || subj || ':' || pred || ':' || obj),
+                        1, 15))::BIGINT % (vsz - 1)) + 1 AS idx0
+               FROM e),
+        n2 AS (SELECT *, CASE WHEN idx0 < rnk THEN idx0
+                              ELSE idx0 + 1 END AS nrk FROM hx),
+        wneg AS (SELECT n2.*, v.obj AS neg_obj
+                 FROM n2 JOIN vocab v
+                   ON v.pred = n2.pred AND v.rnk = n2.nrk),
+        wlan AS (SELECT wneg.*,
+                   {_ts_n}
+                 FROM wneg),
+        scored AS (SELECT *, {_ts_dist_neg} AS dist_neg FROM wlan),
+        ranked AS (SELECT subj, pred, obj,
+                          1 + sum(CASE WHEN dist_neg < dist_true
+                                         OR (dist_neg = dist_true
+                                             AND neg_obj < obj)
+                                       THEN 1 ELSE 0 END) AS rnk_s
+                   FROM scored GROUP BY 1, 2, 3)
+        SELECT pred, count(*) AS n_test, {_ts_k} AS k,
+               round(avg(1.0 / rnk_s), 6) AS mrr_sampled,
+               round(avg(CASE WHEN rnk_s <= 1 THEN 1.0 ELSE 0.0 END),
+                     6) AS hits_at_1,
+               round(avg(CASE WHEN rnk_s <= 3 THEN 1.0 ELSE 0.0 END),
+                     6) AS hits_at_3,
+               round(avg(rnk_s::DOUBLE), 6) AS mean_rank
         FROM ranked GROUP BY pred
     """
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .sampling import sample_hash
 
@@ -180,4 +181,94 @@ def transe_entity_ranking(triples: DataFrame, dim: int = 8,
         F.round(F.avg((F.col("rnk") <= 3).cast("double")), 6)
         .alias("hits_at_3"),
         F.round(F.avg(F.col("rnk").cast("double")), 6)
+        .alias("mean_rank")))
+
+
+def transe_sampled_ranking(triples: DataFrame, k: int = 20,
+                           dim: int = 8, salt: str = "ts",
+                           subj_col: str = "subj",
+                           pred_col: str = "pred",
+                           obj_col: str = "obj") -> DataFrame:
+    """Sampled-negative TransE ranking evaluation — the protocol that
+    survives entity-sized vocabularies (DGL-KE / PyTorch-BigGraph
+    style): instead of ranking the true object against the
+    predicate's ENTIRE vocabulary (``transe_entity_ranking`` — right
+    for closed attribute taxonomies, impossible for a 10^8-product
+    ``complements`` vocabulary), rank it against ``k`` deterministic
+    corrupted draws from that vocabulary, skip-one indexed so a draw
+    never lands on the true object itself. Draws are with
+    replacement (duplicates count twice — the standard sampled
+    protocol) and are NOT filtered against other true triples, so
+    this reports the protocol's "raw" sampled metrics; both choices
+    are deterministic and replayed exactly by the SQL oracle.
+
+    Scale shape: the vocabulary ranking is ONE window over the
+    distinct (pred, obj) set; the true-rank lookup joins on
+    (pred, obj) and the draw lookup on (pred, nrk) — both plain
+    equi-joins that shuffle vocabulary-sized data, never pairwise.
+    The k-way explode and every hash lane run in codegen; ranks are
+    in [1, k+1]. Output: (pred, n_test, k, mrr_sampled, hits_at_1,
+    hits_at_3, mean_rank).
+    """
+    import operator
+    from functools import reduce
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    t = (triples
+         .select(F.col(subj_col).cast("string").alias("subj"),
+                 F.col(pred_col).alias("pred"),
+                 F.col(obj_col).cast("string").alias("obj"))
+         .distinct())
+    vocab = (t.select("pred", "obj").distinct()
+             .withColumn("rnk", F.row_number().over(
+                 Window.partitionBy("pred").orderBy("obj")))
+             .withColumn("vsz", F.count(F.lit(1)).over(
+                 Window.partitionBy("pred"))))
+    pos = (t.join(vocab, ["pred", "obj"])
+           .filter(F.col("vsz") >= 2))
+    for j in range(dim):
+        pos = pos.withColumn(
+            f"hr{j}", _lane("ent", F.col("subj"), j, salt)
+            + _lane("rel", F.col("pred"), j, salt))
+    dist_true = reduce(operator.add, [
+        (F.col(f"hr{j}") - _lane("ent", F.col("obj"), j, salt))
+        * (F.col(f"hr{j}") - _lane("ent", F.col("obj"), j, salt))
+        for j in range(dim)])
+    pos = pos.withColumn("dist_true", dist_true)
+    e = pos.withColumn("draw", F.explode(F.array(
+        *[F.lit(i) for i in range(k)])))
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(salt), F.col("draw"), F.col("subj"),
+        F.col("pred"), F.col("obj"))), 1, 15), 16, 10).cast("long")
+    e = (e.withColumn("idx0", h % (F.col("vsz") - 1) + 1)
+         .withColumn("nrk", F.when(F.col("idx0") < F.col("rnk"),
+                                   F.col("idx0"))
+                     .otherwise(F.col("idx0") + 1)))
+    neg = vocab.select("pred", F.col("rnk").alias("nrk"),
+                       F.col("obj").alias("neg_obj"))
+    e = e.join(neg, ["pred", "nrk"])
+    dist_neg = reduce(operator.add, [
+        (F.col(f"hr{j}") - _lane("ent", F.col("neg_obj"), j, salt))
+        * (F.col(f"hr{j}") - _lane("ent", F.col("neg_obj"), j, salt))
+        for j in range(dim)])
+    e = e.withColumn("dist_neg", dist_neg)
+    beats = F.when((F.col("dist_neg") < F.col("dist_true"))
+                   | ((F.col("dist_neg") == F.col("dist_true"))
+                      & (F.col("neg_obj") < F.col("obj"))),
+                   F.lit(1)).otherwise(F.lit(0))
+    ranked = e.groupBy("subj", "pred", "obj").agg(
+        (F.lit(1) + F.sum(beats)).alias("rnk_s"))
+    return (ranked.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.lit(k).alias("k"),
+        F.round(F.avg(F.lit(1.0) / F.col("rnk_s")), 6)
+        .alias("mrr_sampled"),
+        F.round(F.avg((F.col("rnk_s") <= 1).cast("double")), 6)
+        .alias("hits_at_1"),
+        F.round(F.avg((F.col("rnk_s") <= 3).cast("double")), 6)
+        .alias("hits_at_3"),
+        F.round(F.avg(F.col("rnk_s").cast("double")), 6)
         .alias("mean_rank")))

@@ -149,3 +149,82 @@ def test_transe_ranking_perfect_when_unique(spark):
     for r in transe_entity_ranking(df, dim=4).collect():
         assert r["mrr"] == 1.0 and r["hits_at_1"] == 1.0 \
             and r["mean_rank"] == 1.0
+
+
+def _sampled_replay(pos, k=5, dim=8, salt="ts"):
+    pos = sorted({(s, p, o) for s, p, o in pos})
+    vocab = {}
+    for s, p, o in pos:
+        vocab.setdefault(p, set()).add(o)
+    vocab = {p: sorted(vs) for p, vs in vocab.items()}
+    per_pred = {}
+    for s, p, o in pos:
+        arr = vocab[p]
+        n = len(arr)
+        if n < 2:
+            continue
+        rnk = arr.index(o) + 1
+        hr = [_lane_py("ent", s, j, salt) + _lane_py("rel", p, j, salt)
+              for j in range(dim)]
+        def dist(c):
+            acc = 0.0
+            for j in range(dim):
+                d = hr[j] - _lane_py("ent", c, j, salt)
+                acc = acc + d * d
+            return acc
+        dt = dist(o)
+        r = 1
+        for i in range(k):
+            h = _h60(salt, f"{i}:{s}:{p}:{o}")
+            idx0 = h % (n - 1) + 1
+            nrk = idx0 if idx0 < rnk else idx0 + 1
+            c = arr[nrk - 1]
+            dc = dist(c)
+            if dc < dt or (dc == dt and c < o):
+                r += 1
+        per_pred.setdefault(p, []).append(r)
+    out = {}
+    for p, rnks in per_pred.items():
+        n = len(rnks)
+        out[p] = (n, k,
+                  round(sum(1.0 / r for r in rnks) / n, 6),
+                  round(sum(1 for r in rnks if r <= 1) / n, 6),
+                  round(sum(1 for r in rnks if r <= 3) / n, 6),
+                  round(sum(rnks) / n, 6))
+    return out
+
+
+def test_transe_sampled_matches_python_replay(spark):
+    from fashion_knowledge_graph_spark.operators.linkpred import (
+        transe_sampled_ranking,
+    )
+    rows = [("p%d" % (i % 9), pred, vals[(i * 5 + kk) % len(vals)])
+            for i in range(27) for kk in range(2)
+            for pred, vals in (
+                ("hasColor", ["red", "blue", "black", "white",
+                              "green", "navy", "teal"]),
+                ("complements", ["q1", "q2", "q3", "q4", "q5",
+                                 "q6", "q7", "q8"]))]
+    rows += [("lone", "hasFit", "slim")]    # vsz==1 → dropped
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {r["pred"]: (r["n_test"], r["k"], r["mrr_sampled"],
+                       r["hits_at_1"], r["hits_at_3"], r["mean_rank"])
+           for r in transe_sampled_ranking(df, k=5).collect()}
+    assert got == _sampled_replay(rows, k=5)
+    assert set(got) == {"hasColor", "complements"}
+    for n, kk, mrr, h1, h3, mr in got.values():
+        assert 1 <= mr <= kk + 1 and 0 < mrr <= 1
+
+
+def test_transe_sampled_rank_bounds(spark):
+    from fashion_knowledge_graph_spark.operators.linkpred import (
+        transe_sampled_ranking,
+    )
+    rows = [("a", "hasColor", c) for c in ("red", "blue", "green")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = transe_sampled_ranking(df, k=50, dim=4)
+    r = out.collect()[0]
+    # rank lives in [1, k+1] even with 50 draws over a 3-word vocab
+    assert 1 <= r["mean_rank"] <= 51 and r["n_test"] == 3
+    with pytest.raises(ValueError, match="k must be"):
+        transe_sampled_ranking(df, k=0)
