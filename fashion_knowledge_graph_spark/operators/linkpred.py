@@ -184,11 +184,43 @@ def transe_entity_ranking(triples: DataFrame, dim: int = 8,
         .alias("mean_rank")))
 
 
+#: distinct-vocabulary row count above which the per-predicate window
+#: rank gives way to the range-partitioned distributed dense rank — a
+#: window partition holding more rows than this is straggler territory
+VOCAB_WINDOW_THRESHOLD = 100_000
+
+
+def _vocab_ranked(t: DataFrame, strategy: str = "auto") -> DataFrame:
+    """(pred, obj, rnk, vsz) — dense [1, V] per-predicate ranking of
+    the distinct object vocabulary, by either strategy (identical
+    output, parity-tested): ``window`` while every vocabulary fits a
+    window partition, ``distributed`` (topk.grouped_dense_rank) when
+    the distinct vocab outgrows VOCAB_WINDOW_THRESHOLD. ``auto``
+    probes the distinct count."""
+    if strategy not in ("auto", "window", "distributed"):
+        raise ValueError(f"unknown rank_strategy {strategy!r}")
+    v = t.select("pred", "obj").distinct()
+    if strategy == "auto":
+        strategy = ("distributed"
+                    if v.count() > VOCAB_WINDOW_THRESHOLD else "window")
+    if strategy == "window":
+        return (v.withColumn("rnk", F.row_number().over(
+                    Window.partitionBy("pred").orderBy("obj")))
+                .withColumn("vsz", F.count(F.lit(1)).over(
+                    Window.partitionBy("pred"))))
+    from .topk import grouped_dense_rank
+
+    ranked = grouped_dense_rank(v, "pred", "obj", out_col="rnk")
+    sizes = v.groupBy("pred").agg(F.count(F.lit(1)).alias("vsz"))
+    return ranked.join(F.broadcast(sizes), "pred")
+
+
 def transe_sampled_ranking(triples: DataFrame, k: int = 20,
                            dim: int = 8, salt: str = "ts",
                            subj_col: str = "subj",
                            pred_col: str = "pred",
-                           obj_col: str = "obj") -> DataFrame:
+                           obj_col: str = "obj",
+                           rank_strategy: str = "auto") -> DataFrame:
     """Sampled-negative TransE ranking evaluation — the protocol that
     survives entity-sized vocabularies (DGL-KE / PyTorch-BigGraph
     style): instead of ranking the true object against the
@@ -202,9 +234,16 @@ def transe_sampled_ranking(triples: DataFrame, k: int = 20,
     this reports the protocol's "raw" sampled metrics; both choices
     are deterministic and replayed exactly by the SQL oracle.
 
-    Scale shape: the vocabulary ranking is ONE window over the
-    distinct (pred, obj) set; the true-rank lookup joins on
-    (pred, obj) and the draw lookup on (pred, nrk) — both plain
+    Scale shape: the vocabulary ranking is over the distinct
+    (pred, obj) set — a per-predicate window while every vocabulary
+    is window-partition-sized, switching to the distributed
+    range-partitioned dense rank (``topk.grouped_dense_rank``) the
+    moment the distinct vocabulary outgrows ``window_threshold``
+    rows: a 10^8-product ``complements`` vocabulary must never funnel
+    through one window task. Both strategies produce the IDENTICAL
+    dense [1, V] ranking (parity-tested), so the draw replay — and
+    the SQL oracle — are strategy-independent. The true-rank lookup
+    joins on (pred, obj) and the draw lookup on (pred, nrk) — plain
     equi-joins that shuffle vocabulary-sized data, never pairwise.
     The k-way explode and every hash lane run in codegen; ranks are
     in [1, k+1]. Output: (pred, n_test, k, mrr_sampled, hits_at_1,
@@ -222,11 +261,7 @@ def transe_sampled_ranking(triples: DataFrame, k: int = 20,
                  F.col(pred_col).alias("pred"),
                  F.col(obj_col).cast("string").alias("obj"))
          .distinct())
-    vocab = (t.select("pred", "obj").distinct()
-             .withColumn("rnk", F.row_number().over(
-                 Window.partitionBy("pred").orderBy("obj")))
-             .withColumn("vsz", F.count(F.lit(1)).over(
-                 Window.partitionBy("pred"))))
+    vocab = _vocab_ranked(t, rank_strategy)
     pos = (t.join(vocab, ["pred", "obj"])
            .filter(F.col("vsz") >= 2))
     for j in range(dim):

@@ -228,3 +228,48 @@ def test_transe_sampled_rank_bounds(spark):
     assert 1 <= r["mean_rank"] <= 51 and r["n_test"] == 3
     with pytest.raises(ValueError, match="k must be"):
         transe_sampled_ranking(df, k=0)
+
+
+def test_vocab_rank_strategies_identical(spark):
+    # grouped_dense_rank (range-partitioned two-pass) must equal the
+    # per-predicate window rank exactly — the sampled protocol's draw
+    # replay depends on the dense [1, V] ranking being
+    # strategy-independent
+    from fashion_knowledge_graph_spark.operators.linkpred import (
+        _vocab_ranked,
+        transe_sampled_ranking,
+    )
+    rows = [("s%d" % i, ["complements", "hasColor"][i % 2],
+             "o%03d" % ((i * 17) % 97)) for i in range(300)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    t = df.distinct()
+    win = {(r["pred"], r["obj"]): (r["rnk"], r["vsz"])
+           for r in _vocab_ranked(t, "window").collect()}
+    dist = {(r["pred"], r["obj"]): (r["rnk"], r["vsz"])
+            for r in _vocab_ranked(t, "distributed").collect()}
+    assert win == dist and len(win) > 100
+    # and the whole sampled evaluation is strategy-independent
+    a = sorted(map(tuple, transe_sampled_ranking(
+        df, k=7, dim=4, rank_strategy="window").collect()))
+    b = sorted(map(tuple, transe_sampled_ranking(
+        df, k=7, dim=4, rank_strategy="distributed").collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="rank_strategy"):
+        transe_sampled_ranking(df, rank_strategy="bogus")
+
+
+def test_grouped_dense_rank_multi_partition(spark):
+    from fashion_knowledge_graph_spark.operators.topk import (
+        grouped_dense_rank,
+    )
+    rows = [("g%d" % (i % 3), "v%04d" % i) for i in range(500)]
+    df = spark.createDataFrame(rows, "pred string, obj string")
+    out = grouped_dense_rank(df, "pred", "obj", num_partitions=7)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["pred"], []).append((r["rnk"], r["obj"]))
+    for g, lst in got.items():
+        lst.sort()
+        objs = sorted(v for gg, v in rows if gg == g)
+        assert [r for r, _ in lst] == list(range(1, len(objs) + 1))
+        assert [v for _, v in lst] == objs
