@@ -248,40 +248,60 @@ def _kg_build(spark, sf_dir: str, replicate: int = 1,
     return n
 
 
-def machine_control(seconds: float = 5.0) -> dict:
-    """Pure-CPU 4-vs-16-process control burn — measures what the BOX
-    can scale right now, independent of Spark. Calibration on this
-    host is 0.95 (BENCH.md machine ceiling); a shared-host window
-    where neighbors cap aggregate frequency can drop it to ~0.3 with
-    near-zero visible steal and unaffected single-thread speed —
-    making any multicore measurement in that window meaningless. The
-    scaling harness runs this FIRST and annotates the result."""
-    import multiprocessing as mp
+def _ctl_burn(q, seconds: float):
+    """Control burn body — runs in a SPAWNED child so BLAS threading
+    can be pinned before numpy loads. Unpinned, OpenBLAS spawns ~32
+    threads per process and the '4-proc' burn is really a 128-thread
+    oversubscription test: it saturated at ~650 units/s total and read
+    4→16 'efficiency' 0.27 on a box whose pinned control measures
+    0.98 — i.e. the round-4/5 'multi-hour steal waves' were largely
+    the control instrument lying, not neighbors (diagnosed 2026-08-20;
+    see BENCH.md). Pinned, one burn process measures ONE core."""
+    import os
+    for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+              "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ[v] = "1"
+    import time
 
     import numpy as np
+    a = np.random.default_rng(1).random((600, 600))
+    t0, n = time.time(), 0
+    while time.time() - t0 < seconds:
+        a = a @ a
+        a /= np.abs(a).max()
+        n += 1
+    q.put(n)
 
-    def burn(q):
-        a = np.random.default_rng(1).random((600, 600))
-        t0, n = time.time(), 0
-        while time.time() - t0 < seconds:
-            a = a @ a
-            a /= np.abs(a).max()
-            n += 1
-        q.put(n)
 
+def machine_control(seconds: float = 5.0, levels=(4, 16)) -> dict:
+    """Pure-CPU N-vs-4N-process control burn — measures what the BOX
+    can scale right now, independent of Spark. Each burn process is
+    pinned to ONE BLAS thread (see _ctl_burn: the earlier unpinned
+    burn oversubscribed ~32 threads/proc and mis-read calm windows as
+    0.27-contended). Pinned calm readings on this host: ~35 units/s
+    per core, 4 procs ≈ 141, 16 procs ≈ 555, 4→16 efficiency
+    0.95-1.0. The scaling harness runs this FIRST, re-runs it at the
+    end, and annotates the result."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
     tput = {}
-    for procs in (4, 16):
-        q = mp.Queue()
-        ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+    for procs in levels:
+        q = ctx.Queue()
+        ps = [ctx.Process(target=_ctl_burn, args=(q, seconds))
+              for _ in range(procs)]
         [p.start() for p in ps]
         [p.join() for p in ps]
         tput[procs] = sum(q.get() for _ in ps) / seconds
-    eff = (tput[16] / tput[4]) / 4.0
-    return {"units_per_sec": tput, "eff_4_to_16": round(eff, 3),
-            "calibration": 0.95}
+    lo, hi = min(levels), max(levels)
+    eff = (tput[hi] / tput[lo]) / (hi / lo)
+    return {"units_per_sec": tput, f"eff_{lo}_to_{hi}": round(eff, 3),
+            "eff": round(eff, 3), "calibration": 0.95,
+            "burn": "blas-pinned-1-thread"}
 
 
-def run_scaling(sf_dir: str, levels=(1, 4), replicate: int = 320) -> dict:
+def run_scaling(sf_dir: str, levels=(1, 4), replicate: int = 320,
+                cores_per_executor: int = 4) -> dict:
     """Same job, same stored input, N vs 4N executors (the
     north_rule's two cluster sizes), fresh driver JVM per level.
 
@@ -292,10 +312,20 @@ def run_scaling(sf_dir: str, levels=(1, 4), replicate: int = 320) -> dict:
     4 cores/executor × 4 executors = 16 cores at the 4N level, under
     this box's SMT/bandwidth knee (see BENCH.md machine-ceiling
     calibration: pure-CPU 4→16 procs scales at 0.95, the embedding
-    kernel itself at 0.92)."""
+    kernel itself at 0.92).
+
+    ``cores_per_executor=1`` runs the same N-vs-4N *executor* ladder
+    at 1 core per executor (1 vs 4 total cores). During this box's
+    aggregate-bandwidth-cap windows (total ~650 units/s no matter the
+    proc count) the 4→16-core ladder is physically impossible to
+    evidence, but 4 single-core procs sit under the cap — so the
+    1-core ladder measures the ENGINE's executor scaling even in
+    windows where the wide ladder only measures the neighbors. The
+    machine control brackets at the matching (1,4) proc levels."""
     import subprocess
 
-    ctl = machine_control()
+    ctl_levels = (1, 4) if cores_per_executor == 1 else (4, 16)
+    ctl = machine_control(levels=ctl_levels)
     results = {}
     # measure the HIGH-parallelism level first: it is the
     # contention-sensitive one (the 1-executor level is nearly
@@ -321,6 +351,7 @@ def run_scaling(sf_dir: str, levels=(1, 4), replicate: int = 320) -> dict:
             out = subprocess.run(
                 [sys.executable, __file__, "--kg-only",
                  "--executors", str(execs),
+                 "--cores-per-executor", str(cores_per_executor),
                  "--sf-dir", sf_dir, "--replicate", str(replicate)],
                 capture_output=True, text=True, env=dict(os.environ),
                 check=True)
@@ -336,16 +367,20 @@ def run_scaling(sf_dir: str, levels=(1, 4), replicate: int = 320) -> dict:
     # bracket the measurement: the start probe alone can't certify a
     # ~12-minute run on a box with steal waves — probe again at the
     # end so a calm verdict covers the whole window
-    ctl_end = machine_control()
+    ctl_end = machine_control(levels=ctl_levels)
     out = {
         "metric": "scaling_efficiency", "value": round(eff, 3),
         "unit": "ratio",
         "levels": {str(c): results[c] for c in levels},
         "throughput": {str(c): tput[c] for c in levels},
         "speedup": round(tput_ratio, 3), "sf": results[lo].get("sf"),
+        "cores_per_executor": cores_per_executor,
+        "topology": f"local-cluster[K,{cores_per_executor},…] — "
+                    f"{lo} vs {hi} executor JVMs × "
+                    f"{cores_per_executor} cores, py-files",
         "machine_control": ctl, "machine_control_end": ctl_end,
     }
-    if min(ctl["eff_4_to_16"], ctl_end["eff_4_to_16"]) < 0.85:
+    if min(ctl["eff"], ctl_end["eff"]) < 0.85:
         out["window_contended"] = True
     return out
 
@@ -469,9 +504,12 @@ def main():
         if "--replicate" in args else 1
     executors = int(args[args.index("--executors") + 1]) \
         if "--executors" in args else None
+    cores_per_executor = int(args[args.index("--cores-per-executor") + 1]) \
+        if "--cores-per-executor" in args else 4
     if "--scaling" in args:
         res = run_scaling(sf_dir, replicate=replicate if replicate > 1
-                          else 320)
+                          else 320,
+                          cores_per_executor=cores_per_executor)
         try:
             p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "SCALING.json")
@@ -486,6 +524,10 @@ def main():
                 # machine_control) — record the attempt but do NOT
                 # overwrite the official calm-window measurement
                 merged.setdefault("contended_attempts", []).append(res)
+            elif cores_per_executor == 1:
+                # the narrow (bandwidth-cap-immune) executor ladder is
+                # complementary evidence — never displaces the wide one
+                merged["executor_ladder_1core"] = res
             else:
                 merged.update(res)
             with open(p, "w") as f:
@@ -509,10 +551,12 @@ def main():
             pass
     elif "--map-only" in args:
         res = run_map_only(sf_dir, cpus, replicate=replicate,
-                           executors=executors)
+                           executors=executors,
+                           cores_per_executor=cores_per_executor)
     elif "--kg-only" in args:
         res = run_kg_only(sf_dir, cpus, replicate=replicate,
-                          executors=executors)
+                          executors=executors,
+                          cores_per_executor=cores_per_executor)
     else:
         res = run_headline(sf_dir, cpus)
     # the driver tails stdout for this single JSON line — flush hard
