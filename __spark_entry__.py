@@ -2634,6 +2634,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              path_hops=3) \
             .select(F.col("x").alias("subj"), F.col("y").alias("obj"))
 
+    def kg_path_expr(spark, sf):
+        # SPARQL 1.1 path EXPRESSION ^(hasColor|hasMaterial)/complements
+        # through the BGP compiler: inverse + alternation compile to
+        # ONE union of two swapped predicate-pushed scans, the
+        # sequence step to one equi-join on the intermediate item —
+        # for every attribute value, what the items carrying it
+        # complement. Oracle replays it as the join of the two
+        # relational forms.
+        from fashion_knowledge_graph_spark.operators import bgp
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred",
+                     F.col("obj").cast("string").alias("obj")))
+        return bgp.bgp_query(
+            t, [("?v", "^(hasColor|hasMaterial)/complements", "?y")]) \
+            .select(F.col("v").alias("val"), F.col("y").alias("comp"))
+
     def kg_bgp_negation(spark, sf):
         # FILTER NOT EXISTS through the BGP compiler: items that
         # complement something and whose style set lacks 'formal' —
@@ -5859,6 +5876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_query": kg_bgp_query,
         "kg_open_ie": kg_open_ie,
         "kg_property_path": kg_property_path,
+        "kg_path_expr": kg_path_expr,
         "kg_forward_chain": kg_forward_chain,
         "kg_open_ie_link": kg_open_ie_link,
         "kg_bgp_negation": kg_bgp_negation,
@@ -12166,6 +12184,17 @@ def _kg_oracle_sql() -> dict[str, str]:
           SELECT r.s, e.o, r.d + 1 FROM r JOIN e ON e.s = r.o
           WHERE r.d < 3)
         SELECT DISTINCT s AS subj, o AS obj FROM r
+    """
+
+    # path expression ^(hasColor|hasMaterial)/complements: the
+    # inverse-union arm is the attribute-triples slice read backwards,
+    # the sequence step one join on the shared item
+    sql["kg_path_expr"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte}
+        SELECT DISTINCT a.obj AS val, c.obj AS comp
+        FROM tri a
+        JOIN tri c ON c.subj = a.subj AND c.pred = 'complements'
+        WHERE a.pred IN ('hasColor', 'hasMaterial')
     """
 
     # forward-chain fixpoint in closed form: this rule set's closure

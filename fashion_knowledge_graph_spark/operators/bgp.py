@@ -86,6 +86,14 @@ def property_path(triples: DataFrame, pred: str, max_hops: int,
     base = (triples.filter(F.col("pred") == F.lit(pred))
             .select(F.col("subj").alias("s"), F.col("obj").alias("o"))
             .distinct())
+    return _bfs_closure(base, max_hops, start=start)
+
+
+def _bfs_closure(base: DataFrame, max_hops: int,
+                 start: str | None = None) -> DataFrame:
+    """1..max_hops reachability over an (s, o) pair relation —
+    the frontier-BFS body shared by ``property_path`` and closed
+    path-expression steps like ``(a|b)+``."""
     frontier = base.filter(F.col("s") == F.lit(start)) if start is not None \
         else base
     frontier = frontier.localCheckpoint()
@@ -103,6 +111,110 @@ def property_path(triples: DataFrame, pred: str, max_hops: int,
 
 
 _PATH_RX = re.compile(r"^(?P<pred>[^?\s+]+)\+$")
+_ATOM_RX = re.compile(r"^\^?[A-Za-z_][\w:.-]*$")
+
+
+def is_path_expr(p: str) -> bool:
+    """True if a predicate term is a SPARQL 1.1 path expression rather
+    than a plain predicate: it uses sequence ``/``, alternation ``|``,
+    inverse ``^``, closure ``+``, or grouping parens."""
+    return not _is_var(p) and any(c in p for c in "/|^+()")
+
+
+def _parse_path(expr: str) -> list[tuple[list[tuple[str, bool]], bool]]:
+    """Parse a path expression into sequence steps.
+
+    Grammar (the pragmatic SPARQL 1.1 subset):
+      path  := step ('/' step)*
+      step  := alt | alt '+' | '(' alt ')' | '(' alt ')+'
+      alt   := atom ('|' atom)*
+      atom  := pred | '^' pred
+
+    Returns ``[(alts, closed), ...]`` where ``alts`` is
+    ``[(pred, inverse), ...]`` and ``closed`` marks a ``+`` step.
+    Nesting deeper than one paren level (e.g. ``((a/b)|c)+``) is
+    rejected — each step is one union of (possibly inverted)
+    predicate scans, the shape that keeps every step a single
+    filtered-union arm at 10^12 triples.
+    """
+    steps = []
+    for raw in expr.split("/"):
+        step = raw.strip()
+        if not step:
+            raise ValueError(f"empty step in path {expr!r}")
+        closed = step.endswith("+")
+        if closed:
+            step = step[:-1]
+        group_inv = False
+        if step.startswith("^(") and step.endswith(")"):
+            group_inv, step = True, step[2:-1]
+        elif step.startswith("(") and step.endswith(")"):
+            step = step[1:-1]
+        if "(" in step or ")" in step:
+            raise ValueError(
+                f"unsupported nesting in path step {raw!r} of {expr!r}")
+        alts = []
+        for atom in step.split("|"):
+            atom = atom.strip()
+            if not _ATOM_RX.match(atom):
+                raise ValueError(
+                    f"invalid path atom {atom!r} in {expr!r}")
+            # ^(a|^b) == ^a|b: a group-level inverse flips each atom
+            alts.append((atom.lstrip("^"),
+                         atom.startswith("^") ^ group_inv))
+        steps.append((alts, closed))
+    return steps
+
+
+def _step_pairs(triples: DataFrame,
+                alts: list[tuple[str, bool]]) -> DataFrame:
+    """One path step -> its (s, o) pair relation: a union of
+    predicate-filtered projections, subj/obj swapped for inverse
+    atoms. Each branch is a pushed-down predicate scan; the union is
+    map-side (no shuffle until the consumer asks for one)."""
+    parts = []
+    for pred, inv in alts:
+        t = triples.filter(F.col("pred") == F.lit(pred))
+        s, o = ("obj", "subj") if inv else ("subj", "obj")
+        parts.append(t.select(F.col(s).alias("s"), F.col(o).alias("o")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def path_pairs(triples: DataFrame, expr: str, max_hops: int,
+               start: str | None = None) -> DataFrame:
+    """All (s, o) node pairs connected by a SPARQL 1.1 path
+    expression — sequence ``a/b``, alternation ``a|b``, inverse
+    ``^a``, and per-step closure ``a+`` / ``(a|b)+`` (bounded at
+    ``max_hops``), composable: ``^(hasColor|hasMaterial)/complements``.
+
+    SPARQL property paths have set (non-counting) semantics, so every
+    step distincts its pairs. A constant ``start`` is pushed into the
+    FIRST step (filter for a plain step, BFS seed for a closed one) —
+    the difference between touching one entity's slice and
+    materializing the whole relation before filtering. Sequence
+    composition is one equi-join per ``/`` on the intermediate node —
+    k steps ⇒ k−1 shuffles, never a driver loop over rows.
+    """
+    cur = None
+    for i, (alts, closed) in enumerate(_parse_path(expr)):
+        base = _step_pairs(triples, alts)
+        seed = start if i == 0 else None
+        if closed:
+            pairs = _bfs_closure(base, max_hops, start=seed)
+        elif seed is not None:
+            pairs = base.filter(F.col("s") == F.lit(seed))
+        else:
+            pairs = base
+        if cur is None:
+            cur = pairs
+        else:
+            nxt = pairs.select(F.col("s").alias("__m"), "o")
+            cur = (cur.select("s", F.col("o").alias("__m"))
+                   .join(nxt, "__m").select("s", "o").distinct())
+    return cur
 
 
 def join_arms(arms: list[tuple[DataFrame, set]],
@@ -134,11 +246,11 @@ def join_arms(arms: list[tuple[DataFrame, set]],
 
 def _path_arm(triples: DataFrame, pattern,
               max_hops: int) -> tuple[DataFrame, set]:
-    """``(s, pred+, o)`` pattern -> bounded-reachability pairs arm."""
+    """``(s, <path expr>, o)`` pattern -> node-pairs arm (``pred+``,
+    ``a/b``, ``a|b``, ``^a``, and their compositions)."""
     s, p, o = (_check(t) for t in pattern)
-    pred = _PATH_RX.match(p)["pred"]
-    pairs = property_path(triples, pred, max_hops,
-                          start=None if _is_var(s) else s)
+    pairs = path_pairs(triples, p, max_hops,
+                       start=None if _is_var(s) else s)
     byvar: dict[str, list[str]] = {}
     for col, term in (("s", s), ("o", o)):
         if _is_var(term):
@@ -191,7 +303,7 @@ def bgp_query(triples: DataFrame,
 
     def build(p):
         return _path_arm(triples, p, path_hops) \
-            if _PATH_RX.match(p[1]) else _arm(triples, p)
+            if is_path_expr(p[1]) else _arm(triples, p)
 
     arms = [build(p) for p in patterns]
     out, bound = join_arms(arms, patterns)

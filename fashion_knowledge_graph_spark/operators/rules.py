@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bgp import _PATH_RX, _arm, _is_var, bgp_query, join_arms
+from .bgp import _arm, _is_var, bgp_query, is_path_expr, join_arms
 
 
 def construct(bindings: DataFrame,
@@ -70,7 +70,7 @@ def _delta_bindings(known: DataFrame, delta: DataFrame, body,
     naively) when the body contains a property-path atom: a path can
     newly connect through a MIX of old and new edges, which the
     per-position substitution does not cover."""
-    if any(_PATH_RX.match(p[1]) for p in body):
+    if any(is_path_expr(p[1]) for p in body):
         return None
     out = None
     for i in range(len(body)):

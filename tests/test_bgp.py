@@ -324,3 +324,95 @@ def test_values_composes_with_aggregate(triples):
         aggs={"n": F.countDistinct("x")},
         values=(["?c"], [("black",), ("red",)]))
     assert _rows(out) == {("black", 2), ("red", 2)}
+
+
+# --- SPARQL 1.1 path expressions: sequence / alternation / inverse ---
+
+@pytest.fixture(scope="module")
+def pathy(spark):
+    rows = [
+        ("p1", "hasColor", "red"), ("p2", "hasColor", "red"),
+        ("p3", "hasColor", "blue"), ("p1", "hasMaterial", "wool"),
+        ("p1", "complements", "p2"), ("p2", "complements", "p3"),
+        ("a", "next", "b"), ("b", "hop", "c"), ("c", "next", "d"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string")
+
+
+def test_path_inverse(pathy):
+    out = bgp.path_pairs(pathy, "^hasColor", 8)
+    assert _rows(out) == {("red", "p1"), ("red", "p2"), ("blue", "p3")}
+
+
+def test_path_sequence(pathy):
+    # colors of the item each item complements
+    out = bgp.path_pairs(pathy, "complements/hasColor", 8)
+    assert _rows(out) == {("p1", "red"), ("p2", "blue")}
+
+
+def test_path_alternation(pathy):
+    out = bgp.path_pairs(pathy, "hasColor|hasMaterial", 8)
+    assert _rows(out) == {("p1", "red"), ("p1", "wool"),
+                          ("p2", "red"), ("p3", "blue")}
+
+
+def test_path_closure_over_alternation(pathy):
+    # a -next-> b -hop-> c -next-> d: (next|hop)+ closes the mixed chain
+    out = bgp.path_pairs(pathy, "(next|hop)+", 8)
+    assert _rows(out) == {("a", "b"), ("a", "c"), ("a", "d"),
+                          ("b", "c"), ("b", "d"), ("c", "d")}
+
+
+def test_path_group_inverse_distributes(pathy):
+    # ^(a|b) == ^a|^b
+    out = bgp.path_pairs(pathy, "^(hasColor|hasMaterial)", 8)
+    alt = bgp.path_pairs(pathy, "^hasColor|^hasMaterial", 8)
+    assert _rows(out) == _rows(alt) == {("red", "p1"), ("red", "p2"),
+                                        ("blue", "p3"), ("wool", "p1")}
+
+
+def test_path_inverse_seq_composition(pathy):
+    # value -> items with that value -> what those items complement
+    out = bgp.path_pairs(pathy, "^(hasColor|hasMaterial)/complements", 8)
+    assert _rows(out) == {("red", "p2"), ("red", "p3"), ("wool", "p2")}
+
+
+def test_path_constant_start_pushdown(pathy):
+    out = bgp.path_pairs(pathy, "complements/hasColor", 8, start="p1")
+    assert _rows(out) == {("p1", "red")}
+
+
+def test_path_expr_in_bgp_query(pathy):
+    out = bgp.bgp_query(
+        pathy, [("?v", "^(hasColor|hasMaterial)/complements", "?y")])
+    assert _rows(out.select("v", "y")) == {("red", "p2"), ("red", "p3"),
+                                           ("wool", "p2")}
+
+
+def test_path_expr_joins_with_plain_pattern(pathy):
+    out = bgp.bgp_query(pathy, [("?x", "(next|hop)+", "?y"),
+                                ("?x", "next", "?z")])
+    assert _rows(out.select("x", "y", "z")) == {
+        ("a", "b", "b"), ("a", "c", "b"), ("a", "d", "b"),
+        ("c", "d", "d")}
+
+
+def test_path_closure_hop_bound_on_expr(pathy):
+    out = bgp.path_pairs(pathy, "(next|hop)+", 2)
+    assert ("a", "d") not in _rows(out)
+    assert ("a", "c") in _rows(out)
+
+
+def test_path_parse_rejects():
+    for bad in ("a//b", "a|(b/c)", "a++", "?x+", "a b", "(a|b", "^^a"):
+        with pytest.raises(ValueError):
+            bgp._parse_path(bad)
+
+
+def test_plain_pred_plus_still_parses(pathy):
+    # the pre-existing `pred+` syntax routes through the same parser
+    out = bgp.bgp_query(pathy, [("?x", "complements+", "?y")],
+                        path_hops=3)
+    assert _rows(out.select("x", "y")) == {("p1", "p2"), ("p1", "p3"),
+                                           ("p2", "p3")}
