@@ -536,7 +536,8 @@ def main():
         except OSError:
             pass
     elif "--map-stage" in args:
-        res = run_map_scaling(sf_dir)
+        res = run_map_scaling(sf_dir, replicate=replicate
+                              if replicate > 1 else 320)
         try:
             p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "SCALING.json")
