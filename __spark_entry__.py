@@ -2651,6 +2651,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t, [("?v", "^(hasColor|hasMaterial)/complements", "?y")]) \
             .select(F.col("v").alias("val"), F.col("y").alias("comp"))
 
+    def kg_path_negset(spark, sf):
+        # SPARQL negated property set !(type|complements): one hop via
+        # any OTHER predicate — compiles to a single anti-filtered
+        # triple scan (NOT pred IN (...) pushes down like the positive
+        # form), here joined with a plain type pattern so only item
+        # subjects survive
+        from fashion_knowledge_graph_spark.operators import bgp
+        t = (_kg_world(spark, sf)["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred",
+                     F.col("obj").cast("string").alias("obj")))
+        return bgp.bgp_query(t, [("?x", "!(type|complements)", "?v"),
+                                 ("?x", "type", "?t")]) \
+            .select(F.col("x").alias("item"), F.col("v").alias("val"),
+                    F.col("t").alias("item_type"))
+
+    def kg_quotient_graph(spark, sf):
+        # Graph summarization: collapse the item graph to its
+        # TYPE-level quotient — supernodes = item types, superedges =
+        # (src_type, dst_type) carrying edge count and weight mass.
+        # The type dimension is catalog-sized (tiny next to edges at
+        # 10^12 docs) so both lookups ride ONE broadcast; the only
+        # shuffle is the final type-pair rollup, partial-aggregated
+        # map-side into at most |types|^2 rows.
+        w = _kg_world(spark, sf)
+        ty = (w["triples"].filter(F.col("pred") == "type")
+              .select(F.col("subj").cast("string").alias("id"),
+                      F.col("obj").cast("string").alias("t"))
+              .distinct())
+        e = w["edges"].select(F.col("src").cast("string").alias("src"),
+                              F.col("dst").cast("string").alias("dst"),
+                              "weight")
+        return (e
+                .join(F.broadcast(ty.withColumnRenamed("id", "src")
+                                  .withColumnRenamed("t", "src_type")),
+                      "src")
+                .join(F.broadcast(ty.withColumnRenamed("id", "dst")
+                                  .withColumnRenamed("t", "dst_type")),
+                      "dst")
+                .groupBy("src_type", "dst_type")
+                .agg(F.count("*").alias("n_edges"),
+                     F.sum("weight").cast("long").alias("weight_mass")))
+
     def kg_bgp_negation(spark, sf):
         # FILTER NOT EXISTS through the BGP compiler: items that
         # complement something and whose style set lacks 'formal' —
@@ -5877,6 +5920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_open_ie": kg_open_ie,
         "kg_property_path": kg_property_path,
         "kg_path_expr": kg_path_expr,
+        "kg_path_negset": kg_path_negset,
+        "kg_quotient_graph": kg_quotient_graph,
         "kg_forward_chain": kg_forward_chain,
         "kg_open_ie_link": kg_open_ie_link,
         "kg_bgp_negation": kg_bgp_negation,
@@ -12195,6 +12240,32 @@ def _kg_oracle_sql() -> dict[str, str]:
         FROM tri a
         JOIN tri c ON c.subj = a.subj AND c.pred = 'complements'
         WHERE a.pred IN ('hasColor', 'hasMaterial')
+    """
+
+    # negated property set !(type|complements) joined with the type
+    # pattern: the anti-filtered scan IS the whole path step
+    sql["kg_path_negset"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte}
+        SELECT DISTINCT a.subj AS item, a.obj AS val,
+               t.obj AS item_type
+        FROM tri a
+        JOIN tri t ON t.subj = a.subj AND t.pred = 'type'
+        WHERE a.pred NOT IN ('type', 'complements')
+    """
+
+    # type-level quotient graph: both endpoint lookups against the
+    # catalog-sized type dimension, one (src_type, dst_type) rollup
+    sql["kg_quotient_graph"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        ty AS (SELECT DISTINCT subj AS id, obj AS t
+               FROM tri WHERE pred = 'type')
+        SELECT ts.t AS src_type, td.t AS dst_type,
+               count(*) AS n_edges,
+               sum(e.weight)::BIGINT AS weight_mass
+        FROM edges e
+        JOIN ty ts ON ts.id = e.src
+        JOIN ty td ON td.id = e.dst
+        GROUP BY 1, 2
     """
 
     # forward-chain fixpoint in closed form: this rule set's closure

@@ -118,24 +118,27 @@ def is_path_expr(p: str) -> bool:
     """True if a predicate term is a SPARQL 1.1 path expression rather
     than a plain predicate: it uses sequence ``/``, alternation ``|``,
     inverse ``^``, closure ``+``, or grouping parens."""
-    return not _is_var(p) and any(c in p for c in "/|^+()")
+    return not _is_var(p) and any(c in p for c in "/|^+()!")
 
 
-def _parse_path(expr: str) -> list[tuple[list[tuple[str, bool]], bool]]:
+def _parse_path(expr: str) -> list[tuple[list[tuple[str, bool]], bool, bool]]:
     """Parse a path expression into sequence steps.
 
     Grammar (the pragmatic SPARQL 1.1 subset):
       path  := step ('/' step)*
-      step  := alt | alt '+' | '(' alt ')' | '(' alt ')+'
+      step  := set | set '+'
+      set   := alt | '(' alt ')' | '^(' alt ')' | '!' pred | '!(' preds ')'
       alt   := atom ('|' atom)*
       atom  := pred | '^' pred
 
-    Returns ``[(alts, closed), ...]`` where ``alts`` is
-    ``[(pred, inverse), ...]`` and ``closed`` marks a ``+`` step.
-    Nesting deeper than one paren level (e.g. ``((a/b)|c)+``) is
-    rejected — each step is one union of (possibly inverted)
-    predicate scans, the shape that keeps every step a single
-    filtered-union arm at 10^12 triples.
+    Returns ``[(alts, closed, negated), ...]`` where ``alts`` is
+    ``[(pred, inverse), ...]``, ``closed`` marks a ``+`` step, and
+    ``negated`` marks a negated property set (one forward hop via any
+    predicate NOT listed; inverse atoms are rejected inside ``!`` —
+    the forward subset of SPARQL's negated sets). Nesting deeper than
+    one paren level (e.g. ``((a/b)|c)+``) is rejected — each step is
+    one union (or one anti-filter) of predicate scans, the shape that
+    keeps every step a single arm at 10^12 triples.
     """
     steps = []
     for raw in expr.split("/"):
@@ -145,8 +148,12 @@ def _parse_path(expr: str) -> list[tuple[list[tuple[str, bool]], bool]]:
         closed = step.endswith("+")
         if closed:
             step = step[:-1]
-        group_inv = False
-        if step.startswith("^(") and step.endswith(")"):
+        group_inv = negated = False
+        if step.startswith("!"):
+            negated, step = True, step[1:]
+            if step.startswith("(") and step.endswith(")"):
+                step = step[1:-1]
+        elif step.startswith("^(") and step.endswith(")"):
             group_inv, step = True, step[2:-1]
         elif step.startswith("(") and step.endswith(")"):
             step = step[1:-1]
@@ -159,19 +166,32 @@ def _parse_path(expr: str) -> list[tuple[list[tuple[str, bool]], bool]]:
             if not _ATOM_RX.match(atom):
                 raise ValueError(
                     f"invalid path atom {atom!r} in {expr!r}")
+            if negated and atom.startswith("^"):
+                raise ValueError(
+                    f"inverse atom {atom!r} not supported inside a "
+                    f"negated property set in {expr!r}")
             # ^(a|^b) == ^a|b: a group-level inverse flips each atom
             alts.append((atom.lstrip("^"),
                          atom.startswith("^") ^ group_inv))
-        steps.append((alts, closed))
+        steps.append((alts, closed, negated))
     return steps
 
 
-def _step_pairs(triples: DataFrame,
-                alts: list[tuple[str, bool]]) -> DataFrame:
+def _step_pairs(triples: DataFrame, alts: list[tuple[str, bool]],
+                negated: bool = False) -> DataFrame:
     """One path step -> its (s, o) pair relation: a union of
     predicate-filtered projections, subj/obj swapped for inverse
     atoms. Each branch is a pushed-down predicate scan; the union is
-    map-side (no shuffle until the consumer asks for one)."""
+    map-side (no shuffle until the consumer asks for one). A negated
+    property set is ONE anti-filtered scan instead —
+    ``NOT pred IN (...)`` pushes down exactly like the positive
+    form."""
+    if negated:
+        return (triples
+                .filter(~F.col("pred").isin([p for p, _ in alts]))
+                .select(F.col("subj").alias("s"),
+                        F.col("obj").alias("o"))
+                .distinct())
     parts = []
     for pred, inv in alts:
         t = triples.filter(F.col("pred") == F.lit(pred))
@@ -190,6 +210,10 @@ def path_pairs(triples: DataFrame, expr: str, max_hops: int,
     ``^a``, and per-step closure ``a+`` / ``(a|b)+`` (bounded at
     ``max_hops``), composable: ``^(hasColor|hasMaterial)/complements``.
 
+    Negated property sets ``!a`` / ``!(a|b)`` (one hop via any
+    predicate NOT listed) compile to one anti-filtered scan and
+    compose with the rest: ``!(type)/hasColor``.
+
     SPARQL property paths have set (non-counting) semantics, so every
     step distincts its pairs. A constant ``start`` is pushed into the
     FIRST step (filter for a plain step, BFS seed for a closed one) —
@@ -199,8 +223,8 @@ def path_pairs(triples: DataFrame, expr: str, max_hops: int,
     k steps ⇒ k−1 shuffles, never a driver loop over rows.
     """
     cur = None
-    for i, (alts, closed) in enumerate(_parse_path(expr)):
-        base = _step_pairs(triples, alts)
+    for i, (alts, closed, negated) in enumerate(_parse_path(expr)):
+        base = _step_pairs(triples, alts, negated=negated)
         seed = start if i == 0 else None
         if closed:
             pairs = _bfs_closure(base, max_hops, start=seed)

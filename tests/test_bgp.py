@@ -416,3 +416,33 @@ def test_plain_pred_plus_still_parses(pathy):
                         path_hops=3)
     assert _rows(out.select("x", "y")) == {("p1", "p2"), ("p1", "p3"),
                                            ("p2", "p3")}
+
+
+def test_path_negated_set(pathy):
+    # one hop via any predicate NOT listed
+    out = bgp.path_pairs(pathy, "!(hasColor|hasMaterial)", 8)
+    assert _rows(out) == {("p1", "p2"), ("p2", "p3"), ("a", "b"),
+                          ("b", "c"), ("c", "d")}
+
+
+def test_path_negated_single(pathy):
+    out = bgp.path_pairs(
+        pathy, "!hasColor", 8)
+    assert ("p1", "wool") in _rows(out) and ("p1", "red") not in _rows(out)
+
+
+def test_path_negated_composes_in_sequence(pathy):
+    # non-attribute hop, then the color of the target
+    out = bgp.path_pairs(pathy, "!(hasColor|hasMaterial)/hasColor", 8)
+    assert _rows(out) == {("p1", "red"), ("p2", "blue")}
+
+
+def test_path_negated_closure(pathy):
+    out = bgp.path_pairs(pathy, "!(hasColor|hasMaterial)+", 8)
+    assert ("p1", "p3") in _rows(out) and ("a", "d") in _rows(out)
+
+
+def test_path_negated_rejects_inverse_atoms():
+    for bad in ("!(^a|b)", "!^a"):
+        with pytest.raises(ValueError):
+            bgp._parse_path(bad)
