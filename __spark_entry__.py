@@ -2694,6 +2694,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_edges"),
                      F.sum("weight").cast("long").alias("weight_mass")))
 
+    def kg_asof_state(spark, sf):
+        # Temporal KG: point-in-time attribute state. A deterministic
+        # md5 day (0..59) per observation doc plays ingest time; the
+        # state of (entity, pred) as of day T=40 is the latest
+        # observation at or before T, same-day ties broken by max obj
+        # — ONE max_by aggregation keyed (subj, pred), partial-agg'd
+        # map-side, never a corpus-wide window sort. The oracle
+        # replays it in the two-step max-day + join-back formulation,
+        # a cross-FORMULATION check.
+        w = _kg_world(spark, sf)
+        tr = (w["triples"]
+              .filter((F.col("pred") != "complements")
+                      & F.col("subj").cast("string").startswith("p"))
+              .select(F.col("subj").cast("string").alias("subj"),
+                      "pred",
+                      F.col("obj").cast("string").alias("obj"),
+                      F.col("doc_id").cast("string").alias("doc_id")))
+        day = (F.conv(F.substring(F.md5(F.concat(
+            F.lit("day:"), F.col("doc_id"))), 1, 15), 16, 10)
+            .cast("long") % F.lit(60))
+        obs = tr.withColumn("day", day).filter(F.col("day") <= 40)
+        return (obs.groupBy("subj", "pred")
+                .agg(F.max_by("obj", F.struct(F.col("day"),
+                                              F.col("obj"))).alias("obj"),
+                     F.max("day").alias("as_of_day")))
+
+    def kg_describe(spark, sf):
+        # SPARQL DESCRIBE: one deterministic profile row per entity —
+        # every (pred, obj) the KG asserts about it, sorted and packed
+        # into a single string (sorted packing rather than a JSON map
+        # so equality is well-defined across engines). ONE (subj)-keyed
+        # aggregation over the distinct triple set; the profile string
+        # is catalog-sized, never doc-sized.
+        w = _kg_world(spark, sf)
+        tr = (w["triples"]
+              .filter(F.col("subj").cast("string").startswith("p"))
+              .select(F.col("subj").cast("string").alias("subj"),
+                      "pred",
+                      F.col("obj").cast("string").alias("obj"))
+              .distinct())
+        return (tr.withColumn("po", F.concat_ws("=", "pred", "obj"))
+                .groupBy("subj")
+                .agg(F.concat_ws(
+                    ";", F.array_sort(F.collect_list("po")))
+                    .alias("profile"),
+                    F.countDistinct("pred").alias("n_preds")))
+
     def kg_bgp_negation(spark, sf):
         # FILTER NOT EXISTS through the BGP compiler: items that
         # complement something and whose style set lacks 'formal' —
@@ -5922,6 +5969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_expr": kg_path_expr,
         "kg_path_negset": kg_path_negset,
         "kg_quotient_graph": kg_quotient_graph,
+        "kg_asof_state": kg_asof_state,
+        "kg_describe": kg_describe,
         "kg_forward_chain": kg_forward_chain,
         "kg_open_ie_link": kg_open_ie_link,
         "kg_bgp_negation": kg_bgp_negation,
@@ -11443,6 +11492,20 @@ def _kg_oracle_sql() -> dict[str, str]:
                     f"unnest({attr}) AS obj, score FROM lc")
     attr_triples_sql = " UNION ALL ".join(arms)
 
+    # doc-aware twin of the unpivot (kg_asof_state needs the
+    # observation doc to derive its ingest day)
+    arms_doc = []
+    for attr in ktx.SCALAR_ATTRS:
+        pred = ktx.PREDICATES[attr]
+        arms_doc.append(f"SELECT pid AS subj, '{pred}' AS pred, "
+                        f"{attr} AS obj, doc_id FROM lc "
+                        f"WHERE {attr} IS NOT NULL")
+    for attr in ktx.MULTI_ATTRS:
+        pred = ktx.PREDICATES[attr]
+        arms_doc.append(f"SELECT pid AS subj, '{pred}' AS pred, "
+                        f"unnest({attr}) AS obj, doc_id FROM lc")
+    attr_triples_doc_sql = " UNION ALL ".join(arms_doc)
+
     # lexicon (token, pred, obj) incl. hyphen aliases
     lex_rows = []
     for attr, values in ktx.LEXICON_PREDS.items():
@@ -12240,6 +12303,38 @@ def _kg_oracle_sql() -> dict[str, str]:
         FROM tri a
         JOIN tri c ON c.subj = a.subj AND c.pred = 'complements'
         WHERE a.pred IN ('hasColor', 'hasMaterial')
+    """
+
+    # point-in-time attribute state: max observation day <= T per
+    # (subj, pred), then the max obj among that day's observations —
+    # the join-back formulation of the Spark side's single max_by
+    sql["kg_asof_state"] = f"""
+        WITH RECURSIVE {base},
+        at AS ({attr_triples_doc_sql}),
+        obs AS (
+          SELECT subj, pred, obj,
+                 ('0x' || substr(md5('day:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 60
+                   AS day
+          FROM at),
+        m AS (SELECT subj, pred, max(day) AS as_of_day
+              FROM obs WHERE day <= 40 GROUP BY 1, 2)
+        SELECT o.subj, o.pred, max(o.obj) AS obj, m.as_of_day
+        FROM obs o
+        JOIN m ON m.subj = o.subj AND m.pred = o.pred
+              AND o.day = m.as_of_day
+        GROUP BY o.subj, o.pred, m.as_of_day
+    """
+
+    # DESCRIBE: sorted (pred=obj) packing per product-subject triple
+    sql["kg_describe"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte}
+        SELECT subj,
+               string_agg(pred || '=' || obj, ';'
+                          ORDER BY pred || '=' || obj) AS profile,
+               count(DISTINCT pred) AS n_preds
+        FROM tri WHERE subj LIKE 'p%'
+        GROUP BY subj
     """
 
     # negated property set !(type|complements) joined with the type
