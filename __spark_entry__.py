@@ -2404,6 +2404,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.transform("images", lambda x: x.cast("string")),
                 ",").alias("evidence"))
 
+    def kg_graph_diff(spark, sf):
+        # KG evolution report: full outer join of the committed edge
+        # set (edges aggregated over the ~70% "old" corpus, portable
+        # md5 doc split) against the current full edge set, each edge
+        # classified added / grown / unchanged with its weight delta —
+        # the change audit a nightly KG rebuild publishes next to its
+        # tables. Two partial-agg'd rollups + ONE (src,dst,rel_type)
+        # join; nothing is re-read per class.
+        from fashion_knowledge_graph_spark.operators import (
+            components as cc,
+        )
+        from fashion_knowledge_graph_spark.operators import edges as ed
+        out = _kg_world(spark, sf)
+        narrow = out["linked"].select("doc_id", "span_idx",
+                                      "product_id", "category")
+        lc = cc.canonicalize(narrow, out["canonical"], ["product_id"])
+        split = (F.conv(F.substring(F.md5(F.concat(
+            F.lit("sp:"), F.col("doc_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % F.lit(10))
+        old = (ed.aggregate_edges(ed.cooccurrence_pairs(
+            lc.filter(split < 7)))
+            .select("src", "dst", "rel_type",
+                    F.col("weight").alias("old_weight")))
+        new = out["edges"].select("src", "dst", "rel_type",
+                                  F.col("weight").alias("new_weight"))
+        keys = ["src", "dst", "rel_type"]
+        return (old.join(new, keys, "full_outer")
+                .select(*keys,
+                        F.coalesce("old_weight", F.lit(0))
+                        .alias("old_weight"),
+                        F.coalesce("new_weight", F.lit(0))
+                        .alias("new_weight"))
+                .withColumn("delta",
+                            F.col("new_weight") - F.col("old_weight"))
+                .withColumn("status",
+                            F.when(F.col("old_weight") == 0, "added")
+                            .when(F.col("delta") > 0, "grown")
+                            .when(F.col("delta") < 0, "shrunk")
+                            .otherwise("unchanged")))
+
+    def kg_predicate_coverage(spark, sf):
+        # KB completeness profile (LOD-stats style): per (entity type,
+        # predicate), how many entities of that type assert it and the
+        # exact coverage ratio — the report that tells a KB curator
+        # which attribute extractors are underperforming per class.
+        # Entity-distinct triple set -> one broadcast of the type map
+        # -> one (type, pred) rollup + a type-sized totals join.
+        w = _kg_world(spark, sf)
+        tr = (w["triples"]
+              .filter(F.col("subj").cast("string").startswith("p"))
+              .select(F.col("subj").cast("string").alias("subj"),
+                      "pred")
+              .distinct())
+        ty = (w["triples"].filter(F.col("pred") == "type")
+              .select(F.col("subj").cast("string").alias("subj"),
+                      F.col("obj").cast("string").alias("etype"))
+              .distinct())
+        totals = ty.groupBy("etype").agg(
+            F.countDistinct("subj").alias("n_entities"))
+        cov = (tr.join(F.broadcast(ty), "subj")
+               .groupBy("etype", "pred")
+               .agg(F.countDistinct("subj").alias("n_with")))
+        return (cov.join(F.broadcast(totals), "etype")
+                .select("etype", "pred", "n_with", "n_entities",
+                        (F.col("n_with") / F.col("n_entities"))
+                        .alias("coverage")))
+
     def kg_canonical(spark, sf):
         return _kg_world(spark, sf)["canonical"]
 
@@ -5971,6 +6038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quotient_graph": kg_quotient_graph,
         "kg_asof_state": kg_asof_state,
         "kg_describe": kg_describe,
+        "kg_graph_diff": kg_graph_diff,
+        "kg_predicate_coverage": kg_predicate_coverage,
         "kg_forward_chain": kg_forward_chain,
         "kg_open_ie_link": kg_open_ie_link,
         "kg_bgp_negation": kg_bgp_negation,
@@ -12335,6 +12404,54 @@ def _kg_oracle_sql() -> dict[str, str]:
                count(DISTINCT pred) AS n_preds
         FROM tri WHERE subj LIKE 'p%'
         GROUP BY subj
+    """
+
+    # KG evolution diff: old edges re-aggregated from the md5-split
+    # prs slice, full-outer joined against the full edges rollup
+    sql["kg_graph_diff"] = f"""
+        WITH RECURSIVE {base},
+        old_e AS (
+          SELECT src, dst, rel_type, count(*) AS old_weight
+          FROM prs
+          WHERE ('0x' || substr(md5('sp:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 7
+          GROUP BY 1, 2, 3),
+        d AS (
+          SELECT coalesce(n.src, o.src) AS src,
+                 coalesce(n.dst, o.dst) AS dst,
+                 coalesce(n.rel_type, o.rel_type) AS rel_type,
+                 coalesce(o.old_weight, 0) AS old_weight,
+                 coalesce(n.weight, 0) AS new_weight
+          FROM old_e o
+          FULL OUTER JOIN edges n
+            ON n.src = o.src AND n.dst = o.dst
+           AND n.rel_type = o.rel_type)
+        SELECT src, dst, rel_type, old_weight, new_weight,
+               new_weight - old_weight AS delta,
+               CASE WHEN old_weight = 0 THEN 'added'
+                    WHEN new_weight - old_weight > 0 THEN 'grown'
+                    WHEN new_weight - old_weight < 0 THEN 'shrunk'
+                    ELSE 'unchanged' END AS status
+        FROM d
+    """
+
+    # per-class predicate coverage: entity-distinct assertions joined
+    # to the type map, exact double ratio over the per-type totals
+    sql["kg_predicate_coverage"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        ty AS (SELECT DISTINCT subj, obj AS etype
+               FROM tri WHERE pred = 'type'),
+        tot AS (SELECT etype, count(DISTINCT subj) AS n_entities
+                FROM ty GROUP BY 1),
+        pp AS (SELECT DISTINCT t.subj, t.pred FROM tri t
+               WHERE t.subj LIKE 'p%'),
+        cov AS (SELECT y.etype, p.pred,
+                       count(DISTINCT p.subj) AS n_with
+                FROM pp p JOIN ty y ON y.subj = p.subj
+                GROUP BY 1, 2)
+        SELECT c.etype, c.pred, c.n_with, t.n_entities,
+               c.n_with::DOUBLE / t.n_entities AS coverage
+        FROM cov c JOIN tot t ON t.etype = c.etype
     """
 
     # negated property set !(type|complements) joined with the type
