@@ -2471,6 +2471,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         (F.col("n_with") / F.col("n_entities"))
                         .alias("coverage")))
 
+    def kg_sameas_fusion(spark, sf):
+        # Entity-fusion audit (the owl:sameAs merge report): for every
+        # canonical group that actually merged >1 catalog item, the
+        # fused per-attribute value sets (sorted packing) and how many
+        # attributes carry CONFLICTING values — what a curator reviews
+        # before trusting a merge. One catalog-sized join + one
+        # (canonical_id)-keyed aggregation; nothing doc-sized.
+        w = _kg_world(spark, sf)
+        mem = (w["canonical"]
+               .join(w["catalog"].select("product_id", "type",
+                                         "color", "price"),
+                     "product_id"))
+        packed = [F.concat_ws(";", F.array_sort(F.array_distinct(
+            F.collect_list(c)))).alias(f"{c}_set")
+            for c in ("type", "color", "price")]
+        conflicts = sum(
+            (F.countDistinct(c) > 1).cast("int")
+            for c in ("type", "color", "price")).alias("n_conflicts")
+        return (mem.groupBy("canonical_id")
+                .agg(F.countDistinct("product_id").alias("n_members"),
+                     *packed, conflicts)
+                .filter(F.col("n_members") > 1))
+
+    def kg_taxonomy_rollup(spark, sf):
+        # Ontology rollup: entity counts aggregated UP the class
+        # hierarchy — for each (pred, class incl. ancestors), how many
+        # entities assert a value at or under it. The value→ancestor
+        # map is the taxonomy closure ∪ identity, dimension-sized and
+        # BROADCAST; the triple stream is map-joined once and the only
+        # shuffle is the (pred, class) rollup.
+        from fashion_knowledge_graph_spark.operators import (
+            ontology as onto,
+        )
+        w = _kg_world(spark, sf)
+        tr = (w["triples"]
+              .filter(F.col("subj").cast("string").startswith("p")
+                      & F.col("pred").isin("hasColor", "hasMaterial"))
+              .select(F.col("subj").cast("string").alias("subj"),
+                      "pred",
+                      F.col("obj").cast("string").alias("obj"))
+              .distinct())
+        hd = onto.hierarchy_df(spark)
+        clo = (onto.transitive_closure(hd)
+               .select("child", "parent").distinct())
+        nodes = (hd.select("child")
+                 .union(hd.select(F.col("parent").alias("child")))
+                 .distinct())
+        amap = clo.unionByName(
+            nodes.select("child", F.col("child").alias("parent")))
+        return (tr.join(F.broadcast(amap),
+                        tr["obj"] == amap["child"])
+                .groupBy("pred", F.col("parent").alias("cls"))
+                .agg(F.countDistinct("subj").alias("n_entities")))
+
     def kg_canonical(spark, sf):
         return _kg_world(spark, sf)["canonical"]
 
@@ -6040,6 +6094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe": kg_describe,
         "kg_graph_diff": kg_graph_diff,
         "kg_predicate_coverage": kg_predicate_coverage,
+        "kg_sameas_fusion": kg_sameas_fusion,
+        "kg_taxonomy_rollup": kg_taxonomy_rollup,
         "kg_forward_chain": kg_forward_chain,
         "kg_open_ie_link": kg_open_ie_link,
         "kg_bgp_negation": kg_bgp_negation,
@@ -12452,6 +12508,48 @@ def _kg_oracle_sql() -> dict[str, str]:
         SELECT c.etype, c.pred, c.n_with, t.n_entities,
                c.n_with::DOUBLE / t.n_entities AS coverage
         FROM cov c JOIN tot t ON t.etype = c.etype
+    """
+
+    # sameAs merge audit: member attrs from the catalog joined through
+    # the canonical mapping, per-group sorted value sets + conflicts
+    sql["kg_sameas_fusion"] = f"""
+        WITH RECURSIVE {base},
+        mem AS (SELECT c.canonical_id, c.product_id,
+                       k.type, k.color, k.price
+                FROM canon c JOIN cat k
+                  ON k.product_id = c.product_id),
+        g AS (SELECT canonical_id,
+                     count(DISTINCT product_id) AS n_members,
+                     string_agg(DISTINCT type, ';' ORDER BY type)
+                       AS type_set,
+                     string_agg(DISTINCT color, ';' ORDER BY color)
+                       AS color_set,
+                     string_agg(DISTINCT price, ';' ORDER BY price)
+                       AS price_set,
+                     (count(DISTINCT type) > 1)::INT
+                       + (count(DISTINCT color) > 1)::INT
+                       + (count(DISTINCT price) > 1)::INT
+                       AS n_conflicts
+              FROM mem GROUP BY 1)
+        SELECT * FROM g WHERE n_members > 1
+    """
+
+    # ontology rollup: value→ancestor map = closure ∪ identity, then
+    # one distinct-entity count per (pred, class)
+    sql["kg_taxonomy_rollup"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        {hier_ctes},
+        nodes AS (SELECT child AS v FROM hier
+                  UNION SELECT parent FROM hier),
+        amap AS (SELECT DISTINCT child, parent FROM reach2
+                 UNION SELECT v, v FROM nodes),
+        tr AS (SELECT DISTINCT subj, pred, obj FROM tri
+               WHERE subj LIKE 'p%'
+                 AND pred IN ('hasColor', 'hasMaterial'))
+        SELECT t.pred, a.parent AS cls,
+               count(DISTINCT t.subj) AS n_entities
+        FROM tr t JOIN amap a ON a.child = t.obj
+        GROUP BY 1, 2
     """
 
     # negated property set !(type|complements) joined with the type
