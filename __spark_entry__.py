@@ -2494,6 +2494,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      *packed, conflicts)
                 .filter(F.col("n_members") > 1))
 
+    def kg_truth_discovery(spark, sf):
+        # Knowledge fusion: 2-round truth discovery over conflicting
+        # per-source claims (source = 16-way md5 bucket of the
+        # observation doc — a deterministic stand-in for crawl hosts).
+        # Round 1 is majority vote; round 2 re-weights by each
+        # source's quantized accuracy against that consensus. Trust is
+        # integer quanta, so vote sums are exact and the (score, obj)
+        # tie-break is engine-portable; the oracle unrolls both
+        # rounds. Claims stream is aggregated partial-agg'd; the trust
+        # table is source-sized and broadcast.
+        from fashion_knowledge_graph_spark.operators.fusion import (
+            truth_discovery,
+        )
+        w = _kg_world(spark, sf)
+        tr = (w["triples"]
+              .filter((F.col("pred") != "complements")
+                      & F.col("subj").cast("string").startswith("p"))
+              .select(F.col("subj").cast("string").alias("subj"),
+                      "pred",
+                      F.col("obj").cast("string").alias("obj"),
+                      F.col("doc_id").cast("string").alias("doc_id")))
+        claims = tr.withColumn(
+            "source",
+            F.substring(F.md5(F.concat(F.lit("src:"),
+                                       F.col("doc_id"))), 1, 1))
+        return truth_discovery(claims, rounds=2)
+
+    def kg_rdb_direct_map(spark, sf):
+        # W3C direct mapping: lift the relational dims into the triple
+        # space (row IRI <table#pk>, literal triples per column,
+        # ref- triples per FK). Pure projection + explode — one scan
+        # per table, zero shuffles; money columns use an explicit
+        # printf format so the literal form is engine-portable.
+        from fashion_knowledge_graph_spark.operators.rdf import (
+            direct_map,
+        )
+        cust = direct_map(
+            _load(spark, sf, "customer"), "customer", "c_custkey",
+            ["c_name", "c_mktsegment", "c_acctbal"],
+            {"c_nationkey": "nation"},
+            formats={"c_acctbal": "%.2f"})
+        nat = direct_map(
+            _load(spark, sf, "nation"), "nation", "n_nationkey",
+            ["n_name"], {"n_regionkey": "region"})
+        reg = direct_map(
+            _load(spark, sf, "region"), "region", "r_regionkey",
+            ["r_name"])
+        return cust.unionByName(nat).unionByName(reg)
+
+    def kg_pra_features(spark, sf):
+        # Path-Ranking-Algorithm features for the edge candidate
+        # pairs: per predicate, distinct shared attribute values
+        # reachable as src -p-> v <-p- dst. Predicate slices filter
+        # before any join; path joins are keyed (entity, value) with
+        # taxonomy-bounded fan-out.
+        from fashion_knowledge_graph_spark.operators.linkpred import (
+            pra_path_features,
+        )
+        w = _kg_world(spark, sf)
+        tri = (w["triples"]
+               .select(F.col("subj").cast("string").alias("subj"),
+                       "pred",
+                       F.col("obj").cast("string").alias("obj"))
+               .distinct())
+        pairs = w["edges"].select("src", "dst").distinct()
+        out = pra_path_features(pairs, tri,
+                                ["hasColor", "hasMaterial",
+                                 "hasStyle"])
+        return out.select(
+            "src", "dst",
+            F.col("f_hasColor").alias("f_color"),
+            F.col("f_hasMaterial").alias("f_material"),
+            F.col("f_hasStyle").alias("f_style"))
+
+    def kg_wl_colors(spark, sf):
+        # Weisfeiler-Lehman color refinement (2 rounds) over the
+        # canonical co-occurrence graph, seeded with entity types:
+        # nodes share a final color only if their 2-hop neighborhood
+        # trees agree — the structural blocking signature. Each round
+        # is one node-keyed join + one degree-bounded aggregation.
+        from fashion_knowledge_graph_spark.operators.graph import (
+            wl_refine,
+        )
+        w = _kg_world(spark, sf)
+        ty = (w["triples"].filter(F.col("pred") == "type")
+              .groupBy(F.col("subj").cast("string").alias("id"))
+              .agg(F.min(F.col("obj").cast("string")).alias("label")))
+        out = wl_refine(w["edges"].select("src", "dst"), ty,
+                        iterations=2)
+        return out.select("id", F.col("label").alias("wl"))
+
+    def kg_domain_range(spark, sf):
+        # Schema induction: per predicate, the majority subject class
+        # (domain) and majority object kind (entity ref vs literal)
+        # with support — inferred RDFS domain/range axioms. One
+        # broadcast of the type dimension; rollups keyed by predicate.
+        from fashion_knowledge_graph_spark.operators.ontology import (
+            domain_range_profile,
+        )
+        w = _kg_world(spark, sf)
+        tri = (w["triples"]
+               .select(F.col("subj").cast("string").alias("subj"),
+                       "pred",
+                       F.col("obj").cast("string").alias("obj")))
+        return domain_range_profile(tri)
+
     def kg_taxonomy_rollup(spark, sf):
         # Ontology rollup: entity counts aggregated UP the class
         # hierarchy — for each (pred, class incl. ancestors), how many
@@ -6090,6 +6196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_expr": kg_path_expr,
         "kg_path_negset": kg_path_negset,
         "kg_quotient_graph": kg_quotient_graph,
+        "kg_truth_discovery": kg_truth_discovery,
+        "kg_rdb_direct_map": kg_rdb_direct_map,
+        "kg_pra_features": kg_pra_features,
+        "kg_wl_colors": kg_wl_colors,
+        "kg_domain_range": kg_domain_range,
         "kg_asof_state": kg_asof_state,
         "kg_describe": kg_describe,
         "kg_graph_diff": kg_graph_diff,
@@ -12601,5 +12712,173 @@ def _kg_oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT obj AS subj, 'complements' AS pred, subj AS obj
           FROM tri WHERE pred = 'complements') u
+    """
+
+    # truth discovery, both rounds unrolled: uniform-quantum majority
+    # (c0), integer-quantized source trust (tru), trust-weighted
+    # revote (v1) with exact (score, obj) tie-break
+    sql["kg_truth_discovery"] = f"""
+        WITH RECURSIVE {base},
+        trd AS (SELECT subj::VARCHAR AS subj, pred,
+                       obj::VARCHAR AS obj, doc_id::VARCHAR AS doc_id
+                FROM ({attr_triples_doc_sql}) WHERE subj LIKE 'p%'),
+        claims AS (SELECT DISTINCT
+                     substr(md5('src:' || doc_id), 1, 1) AS source,
+                     subj, pred, obj
+                   FROM trd),
+        v0 AS (SELECT subj, pred, obj,
+                      sum(1000000::BIGINT) AS score
+               FROM claims GROUP BY 1, 2, 3),
+        c0 AS (SELECT subj, pred, obj FROM (
+                 SELECT v0.*, row_number() OVER (
+                   PARTITION BY subj, pred
+                   ORDER BY score DESC, obj DESC) AS rn FROM v0) x
+               WHERE rn = 1),
+        tru AS (SELECT cl.source,
+                       (1000000 * sum(CASE WHEN c.obj IS NOT NULL
+                                           THEN 1 ELSE 0 END))
+                         // count(*) AS w
+                FROM claims cl LEFT JOIN c0 c
+                  ON c.subj = cl.subj AND c.pred = cl.pred
+                 AND c.obj = cl.obj
+                GROUP BY 1),
+        v1 AS (SELECT cl.subj, cl.pred, cl.obj,
+                      sum(t.w) AS score, count(*) AS n_sources
+               FROM claims cl JOIN tru t USING (source)
+               GROUP BY 1, 2, 3),
+        tot AS (SELECT subj, pred, sum(score) AS denom
+                FROM v1 GROUP BY 1, 2),
+        win AS (SELECT v1.*, row_number() OVER (
+                  PARTITION BY subj, pred
+                  ORDER BY score DESC, obj DESC) AS rn FROM v1)
+        SELECT w.subj, w.pred, w.obj,
+               w.score::DOUBLE / t.denom::DOUBLE AS confidence,
+               w.n_sources::INT AS n_sources
+        FROM win w JOIN tot t
+          ON t.subj = w.subj AND t.pred = w.pred
+        WHERE w.rn = 1
+    """
+
+    # W3C direct mapping: one UNION ALL arm per mapped column / FK,
+    # printf for the money literal so the form is engine-portable
+    sql["kg_rdb_direct_map"] = """
+        SELECT 'customer#' || c_custkey::VARCHAR AS subj,
+               'customer#c_name' AS pred, c_name AS obj
+        FROM customer WHERE c_name IS NOT NULL
+        UNION ALL
+        SELECT 'customer#' || c_custkey::VARCHAR,
+               'customer#c_mktsegment', c_mktsegment
+        FROM customer WHERE c_mktsegment IS NOT NULL
+        UNION ALL
+        SELECT 'customer#' || c_custkey::VARCHAR,
+               'customer#c_acctbal', printf('%.2f', c_acctbal)
+        FROM customer WHERE c_acctbal IS NOT NULL
+        UNION ALL
+        SELECT 'customer#' || c_custkey::VARCHAR,
+               'customer#ref-c_nationkey',
+               'nation#' || c_nationkey::VARCHAR
+        FROM customer WHERE c_nationkey IS NOT NULL
+        UNION ALL
+        SELECT 'nation#' || n_nationkey::VARCHAR,
+               'nation#n_name', n_name
+        FROM nation WHERE n_name IS NOT NULL
+        UNION ALL
+        SELECT 'nation#' || n_nationkey::VARCHAR,
+               'nation#ref-n_regionkey',
+               'region#' || n_regionkey::VARCHAR
+        FROM nation WHERE n_regionkey IS NOT NULL
+        UNION ALL
+        SELECT 'region#' || r_regionkey::VARCHAR,
+               'region#r_name', r_name
+        FROM region WHERE r_name IS NOT NULL
+    """
+
+    # PRA features: per predicate, distinct shared values reachable
+    # as src -p-> v <-p- dst for the edge candidate pairs
+    sql["kg_pra_features"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        pairs AS (SELECT DISTINCT src, dst FROM edges),
+        tc AS (SELECT DISTINCT subj, obj FROM tri
+               WHERE pred = 'hasColor'),
+        tm AS (SELECT DISTINCT subj, obj FROM tri
+               WHERE pred = 'hasMaterial'),
+        ts AS (SELECT DISTINCT subj, obj FROM tri
+               WHERE pred = 'hasStyle'),
+        fc AS (SELECT p.src, p.dst, count(DISTINCT a.obj) AS f
+               FROM pairs p JOIN tc a ON a.subj = p.src
+               JOIN tc b ON b.subj = p.dst AND b.obj = a.obj
+               GROUP BY 1, 2),
+        fm AS (SELECT p.src, p.dst, count(DISTINCT a.obj) AS f
+               FROM pairs p JOIN tm a ON a.subj = p.src
+               JOIN tm b ON b.subj = p.dst AND b.obj = a.obj
+               GROUP BY 1, 2),
+        fs AS (SELECT p.src, p.dst, count(DISTINCT a.obj) AS f
+               FROM pairs p JOIN ts a ON a.subj = p.src
+               JOIN ts b ON b.subj = p.dst AND b.obj = a.obj
+               GROUP BY 1, 2)
+        SELECT p.src, p.dst,
+               coalesce(fc.f, 0) AS f_color,
+               coalesce(fm.f, 0) AS f_material,
+               coalesce(fs.f, 0) AS f_style
+        FROM pairs p
+        LEFT JOIN fc ON fc.src = p.src AND fc.dst = p.dst
+        LEFT JOIN fm ON fm.src = p.src AND fm.dst = p.dst
+        LEFT JOIN fs ON fs.src = p.src AND fs.dst = p.dst
+    """
+
+    # WL refinement, 2 rounds unrolled: label_{i+1} =
+    # md5(label_i || '|' || sorted neighbor-label multiset)
+    sql["kg_wl_colors"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        ty AS (SELECT subj AS id, min(obj) AS lbl FROM tri
+               WHERE pred = 'type' GROUP BY 1),
+        sym AS (SELECT DISTINCT a, b FROM (
+                  SELECT src AS a, dst AS b FROM edges
+                  UNION ALL SELECT dst AS a, src AS b FROM edges) u),
+        n1 AS (SELECT s.a, string_agg(t.lbl, ',' ORDER BY t.lbl)
+                 AS sig
+               FROM sym s JOIN ty t ON t.id = s.b GROUP BY 1),
+        l1 AS (SELECT y.id,
+                      md5(y.lbl || '|' || coalesce(n1.sig, ''))
+                        AS lbl
+               FROM ty y LEFT JOIN n1 ON n1.a = y.id),
+        n2 AS (SELECT s.a, string_agg(t.lbl, ',' ORDER BY t.lbl)
+                 AS sig
+               FROM sym s JOIN l1 t ON t.id = s.b GROUP BY 1),
+        l2 AS (SELECT y.id,
+                      md5(y.lbl || '|' || coalesce(n2.sig, ''))
+                        AS lbl
+               FROM l1 y LEFT JOIN n2 ON n2.a = y.id)
+        SELECT id, lbl AS wl FROM l2
+    """
+
+    # domain/range induction: majority subject class per predicate
+    # (ties to smallest class), entity-vs-literal majority object kind
+    sql["kg_domain_range"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        t AS (SELECT DISTINCT subj, pred, obj FROM tri
+              WHERE pred != 'type'),
+        ty AS (SELECT DISTINCT subj AS s, obj AS stype FROM tri
+               WHERE pred = 'type'),
+        dom AS (SELECT t.pred, ty.stype,
+                       count(DISTINCT t.subj) AS n
+                FROM t JOIN ty ON ty.s = t.subj GROUP BY 1, 2),
+        dt AS (SELECT pred, stype AS domain_class,
+                      n AS domain_support
+               FROM (SELECT dom.*, row_number() OVER (
+                       PARTITION BY pred
+                       ORDER BY n DESC, stype ASC) AS rn FROM dom) x
+               WHERE rn = 1),
+        rng AS (SELECT pred,
+                       sum(CASE WHEN regexp_matches(obj, '^p[0-9]')
+                                THEN 1 ELSE 0 END) AS n_entity_obj,
+                       count(*) AS n_triples,
+                       count(DISTINCT obj) AS n_distinct_obj
+                FROM t GROUP BY 1)
+        SELECT dt.pred, dt.domain_class, dt.domain_support,
+               CASE WHEN 2 * rng.n_entity_obj >= rng.n_triples
+                    THEN 'entity' ELSE 'literal' END AS range_kind,
+               rng.n_distinct_obj, rng.n_triples
+        FROM dt JOIN rng ON rng.pred = dt.pred
     """
     return sql

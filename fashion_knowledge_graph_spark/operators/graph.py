@@ -1075,3 +1075,44 @@ def luby_mis(edges: DataFrame, rounds: int, src: str = "src",
                     .join(active_n.select(F.col("node").alias("b")), "b")
                     .localCheckpoint(eager=True))
     return out
+
+
+def wl_refine(edges: DataFrame, labels: DataFrame, iterations: int = 2,
+              src: str = "src", dst: str = "dst", node: str = "id",
+              label: str = "label") -> DataFrame:
+    """Weisfeiler-Lehman color refinement over an undirected graph.
+
+    Each round replaces a node's label with
+    ``md5(old_label | sorted multiset of neighbor labels)`` — after k
+    rounds two nodes share a color only if their k-hop neighborhood
+    trees agree, the standard structural signature for graph-level
+    dedup/blocking (WL kernel) and a cheap isomorphism sieve for
+    canonicalized entity neighborhoods.
+
+    Scale shape per round: ONE join of the symmetrized edge list with
+    the current (node, label) map — both keyed on node id, so AQE
+    co-partitions them — and ONE (node)-keyed aggregation whose
+    ``collect_list`` is degree-bounded. No windows, no driver state;
+    k rounds = k join+agg stages, the same shape GraphFrames uses for
+    aggregateMessages. Isolated nodes keep hashing their own label
+    (empty neighbor multiset), matching the WL definition.
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .distinct())
+    cur = labels.select(F.col(node).alias("a"),
+                        F.col(label).cast("string").alias("lbl"))
+    for _ in range(iterations):
+        nb = (sym.join(cur.select(F.col("a").alias("b"),
+                                  F.col("lbl").alias("nb_lbl")), "b")
+              .groupBy("a")
+              .agg(F.concat_ws(",", F.array_sort(
+                  F.collect_list("nb_lbl"))).alias("sig")))
+        cur = (cur.join(nb, "a", "left")
+               .select("a",
+                       F.md5(F.concat_ws(
+                           "|", F.col("lbl"),
+                           F.coalesce(F.col("sig"), F.lit(""))))
+                       .alias("lbl")))
+    return cur.select(F.col("a").alias(node), F.col("lbl").alias(label))

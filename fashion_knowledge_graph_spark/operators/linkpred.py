@@ -307,3 +307,43 @@ def transe_sampled_ranking(triples: DataFrame, k: int = 20,
         .alias("hits_at_3"),
         F.round(F.avg(F.col("rnk_s").cast("double")), 6)
         .alias("mean_rank")))
+
+
+def pra_path_features(pairs: DataFrame, triples: DataFrame,
+                      preds: list[str],
+                      src: str = "src", dst: str = "dst",
+                      subj: str = "subj", pred: str = "pred",
+                      obj: str = "obj") -> DataFrame:
+    """Path-Ranking-Algorithm features for candidate entity pairs.
+
+    For each (src, dst) candidate and each predicate p in ``preds``,
+    counts the distinct length-2 paths ``src -p-> v <-p- dst`` (shared
+    attribute values) — the classic PRA feature a link-prediction
+    re-ranker consumes (Lao & Cohen 2010), here restricted to the
+    symmetric attribute-sharing path type that dominates product KGs.
+
+    Scale shape per predicate: the predicate slice is filtered BEFORE
+    any join (predicate pushdown on the triple scan), the candidate
+    set joins it keyed on entity id, and the path match joins keyed
+    (dst, value) — fan-out bounded by per-entity attribute cardinality
+    (taxonomy-bounded, never corpus-sized). Feature frames re-join the
+    candidate set on its own (src, dst) key, so AQE reuses one
+    partitioning across all feature columns. No windows, no UDFs.
+    """
+    out = pairs.select(src, dst)
+    for p in preds:
+        tp = (triples.filter(F.col(pred) == p)
+              .select(F.col(subj).alias("_s"),
+                      F.col(obj).alias("_v")).distinct())
+        f = (out.select(src, dst)
+             .join(tp.withColumnRenamed("_s", src), src)
+             .join(tp.withColumnRenamed("_s", dst)
+                   .withColumnRenamed("_v", "_v2"),
+                   [dst], "inner")
+             .filter(F.col("_v") == F.col("_v2"))
+             .groupBy(src, dst)
+             .agg(F.countDistinct("_v").alias(f"f_{p}")))
+        out = (out.join(f, [src, dst], "left")
+               .withColumn(f"f_{p}",
+                           F.coalesce(F.col(f"f_{p}"), F.lit(0))))
+    return out

@@ -177,3 +177,49 @@ def kg_shapes() -> list[dict]:
     shapes.append({"pred": "complements", "functional": False,
                    "range": None})
     return shapes
+
+
+def domain_range_profile(triples: DataFrame,
+                         type_pred: str = "type") -> DataFrame:
+    """Schema induction: per predicate, the majority subject class
+    (domain), the majority object kind (entity reference vs literal),
+    and their support — the RDFS domain/range axioms a KB curator
+    would assert, inferred from the data instead of authored.
+
+    One broadcast of the (subject, class) dimension against the
+    distinct triple stream, then predicate-keyed rollups; the final
+    argmax runs over (predicate x class) cells — schema-sized, so the
+    tiny window sort there is free. Ties break to the
+    lexicographically smallest class for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    t = (triples.filter(F.col("pred") != type_pred)
+         .select("subj", "pred", "obj").distinct())
+    ty = (triples.filter(F.col("pred") == type_pred)
+          .select(F.col("subj").alias("_s"),
+                  F.col("obj").alias("stype")).distinct())
+    dom = (t.join(F.broadcast(ty), t["subj"] == ty["_s"])
+           .groupBy("pred", "stype")
+           .agg(F.countDistinct("subj").alias("n")))
+    wd = Window.partitionBy("pred").orderBy(F.desc("n"),
+                                            F.asc("stype"))
+    dom_top = (dom.withColumn("rn", F.row_number().over(wd))
+               .filter(F.col("rn") == 1)
+               .select("pred", F.col("stype").alias("domain_class"),
+                       F.col("n").alias("domain_support")))
+    rng = (t.withColumn(
+        "okind",
+        F.when(F.col("obj").cast("string").rlike("^p[0-9]"),
+               "entity").otherwise("literal"))
+        .groupBy("pred")
+        .agg(F.sum((F.col("okind") == "entity").cast("long"))
+             .alias("n_entity_obj"),
+             F.count(F.lit(1)).alias("n_triples"),
+             F.countDistinct("obj").alias("n_distinct_obj")))
+    return (dom_top.join(rng, "pred")
+            .select("pred", "domain_class", "domain_support",
+                    F.when(F.col("n_entity_obj") * 2
+                           >= F.col("n_triples"), "entity")
+                    .otherwise("literal").alias("range_kind"),
+                    "n_distinct_obj", "n_triples"))

@@ -1,0 +1,122 @@
+"""Round-5 KG-construction operators vs hand-computed oracles:
+truth discovery, RDB direct mapping, WL refinement, PRA features,
+domain/range induction."""
+import hashlib
+
+from pyspark.sql import functions as F
+
+from fashion_knowledge_graph_spark.operators.fusion import (
+    truth_discovery,
+)
+from fashion_knowledge_graph_spark.operators.graph import wl_refine
+from fashion_knowledge_graph_spark.operators.linkpred import (
+    pra_path_features,
+)
+from fashion_knowledge_graph_spark.operators.ontology import (
+    domain_range_profile,
+)
+from fashion_knowledge_graph_spark.operators.rdf import direct_map
+
+
+def test_truth_discovery_two_rounds(spark):
+    rows = [("s1", "e1", "color", "red"),
+            ("s1", "e2", "color", "blue"),
+            ("s2", "e1", "color", "red"),
+            ("s2", "e2", "color", "green"),
+            ("s3", "e1", "color", "black"),
+            ("s3", "e2", "color", "green"),
+            ("s3", "e3", "color", "white"),
+            # duplicate claim must not double-count
+            ("s3", "e3", "color", "white")]
+    claims = spark.createDataFrame(
+        rows, "source string, subj string, pred string, obj string")
+    got = {(r.subj, r.pred): (r.obj, r.confidence, r.n_sources)
+           for r in truth_discovery(claims, rounds=2).collect()}
+    # round 1: e1->red(2), e2->green(2), e3->white
+    # trust: s1 1/2 -> 500000, s2 2/2 -> 1000000, s3 2/3 -> 666666
+    assert got[("e1", "color")] == (
+        "red", 1500000 / 2166666, 2)
+    assert got[("e2", "color")] == (
+        "green", 1666666 / 2166666, 2)
+    assert got[("e3", "color")] == ("white", 1.0, 1)
+
+
+def test_truth_discovery_one_round_is_majority(spark):
+    rows = [("a", "e", "p", "x"), ("b", "e", "p", "x"),
+            ("c", "e", "p", "y")]
+    claims = spark.createDataFrame(
+        rows, "source string, subj string, pred string, obj string")
+    r = truth_discovery(claims, rounds=1).collect()[0]
+    assert (r.obj, r.n_sources) == ("x", 2)
+    assert abs(r.confidence - 2 / 3) < 1e-12
+
+
+def test_direct_map_literals_fks_nulls_format(spark):
+    df = spark.createDataFrame(
+        [(1, "alice", 10.5, 7), (2, None, 3.14159, None)],
+        "id long, name string, bal double, fk int")
+    out = direct_map(df, "t", "id", ["name", "bal"], {"fk": "ref"},
+                     formats={"bal": "%.2f"})
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got == {("t#1", "t#name", "alice"),
+                   ("t#1", "t#bal", "10.50"),
+                   ("t#1", "t#ref-fk", "ref#7"),
+                   ("t#2", "t#bal", "3.14")}
+
+
+def _md5(s):
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_wl_refine_two_iterations(spark):
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  "src string, dst string")
+    labels = spark.createDataFrame(
+        [("a", "X"), ("b", "Y"), ("c", "X"), ("d", "Z")],
+        "id string, label string")
+    l1 = {"a": _md5("X|Y"), "b": _md5("Y|X,X"), "c": _md5("X|Y"),
+          "d": _md5("Z|")}
+    exp = {"a": _md5(l1["a"] + "|" + l1["b"]),
+           "b": _md5(l1["b"] + "|" + ",".join(
+               sorted([l1["a"], l1["c"]]))),
+           "c": _md5(l1["c"] + "|" + l1["b"]),
+           "d": _md5(l1["d"] + "|")}
+    got = {r.id: r.label
+           for r in wl_refine(edges, labels, iterations=2).collect()}
+    assert got == exp
+    # structurally equivalent leaves converge to the same color
+    assert got["a"] == got["c"]
+
+
+def test_pra_path_features(spark):
+    pairs = spark.createDataFrame([("p1", "p2"), ("p1", "p3")],
+                                  "src string, dst string")
+    tri = spark.createDataFrame(
+        [("p1", "hasColor", "red"), ("p1", "hasColor", "blue"),
+         ("p2", "hasColor", "red"), ("p3", "hasColor", "green"),
+         ("p1", "hasMaterial", "cotton"),
+         ("p2", "hasMaterial", "wool")],
+        "subj string, pred string, obj string")
+    out = pra_path_features(pairs, tri, ["hasColor", "hasMaterial"])
+    got = {(r.src, r.dst): (r.f_hasColor, r.f_hasMaterial)
+           for r in out.collect()}
+    assert got == {("p1", "p2"): (1, 0), ("p1", "p3"): (0, 0)}
+
+
+def test_domain_range_profile(spark):
+    tri = spark.createDataFrame(
+        [("p1", "type", "jacket"), ("p2", "type", "jacket"),
+         ("p3", "type", "scarf"),
+         ("p1", "hasColor", "red"), ("p2", "hasColor", "blue"),
+         ("p3", "hasColor", "red"),
+         ("p1", "complements", "p2"), ("p3", "complements", "p1")],
+        "subj string, pred string, obj string")
+    got = {r.pred: r for r in domain_range_profile(tri).collect()}
+    c = got["hasColor"]
+    assert (c.domain_class, c.domain_support) == ("jacket", 2)
+    assert (c.range_kind, c.n_distinct_obj, c.n_triples) == (
+        "literal", 2, 3)
+    k = got["complements"]
+    assert k.range_kind == "entity"
+    # tie on domain support (jacket 1, scarf 1) -> smallest class
+    assert (k.domain_class, k.domain_support) == ("jacket", 1)
