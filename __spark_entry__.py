@@ -2600,6 +2600,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.col("obj").cast("string").alias("obj")))
         return domain_range_profile(tri)
 
+    def kg_node2vec_walks(spark, sf):
+        # Second-order biased walk corpus (node2vec p/q split) over
+        # the canonical co-occurrence graph: 3 steps, return penalty
+        # 4x, out-of-neighborhood penalty 2x, chosen by exact
+        # integer scaled-hash argmin — reproducible across engines
+        # and partitionings; the oracle unrolls the steps.
+        from fashion_knowledge_graph_spark.operators.graph import (
+            node2vec_walks,
+        )
+        w = _kg_world(spark, sf)
+        return node2vec_walks(w["edges"].select("src", "dst"),
+                              steps=3, p_mult=4, q_mult=2)
+
+    def kg_entity_summary(spark, sf):
+        # Entity summarization (LinkSUM/FACES-lite): top-3 most
+        # informative facts per entity, ranked by exact (pred, obj)
+        # document frequency ascending — the integer-exact equivalent
+        # of ln(N/df) descending. Fact-vocabulary-sized df agg +
+        # bounded per-entity window.
+        from fashion_knowledge_graph_spark.operators.ontology import (
+            entity_summary,
+        )
+        w = _kg_world(spark, sf)
+        tr = (w["triples"]
+              .filter(F.col("subj").cast("string").startswith("p"))
+              .select(F.col("subj").cast("string").alias("subj"),
+                      "pred",
+                      F.col("obj").cast("string").alias("obj")))
+        return entity_summary(tr, k=3)
+
+    def kg_attr_history(spark, sf):
+        # Temporal KG: SCD2-style change intervals per (entity, pred)
+        # reconstructed from per-day observations (deterministic md5
+        # ingest day, same clock as kg_asof_state). Per-day state is
+        # one max_by agg; change points and interval ends are lag/
+        # lead windows partitioned (subj, pred) — bounded by the day
+        # range, never corpus-wide.
+        from pyspark.sql.window import Window
+        w = _kg_world(spark, sf)
+        tr = (w["triples"]
+              .filter((F.col("pred") != "complements")
+                      & F.col("subj").cast("string").startswith("p"))
+              .select(F.col("subj").cast("string").alias("subj"),
+                      "pred",
+                      F.col("obj").cast("string").alias("obj"),
+                      F.col("doc_id").cast("string").alias("doc_id")))
+        day = (F.conv(F.substring(F.md5(F.concat(
+            F.lit("day:"), F.col("doc_id"))), 1, 15), 16, 10)
+            .cast("long") % F.lit(60))
+        state = (tr.withColumn("day", day)
+                 .groupBy("subj", "pred", "day")
+                 .agg(F.max("obj").alias("obj")))
+        wo = Window.partitionBy("subj", "pred").orderBy("day")
+        chg = (state
+               .withColumn("prev_obj", F.lag("obj").over(wo))
+               .filter(F.col("prev_obj").isNull()
+                       | (F.col("prev_obj") != F.col("obj")))
+               .select("subj", "pred", "obj", "day"))
+        wc = Window.partitionBy("subj", "pred").orderBy("day")
+        return (chg
+                .withColumn("valid_from", F.col("day"))
+                .withColumn("valid_to",
+                            F.coalesce(F.lead("day").over(wc) - 1,
+                                       F.lit(59)))
+                .select("subj", "pred", "obj",
+                        F.col("valid_from").cast("long")
+                        .alias("valid_from"),
+                        F.col("valid_to").cast("long")
+                        .alias("valid_to")))
+
     def kg_taxonomy_rollup(spark, sf):
         # Ontology rollup: entity counts aggregated UP the class
         # hierarchy — for each (pred, class incl. ancestors), how many
@@ -6201,6 +6271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pra_features": kg_pra_features,
         "kg_wl_colors": kg_wl_colors,
         "kg_domain_range": kg_domain_range,
+        "kg_node2vec_walks": kg_node2vec_walks,
+        "kg_entity_summary": kg_entity_summary,
+        "kg_attr_history": kg_attr_history,
         "kg_asof_state": kg_asof_state,
         "kg_describe": kg_describe,
         "kg_graph_diff": kg_graph_diff,
@@ -12880,5 +12953,93 @@ def _kg_oracle_sql() -> dict[str, str]:
                     THEN 'entity' ELSE 'literal' END AS range_kind,
                rng.n_distinct_obj, rng.n_triples
         FROM dt JOIN rng ON rng.pred = dt.pred
+    """
+
+    # node2vec-style biased walks, 3 steps unrolled: candidate mult =
+    # 4 (return) / 1 (prev-neighborhood or no prev) / 2 (beyond),
+    # winner = argmin(hash60 * mult) with (score, cand) tie-break
+    n2v_step = """
+        cand{t} AS (
+          SELECT f.walk_id, f.cur, f.prev, a.nxt,
+                 CASE WHEN f.prev IS NULL THEN 1
+                      WHEN a.nxt = f.prev THEN 4
+                      WHEN pn.nxt IS NOT NULL THEN 1
+                      ELSE 2 END::BIGINT AS mult,
+                 ('0x' || substr(md5(f.walk_id || ':{t}:' || f.cur
+                                     || ':' || a.nxt), 1, 15))::BIGINT
+                   AS h
+          FROM f{p} f JOIN n2adj a ON a.cur = f.cur
+          LEFT JOIN n2adj pn
+            ON pn.cur = f.prev AND pn.nxt = a.nxt),
+        f{t} AS (
+          SELECT walk_id, nxt AS cur, cur AS prev FROM (
+            SELECT c.*, row_number() OVER (
+              PARTITION BY walk_id
+              ORDER BY h * mult ASC, nxt ASC) AS rn
+            FROM cand{t} c) x
+          WHERE rn = 1)
+    """
+    n2v_steps = ",".join(
+        n2v_step.format(t=t, p=t - 1) for t in (1, 2, 3))
+    sql["kg_node2vec_walks"] = f"""
+        WITH RECURSIVE {base},
+        und AS (SELECT DISTINCT least(src, dst) AS a,
+                       greatest(src, dst) AS b
+                FROM edges WHERE src != dst),
+        n2adj AS (SELECT a AS cur, b AS nxt FROM und
+                  UNION ALL SELECT b AS cur, a AS nxt FROM und),
+        f0 AS (SELECT DISTINCT cur AS walk_id, cur,
+                      NULL::VARCHAR AS prev
+               FROM n2adj),
+        {n2v_steps}
+        SELECT walk_id, 0 AS step, cur AS node FROM f0
+        UNION ALL SELECT walk_id, 1, cur FROM f1
+        UNION ALL SELECT walk_id, 2, cur FROM f2
+        UNION ALL SELECT walk_id, 3, cur FROM f3
+    """
+
+    # entity summarization: exact-df ranking (ln(N/df) descending
+    # without the float), lexicographic tie-breaks
+    sql["kg_entity_summary"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        t AS (SELECT DISTINCT subj, pred, obj FROM tri
+              WHERE subj LIKE 'p%'),
+        dfq AS (SELECT pred, obj, count(DISTINCT subj) AS df
+                FROM t GROUP BY 1, 2),
+        r AS (SELECT t.subj, t.pred, t.obj, dfq.df,
+                     row_number() OVER (
+                       PARTITION BY t.subj
+                       ORDER BY dfq.df ASC, t.pred ASC, t.obj ASC)
+                       AS rank
+              FROM t JOIN dfq
+                ON dfq.pred = t.pred AND dfq.obj = t.obj)
+        SELECT subj, rank::INT AS rank, pred, obj, df FROM r
+        WHERE rank <= 3
+    """
+
+    # SCD2 attribute history: per-day max-obj state, change points by
+    # lag, interval ends by lead (same md5 ingest clock as asof_state)
+    sql["kg_attr_history"] = f"""
+        WITH RECURSIVE {base},
+        trd AS (SELECT subj::VARCHAR AS subj, pred,
+                       obj::VARCHAR AS obj, doc_id::VARCHAR AS doc_id
+                FROM ({attr_triples_doc_sql}) WHERE subj LIKE 'p%'),
+        obs AS (SELECT subj, pred, obj,
+                       ('0x' || substr(md5('day:' || doc_id), 1, 15))
+                         ::BIGINT % 60 AS day
+                FROM trd),
+        st AS (SELECT subj, pred, day, max(obj) AS obj
+               FROM obs GROUP BY 1, 2, 3),
+        ch AS (SELECT * FROM (
+                 SELECT st.*, lag(obj) OVER (
+                   PARTITION BY subj, pred ORDER BY day) AS prev_obj
+                 FROM st) x
+               WHERE prev_obj IS NULL OR prev_obj != obj)
+        SELECT subj, pred, obj,
+               day::BIGINT AS valid_from,
+               coalesce(lead(day) OVER (
+                 PARTITION BY subj, pred ORDER BY day) - 1,
+                 59)::BIGINT AS valid_to
+        FROM ch
     """
     return sql

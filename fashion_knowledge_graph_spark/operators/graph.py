@@ -1116,3 +1116,80 @@ def wl_refine(edges: DataFrame, labels: DataFrame, iterations: int = 2,
                            F.coalesce(F.col("sig"), F.lit(""))))
                        .alias("lbl")))
     return cur.select(F.col("a").alias(node), F.col("lbl").alias(label))
+
+
+def node2vec_walks(edges: DataFrame, steps: int,
+                   p_mult: int = 4, q_mult: int = 2,
+                   src: str = "src", dst: str = "dst") -> DataFrame:
+    """Second-order (node2vec-style) biased walk corpus over an
+    UNDIRECTED edge list -> ``(walk_id, step, node)`` rows, one walk
+    per node.
+
+    The bias is node2vec's return/in-out split (Grover & Leskovec
+    2016): from ``cur`` with predecessor ``prev``, a candidate next
+    hop is penalized by an integer multiplier — ``p_mult`` if it
+    returns to ``prev``, 1 if it stays in ``prev``'s neighborhood
+    (BFS-like), ``q_mult`` otherwise (DFS-like) — and the hop chosen
+    MINIMIZES ``hash60(walk:step:cur:cand) * mult`` with a (score,
+    cand) tie-break. Scaled-integer-hash argmin is the deterministic
+    surrogate for weighted sampling this repo uses everywhere
+    (operators/sampling.py): reproducible across reruns, partition
+    layouts and engines — exact 64-bit integer arithmetic, never a
+    float draw — and ANSI-SQL-replayable by unrolling steps.
+
+    Scale shape per step: frontier ⋈ adjacency on ``cur`` (one narrow
+    shuffle), then ONE left join against the adjacency keyed on the
+    (prev, cand) PAIR to classify the in-neighborhood case, then a
+    per-walk min — |walks|·degree rows in flight, checkpointed so
+    step t never replays 1..t-1. Step 1 has no predecessor and is
+    unbiased, matching the definition.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("a"),
+                        F.greatest(a, b).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    adj = und.select(F.col("a").alias("cur"), F.col("b").alias("nxt")) \
+        .unionByName(und.select(F.col("b").alias("cur"),
+                                F.col("a").alias("nxt"))) \
+        .localCheckpoint(eager=True)
+    frontier = (adj.select(F.col("cur").alias("node")).distinct()
+                .select(F.col("node").alias("walk_id"),
+                        F.col("node").alias("cur"),
+                        F.lit(None).cast(adj.schema["cur"].dataType)
+                        .alias("prev")))
+    out = frontier.select("walk_id", F.lit(0).alias("step"),
+                          F.col("cur").alias("node"))
+    h60 = None
+    for t in range(1, steps + 1):
+        cand = frontier.join(adj, "cur")
+        # classify: return to prev / prev's neighborhood / beyond
+        nb_of_prev = adj.select(F.col("cur").alias("prev"),
+                                F.col("nxt").alias("_pn"),
+                                F.lit(1).alias("_in_nb"))
+        cand = (cand.join(nb_of_prev,
+                          (cand["prev"] == nb_of_prev["prev"])
+                          & (cand["nxt"] == nb_of_prev["_pn"]),
+                          "left")
+                .select(cand["walk_id"], cand["cur"], cand["prev"],
+                        cand["nxt"], F.col("_in_nb")))
+        mult = (F.when(F.col("prev").isNull(), F.lit(1))
+                .when(F.col("nxt") == F.col("prev"), F.lit(p_mult))
+                .when(F.col("_in_nb").isNotNull(), F.lit(1))
+                .otherwise(F.lit(q_mult)).cast("long"))
+        h60 = F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col("walk_id"), F.lit(t), F.col("cur"),
+            F.col("nxt"))), 1, 15), 16, 10).cast("long")
+        nxt = (cand
+               .select("walk_id", F.col("cur").alias("prev_next"),
+                       F.struct((h60 * mult).alias("score"),
+                                F.col("nxt").alias("n")).alias("sn"))
+               .groupBy("walk_id", "prev_next")
+               .agg(F.min("sn").alias("best"))
+               .select("walk_id", F.col("best.n").alias("cur"),
+                       F.col("prev_next").alias("prev"))
+               .localCheckpoint(eager=True))
+        out = out.unionByName(
+            nxt.select("walk_id", F.lit(t).alias("step"),
+                       F.col("cur").alias("node")))
+        frontier = nxt
+    return out

@@ -223,3 +223,28 @@ def domain_range_profile(triples: DataFrame,
                            >= F.col("n_triples"), "entity")
                     .otherwise("literal").alias("range_kind"),
                     "n_distinct_obj", "n_triples"))
+
+
+def entity_summary(triples: DataFrame, k: int = 3) -> DataFrame:
+    """Per-entity top-k most informative facts (LinkSUM/FACES-lite):
+    a fact's informativeness is the rarity of its (pred, obj) pair
+    across entities, so ranking by EXACT document frequency ascending
+    is equivalent to ln(N/df) descending with no float in the sort.
+    (pred, obj) ties break lexicographically for determinism.
+
+    Scale shape: one (pred, obj)-keyed df aggregation (fact-vocabulary
+    sized), joined back on the same key, then a per-entity top-k whose
+    window partition is one entity's facts — bounded by per-entity
+    predicate fan-out, never corpus-sized.
+    """
+    from pyspark.sql.window import Window
+
+    t = triples.select("subj", "pred", "obj").distinct()
+    df_ = (t.groupBy("pred", "obj")
+           .agg(F.countDistinct("subj").alias("df")))
+    w = Window.partitionBy("subj").orderBy(
+        F.asc("df"), F.asc("pred"), F.asc("obj"))
+    return (t.join(df_, ["pred", "obj"])
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("subj", "rank", "pred", "obj", "df"))

@@ -120,3 +120,65 @@ def test_domain_range_profile(spark):
     assert k.range_kind == "entity"
     # tie on domain support (jacket 1, scarf 1) -> smallest class
     assert (k.domain_class, k.domain_support) == ("jacket", 1)
+
+
+def _h60(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_node2vec_walks_vs_python_replay(spark):
+    from fashion_knowledge_graph_spark.operators.graph import (
+        node2vec_walks,
+    )
+    raw = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    adj = {}
+    for s, d in raw:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def replay(steps, p_mult=4, q_mult=2):
+        rows = set()
+        for start in adj:
+            cur, prev = start, None
+            rows.add((start, 0, start))
+            for t in range(1, steps + 1):
+                best = None
+                for cand in adj[cur]:
+                    if prev is None:
+                        m = 1
+                    elif cand == prev:
+                        m = p_mult
+                    elif cand in adj[prev]:
+                        m = 1
+                    else:
+                        m = q_mult
+                    score = _h60(f"{start}:{t}:{cur}:{cand}") * m
+                    if best is None or (score, cand) < best:
+                        best = (score, cand)
+                prev, cur = cur, best[1]
+                rows.add((start, t, cur))
+        return rows
+
+    got = {(r.walk_id, r.step, r.node)
+           for r in node2vec_walks(edges, steps=3).collect()}
+    assert got == replay(3)
+
+
+def test_entity_summary_rank_and_ties(spark):
+    from fashion_knowledge_graph_spark.operators.ontology import (
+        entity_summary,
+    )
+    tri = spark.createDataFrame(
+        [("e1", "color", "red"), ("e2", "color", "red"),
+         ("e3", "color", "red"),
+         ("e1", "mat", "silk"),           # df=1 -> most informative
+         ("e1", "style", "boho"), ("e2", "style", "boho")],
+        "subj string, pred string, obj string")
+    got = {(r.subj, r.rank): (r.pred, r.obj, r.df)
+           for r in entity_summary(tri, k=2).collect()}
+    assert got[("e1", 1)] == ("mat", "silk", 1)
+    assert got[("e1", 2)] == ("style", "boho", 2)
+    assert got[("e2", 1)] == ("style", "boho", 2)
+    assert got[("e2", 2)] == ("color", "red", 3)
+    assert got[("e3", 1)] == ("color", "red", 3)
