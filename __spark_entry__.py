@@ -2670,6 +2670,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("valid_to").cast("long")
                         .alias("valid_to")))
 
+    def kg_rule_mining(spark, sf):
+        # AMIE-style rule mining: support + standard/PCA confidence
+        # for the propagation template p(x,v) & complements(x,y) =>
+        # p(y,v), one row per attribute predicate. Exact integer
+        # counts; confidences are single divisions at the end.
+        from fashion_knowledge_graph_spark.operators.rules import (
+            mine_propagation_rules,
+        )
+        w = _kg_world(spark, sf)
+        tri = (w["triples"]
+               .select(F.col("subj").cast("string").alias("subj"),
+                       "pred",
+                       F.col("obj").cast("string").alias("obj"))
+               .distinct())
+        return mine_propagation_rules(
+            tri, "complements",
+            ["hasColor", "hasMaterial", "hasStyle"])
+
+    def kg_neo4j_export(spark, sf):
+        # Bulk-import export in the Neo4j admin-import shape the
+        # reference loads into (src/utils/neo4j_client.py): one
+        # unified frame with kind='node' rows (id, label, color) and
+        # kind='rel' rows (start/end/type/weight). Pure projections +
+        # union — scan-speed, no shuffle.
+        w = _kg_world(spark, sf)
+        nodes = (w["nodes"]
+                 .select(F.lit("node").alias("kind"),
+                         F.col("product_id").alias("id"),
+                         F.col("type").alias("label"),
+                         F.lit(None).cast("string").alias("start_id"),
+                         F.lit(None).cast("string").alias("end_id"),
+                         F.lit(None).cast("string").alias("rel_type"),
+                         F.lit(None).cast("long").alias("weight"),
+                         F.col("color")))
+        rels = (w["edges"]
+                .select(F.lit("rel").alias("kind"),
+                        F.lit(None).cast("string").alias("id"),
+                        F.lit(None).cast("string").alias("label"),
+                        F.col("src").alias("start_id"),
+                        F.col("dst").alias("end_id"),
+                        "rel_type",
+                        F.col("weight").cast("long"),
+                        F.lit(None).cast("string").alias("color")))
+        return nodes.unionByName(rels)
+
+    def kg_ntriples(spark, sf):
+        # N-Triples serialization of the KG: IRI objects for entity
+        # relations, quoted literals for attribute values. One
+        # projection over the distinct triple set — the RDF dump a
+        # downstream triplestore ingests.
+        w = _kg_world(spark, sf)
+        t = (w["triples"]
+             .select(F.col("subj").cast("string").alias("subj"),
+                     "pred",
+                     F.col("obj").cast("string").alias("obj"))
+             .distinct())
+        o = (F.when(F.col("pred") == "complements",
+                    F.concat(F.lit("<urn:fkg:"), F.col("obj"),
+                             F.lit(">")))
+             .otherwise(F.concat(F.lit('"'), F.col("obj"),
+                                 F.lit('"'))))
+        return t.select(F.concat(
+            F.lit("<urn:fkg:"), F.col("subj"), F.lit("> <urn:fkg:"),
+            F.col("pred"), F.lit("> "), o, F.lit(" ."))
+            .alias("ntriple"))
+
     def kg_taxonomy_rollup(spark, sf):
         # Ontology rollup: entity counts aggregated UP the class
         # hierarchy — for each (pred, class incl. ancestors), how many
@@ -6274,6 +6340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec_walks": kg_node2vec_walks,
         "kg_entity_summary": kg_entity_summary,
         "kg_attr_history": kg_attr_history,
+        "kg_rule_mining": kg_rule_mining,
+        "kg_neo4j_export": kg_neo4j_export,
+        "kg_ntriples": kg_ntriples,
         "kg_asof_state": kg_asof_state,
         "kg_describe": kg_describe,
         "kg_graph_diff": kg_graph_diff,
@@ -13041,5 +13110,73 @@ def _kg_oracle_sql() -> dict[str, str]:
                  PARTITION BY subj, pred ORDER BY day) - 1,
                  59)::BIGINT AS valid_to
         FROM ch
+    """
+
+    # AMIE propagation rules: per attribute predicate, exact body /
+    # support / PCA counts over the symmetrized relation
+    rule_ctes, rule_arms = [], []
+    for tag, p in (("col", "hasColor"), ("mat", "hasMaterial"),
+                   ("sty", "hasStyle")):
+        rule_ctes.append(f"""
+        b{tag} AS (SELECT DISTINCT r.x, r.y, t.v FROM rel r
+                   JOIN (SELECT subj AS x, obj AS v FROM tri
+                         WHERE pred = '{p}') t ON t.x = r.x),
+        p{tag} AS (SELECT DISTINCT subj AS y, obj AS v FROM tri
+                   WHERE pred = '{p}'),
+        a{tag} AS (SELECT DISTINCT subj AS y FROM tri
+                   WHERE pred = '{p}'),
+        m{tag} AS (SELECT count(*) AS n_body,
+                          sum(CASE WHEN p.v IS NOT NULL
+                                   THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+                          sum(CASE WHEN a.y IS NOT NULL
+                                   THEN 1 ELSE 0 END)::BIGINT AS n_pca
+                   FROM b{tag}
+                   LEFT JOIN p{tag} p
+                     ON p.y = b{tag}.y AND p.v = b{tag}.v
+                   LEFT JOIN a{tag} a ON a.y = b{tag}.y)""")
+        rule_arms.append(
+            f"SELECT '{p}(x,v) & complements(x,y) => {p}(y,v)' "
+            f"AS rule, n_body, n_pos, n_pca FROM m{tag}")
+    rule_ctes_sql = ",".join(rule_ctes)
+    rule_union = " UNION ALL ".join(rule_arms)
+    sql["kg_rule_mining"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        rel0 AS (SELECT subj AS x, obj AS y FROM tri
+                 WHERE pred = 'complements'),
+        rel AS (SELECT DISTINCT x, y FROM (
+                  SELECT x, y FROM rel0
+                  UNION ALL SELECT y AS x, x AS y FROM rel0) u),
+        {rule_ctes_sql}
+        SELECT rule, n_body, n_pos, n_pca,
+               n_pos::DOUBLE / n_body::DOUBLE AS std_conf,
+               n_pos::DOUBLE / n_pca::DOUBLE AS pca_conf
+        FROM ({rule_union}) rows_
+    """
+
+    # Neo4j admin-import export: node rows from the deduped node
+    # table, rel rows straight from the aggregated edges
+    sql["kg_neo4j_export"] = f"""
+        WITH RECURSIVE {base}, {nodes_cte}
+        SELECT 'node' AS kind, product_id AS id, type AS label,
+               NULL::VARCHAR AS start_id, NULL::VARCHAR AS end_id,
+               NULL::VARCHAR AS rel_type, NULL::BIGINT AS weight,
+               color
+        FROM nodes
+        UNION ALL
+        SELECT 'rel', NULL, NULL, src, dst, rel_type,
+               weight::BIGINT, NULL
+        FROM edges
+    """
+
+    # N-Triples dump: IRI object for entity relations, quoted
+    # literal otherwise
+    sql["kg_ntriples"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte}
+        SELECT '<urn:fkg:' || subj || '> <urn:fkg:' || pred || '> '
+               || CASE WHEN pred = 'complements'
+                       THEN '<urn:fkg:' || obj || '>'
+                       ELSE '"' || obj || '"' END
+               || ' .' AS ntriple
+        FROM tri
     """
     return sql

@@ -118,3 +118,59 @@ def forward_chain(triples: DataFrame,
         known = known.unionByName(new).localCheckpoint()
         delta = new
     return known
+
+
+def mine_propagation_rules(triples: DataFrame, rel_pred: str,
+                           attr_preds: list[str],
+                           subj: str = "subj", pred: str = "pred",
+                           obj: str = "obj") -> DataFrame:
+    """AMIE-style rule mining for the attribute-propagation template
+    ``p(x, v) ∧ rel(x, y) ⇒ p(y, v)`` — one row per candidate
+    predicate p with its support and both confidence estimates
+    (Galárraga et al., AMIE 2013):
+
+      n_body   distinct (x, y, v) groundings of the body
+      n_pos    groundings where the head also holds (support)
+      n_pca    groundings where y asserts ANY p value (the PCA
+               denominator — y's missing values are unknown, not
+               false, under the open-world assumption)
+      std_conf n_pos / n_body,  pca_conf n_pos / n_pca
+
+    Scale shape per predicate: the p-slice filters before any join
+    (predicate pushdown), the body join is keyed on entity x, the
+    head / PCA probes are keyed (y, v) and (y) — every count is an
+    exact integer aggregated map-side; the two confidences are single
+    deterministic divisions at the end. The relation is used
+    symmetrized, matching the undirected complements semantics.
+    """
+    rel = (triples.filter(F.col(pred) == rel_pred)
+           .select(F.col(subj).alias("x"), F.col(obj).alias("y")))
+    rel = (rel.unionByName(rel.select(F.col("y").alias("x"),
+                                      F.col("x").alias("y")))
+           .distinct())
+    out = None
+    for p in attr_preds:
+        tp = (triples.filter(F.col(pred) == p)
+              .select(F.col(subj).alias("x"),
+                      F.col(obj).alias("v")).distinct())
+        body = rel.join(tp, "x").select("x", "y", "v").distinct()
+        head = tp.select(F.col("x").alias("y"),
+                         F.col("v").alias("v"))
+        has_any = tp.select(F.col("x").alias("y")).distinct()
+        pos = body.join(head, ["y", "v"], "left_semi")
+        pca = body.join(has_any, ["y"], "left_semi")
+        row = (body.agg(F.count(F.lit(1)).alias("n_body"))
+               .crossJoin(pos.agg(F.count(F.lit(1)).alias("n_pos")))
+               .crossJoin(pca.agg(F.count(F.lit(1)).alias("n_pca")))
+               .select(
+                   F.lit(f"{p}(x,v) & {rel_pred}(x,y) => {p}(y,v)")
+                   .alias("rule"),
+                   "n_body", "n_pos", "n_pca",
+                   (F.col("n_pos").cast("double")
+                    / F.col("n_body").cast("double"))
+                   .alias("std_conf"),
+                   (F.col("n_pos").cast("double")
+                    / F.col("n_pca").cast("double"))
+                   .alias("pca_conf")))
+        out = row if out is None else out.unionByName(row)
+    return out

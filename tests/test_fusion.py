@@ -182,3 +182,27 @@ def test_entity_summary_rank_and_ties(spark):
     assert got[("e2", 1)] == ("style", "boho", 2)
     assert got[("e2", 2)] == ("color", "red", 3)
     assert got[("e3", 1)] == ("color", "red", 3)
+
+
+def test_mine_propagation_rules(spark):
+    from fashion_knowledge_graph_spark.operators.rules import (
+        mine_propagation_rules,
+    )
+    # e1-e2 complementary; e1 red, e2 red+blue; e3 isolated green.
+    # e4-e5 complementary; e4 red, e5 has NO color (PCA excludes it).
+    tri = spark.createDataFrame(
+        [("e1", "complements", "e2"), ("e4", "complements", "e5"),
+         ("e1", "hasColor", "red"), ("e2", "hasColor", "red"),
+         ("e2", "hasColor", "blue"), ("e3", "hasColor", "green"),
+         ("e4", "hasColor", "red")],
+        "subj string, pred string, obj string")
+    r = mine_propagation_rules(tri, "complements",
+                               ["hasColor"]).collect()[0]
+    # body groundings (x,y,v): (e1,e2,red),(e2,e1,red),(e2,e1,blue),
+    #                          (e4,e5,red)
+    assert r.n_body == 4
+    # head holds: (e1,e2,red) [e2 red], (e2,e1,red) [e1 red]
+    assert r.n_pos == 2
+    # PCA: e5 has no color -> (e4,e5,red) drops from the denominator
+    assert r.n_pca == 3
+    assert r.std_conf == 2 / 4 and r.pca_conf == 2 / 3
