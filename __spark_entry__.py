@@ -2736,6 +2736,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("pred"), F.lit("> "), o, F.lit(" ."))
             .alias("ntriple"))
 
+    def kg_attr_association(spark, sf):
+        # Cross-attribute association rules with lift ("black goes
+        # with leather"): exact co-assertion counts over the entity-
+        # keyed self-join, vocabulary-sized support tables broadcast
+        # back, confidence/lift as single float divisions.
+        from fashion_knowledge_graph_spark.operators.rules import (
+            mine_value_associations,
+        )
+        w = _kg_world(spark, sf)
+        tri = (w["triples"]
+               .filter(F.col("subj").cast("string").startswith("p"))
+               .select(F.col("subj").cast("string").alias("subj"),
+                       "pred",
+                       F.col("obj").cast("string").alias("obj"))
+               .distinct())
+        return mine_value_associations(
+            tri, ["hasColor", "hasMaterial", "hasStyle", "type"],
+            min_support=2)
+
+    def kg_source_reliability(spark, sf):
+        # Provenance datasheet: per source bucket, claim count,
+        # majority-consensus agreement and the quantized trust weight
+        # — the audit row truth discovery consumes. Source-sized
+        # output; claim stream aggregated once.
+        from fashion_knowledge_graph_spark.operators.fusion import (
+            source_reliability,
+        )
+        w = _kg_world(spark, sf)
+        tr = (w["triples"]
+              .filter((F.col("pred") != "complements")
+                      & F.col("subj").cast("string").startswith("p"))
+              .select(F.col("subj").cast("string").alias("subj"),
+                      "pred",
+                      F.col("obj").cast("string").alias("obj"),
+                      F.col("doc_id").cast("string").alias("doc_id")))
+        claims = tr.withColumn(
+            "source",
+            F.substring(F.md5(F.concat(F.lit("src:"),
+                                       F.col("doc_id"))), 1, 1))
+        return source_reliability(claims)
+
     def kg_taxonomy_rollup(spark, sf):
         # Ontology rollup: entity counts aggregated UP the class
         # hierarchy — for each (pred, class incl. ancestors), how many
@@ -6343,6 +6384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rule_mining": kg_rule_mining,
         "kg_neo4j_export": kg_neo4j_export,
         "kg_ntriples": kg_ntriples,
+        "kg_attr_association": kg_attr_association,
+        "kg_source_reliability": kg_source_reliability,
         "kg_asof_state": kg_asof_state,
         "kg_describe": kg_describe,
         "kg_graph_diff": kg_graph_diff,
@@ -13178,5 +13221,64 @@ def _kg_oracle_sql() -> dict[str, str]:
                        ELSE '"' || obj || '"' END
                || ' .' AS ntriple
         FROM tri
+    """
+
+    # association rules: entity-keyed co-assertion self-join, exact
+    # counts, lift against the distinct asserting-entity total
+    sql["kg_attr_association"] = f"""
+        WITH RECURSIVE {base}, {text_triples_cte}, {tri_cte},
+        t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS v
+              FROM tri
+              WHERE subj LIKE 'p%'
+                AND pred IN ('hasColor', 'hasMaterial',
+                             'hasStyle', 'type')),
+        nt AS (SELECT count(DISTINCT s) AS n FROM t),
+        both_ AS (SELECT a.p AS pred_a, a.v AS val_a,
+                         b.p AS pred_b, b.v AS val_b,
+                         count(DISTINCT a.s) AS n_both
+                  FROM t a JOIN t b
+                    ON b.s = a.s AND a.p < b.p
+                  GROUP BY 1, 2, 3, 4
+                  HAVING count(DISTINCT a.s) >= 2),
+        sup AS (SELECT p, v, count(DISTINCT s) AS n
+                FROM t GROUP BY 1, 2)
+        SELECT w.pred_a, w.val_a, w.pred_b, w.val_b,
+               w.n_both, sa.n AS n_a, sb.n AS n_b,
+               w.n_both::DOUBLE / sa.n::DOUBLE AS confidence,
+               (w.n_both * nt.n)::DOUBLE
+                 / (sa.n * sb.n)::DOUBLE AS lift
+        FROM both_ w
+        JOIN sup sa ON sa.p = w.pred_a AND sa.v = w.val_a
+        JOIN sup sb ON sb.p = w.pred_b AND sb.v = w.val_b
+        CROSS JOIN nt
+    """
+
+    # source-reliability audit: claims vs round-1 majority consensus
+    sql["kg_source_reliability"] = f"""
+        WITH RECURSIVE {base},
+        trd AS (SELECT subj::VARCHAR AS subj, pred,
+                       obj::VARCHAR AS obj, doc_id::VARCHAR AS doc_id
+                FROM ({attr_triples_doc_sql}) WHERE subj LIKE 'p%'),
+        claims AS (SELECT DISTINCT
+                     substr(md5('src:' || doc_id), 1, 1) AS source,
+                     subj, pred, obj
+                   FROM trd),
+        v0 AS (SELECT subj, pred, obj, count(*) AS score
+               FROM claims GROUP BY 1, 2, 3),
+        c0 AS (SELECT subj, pred, obj FROM (
+                 SELECT v0.*, row_number() OVER (
+                   PARTITION BY subj, pred
+                   ORDER BY score DESC, obj DESC) AS rn FROM v0) x
+               WHERE rn = 1)
+        SELECT cl.source, count(*) AS n_claims,
+               sum(CASE WHEN c.obj IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS n_match,
+               (1000000 * sum(CASE WHEN c.obj IS NOT NULL
+                                   THEN 1 ELSE 0 END)::BIGINT)
+                 // count(*) AS w
+        FROM claims cl LEFT JOIN c0 c
+          ON c.subj = cl.subj AND c.pred = cl.pred
+         AND c.obj = cl.obj
+        GROUP BY 1
     """
     return sql

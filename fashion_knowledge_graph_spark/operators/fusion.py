@@ -113,3 +113,30 @@ def truth_discovery(claims: DataFrame, rounds: int = 2,
         (F.col("score").cast("double")
          / F.col("denom").cast("double")).alias("confidence"),
         F.col("n_sources").cast("int").alias("n_sources"))
+
+
+def source_reliability(claims: DataFrame, source: str = "source",
+                       subj: str = "subj", pred: str = "pred",
+                       obj: str = "obj",
+                       quantum: int = QUANTUM) -> DataFrame:
+    """The per-source audit row behind truth discovery: claim count,
+    majority-consensus agreement count, and the quantized trust
+    weight — the provenance datasheet a KB curator reviews before
+    admitting a crawl host. Same shapes as ``truth_discovery``
+    round 1: data-sized aggregations keyed (subj, pred[, obj]),
+    source-sized output.
+    """
+    c = claims.select(source, subj, pred, obj).distinct()
+    cons = _consensus(c.withColumn("w", F.lit(quantum).cast("long")),
+                      subj, pred, obj)
+    hit = c.join(
+        cons.select(subj, pred, obj).withColumn("hit", F.lit(1)),
+        [subj, pred, obj], "left")
+    agg = (hit.groupBy(source)
+           .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long").alias("n_match"),
+                F.count(F.lit(1)).alias("n_claims")))
+    return agg.select(
+        source, "n_claims", "n_match",
+        F.expr(f"({quantum} * n_match) div n_claims").cast("long")
+        .alias("w"))

@@ -174,3 +174,61 @@ def mine_propagation_rules(triples: DataFrame, rel_pred: str,
                    .alias("pca_conf")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def mine_value_associations(triples: DataFrame,
+                            preds: list[str],
+                            min_support: int = 2,
+                            subj: str = "subj", pred: str = "pred",
+                            obj: str = "obj") -> DataFrame:
+    """Cross-attribute association rules (Apriori 1-item rules with
+    lift): for unordered predicate pairs p_a < p_b, every value pair
+    co-asserted by >= ``min_support`` entities, with
+
+      confidence = n_both / n_a
+      lift       = (n_both * N) / (n_a * n_b)
+
+    where N is the number of distinct asserting entities. All counts
+    are exact integers; confidence/lift are single deterministic
+    float divisions at the end — the KB-curation signal for "black
+    goes with leather"-style value correlations the reference's LLM
+    prompt bakes in implicitly.
+
+    Scale shape: the assertion self-join is keyed on entity with
+    per-entity attribute fan-out bounded by the taxonomy; the rollup
+    key is the value PAIR (vocabulary², a dimension); per-value
+    support tables are vocabulary-sized and broadcast back.
+    """
+    t = (triples.filter(F.col(pred).isin(preds))
+         .select(F.col(subj).alias("s"), F.col(pred).alias("p"),
+                 F.col(obj).alias("v")).distinct())
+    n_total = t.select("s").distinct().count()
+    a, b = t.alias("a"), t.alias("b")
+    both = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("pred_a"),
+                     F.col("a.v").alias("val_a"),
+                     F.col("b.p").alias("pred_b"),
+                     F.col("b.v").alias("val_b"))
+            .agg(F.countDistinct("a.s").alias("n_both"))
+            .filter(F.col("n_both") >= min_support))
+    sup = (t.groupBy("p", "v")
+           .agg(F.countDistinct("s").alias("n")))
+    return (both
+            .join(F.broadcast(sup.select(
+                F.col("p").alias("pred_a"),
+                F.col("v").alias("val_a"),
+                F.col("n").alias("n_a"))), ["pred_a", "val_a"])
+            .join(F.broadcast(sup.select(
+                F.col("p").alias("pred_b"),
+                F.col("v").alias("val_b"),
+                F.col("n").alias("n_b"))), ["pred_b", "val_b"])
+            .select("pred_a", "val_a", "pred_b", "val_b",
+                    "n_both", "n_a", "n_b",
+                    (F.col("n_both").cast("double")
+                     / F.col("n_a").cast("double"))
+                    .alias("confidence"),
+                    ((F.col("n_both") * F.lit(n_total))
+                     .cast("double")
+                     / (F.col("n_a") * F.col("n_b")).cast("double"))
+                    .alias("lift")))

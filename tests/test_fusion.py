@@ -206,3 +206,41 @@ def test_mine_propagation_rules(spark):
     # PCA: e5 has no color -> (e4,e5,red) drops from the denominator
     assert r.n_pca == 3
     assert r.std_conf == 2 / 4 and r.pca_conf == 2 / 3
+
+
+def test_mine_value_associations(spark):
+    from fashion_knowledge_graph_spark.operators.rules import (
+        mine_value_associations,
+    )
+    tri = spark.createDataFrame(
+        [("e1", "hasColor", "black"), ("e1", "hasMaterial", "leather"),
+         ("e2", "hasColor", "black"), ("e2", "hasMaterial", "leather"),
+         ("e3", "hasColor", "black"), ("e3", "hasMaterial", "cotton"),
+         ("e4", "hasColor", "red"), ("e4", "hasMaterial", "cotton")],
+        "subj string, pred string, obj string")
+    out = mine_value_associations(
+        tri, ["hasColor", "hasMaterial"], min_support=2).collect()
+    got = {(r.val_a, r.val_b): r for r in out}
+    # only (black, leather) reaches support 2
+    assert set(got) == {("black", "leather")}
+    r = got[("black", "leather")]
+    assert (r.n_both, r.n_a, r.n_b) == (2, 3, 2)
+    assert r.confidence == 2 / 3
+    assert r.lift == (2 * 4) / (3 * 2)
+
+
+def test_source_reliability(spark):
+    from fashion_knowledge_graph_spark.operators.fusion import (
+        source_reliability,
+    )
+    rows = [("s1", "e1", "c", "red"), ("s1", "e2", "c", "blue"),
+            ("s2", "e1", "c", "red"), ("s2", "e2", "c", "green"),
+            ("s3", "e2", "c", "green")]
+    claims = spark.createDataFrame(
+        rows, "source string, subj string, pred string, obj string")
+    got = {r.source: (r.n_claims, r.n_match, r.w)
+           for r in source_reliability(claims).collect()}
+    # consensus: e1->red, e2->green
+    assert got["s1"] == (2, 1, 500000)
+    assert got["s2"] == (2, 2, 1000000)
+    assert got["s3"] == (1, 1, 1000000)
