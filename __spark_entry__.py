@@ -2690,7 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def kg_neo4j_export(spark, sf):
         # Bulk-import export in the Neo4j admin-import shape the
-        # reference loads into (src/utils/neo4j_client.py): one
+        # reference loads into (src/database/graph_database.py): one
         # unified frame with kind='node' rows (id, label, color) and
         # kind='rel' rows (start/end/type/weight). Pure projections +
         # union — scan-speed, no shuffle.
@@ -2776,6 +2776,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.substring(F.md5(F.concat(F.lit("src:"),
                                        F.col("doc_id"))), 1, 1))
         return source_reliability(claims)
+
+    def kg_rdfstar_annotations(spark, sf):
+        # RDF-star / Wikidata-qualifier-style statement-level
+        # provenance: one annotation row per asserted attribute
+        # triple — content-addressed statement id, observation-doc
+        # and source-bucket counts, first/last ingest day (same md5
+        # clock as kg_asof_state). ONE partial-agg'd rollup keyed by
+        # the triple; no windows, no self-joins.
+        w = _kg_world(spark, sf)
+        tr = (w["triples"]
+              .filter((F.col("pred") != "complements")
+                      & F.col("subj").cast("string").startswith("p"))
+              .select(F.col("subj").cast("string").alias("subj"),
+                      "pred",
+                      F.col("obj").cast("string").alias("obj"),
+                      F.col("doc_id").cast("string").alias("doc_id")))
+        day = (F.conv(F.substring(F.md5(F.concat(
+            F.lit("day:"), F.col("doc_id"))), 1, 15), 16, 10)
+            .cast("long") % F.lit(60))
+        src = F.substring(F.md5(F.concat(F.lit("src:"),
+                                         F.col("doc_id"))), 1, 1)
+        return (tr.withColumn("day", day).withColumn("source", src)
+                .groupBy("subj", "pred", "obj")
+                .agg(F.countDistinct("doc_id").alias("n_docs"),
+                     F.countDistinct("source").alias("n_sources"),
+                     F.min("day").alias("first_day"),
+                     F.max("day").alias("last_day"))
+                .withColumn("stmt_id", F.md5(F.concat_ws(
+                    ":", F.col("subj"), F.col("pred"),
+                    F.col("obj"))))
+                .select("stmt_id", "subj", "pred", "obj", "n_docs",
+                        "n_sources", "first_day", "last_day"))
 
     def kg_taxonomy_rollup(spark, sf):
         # Ontology rollup: entity counts aggregated UP the class
@@ -6386,6 +6418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples": kg_ntriples,
         "kg_attr_association": kg_attr_association,
         "kg_source_reliability": kg_source_reliability,
+        "kg_rdfstar_annotations": kg_rdfstar_annotations,
         "kg_asof_state": kg_asof_state,
         "kg_describe": kg_describe,
         "kg_graph_diff": kg_graph_diff,
@@ -13280,5 +13313,29 @@ def _kg_oracle_sql() -> dict[str, str]:
           ON c.subj = cl.subj AND c.pred = cl.pred
          AND c.obj = cl.obj
         GROUP BY 1
+    """
+
+    # RDF-star statement annotations: one provenance rollup per
+    # asserted attribute triple (same md5 day/source derivations)
+    sql["kg_rdfstar_annotations"] = f"""
+        WITH RECURSIVE {base},
+        trd AS (SELECT subj::VARCHAR AS subj, pred,
+                       obj::VARCHAR AS obj, doc_id::VARCHAR AS doc_id
+                FROM ({attr_triples_doc_sql}) WHERE subj LIKE 'p%'),
+        ann AS (SELECT subj, pred, obj,
+                       count(DISTINCT doc_id) AS n_docs,
+                       count(DISTINCT substr(md5('src:' || doc_id),
+                                             1, 1)) AS n_sources,
+                       min(('0x' || substr(md5('day:' || doc_id),
+                                           1, 15))::BIGINT % 60)
+                         AS first_day,
+                       max(('0x' || substr(md5('day:' || doc_id),
+                                           1, 15))::BIGINT % 60)
+                         AS last_day
+                FROM trd GROUP BY 1, 2, 3)
+        SELECT md5(subj || ':' || pred || ':' || obj) AS stmt_id,
+               subj, pred, obj, n_docs, n_sources,
+               first_day, last_day
+        FROM ann
     """
     return sql
