@@ -2809,6 +2809,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("stmt_id", "subj", "pred", "obj", "n_docs",
                         "n_sources", "first_day", "last_day"))
 
+    def kg_repair_suggestions(spark, sf):
+        # Constraint repair, closing the SHACL→fusion loop: for every
+        # functional-property violation (one entity asserting >1
+        # value), the truth-discovery winner to KEEP and the sorted
+        # set to DROP, with the fused confidence. Violation slots are
+        # one rollup keyed (subj, pred); the repair join rides the
+        # same key.
+        from fashion_knowledge_graph_spark.operators.fusion import (
+            truth_discovery,
+        )
+        w = _kg_world(spark, sf)
+        tr = (w["triples"]
+              .filter((F.col("pred") != "complements")
+                      & F.col("subj").cast("string").startswith("p"))
+              .select(F.col("subj").cast("string").alias("subj"),
+                      "pred",
+                      F.col("obj").cast("string").alias("obj"),
+                      F.col("doc_id").cast("string").alias("doc_id")))
+        claims = tr.withColumn(
+            "source",
+            F.substring(F.md5(F.concat(F.lit("src:"),
+                                       F.col("doc_id"))), 1, 1))
+        td = truth_discovery(claims, rounds=2)
+        slots = (claims.select("subj", "pred", "obj").distinct()
+                 .groupBy("subj", "pred")
+                 .agg(F.countDistinct("obj").alias("n_values"),
+                      F.array_sort(F.collect_set("obj"))
+                      .alias("vals"))
+                 .filter(F.col("n_values") > 1))
+        return (slots.join(td, ["subj", "pred"])
+                .select("subj", "pred",
+                        F.col("obj").alias("keep"),
+                        F.concat_ws(";", F.expr(
+                            "filter(vals, v -> v != obj)"))
+                        .alias("drop_set"),
+                        F.col("n_values").cast("int")
+                        .alias("n_values"),
+                        "confidence"))
+
     def kg_taxonomy_rollup(spark, sf):
         # Ontology rollup: entity counts aggregated UP the class
         # hierarchy — for each (pred, class incl. ancestors), how many
@@ -6419,6 +6458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_attr_association": kg_attr_association,
         "kg_source_reliability": kg_source_reliability,
         "kg_rdfstar_annotations": kg_rdfstar_annotations,
+        "kg_repair_suggestions": kg_repair_suggestions,
         "kg_asof_state": kg_asof_state,
         "kg_describe": kg_describe,
         "kg_graph_diff": kg_graph_diff,
@@ -12935,8 +12975,7 @@ def _kg_oracle_sql() -> dict[str, str]:
     # truth discovery, both rounds unrolled: uniform-quantum majority
     # (c0), integer-quantized source trust (tru), trust-weighted
     # revote (v1) with exact (score, obj) tie-break
-    sql["kg_truth_discovery"] = f"""
-        WITH RECURSIVE {base},
+    truth_ctes = f"""
         trd AS (SELECT subj::VARCHAR AS subj, pred,
                        obj::VARCHAR AS obj, doc_id::VARCHAR AS doc_id
                 FROM ({attr_triples_doc_sql}) WHERE subj LIKE 'p%'),
@@ -12968,13 +13007,45 @@ def _kg_oracle_sql() -> dict[str, str]:
                 FROM v1 GROUP BY 1, 2),
         win AS (SELECT v1.*, row_number() OVER (
                   PARTITION BY subj, pred
-                  ORDER BY score DESC, obj DESC) AS rn FROM v1)
+                  ORDER BY score DESC, obj DESC) AS rn FROM v1)"""
+
+    sql["kg_truth_discovery"] = f"""
+        WITH RECURSIVE {base},
+        {truth_ctes}
         SELECT w.subj, w.pred, w.obj,
                w.score::DOUBLE / t.denom::DOUBLE AS confidence,
                w.n_sources::INT AS n_sources
         FROM win w JOIN tot t
           ON t.subj = w.subj AND t.pred = w.pred
         WHERE w.rn = 1
+    """
+
+    # constraint repair: functional-violation slots joined with the
+    # truth-discovery winner; drop set = sorted non-winner values
+    sql["kg_repair_suggestions"] = f"""
+        WITH RECURSIVE {base},
+        {truth_ctes},
+        dis AS (SELECT DISTINCT subj, pred, obj FROM claims),
+        nn AS (SELECT subj, pred, count(*) AS n_values
+               FROM dis GROUP BY 1, 2 HAVING count(*) > 1),
+        wnr AS (SELECT w.subj, w.pred, w.obj AS keep,
+                       w.score::DOUBLE / t.denom::DOUBLE
+                         AS confidence
+                FROM win w JOIN tot t
+                  ON t.subj = w.subj AND t.pred = w.pred
+                WHERE w.rn = 1),
+        dr AS (SELECT d.subj, d.pred,
+                      string_agg(d.obj, ';' ORDER BY d.obj)
+                        AS drop_set
+               FROM dis d JOIN wnr
+                 ON wnr.subj = d.subj AND wnr.pred = d.pred
+                AND d.obj != wnr.keep
+               GROUP BY 1, 2)
+        SELECT n.subj, n.pred, w.keep, dr.drop_set,
+               n.n_values::INT AS n_values, w.confidence
+        FROM nn n
+        JOIN wnr w ON w.subj = n.subj AND w.pred = n.pred
+        JOIN dr ON dr.subj = n.subj AND dr.pred = n.pred
     """
 
     # W3C direct mapping: one UNION ALL arm per mapped column / FK,
