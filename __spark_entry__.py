@@ -2848,6 +2848,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("n_values"),
                         "confidence"))
 
+    def er_meta_blocking(spark, sf):
+        # Meta-blocking over a redundancy-positive blocking collection
+        # (three composite catalog keys): CBS pair weights, oversized
+        # blocks purged at 50, WEP mean-weight pruning. The candidate
+        # graph is block-size-bounded; the threshold is a 1-row
+        # broadcast.
+        from fashion_knowledge_graph_spark.operators.er import (
+            meta_blocking,
+        )
+        cat = _kg_world(spark, sf)["catalog"]
+        arms = [
+            (("type", "color"),
+             F.concat_ws(":", F.lit("tc"), "type", "color")),
+            (("type", "gender"),
+             F.concat_ws(":", F.lit("tg"), "type", "gender")),
+            (("color", "fit"),
+             F.concat_ws(":", F.lit("cf"), "color", "fit")),
+        ]
+        mem = None
+        for cols, k in arms:
+            part = cat
+            for c in cols:
+                part = part.filter(F.col(c).isNotNull())
+            part = part.select(k.alias("block"),
+                               F.col("product_id").alias("id"))
+            mem = part if mem is None else mem.unionByName(part)
+        return meta_blocking(mem, max_block_size=50)
+
     def kg_taxonomy_rollup(spark, sf):
         # Ontology rollup: entity counts aggregated UP the class
         # hierarchy — for each (pred, class incl. ancestors), how many
@@ -6459,6 +6487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_source_reliability": kg_source_reliability,
         "kg_rdfstar_annotations": kg_rdfstar_annotations,
         "kg_repair_suggestions": kg_repair_suggestions,
+        "er_meta_blocking": er_meta_blocking,
         "kg_asof_state": kg_asof_state,
         "kg_describe": kg_describe,
         "kg_graph_diff": kg_graph_diff,
@@ -13046,6 +13075,38 @@ def _kg_oracle_sql() -> dict[str, str]:
         FROM nn n
         JOIN wnr w ON w.subj = n.subj AND w.pred = n.pred
         JOIN dr ON dr.subj = n.subj AND dr.pred = n.pred
+    """
+
+    # meta-blocking: CBS weights over the purged block collection,
+    # WEP pruning at the global mean edge weight
+    sql["er_meta_blocking"] = f"""
+        WITH RECURSIVE {base},
+        mem AS (
+          SELECT DISTINCT block, id FROM (
+            SELECT 'tc:' || type || ':' || color AS block,
+                   product_id AS id FROM cat
+            WHERE type IS NOT NULL AND color IS NOT NULL
+            UNION ALL
+            SELECT 'tg:' || type || ':' || gender,
+                   product_id FROM cat
+            WHERE type IS NOT NULL AND gender IS NOT NULL
+            UNION ALL
+            SELECT 'cf:' || color || ':' || fit,
+                   product_id FROM cat
+            WHERE color IS NOT NULL AND fit IS NOT NULL) u),
+        ok AS (SELECT block FROM mem GROUP BY 1
+               HAVING count(*) <= 50),
+        mk AS (SELECT m.block, m.id FROM mem m
+               JOIN ok ON ok.block = m.block),
+        mbp AS (SELECT a.id AS id_a, b.id AS id_b,
+                       count(*) AS w
+                FROM mk a JOIN mk b
+                  ON b.block = a.block AND a.id < b.id
+                GROUP BY 1, 2),
+        mw AS (SELECT avg(w) AS mw FROM mbp)
+        SELECT p.id_a, p.id_b, p.w
+        FROM mbp p CROSS JOIN mw
+        WHERE p.w >= mw.mw
     """
 
     # W3C direct mapping: one UNION ALL arm per mapped column / FK,

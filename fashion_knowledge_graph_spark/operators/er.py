@@ -260,3 +260,43 @@ def blocking_metrics(docs: DataFrame, truth_pairs: DataFrame,
                 F.round(F.lit(1.0) - F.col("n_candidates")
                         / (F.col("n_docs") * (F.col("n_docs") - 1) / 2),
                         6).alias("reduction_ratio")))
+
+
+def meta_blocking(membership: DataFrame,
+                  max_block_size: int | None = None,
+                  id_col: str = "id",
+                  block_col: str = "block") -> DataFrame:
+    """Meta-blocking (Papadakis et al.): prune a redundancy-positive
+    blocking collection down to the comparisons worth running.
+
+    Candidate pairs are weighted by CBS (count of common blocks);
+    blocks larger than ``max_block_size`` are PURGED first (head
+    blocks generate quadratic comparisons with near-zero signal — the
+    classic scale-killer in dirty ER), and pairs whose weight falls
+    below the global mean edge weight are discarded (WEP pruning).
+    Returns (id_a, id_b, w) for the retained comparisons.
+
+    Scale shape: the purge is one block-keyed size aggregation + semi
+    join; pair generation fans out per block BOUNDED by the purge
+    threshold; CBS is one (id_a, id_b)-keyed partial-agg'd rollup;
+    the WEP threshold is a single-row aggregate broadcast back — no
+    window, no driver collect, nothing quadratic in the corpus.
+    """
+    m = membership.select(F.col(block_col).alias("__b"),
+                          F.col(id_col).alias("__id")).distinct()
+    if max_block_size is not None:
+        ok = (m.groupBy("__b")
+              .agg(F.count(F.lit(1)).alias("nb"))
+              .filter(F.col("nb") <= max_block_size)
+              .select("__b"))
+        m = m.join(ok, "__b", "left_semi")
+    a = m.select("__b", F.col("__id").alias("id_a"))
+    b = m.select("__b", F.col("__id").alias("id_b"))
+    pairs = (a.join(b, "__b")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("w")))
+    mean_w = pairs.agg(F.avg("w").alias("mw"))
+    return (pairs.crossJoin(F.broadcast(mean_w))
+            .filter(F.col("w") >= F.col("mw"))
+            .select("id_a", "id_b", "w"))

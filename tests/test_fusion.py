@@ -244,3 +244,62 @@ def test_source_reliability(spark):
     assert got["s1"] == (2, 1, 500000)
     assert got["s2"] == (2, 2, 1000000)
     assert got["s3"] == (1, 1, 1000000)
+
+
+def test_meta_blocking_cbs_wep(spark):
+    from fashion_knowledge_graph_spark.operators.er import (
+        meta_blocking,
+    )
+    # blocks: b1={1,2,3}, b2={1,2}, b3={2,3}, huge={1..4} (purged @3)
+    rows = ([("b1", str(i)) for i in (1, 2, 3)]
+            + [("b2", "1"), ("b2", "2"), ("b3", "2"), ("b3", "3")]
+            + [("huge", str(i)) for i in (1, 2, 3, 4)])
+    mem = spark.createDataFrame(rows, "block string, id string")
+    got = {(r.id_a, r.id_b): r.w
+           for r in meta_blocking(mem, max_block_size=3).collect()}
+    # CBS after purge: (1,2)->2, (2,3)->2, (1,3)->1; mean 5/3
+    # WEP keeps w >= 5/3
+    assert got == {("1", "2"): 2, ("2", "3"): 2}
+
+
+def _plan(df):
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_direct_map_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "x", 2.0, 3)],
+                               "id long, name string, bal double, fk int")
+    plan = _plan(direct_map(df, "t", "id", ["name", "bal"],
+                            {"fk": "r"}, formats={"bal": "%.2f"}))
+    assert "Exchange" not in plan          # pure projection + explode
+    assert "codegen id" in plan            # whole-stage codegen'd
+
+
+def test_truth_discovery_trust_join_is_broadcast(spark):
+    claims = spark.createDataFrame(
+        [("s1", "e1", "p", "x")],
+        "source string, subj string, pred string, obj string")
+    plan = _plan(truth_discovery(claims, rounds=2))
+    # the round-2 re-weight join against the source-sized trust table
+    # must be broadcast (the agreement join vs the slot-sized
+    # consensus is data-scale and legitimately shuffles on its key)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_entity_summary_plan_has_group_limit(spark):
+    from fashion_knowledge_graph_spark.operators.ontology import (
+        entity_summary,
+    )
+    tri = spark.createDataFrame([("e", "p", "o")],
+                                "subj string, pred string, obj string")
+    plan = _plan(entity_summary(tri, k=3))
+    # rank<=k must push into WindowGroupLimit (per-partition heaps),
+    # not filter after a full window sort
+    assert "WindowGroupLimit" in plan
