@@ -2876,6 +2876,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mem = part if mem is None else mem.unionByName(part)
         return meta_blocking(mem, max_block_size=50)
 
+    def er_canonical_eval(spark, sf):
+        # Canonicalization quality vs the generator's ground truth
+        # (catalog.entity_key): pairwise precision/recall/F1 from
+        # CONTINGENCY COUNTS — TP/FP/FN derived from per-cluster and
+        # per-cell sizes (Σ n·(n−1)/2), candidate pairs never
+        # materialized; the only shuffles are three cluster-keyed
+        # rollups, the at-scale shape for clustering eval.
+        w = _kg_world(spark, sf)
+        m = (w["canonical"]
+             .join(w["catalog"].select("product_id", "entity_key"),
+                   "product_id")
+             .select("product_id", "canonical_id", "entity_key"))
+
+        def npairs(col):
+            # integer div: exact at any cluster size (n*(n-1) even)
+            return F.sum(F.expr("n * (n - 1) div 2").cast("long"))
+
+        cell = (m.groupBy("canonical_id", "entity_key")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(npairs("n").alias("tp")))
+        sys_ = (m.groupBy("canonical_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(npairs("n").alias("sys_pairs")))
+        tru = (m.groupBy("entity_key")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .agg(npairs("n").alias("true_pairs")))
+        return (cell.crossJoin(sys_).crossJoin(tru)
+                .select(
+                    "tp", "sys_pairs", "true_pairs",
+                    (F.col("tp").cast("double")
+                     / F.col("sys_pairs").cast("double"))
+                    .alias("precision"),
+                    (F.col("tp").cast("double")
+                     / F.col("true_pairs").cast("double"))
+                    .alias("recall"),
+                    (F.lit(2.0) * F.col("tp").cast("double")
+                     / (F.col("sys_pairs")
+                        + F.col("true_pairs")).cast("double"))
+                    .alias("f1")))
+
     def kg_taxonomy_rollup(spark, sf):
         # Ontology rollup: entity counts aggregated UP the class
         # hierarchy — for each (pred, class incl. ancestors), how many
@@ -6488,6 +6528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfstar_annotations": kg_rdfstar_annotations,
         "kg_repair_suggestions": kg_repair_suggestions,
         "er_meta_blocking": er_meta_blocking,
+        "er_canonical_eval": er_canonical_eval,
         "kg_asof_state": kg_asof_state,
         "kg_describe": kg_describe,
         "kg_graph_diff": kg_graph_diff,
@@ -13075,6 +13116,30 @@ def _kg_oracle_sql() -> dict[str, str]:
         FROM nn n
         JOIN wnr w ON w.subj = n.subj AND w.pred = n.pred
         JOIN dr ON dr.subj = n.subj AND dr.pred = n.pred
+    """
+
+    # pairwise clustering eval from contingency counts
+    sql["er_canonical_eval"] = f"""
+        WITH RECURSIVE {base},
+        m AS (SELECT c.product_id, c.canonical_id, k.entity_key
+              FROM canon c JOIN cat k
+                ON k.product_id = c.product_id),
+        cell AS (SELECT sum((n * (n - 1)) // 2)::BIGINT AS tp FROM (
+                   SELECT count(*) AS n FROM m
+                   GROUP BY canonical_id, entity_key) x),
+        sp AS (SELECT sum((n * (n - 1)) // 2)::BIGINT AS sys_pairs
+               FROM (SELECT count(*) AS n FROM m
+                     GROUP BY canonical_id) x),
+        tr AS (SELECT sum((n * (n - 1)) // 2)::BIGINT AS true_pairs
+               FROM (SELECT count(*) AS n FROM m
+                     GROUP BY entity_key) x)
+        SELECT cell.tp, sp.sys_pairs, tr.true_pairs,
+               cell.tp::DOUBLE / sp.sys_pairs::DOUBLE
+                 AS "precision",
+               cell.tp::DOUBLE / tr.true_pairs::DOUBLE AS recall,
+               2.0 * cell.tp::DOUBLE
+                 / (sp.sys_pairs + tr.true_pairs)::DOUBLE AS f1
+        FROM cell CROSS JOIN sp CROSS JOIN tr
     """
 
     # meta-blocking: CBS weights over the purged block collection,

@@ -303,3 +303,26 @@ def test_entity_summary_plan_has_group_limit(spark):
     # rank<=k must push into WindowGroupLimit (per-partition heaps),
     # not filter after a full window sort
     assert "WindowGroupLimit" in plan
+
+
+def test_er_canonical_eval_counts(spark):
+    # replicate the contingency-count eval on a hand case:
+    # system {a,b,c}{d}; truth {a,b}{c,d}
+    import __spark_entry__  # noqa: F401 (query-layer logic; replicate inline)
+    from pyspark.sql import functions as FF
+    m = spark.createDataFrame(
+        [("a", "s1", "t1"), ("b", "s1", "t1"),
+         ("c", "s1", "t2"), ("d", "s2", "t2")],
+        "product_id string, canonical_id string, entity_key string")
+
+    def npairs(df, *keys):
+        return (df.groupBy(*keys).agg(FF.count(FF.lit(1)).alias("n"))
+                .agg(FF.sum(FF.expr("n * (n - 1) div 2")
+                            .cast("long")).alias("p"))
+                .collect()[0].p)
+
+    tp = npairs(m, "canonical_id", "entity_key")
+    sys_p = npairs(m, "canonical_id")
+    true_p = npairs(m, "entity_key")
+    assert (tp, sys_p, true_p) == (1, 3, 2)
+    assert tp / sys_p == 1 / 3 and tp / true_p == 1 / 2
