@@ -2916,6 +2916,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         + F.col("true_pairs")).cast("double"))
                     .alias("f1")))
 
+    def kg_linking_accuracy(spark, sf):
+        # Entity-linking accuracy vs the interleave generator's
+        # ground truth: each image span's media_ref encodes its true
+        # entity key — a mention is linked correctly iff the matched
+        # catalog product carries that entity_key. One span join on
+        # (doc_id, span_idx) + one broadcast of the catalog key map;
+        # exact counts, one division.
+        from fashion_knowledge_graph_spark.operators.mentions import (
+            explode_spans,
+        )
+        w = _kg_world(spark, sf)
+        sp = (explode_spans(w["docs"])
+              .filter((F.col("kind") == "image_ref")
+                      & F.col("media_ref").isNotNull())
+              .select(F.col("doc_id").cast("string").alias("doc_id"),
+                      "span_idx",
+                      F.substring("media_ref", 7, 11)
+                      .alias("true_key")))
+        lk = w["linked"].select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "span_idx", "product_id")
+        cat = w["catalog"].select("product_id", "entity_key")
+        j = (lk.join(sp, ["doc_id", "span_idx"])
+             .join(F.broadcast(cat), "product_id"))
+        return (j.agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.sum((F.col("entity_key") == F.col("true_key"))
+                  .cast("long")).alias("n_correct"),
+            F.countDistinct("doc_id").alias("n_docs"))
+            .select("n_mentions", "n_correct", "n_docs",
+                    (F.col("n_correct").cast("double")
+                     / F.col("n_mentions").cast("double"))
+                    .alias("accuracy")))
+
     def kg_taxonomy_rollup(spark, sf):
         # Ontology rollup: entity counts aggregated UP the class
         # hierarchy — for each (pred, class incl. ancestors), how many
@@ -6529,6 +6563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_repair_suggestions": kg_repair_suggestions,
         "er_meta_blocking": er_meta_blocking,
         "er_canonical_eval": er_canonical_eval,
+        "kg_linking_accuracy": kg_linking_accuracy,
         "kg_asof_state": kg_asof_state,
         "kg_describe": kg_describe,
         "kg_graph_diff": kg_graph_diff,
@@ -13116,6 +13151,31 @@ def _kg_oracle_sql() -> dict[str, str]:
         FROM nn n
         JOIN wnr w ON w.subj = n.subj AND w.pred = n.pred
         JOIN dr ON dr.subj = n.subj AND dr.pred = n.pred
+    """
+
+    # linking accuracy vs the media_ref-encoded true entity
+    sql["kg_linking_accuracy"] = f"""
+        WITH RECURSIVE {base},
+        sp AS (SELECT doc_id,
+                      generate_subscripts(spans, 1) - 1 AS span_idx,
+                      (unnest(spans)).kind AS kind,
+                      (unnest(spans)).media_ref AS mr
+               FROM read_parquet('{docs_glob}')),
+        spi AS (SELECT doc_id, span_idx,
+                       substr(mr, 7, 11) AS true_key
+                FROM sp WHERE kind = 'image_ref' AND mr IS NOT NULL),
+        j AS (SELECT l.doc_id, k.entity_key, s.true_key
+              FROM linked l
+              JOIN spi s ON s.doc_id = l.doc_id
+               AND s.span_idx = l.span_idx
+              JOIN cat k ON k.product_id = l.product_id)
+        SELECT count(*) AS n_mentions,
+               sum((entity_key = true_key)::INT)::BIGINT
+                 AS n_correct,
+               count(DISTINCT doc_id) AS n_docs,
+               sum((entity_key = true_key)::INT)::DOUBLE
+                 / count(*)::DOUBLE AS accuracy
+    FROM j
     """
 
     # pairwise clustering eval from contingency counts
