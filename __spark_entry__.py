@@ -2950,6 +2950,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      / F.col("n_mentions").cast("double"))
                     .alias("accuracy")))
 
+    def kg_graphsage_sample(spark, sf):
+        # GraphSAGE-style layered neighbor sampling (fanouts 3, 2)
+        # over the canonical graph: deterministic md5-ranked
+        # neighbor choice per (seed, node), degree-bounded window
+        # partitions — the reproducible GNN minibatch prep.
+        from fashion_knowledge_graph_spark.operators.graph import (
+            neighbor_sample,
+        )
+        w = _kg_world(spark, sf)
+        return neighbor_sample(w["edges"].select("src", "dst"),
+                               fanouts=[3, 2])
+
     def kg_taxonomy_rollup(spark, sf):
         # Ontology rollup: entity counts aggregated UP the class
         # hierarchy — for each (pred, class incl. ancestors), how many
@@ -6564,6 +6576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_meta_blocking": er_meta_blocking,
         "er_canonical_eval": er_canonical_eval,
         "kg_linking_accuracy": kg_linking_accuracy,
+        "kg_graphsage_sample": kg_graphsage_sample,
         "kg_asof_state": kg_asof_state,
         "kg_describe": kg_describe,
         "kg_graph_diff": kg_graph_diff,
@@ -13151,6 +13164,36 @@ def _kg_oracle_sql() -> dict[str, str]:
         FROM nn n
         JOIN wnr w ON w.subj = n.subj AND w.pred = n.pred
         JOIN dr ON dr.subj = n.subj AND dr.pred = n.pred
+    """
+
+    # GraphSAGE layered sampling, fanouts (3, 2), md5-ranked choice
+    sql["kg_graphsage_sample"] = f"""
+        WITH RECURSIVE {base},
+        und AS (SELECT DISTINCT least(src, dst) AS a,
+                       greatest(src, dst) AS b
+                FROM edges WHERE src != dst),
+        nsadj AS (SELECT a AS cur, b AS nxt FROM und
+                  UNION ALL SELECT b AS cur, a AS nxt FROM und),
+        f0 AS (SELECT DISTINCT cur AS seed, cur FROM nsadj),
+        c1 AS (SELECT f.seed, f.cur, a.nxt,
+                      md5('ns:' || f.seed || ':1:' || f.cur || ':'
+                          || a.nxt) AS rk
+               FROM f0 f JOIN nsadj a ON a.cur = f.cur),
+        p1 AS (SELECT DISTINCT seed, nxt AS node FROM (
+                 SELECT c1.*, row_number() OVER (
+                   PARTITION BY seed, cur ORDER BY rk) AS rn
+                 FROM c1) x WHERE rn <= 3),
+        c2 AS (SELECT f.seed, f.node AS cur, a.nxt,
+                      md5('ns:' || f.seed || ':2:' || f.node || ':'
+                          || a.nxt) AS rk
+               FROM p1 f JOIN nsadj a ON a.cur = f.node),
+        p2 AS (SELECT DISTINCT seed, nxt AS node FROM (
+                 SELECT c2.*, row_number() OVER (
+                   PARTITION BY seed, cur ORDER BY rk) AS rn
+                 FROM c2) x WHERE rn <= 2)
+        SELECT seed, 0 AS layer, cur AS node FROM f0
+        UNION ALL SELECT seed, 1, node FROM p1
+        UNION ALL SELECT seed, 2, node FROM p2
     """
 
     # linking accuracy vs the media_ref-encoded true entity

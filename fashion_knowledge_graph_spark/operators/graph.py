@@ -1193,3 +1193,53 @@ def node2vec_walks(edges: DataFrame, steps: int,
                        F.col("cur").alias("node")))
         frontier = nxt
     return out
+
+
+def neighbor_sample(edges: DataFrame, fanouts: list[int],
+                    src: str = "src", dst: str = "dst",
+                    salt: str = "ns") -> DataFrame:
+    """GraphSAGE-style layered neighbor sampling over an undirected
+    edge list -> ``(seed, layer, node)`` rows: layer 0 is every node,
+    layer i keeps at most ``fanouts[i-1]`` neighbors of each frontier
+    node, deterministically — neighbors ranked by
+    ``md5(salt:seed:layer:node:neighbor)`` so the minibatch a GNN
+    trainer sees is reproducible across reruns and partitionings
+    (RNG-per-executor sampling is not), and SQL-replayable.
+
+    Scale shape per layer: frontier ⋈ adjacency on the current node
+    (one keyed shuffle), per-(seed, node) top-k via a window over a
+    DEGREE-BOUNDED partition — never a corpus-wide sort; the frontier
+    is deduplicated per seed before the next hop so fan-out growth is
+    bounded by Π fanouts. This is the batch-side data prep a
+    distributed GNN (GraphSAGE/PinSAGE) consumes at catalog scale.
+    """
+    from pyspark.sql.window import Window
+
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("a"),
+                        F.greatest(a, b).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    adj = und.select(F.col("a").alias("cur"), F.col("b").alias("nxt")) \
+        .unionByName(und.select(F.col("b").alias("cur"),
+                                F.col("a").alias("nxt"))) \
+        .localCheckpoint(eager=True)
+    frontier = (adj.select(F.col("cur").alias("node")).distinct()
+                .select(F.col("node").alias("seed"),
+                        F.col("node").alias("cur")))
+    out = frontier.select("seed", F.lit(0).alias("layer"),
+                          F.col("cur").alias("node"))
+    for i, k in enumerate(fanouts, start=1):
+        cand = frontier.join(adj, "cur")
+        rk = F.md5(F.concat_ws(":", F.lit(salt), F.col("seed"),
+                               F.lit(i), F.col("cur"),
+                               F.col("nxt")))
+        w = Window.partitionBy("seed", "cur").orderBy(rk)
+        picked = (cand.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= k)
+                  .select("seed", F.col("nxt").alias("node"))
+                  .distinct())
+        out = out.unionByName(
+            picked.select("seed", F.lit(i).alias("layer"), "node"))
+        frontier = picked.select("seed", F.col("node").alias("cur")) \
+            .localCheckpoint(eager=True)
+    return out

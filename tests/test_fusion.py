@@ -326,3 +326,31 @@ def test_er_canonical_eval_counts(spark):
     true_p = npairs(m, "entity_key")
     assert (tp, sys_p, true_p) == (1, 3, 2)
     assert tp / sys_p == 1 / 3 and tp / true_p == 1 / 2
+
+
+def test_neighbor_sample_layers_and_fanout(spark):
+    from fashion_knowledge_graph_spark.operators.graph import (
+        neighbor_sample,
+    )
+    # star: hub h connected to x1..x5; fanout [2] keeps exactly 2
+    # deterministic neighbors of h, and each xi keeps its only
+    # neighbor h
+    edges = spark.createDataFrame(
+        [("h", f"x{i}") for i in range(1, 6)],
+        "src string, dst string")
+    out = neighbor_sample(edges, fanouts=[2]).collect()
+    l0 = {(r.seed, r.node) for r in out if r.layer == 0}
+    l1 = {}
+    for r in out:
+        if r.layer == 1:
+            l1.setdefault(r.seed, set()).add(r.node)
+    assert l0 == {(n, n) for n in
+                  {"h", "x1", "x2", "x3", "x4", "x5"}}
+    assert len(l1["h"]) == 2 and l1["h"] < {f"x{i}" for i in
+                                           range(1, 6)}
+    for i in range(1, 6):
+        assert l1[f"x{i}"] == {"h"}
+    # determinism: re-run picks the same neighbors
+    out2 = neighbor_sample(edges, fanouts=[2]).collect()
+    assert {(r.seed, r.layer, r.node) for r in out} == \
+        {(r.seed, r.layer, r.node) for r in out2}
