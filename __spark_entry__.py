@@ -1066,14 +1066,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .cast("double").alias("discounted")))
 
     def supplier_balance_deciles(spark, sf):
-        # decile profile of supplier account balances: ntile(10) with
-        # a deterministic key tie-break, per-decile count/min/max
+        # decile profile of supplier account balances: exact ntile(10)
+        # semantics with a deterministic key tie-break — computed by
+        # the range-partitioned two-pass rank (topk.ntile_distributed)
+        # instead of an unpartitioned window, so the supplier-sized
+        # sort never funnels into one task
+        from fashion_knowledge_graph_spark.operators.topk import (
+            ntile_distributed,
+        )
         supp = _load(spark, sf, "supplier")
-        w = Window.orderBy(F.asc("bal"), F.asc("s_suppkey"))
-        return (supp.select("s_suppkey",
-                            F.round("s_acctbal", 2).alias("bal"))
-                .withColumn("decile", F.ntile(10).over(w))
-                .groupBy("decile")
+        ranked = ntile_distributed(
+            supp.select("s_suppkey",
+                        F.round("s_acctbal", 2).alias("bal")),
+            [F.asc("bal"), F.asc("s_suppkey")], 10, "decile")
+        return (ranked.groupBy("decile")
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.min("bal").alias("lo"),
                      F.max("bal").alias("hi")))
@@ -1095,14 +1101,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .crossJoin(F.broadcast(anchor))
                     .withColumn("recency_days",
                                 F.datediff("mx", "last_order")))
-        wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-        wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-        wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-        seg = per_cust.select(
-            "o_custkey",
-            F.ntile(4).over(wr).alias("r_q"),
-            F.ntile(4).over(wf).alias("f_q"),
-            F.ntile(4).over(wm).alias("m_q"))
+        # quartiles via the range-partitioned two-pass ntile (exact
+        # SQL semantics) — three customer-sized sorts, none of them a
+        # single-task unpartitioned window; quartile frames re-join
+        # on the customer key
+        from fashion_knowledge_graph_spark.operators.topk import (
+            ntile_distributed,
+        )
+        dims = [("r_q", [F.asc("recency_days"), F.asc("o_custkey")]),
+                ("f_q", [F.desc("frequency"), F.asc("o_custkey")]),
+                ("m_q", [F.desc("monetary"), F.asc("o_custkey")])]
+        seg = None
+        for name, order in dims:
+            q = ntile_distributed(per_cust, order, 4, name) \
+                .select("o_custkey", name)
+            seg = q if seg is None else seg.join(q, "o_custkey")
         return (seg.groupBy("r_q", "f_q", "m_q")
                 .agg(F.count(F.lit(1)).alias("customers")))
 
@@ -5570,12 +5583,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         per = orders.groupBy("o_custkey").agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .alias("rev"))
-        w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))             .rowsBetween(Window.unboundedPreceding, 0)
+        # cumulative share via the range-partitioned two-pass prefix
+        # sum (DECIMAL-exact) — no single-task unpartitioned window
+        # over the customer-sized rollup
+        from fashion_knowledge_graph_spark.operators.topk import (
+            global_prefix_sum,
+        )
         tot = per.agg(F.sum("rev").alias("t"))
-        cum = per.crossJoin(F.broadcast(tot)).select(
-            "o_custkey",
-            (F.sum("rev").over(w).cast("double")
-             / F.col("t").cast("double")).alias("cum_share"))
+        cum = (global_prefix_sum(
+            per, [F.desc("rev"), F.asc("o_custkey")], "rev", "__c")
+            .crossJoin(F.broadcast(tot))
+            .select("o_custkey",
+                    (F.col("__c").cast("double")
+                     / F.col("t").cast("double"))
+                    .alias("cum_share")))
         hit = cum.filter(F.col("cum_share") >= 0.8).agg(
             F.min("cum_share").alias("share_at_cross"))
         n80 = cum.filter(F.col("cum_share") < 0.8).agg(

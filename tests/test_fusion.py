@@ -354,3 +354,89 @@ def test_neighbor_sample_layers_and_fanout(spark):
     out2 = neighbor_sample(edges, fanouts=[2]).collect()
     assert {(r.seed, r.layer, r.node) for r in out} == \
         {(r.seed, r.layer, r.node) for r in out2}
+
+
+def test_global_rank_ntile_prefix_parity(spark):
+    # the distributed two-pass forms must equal the single-task
+    # unpartitioned-window forms bit-for-bit under a total order
+    from pyspark.sql.window import Window as W
+
+    from fashion_knowledge_graph_spark.operators.topk import (
+        global_prefix_sum,
+        global_rank,
+        ntile_distributed,
+    )
+    df = spark.range(997).select(
+        (F.col("id") * 37 % 991).alias("v"),
+        F.col("id").alias("k")).repartition(7)
+    order = [F.desc("v"), F.asc("k")]
+    w = W.orderBy(*order)
+
+    exp_rn = {(r.v, r.k): r.rn for r in
+              df.withColumn("rn", F.row_number().over(w)).collect()}
+    got_rn = {(r.v, r.k): r.rn for r in
+              global_rank(df, order, "rn",
+                          num_partitions=5).collect()}
+    assert got_rn == exp_rn
+
+    for k in (4, 10, 3):
+        exp_t = {(r.v, r.k): r.t for r in
+                 df.withColumn("t", F.ntile(k).over(w)).collect()}
+        got_t = {(r.v, r.k): r.t for r in
+                 ntile_distributed(df, order, k, "t",
+                                   num_partitions=5).collect()}
+        assert got_t == exp_t, f"ntile({k}) mismatch"
+
+    # N < k: one row per tile
+    tiny = spark.createDataFrame([(5, 1), (3, 2)], "v int, k int")
+    got = {r.k: r.t for r in ntile_distributed(
+        tiny, [F.desc("v"), F.asc("k")], 10, "t").collect()}
+    assert got == {1: 1, 2: 2}
+
+    wc = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    exp_c = {(r.v, r.k): r.c for r in
+             df.withColumn("c", F.sum("v").over(wc)).collect()}
+    got_c = {(r.v, r.k): r.c for r in
+             global_prefix_sum(df, order, "v", "c",
+                               num_partitions=5).collect()}
+    assert got_c == exp_c
+
+
+def test_plan_lint_negative_controls(spark):
+    # the linter must FIRE on the shapes it exists to catch — a
+    # vacuous linter reading "0 flagged" is worse than none
+    import io
+    import contextlib
+
+    from pyspark.sql.window import Window as W
+
+    from tools.plan_lint import lint_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    try:
+        a = spark.range(100).select(F.col("id").alias("a"))
+        b = spark.range(100).select(F.col("id").alias("b"))
+
+        def plan(df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+
+        assert lint_plan(plan(a.join(b))) == [
+            "CartesianProduct (non-broadcast cross join)"]
+        assert lint_plan(plan(a.withColumn(
+            "p", F.lag("a").over(W.orderBy("a"))))) == [
+            "unpartitioned Window over unbounded input"]
+        # bounded (rank<=k compiles to WindowGroupLimit) and
+        # partitioned windows must pass
+        assert lint_plan(plan(
+            a.withColumn("rn", F.row_number().over(W.orderBy("a")))
+            .filter(F.col("rn") <= 5))) == []
+        assert lint_plan(plan(a.withColumn(
+            "rn", F.row_number().over(
+                W.partitionBy("a").orderBy("a"))))) == []
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
